@@ -1,0 +1,83 @@
+"""Dense-vector scalar functions as native Spark SQL expressions.
+
+Reproduces the reference's vector surface (`Vector`, hnsw.cc:33-92) on
+``ARRAY<FLOAT>`` columns. Everything here stays inside whole-stage codegen —
+no Python in the hot path (SURVEY §1.5, §4.2). Distances are computed in
+DOUBLE: float32 accumulation order (hnsw.cc:76-81) is not bit-reproducible
+across engines, so declared query semantics are double-precision (SURVEY §7).
+
+The elementwise fold is sequential left-to-right in both Spark's
+``aggregate`` and DuckDB's ``list_sum``, so with explicit double casts the
+oracle comparison is bit-stable, not merely within-epsilon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def squared_l2(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)² in double. Mirrors the loop at hnsw.cc:76-81 with
+    double accumulation. Requires equal dims (enforced at ingest)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance — `Vector::Distance` (hnsw.cc:74-83), double."""
+    return F.sqrt(squared_l2(a, b))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _d(x) * _d(y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: _d(x) * _d(x)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot(a,b) / (|a||b|). Not in the reference (L2 is its only metric,
+    SURVEY §1.5); needed by the embedding near-dup path."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def compat_distance(left: Column, right: Column) -> Column:
+    """The reference's mismatched-dimension distance semantics (SURVEY §1.4):
+    the LEFT operand drives the loop (hnsw.cc:76); out-of-range reads of the
+    right operand return 0.0 via the branchless mask (hnsw.cc:29-31, 66-72),
+    so a shorter right is zero-padded and a longer right is truncated.
+    Asymmetric by construction. Opt-in compat mode only — default ingest
+    enforces uniform dims.
+    """
+    # Drive by the left array's indices; element_at is 1-based and returns
+    # NULL out of range → coalesce to 0.0 reproduces the masked read.
+    diffs = F.transform(
+        left,
+        lambda x, i: (
+            (_d(x) - F.coalesce(_d(F.element_at(right, i + F.lit(1))), F.lit(0.0)))
+            * (_d(x) - F.coalesce(_d(F.element_at(right, i + F.lit(1))), F.lit(0.0)))
+        ),
+    )
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+
+def vector_to_string(a: Column) -> Column:
+    """`Vector::Print` (hnsw.cc:86-91): space-joined float components."""
+    return F.concat_ws(" ", F.transform(a, lambda x: x.cast("string")))

@@ -1,0 +1,132 @@
+"""Exact k-nearest-neighbor search — the deterministic query surface that the
+reference's `FindNearest` (hnsw.cc:276-285) approximates.
+
+Two physical strategies, same logical semantics (L2 distance in double,
+ascending, ties broken by id):
+
+1. ``knn_exact`` / ``knn_join`` — native expressions. Single query plans as
+   `TakeOrderedAndProject` (the heap top-k at hnsw.cc:266-271, distributed:
+   per-partition partial top-k, driver merge — no full sort, no full shuffle).
+   Batch plans as broadcast-join + window ranking.
+2. ``knn_join_blockwise`` — Arrow/NumPy block scoring via ``mapInPandas``:
+   each input partition is scored against the broadcast query matrix with one
+   float64 GEMM-style op and reduced to a LOCAL top-k before any shuffle, so
+   shuffle volume is O(num_queries · k · partitions), not O(rows). This is the
+   100 TB path: no crossJoin row explosion ever materializes.
+
+At cluster scale both strategies broadcast the (small) query set; the big
+side streams. Skew is irrelevant (no join key).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vectordb_explorations_spark.functions.vectors import l2_distance
+
+
+def knn_exact(vectors: DataFrame, query_vec: Sequence[float], k: int,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              round_dp: int | None = 6) -> DataFrame:
+    """Top-k rows nearest to one literal query vector.
+
+    Deterministic replacement for `FindNearest` (hnsw.cc:276-285): brute
+    force is the ideal answer the HNSW graph approximates. ORDER BY
+    (dist, id) makes ties stable for the hash oracle.
+    """
+    q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    dist = l2_distance(F.col(vec_col), q)
+    if round_dp is not None:
+        dist = F.round(dist, round_dp)
+    return (vectors
+            .select(F.col(id_col), dist.alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def knn_join(vectors: DataFrame, queries: DataFrame, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "query_vec",
+             round_dp: int | None = 6) -> DataFrame:
+    """Batch k-NN: per query in ``queries``, its k nearest vectors.
+
+    Physical shape: broadcast the query set, score (codegen), then
+    `Window.partitionBy(query_id).orderBy(dist, id)` + row_number ≤ k —
+    the per-query analog of the heap pop at hnsw.cc:266-271.
+    """
+    scored = (vectors.crossJoin(F.broadcast(queries))
+              .withColumn("dist", l2_distance(F.col(vec_col), F.col(qvec_col))))
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    out = (scored
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    dist = F.round(F.col("dist"), round_dp) if round_dp is not None else F.col("dist")
+    return out.select(
+        F.col(qid_col), F.col(id_col), dist.alias("dist"), F.col("rank"))
+
+
+def knn_join_blockwise(vectors: DataFrame, queries: DataFrame, k: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       qid_col: str = "query_id", qvec_col: str = "query_vec",
+                       round_dp: int | None = 6) -> DataFrame:
+    """Scale-path batch k-NN: NumPy block scoring + local top-k per partition,
+    then a global top-k merge. Output is identical to ``knn_join``.
+
+    ``mapInPandas`` receives Arrow batches of the vector table; each batch is
+    scored against the collected query matrix via (a-b)² = |a|² - 2a·b + |b|²
+    in float64, and only the per-batch top-k per query survives to the
+    shuffle. The final window ranks ≤ batches·k rows per query, not N.
+    """
+    import numpy as np
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
+
+    out_schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("dist", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_sq = (qmat * qmat).sum(axis=1)  # (Q,)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)  # (N, D)
+            ids = pdf[id_col].to_numpy()
+            n_sq = (mat * mat).sum(axis=1)  # (N,)
+            # (Q, N) squared distances; clamp tiny negatives from cancellation.
+            d2 = q_sq[:, None] + n_sq[None, :] - 2.0 * (qmat @ mat.T)
+            np.maximum(d2, 0.0, out=d2)
+            kk = min(k, mat.shape[0])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+            rows = {
+                qid_col: np.repeat(qids, kk),
+                id_col: ids[part].ravel(),
+                "dist": np.sqrt(d2[np.arange(len(qids))[:, None], part]).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local_topk = vectors.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    out = (local_topk
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    dist = F.round(F.col("dist"), round_dp) if round_dp is not None else F.col("dist")
+    return out.select(F.col(qid_col), F.col(id_col), dist.alias("dist"), F.col("rank"))
+
+
+def sample_queries(vectors: DataFrame, num: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic query workload: the first ``num`` vectors by id."""
+    return (vectors
+            .orderBy(F.col(id_col).asc())
+            .limit(num)
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")))

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the fixture scales and, by configuration
+rather than code, for large clusters (AQE, skew handling, Arrow batching).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults are sized for local[32] on the sf0.001..sf0.1 fixtures; on a real
+# cluster the same knobs scale up (AQE coalesces/splits at runtime, so an
+# over-provisioned shuffle partition count is safe).
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast joins for small dims (region/nation/supplier/queries).
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Parquet scans: pushdown + pruning are on by default; keep them explicit
+    # so a config regression is visible.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(app_name: str = "vectordb-explorations-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Return (or create) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``); on a real cluster pass ``None`` with a pre-set master or
+    spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,35 @@
+"""Parquet-backed table catalog over the fixture directories.
+
+The reference's only data sources are ``rand()`` and hard-coded literals
+(hnsw.cc:337-339, 289-291); every real source here is new surface. Reads are
+plain ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning, and partition pruning for free — check ``PushedFilters`` /
+``ReadSchema`` in ``.explain("formatted")``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vectordb_explorations_spark.schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
+                    names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view; return name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
