@@ -66,13 +66,14 @@ def compat_distance(left: Column, right: Column) -> Column:
     Asymmetric by construction. Opt-in compat mode only — default ingest
     enforces uniform dims.
     """
-    # Drive by the left array's indices; element_at is 1-based and returns
-    # NULL out of range → coalesce to 0.0 reproduces the masked read.
+    # Drive by the left array's indices; try_element_at is 1-based and returns
+    # NULL out of range (plain element_at throws under ANSI mode) → coalesce
+    # to 0.0 reproduces the masked read.
     diffs = F.transform(
         left,
         lambda x, i: (
-            (_d(x) - F.coalesce(_d(F.element_at(right, i + F.lit(1))), F.lit(0.0)))
-            * (_d(x) - F.coalesce(_d(F.element_at(right, i + F.lit(1))), F.lit(0.0)))
+            (_d(x) - F.coalesce(_d(F.try_element_at(right, i + F.lit(1))), F.lit(0.0)))
+            * (_d(x) - F.coalesce(_d(F.try_element_at(right, i + F.lit(1))), F.lit(0.0)))
         ),
     )
     return F.sqrt(F.aggregate(diffs, F.lit(0.0).cast("double"), lambda acc, v: acc + v))
