@@ -1,0 +1,244 @@
+"""Deduplication operators for a training-data pipeline over `documents` /
+`embeddings` — a north-star extension beyond the reference's surface
+(SURVEY §2.2: the reference has no dedup; its nearest artifact is the 1-NN
+similarity probe in RgbTest, hnsw.cc:326-368).
+
+Every operator is deterministic and oracle-checkable: hashes are md5/sha256
+(portable across Spark and DuckDB), MinHash uses the lexicographic minimum of
+md5 strings (no engine-specific integer hashing), and all similarity scores
+are computed in double and rounded to 6 dp.
+
+Scale shape (100 TB): each pipeline is
+  slim-projection → per-doc signature (narrow shuffle-free map) →
+  shuffle only on compact keys (16-char band prefixes, not documents) →
+  verify join carries shingle sets only for candidate pairs.
+No pairwise O(N²) stage exists except inside an explicit blocking key whose
+group sizes are bounded (lang × length bucket, label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vectordb_explorations_spark.functions.vectors import cosine_similarity
+
+# 3-word shingles over the space-separated text, de-duplicated per doc.
+# Guarded so docs with < 3 words yield an empty set (Spark's `sequence`
+# would otherwise count DOWN for size(w) < 3).
+_SHINGLES = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))) "
+    "ELSE array() END"
+)
+
+# DuckDB mirror (1-based lists; range() is end-exclusive).
+_SHINGLES_DUCK = (
+    "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> concat(string_split(text, ' ')[i], ' ', string_split(text, ' ')[i+1], ' ', string_split(text, ' ')[i+2]))) "
+    "ELSE [] END"
+)
+
+NUM_HASHES = 12
+BAND_SIZE = 3
+NUM_BANDS = NUM_HASHES // BAND_SIZE
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 16
+COSINE_THRESHOLD = 0.4
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by sha256(text); emit group size and the kept
+    (minimum) doc_id. `dropDuplicates`-equivalent but returns the audit view.
+    Map-side partial aggregation keeps the shuffle at one row per distinct
+    hash."""
+    return (docs
+            .groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .orderBy("text_sha"))
+
+
+def exact_dedup_oracle() -> str:
+    return ("SELECT sha256(text) AS text_sha, count(*) AS n_copies, "
+            "min(doc_id) AS keep_doc_id FROM documents "
+            "GROUP BY sha256(text) ORDER BY text_sha")
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.expr(_SHINGLES).alias("sh"))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: for hash j, min over shingles of
+    md5(shingle || '#j') — lexicographic min of hex strings is a valid
+    min-wise hash and is identical in any engine with md5."""
+    sh = _shingle_sets(docs)
+    mh = [
+        F.array_min(F.transform(F.col("sh"), lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}")))))
+        .alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.select("doc_id", "sh", *mh)
+
+
+def minhash_lsh_pairs(docs: DataFrame,
+                      num_hashes: int = NUM_HASHES,
+                      band_size: int = BAND_SIZE,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
+
+    banding join shuffles only (doc_id, band_idx, 32-char key); shingle sets
+    are re-joined solely for the surviving candidate pairs.
+    """
+    sig = minhash_signatures(docs, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = [
+        F.md5(F.concat(*[F.col(f"mh{b * band_size + r}") for r in range(band_size)]))
+        .alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = (sig.select("doc_id", F.posexplode(F.array(*bands)).alias("band_idx", "band_key")))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+            .distinct())
+    sh = _shingle_sets(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cand.join(sa, "doc_id_a").join(sb, "doc_id_b")
+            .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def minhash_lsh_pairs_oracle(num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE,
+                             threshold: float = JACCARD_THRESHOLD) -> str:
+    mh_exprs = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(concat(s, '#{j}'))), 'min') AS mh{j}"
+        for j in range(num_hashes))
+    n_bands = num_hashes // band_size
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat({parts})) AS band_key FROM sig".format(
+            b=b, parts=", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
+        for b in range(n_bands))
+    return f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {mh_exprs} FROM sh),
+banded AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_id_a, c.doc_id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id_a JOIN sh sb ON sb.doc_id = c.doc_id_b
+WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {threshold}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over the distinct word set: bit k of md5-derived
+    16-bit word hashes votes ±1; the sign of the tally sets bit k (ties → 0).
+    One explode + one grouped aggregation — map-side combinable."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
+    h = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long").alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"b{k}")
+        for k in range(bits)
+    ]
+    tallied = h.groupBy("doc_id").agg(*votes)
+    sim = None
+    for k in range(bits):
+        term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return tallied.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_oracle(bits: int = SIMHASH_BITS) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}" for k in range(bits))
+    sim = " + ".join(f"CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(bits))
+    return f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) AS h FROM w),
+b AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM b ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame,
+                        threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Blocked exact n-gram (3-word shingle) Jaccard near-dup pairs.
+
+    Blocking key = (lang, n_chars // 100): pairwise work is confined to
+    bounded groups, so this survives scale-up as long as block sizes do;
+    MinHash-LSH (above) is the unblocked scale path."""
+    base = docs.select("doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+                       F.expr(_SHINGLES).alias("sh"))
+    a = base.select(F.col("doc_id").alias("doc_id_a"), "lang", "len_bucket", F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_id_b"), "lang", "len_bucket", F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (a.join(b, ["lang", "len_bucket"])
+            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def ngram_jaccard_pairs_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, lang, n_chars // 100 AS len_bucket, {_SHINGLES_DUCK} AS sh FROM documents)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= {threshold}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def embedding_cosine_pairs(embeddings: DataFrame,
+                           threshold: float = COSINE_THRESHOLD) -> DataFrame:
+    """Embedding near-dup pairs: cosine similarity ≥ threshold within a
+    label block. The label is the blocking key here; the unblocked scale
+    path is the ANN module's hyperplane-LSH bucketing."""
+    a = embeddings.select(F.col("vec_id").alias("vec_id_a"), "label",
+                          F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_id_b"), "label",
+                          F.col("embedding").alias("emb_b"))
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (a.join(b, "label")
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b", "label", F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .orderBy("vec_id_a", "vec_id_b"))
+
+
+def embedding_cosine_pairs_oracle(threshold: float = COSINE_THRESHOLD) -> str:
+    dot = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
+       round({dot} / ({na} * {nb}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+ORDER BY vec_id_a, vec_id_b
+"""
