@@ -1,0 +1,178 @@
+"""Text-analysis operators over `documents` — north-star extensions
+(SURVEY §2.2: the reference has no string functions at all; its only string
+op is debug printing, hnsw.cc:86-91).
+
+All pure built-in expressions (whole-stage codegen, no Python in the path),
+each with a DuckDB oracle twin. Regexes restrict to syntax shared by Java's
+engine and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language marker lists over the synthetic vocabulary. The point is
+# a deterministic, oracle-checkable n-gram/stopword heuristic shape — exactly
+# what a real lang-ID (e.g. fastText-style profiles) plugs into.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "data", "fast"],
+    "de": ["table", "row", "scan", "der"],
+    "es": ["query", "join", "el", "la"],
+    "fr": ["merge", "sort", "le", "les"],
+    "zh": ["vector", "hash", "shi", "de2"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # tie-break priority
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# Word-ish tokens: letter runs, digit runs, or single non-space symbols —
+# a BPE-style pre-tokenizer shape portable between Java regex and RE2.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+FINGERPRINT_SHINGLE = 4
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc quality metrics: token counts, uniqueness, mean token length,
+    stopword ratio, and a composite quality score — the standard features a
+    corpus-quality filter thresholds on."""
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    n_unique = F.size(F.array_distinct(words))
+    sw_array = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw_array, w)))
+    mean_len = (F.aggregate(words, F.lit(0.0),
+                            lambda acc, w: acc + F.length(w).cast("double"))
+                / n_tokens.cast("double"))
+    uniq_ratio = n_unique.cast("double") / n_tokens.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    quality = 0.5 * uniq_ratio + 0.3 * (F.lit(1.0) - stop_ratio) + 0.2 * F.least(
+        mean_len / F.lit(10.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def text_stats_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_unique,
+         list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))) / len(w) AS mean_len,
+         len(list_filter(w, x -> list_contains([{sw}], x)))::DOUBLE / len(w) AS stop_ratio
+  FROM s
+)
+SELECT doc_id, n_tokens, n_unique,
+       round(mean_len, 6) AS mean_token_len,
+       round(n_unique::DOUBLE / n_tokens, 6) AS unique_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(0.5 * (n_unique::DOUBLE / n_tokens) + 0.3 * (1.0 - stop_ratio)
+             + 0.2 * least(mean_len / 10.0, 1.0), 6) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: score = count of words in each language's
+    marker list; argmax with a fixed tie-break order. Deterministic by
+    construction (the fixture's `lang` column is the label to compare
+    against, not an input)."""
+    words = F.split(F.col("text"), " ")
+
+    def marker_hits(markers: list[str]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        # NB: the lambda must take exactly one arg — PySpark inspects arity
+        # and would treat a second (even defaulted) arg as the index.
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    pred = None
+    for lg in reversed(LANG_ORDER):
+        cond = F.when(scores[lg] == best, F.lit(lg))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    out = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        *[scores[lg].alias(f"score_{lg}") for lg in LANG_ORDER],
+        pred.alias("predicted_lang"))
+    return out.orderBy("doc_id")
+
+
+def lang_id_oracle() -> str:
+    score_exprs = []
+    for lg in LANG_ORDER:
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        score_exprs.append(
+            f"len(list_filter(string_split(text, ' '), x -> list_contains([{markers}], x))) AS score_{lg}")
+    # argmax with LANG_ORDER tie-break = first lang in order reaching the max
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = greatest({', '.join('score_' + o for o in LANG_ORDER)}) THEN '{lg}'"
+        for lg in LANG_ORDER) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, lang AS labeled_lang, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id, labeled_lang, {', '.join('score_' + lg for lg in LANG_ORDER)},
+       {pred} AS predicted_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Regex (BPE-ish pre-tokenizer) token counting + chars-per-token — the
+    cost-estimation primitives of an LLM data pipeline."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n.alias("n_regex_tokens"),
+        F.round(F.length("text").cast("double") / n.cast("double"), 6)
+        .alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+def token_counts_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_regex_tokens,
+       round(length(text)::DOUBLE / len(regexp_extract_all(text, '{TOKEN_REGEX}')), 6)
+         AS chars_per_token
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(docs: DataFrame, k: int = FINGERPRINT_SHINGLE) -> DataFrame:
+    """Document fingerprint: minimum md5 over k-word shingles (min-sampling of
+    a rolling-hash family — one representative hash per doc, MOSS/winnowing
+    style). Equal fingerprints ⇒ shared k-shingle."""
+    words = "split(text, ' ')"
+    shingle_parts = ", ' ', ".join(f"{words}[i+{j}]" for j in range(k))
+    expr = (f"CASE WHEN size({words}) >= {k} THEN "
+            f"array_min(transform(sequence(0, size({words}) - {k}), "
+            f"i -> md5(concat({shingle_parts})))) "
+            f"ELSE md5(text) END")
+    return (docs.select("doc_id", F.expr(expr).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+def doc_fingerprints_oracle(k: int = FINGERPRINT_SHINGLE) -> str:
+    words = "string_split(text, ' ')"
+    shingle_parts = ", ' ', ".join(f"{words}[i+{j}]" for j in range(k))
+    return f"""
+SELECT doc_id,
+       CASE WHEN len({words}) >= {k} THEN
+         list_aggregate(list_transform(range(1, len({words}) - {k - 2}),
+                        i -> md5(concat({shingle_parts}))), 'min')
+       ELSE md5(text) END AS fingerprint
+FROM documents ORDER BY doc_id
+"""
