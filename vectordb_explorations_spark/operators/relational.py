@@ -1,0 +1,380 @@
+"""Relational coverage over the TPC-H-ish star schema + `events` — the
+entire §2.2 absence list of SURVEY.md (scans, joins incl. semi/anti,
+grouped/rollup aggregation, windows, sorts, set ops, string/date/JSON
+functions), expressed declaratively so Catalyst supplies pushdown, pruning,
+join selection, and AQE does runtime re-planning.
+
+Scale notes per query are in the docstrings; the general shape:
+- dimension tables (region/nation/supplier, and customer vs orders)
+  broadcast below the threshold; fact-fact joins shuffle on their keys.
+- aggregations are partial (map-side combine) by construction.
+- date/JSON outputs are projected to strings/epochs so the DuckDB oracle
+  hashes identically (timestamp wire formats differ between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# --- Q1-style pricing summary (grouped aggregation, predicate pushdown) ---
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: wide scan + filter + grouped agg. The shipdate filter
+    reaches the parquet scan (PushedFilters); the agg is partial+final with
+    only 4 groups, so shuffle volume is constant."""
+    return (lineitem
+            .where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style: join + agg + top-k ---
+
+def top_unshipped_orders(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: str = "BUILDING",
+                         k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast customer into
+    orders, shuffle join to lineitem on orderkey, revenue agg, top-k
+    (TakeOrderedAndProject — no global sort materialized)."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    return (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                     "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(k))
+
+
+def top_unshipped_orders_oracle(segment: str = "BUILDING", k: int = 10) -> str:
+    return f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = '{segment}'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {k}
+"""
+
+
+# --- Q5-style: multi-way star join ---
+
+def region_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Star join region→nation→customer→orders→lineitem. The three dim
+    hops broadcast; only orders⋈lineitem shuffles. Revenue per nation."""
+    return (lineitem
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"),
+                 F.count_distinct(F.col("o_orderkey")).alias("n_orders"))
+            .orderBy("r_name", "n_name"))
+
+
+REGION_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# --- window functions ---
+
+def top_customers_per_nation(customer: DataFrame, n: int = 3) -> DataFrame:
+    """Ranking window: top-n customers by acctbal within each nation —
+    the per-group analog of the reference's global top-k heap
+    (hnsw.cc:266-271). One shuffle on the partition key."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (customer
+            .withColumn("rank_in_nation", F.row_number().over(w))
+            .where(F.col("rank_in_nation") <= n)
+            .select("c_nationkey", "c_custkey", "c_name",
+                    F.round("c_acctbal", 2).alias("acctbal"), "rank_in_nation")
+            .orderBy("c_nationkey", "rank_in_nation"))
+
+
+def top_customers_per_nation_oracle(n: int = 3) -> str:
+    return f"""
+SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rank_in_nation
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+  FROM customer
+)
+WHERE rank_in_nation <= {n}
+ORDER BY c_nationkey, rank_in_nation
+"""
+
+
+def customer_order_running_totals(orders: DataFrame, limit_custkey: int = 200) -> DataFrame:
+    """Analytic window frame: per-customer running order total + lag delta,
+    over a bounded key range (predicate pushes to the scan)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (orders
+            .where(F.col("o_custkey") <= limit_custkey)
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+                    .alias("running_total"),
+                    F.round(F.col("o_totalprice")
+                            - F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0)), 4)
+                    .alias("delta_vs_prev"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+def customer_order_running_totals_oracle(limit_custkey: int = 200) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+       round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey), 0.0), 4) AS delta_vs_prev
+FROM orders
+WHERE o_custkey <= {limit_custkey}
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- rollup / grouping sets ---
+
+def rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id — subtotal and
+    grand-total rows; NULL group keys coalesced to 'ALL' for hash-stable
+    output."""
+    return (lineitem
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "sum_price", "n_rows", "gid")
+            .orderBy("gid", "returnflag", "linestatus"))
+
+
+ROLLUP_REVENUE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       count(*) AS n_rows,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+# --- semi / anti joins ---
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join: customers that never ordered. Plans as a broadcast
+    anti join when orders' key projection is small; at scale it's a shuffled
+    hash anti join on the key only (projection pruned to o_custkey)."""
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .orderBy("c_custkey"))
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def segment_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI join + aggregation: per-segment count of customers that
+    have at least one order."""
+    with_orders = customer.join(orders, customer.c_custkey == orders.o_custkey,
+                                "left_semi")
+    return (with_orders.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers_with_orders"),
+                 F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
+            .orderBy("c_mktsegment"))
+
+
+SEGMENT_ORDER_STATS_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers_with_orders,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- set operations ---
+
+def part_brand_set_ops(part: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over part-key sets defined by predicates,
+    tagged by which set op produced each row."""
+    big = part.where(F.col("p_size") >= 30).select("p_partkey")
+    pricey = part.where(F.col("p_retailprice") >= 1500.0).select("p_partkey")
+    u = big.union(pricey).distinct().withColumn("set_op", F.lit("union"))
+    i = big.intersect(pricey).withColumn("set_op", F.lit("intersect"))
+    e = big.exceptAll(pricey).distinct().withColumn("set_op", F.lit("except"))
+    return u.union(i).union(e).orderBy("set_op", "p_partkey")
+
+
+PART_BRAND_SET_OPS_ORACLE = """
+WITH big AS (SELECT p_partkey FROM part WHERE p_size >= 30),
+pricey AS (SELECT p_partkey FROM part WHERE p_retailprice >= 1500.0)
+SELECT p_partkey, 'union' AS set_op FROM (SELECT p_partkey FROM big UNION SELECT p_partkey FROM pricey)
+UNION ALL
+SELECT p_partkey, 'intersect' AS set_op FROM (SELECT p_partkey FROM big INTERSECT SELECT p_partkey FROM pricey)
+UNION ALL
+SELECT p_partkey, 'except' AS set_op FROM (SELECT p_partkey FROM big EXCEPT SELECT p_partkey FROM pricey)
+ORDER BY set_op, p_partkey
+"""
+
+
+# --- events: date/JSON functions, sessionization ---
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour aggregation (batch twin of the streaming query in
+    streaming/events.py): per (hour, event_type) count + value stats.
+    Hour emitted as epoch seconds — engine-portable, no timestamp wire
+    format in the hash."""
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    return (events
+            .groupBy(hour.alias("hour_epoch"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .orderBy("hour_epoch", "event_type"))
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_epoch, event_type
+"""
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction on the `props` column: numeric field $.k per type."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (events
+            .select("event_type", k.alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_with_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k"))
+            .orderBy("event_type"))
+
+
+EVENTS_JSON_STATS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_with_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via windows (batch form of a session window): a new
+    session starts when the gap from the previous event of the same user
+    exceeds ``gap_minutes``. Returns per-session stats. One shuffle on
+    user_id; the cumulative sum runs inside each user partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Compare gaps at microsecond precision — integer-second truncation
+    # would disagree with the oracle on fractional-second boundaries.
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    sessions = (events
+                .withColumn("is_new", is_new)
+                .withColumn("session_seq", F.sum("is_new").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    return (sessions
+            .groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.unix_micros(F.min("ts")).alias("start_us"),
+                 F.unix_micros(F.max("ts")).alias("end_us"),
+                 F.round(F.sum("value"), 6).alias("session_value"))
+            .orderBy("user_id", "session_seq"))
+
+
+def user_sessions_oracle(gap_minutes: int = 30) -> str:
+    # epoch_ns // 1000 mirrors the catalog's nanos→micros truncation.
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS t_us FROM events
+), g AS (
+  SELECT user_id, event_id, t_us, value,
+         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+                OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   > {gap_minutes * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+), s AS (
+  SELECT user_id, event_id, t_us, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(t_us) AS start_us,
+       max(t_us) AS end_us,
+       round(sum(value), 6) AS session_value
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""

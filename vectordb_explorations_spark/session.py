@@ -25,6 +25,9 @@ _DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp —
+    # read as long and convert to microseconds in the catalog layer.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",

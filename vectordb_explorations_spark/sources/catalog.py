@@ -21,7 +21,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as INT64 nanos (spark.sql.legacy.parquet.nanosAsLong);
+        # truncate to microseconds — the oracle mirrors this exact floor
+        # (epoch_ns(ts) // 1000) so both engines see identical instants.
+        from pyspark.sql import functions as F
+        # Integer `div`, not `/`: double division loses ulps at 1e18 nanos
+        # and floors to the wrong microsecond.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
