@@ -43,6 +43,15 @@ def get_spark(app_name: str = "vectordb-explorations-spark",
     ``local[*]``); on a real cluster pass ``None`` with a pre-set master or
     spark-submit.
     """
+    # Make this package importable in Python worker processes (cloudpickle
+    # references classes by module path, e.g. the HNSW graph blobs). On a
+    # real cluster ship the package with --py-files instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else ""))
+
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
