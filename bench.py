@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's flagship workloads at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Workload mapping to BASELINE.md's measurement protocol:
+- index_build_lsh / index_build_hnsw   ↔ SizeTest footprint phases
+- knn_exact_batch100 (k=10, blockwise) ↔ FindNearest brute-force ideal
+- ann_lsh_batch100 + recall@10         ↔ greedy graph search quality/latency
+- dedup_minhash_lsh / text_stats / pricing_summary / region_revenue /
+  user_sessions                        ↔ north-star + relational inventory
+Each timing forces full execution with a noop-format write (no driver
+collect; results never leave the executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vectordb_explorations_spark.session import get_spark  # noqa: E402
+from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+NUM_QUERIES = 100
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="vx-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectordb_explorations_spark.operators import dedup as D
+    from vectordb_explorations_spark.operators import relational as R
+    from vectordb_explorations_spark.operators import textops as X
+    from vectordb_explorations_spark.operators.ann import (
+        lsh_search, random_hyperplane_lsh, recall_at_k)
+    from vectordb_explorations_spark.operators.hnsw import hnsw_build, hnsw_search
+    from vectordb_explorations_spark.operators.knn import (
+        knn_join, knn_join_blockwise, sample_queries)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM + parquet footer caches with a trivial action
+    for t in ("embeddings", "documents", "lineitem", "events"):
+        load_table(spark, t, SF_DIR).count()
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    queries = sample_queries(emb, NUM_QUERIES).cache()
+    queries.count()
+
+    bench("knn_exact_batch100",
+          lambda: _force(knn_join_blockwise(emb, queries, K)))
+    bench("knn_exact_batch100_window",
+          lambda: _force(knn_join(emb, queries, K)))
+
+    bench("index_build_lsh", lambda: _force(random_hyperplane_lsh(emb)))
+
+    hnsw_idx = {}
+
+    def build_hnsw():
+        idx = hnsw_build(emb, num_shards=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        idx = idx.cache()
+        idx.count()
+        hnsw_idx["df"] = idx
+
+    bench("index_build_hnsw", build_hnsw)
+    bench("ann_hnsw_batch100",
+          lambda: _force(hnsw_search(hnsw_idx["df"], queries, K)))
+    bench("ann_lsh_batch100",
+          lambda: _force(lsh_search(emb, queries, K)))
+
+    exact = knn_join(emb, queries, K).cache()
+    exact.count()
+    extras["recall_lsh_at_10"] = round(
+        recall_at_k(lsh_search(emb, queries, K), exact, K), 4)
+    extras["recall_hnsw_at_10"] = round(
+        recall_at_k(hnsw_search(hnsw_idx["df"], queries, K), exact, K), 4)
+
+    bench("dedup_minhash_lsh", lambda: _force(D.minhash_lsh_pairs(docs)))
+    bench("dedup_exact", lambda: _force(D.exact_dedup(docs)))
+    bench("text_stats", lambda: _force(X.text_stats(docs)))
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    bench("pricing_summary", lambda: _force(R.pricing_summary(li)))
+    bench("region_revenue", lambda: _force(R.region_revenue(
+        load_table(spark, "region", SF_DIR), load_table(spark, "nation", SF_DIR),
+        load_table(spark, "customer", SF_DIR), load_table(spark, "orders", SF_DIR), li)))
+    ev = load_table(spark, "events", SF_DIR)
+    bench("events_hourly", lambda: _force(R.events_hourly(ev)))
+    bench("user_sessions", lambda: _force(R.user_sessions(ev)))
+
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_match.group(1)) if sf_match else None,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Recall gates for the approximate paths (SURVEY §0/§5: ANN is stochastic
+by construction — validated by recall against the exact path, never hashed).
+"""
+
+import pytest
+
+from vectordb_explorations_spark.operators.ann import (
+    ivf_build, ivf_search, lsh_search, random_hyperplane_lsh, recall_at_k)
+from vectordb_explorations_spark.operators.hnsw import (
+    HnswGraph, hnsw_build, hnsw_search)
+from vectordb_explorations_spark.operators.knn import knn_join, sample_queries
+from vectordb_explorations_spark.sources import load_table
+
+K = 10
+NUM_Q = 10
+
+
+@pytest.fixture(scope="module")
+def exact(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).cache()
+    qs = sample_queries(emb, NUM_Q).cache()
+    ex = knn_join(emb, qs, K).cache()
+    ex.count()
+    return emb, qs, ex
+
+
+def test_lsh_recall(spark, sf_dir, exact):
+    emb, qs, ex = exact
+    approx = lsh_search(emb, qs, K)
+    assert recall_at_k(approx, ex, K) >= 0.7
+
+
+def test_lsh_index_is_narrow(spark, sf_dir, exact):
+    emb, qs, ex = exact
+    idx = random_hyperplane_lsh(emb, num_tables=4, num_planes=6)
+    assert idx.columns == ["vec_id", "table_id", "bucket"]
+    assert idx.count() == emb.count() * 4
+
+
+def test_ivf_recall(spark, sf_dir, exact):
+    emb, qs, ex = exact
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    approx = ivf_search(assigned, cents, qs, K, nprobe=4)
+    assert recall_at_k(approx, ex, K) >= 0.85
+
+
+def test_hnsw_recall(spark, sf_dir, exact):
+    emb, qs, ex = exact
+    idx = hnsw_build(emb, num_shards=4)
+    approx = hnsw_search(idx, qs, K, ef_search=64)
+    assert recall_at_k(approx, ex, K) >= 0.9
+
+
+def test_hnsw_graph_local():
+    """Pure-graph sanity without Spark: the perturbation oracle
+    (hnsw.cc:326-368 restated) on one in-process graph."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    mat = rng.randint(0, 256, size=(200, 3)).astype(np.float64)
+    g = HnswGraph(dim=3, m=8, ef_construction=64, seed=3)
+    g.bulk_add(np.arange(200), mat)
+    misses = 0
+    for probe_i in range(50):
+        probe = mat[probe_i] + np.array([0.0, 1.0, -1.0])
+        got = g.search(probe, 1, ef_search=128)[0][0]
+        exact_id = int(np.argmin(((mat - probe) ** 2).sum(axis=1)))
+        misses += got != exact_id
+    # approximate index: allow a small miss budget over 50 probes
+    assert misses <= 2
+
+
+def test_hnsw_reference_level_mult():
+    """The compat flag reproduces the reference's 1/m falloff
+    (hnsw.cc:140-145) vs the canonical 1/ln(m)."""
+    import math
+    g_ref = HnswGraph(dim=2, m=8, reference_level_mult=True)
+    g_can = HnswGraph(dim=2, m=8, reference_level_mult=False)
+    assert g_ref.level_mult == pytest.approx(1.0 / 8)
+    assert g_can.level_mult == pytest.approx(1.0 / math.log(8))

@@ -1,0 +1,44 @@
+"""Dedup-operator semantics beyond the oracle hash (which tests parity, not
+meaning): planted near-dups are found, blocking is sound."""
+
+from pyspark.sql import functions as F
+
+from vectordb_explorations_spark.operators import dedup as D
+from vectordb_explorations_spark.sources import load_table
+
+
+def test_exact_dedup_covers_all_docs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    groups = D.exact_dedup(docs)
+    assert groups.agg(F.sum("n_copies")).first()[0] == docs.count()
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """Every high-Jaccard pair found by exhaustive blocked search must also
+    be surfaced by the MinHash-LSH banding path (prob. of missing a ≥0.95
+    pair with 4 bands of 3 is < 1e-3)."""
+    docs = load_table(spark, "documents", sf_dir)
+    exhaustive = {(r.doc_id_a, r.doc_id_b)
+                  for r in D.ngram_jaccard_pairs(docs, threshold=0.95).collect()}
+    lsh = {(r.doc_id_a, r.doc_id_b)
+           for r in D.minhash_lsh_pairs(docs, threshold=0.95).collect()}
+    assert exhaustive, "fixture should contain planted near-duplicates"
+    assert exhaustive <= lsh
+
+
+def test_simhash_near_dups_collide(spark, sf_dir):
+    """Planted near-dup pairs should have close SimHashes (Hamming <= 4)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    sims = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    for p in pairs:
+        ham = bin(sims[p.doc_id_a] ^ sims[p.doc_id_b]).count("1")
+        assert ham <= 4, (p.doc_id_a, p.doc_id_b, ham)
+
+
+def test_cosine_pairs_symmetric_bound(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = D.embedding_cosine_pairs(emb, threshold=0.3)
+    rows = pairs.collect()
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    assert all(r.vec_id_a < r.vec_id_b for r in rows)

@@ -1,0 +1,56 @@
+"""Structured Streaming: fixture replay must agree with the batch twins."""
+
+import tempfile
+
+import pytest
+
+from vectordb_explorations_spark.operators.relational import events_hourly
+from vectordb_explorations_spark.sources import load_table
+from vectordb_explorations_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return SE.read_events_stream(spark, sf_dir)
+
+
+def test_hourly_stream_equals_batch(spark, sf_dir, stream):
+    q = SE.run_to_memory(SE.hourly_counts_stream(stream), "t_hourly", "complete")
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT hour_epoch, event_type, n_events, sum_value FROM t_hourly").collect())
+    want = sorted(tuple(r) for r in events_hourly(
+        load_table(spark, "events", sf_dir))
+        .select("hour_epoch", "event_type", "n_events", "sum_value").collect())
+    assert got == want
+
+
+def test_streaming_dedup_keeps_distinct(spark, sf_dir, stream):
+    q = SE.run_to_memory(SE.streaming_dedup(stream), "t_dedup", "append")
+    q.awaitTermination(300)
+    n = spark.sql("SELECT count(DISTINCT event_id) c FROM t_dedup").first().c
+    assert n == load_table(spark, "events", sf_dir).count()
+
+
+def test_session_stream_runs(spark, sf_dir, stream):
+    q = SE.run_to_memory(SE.session_stream(stream), "t_sess", "complete")
+    q.awaitTermination(300)
+    assert spark.sql("SELECT count(*) c FROM t_sess").first().c > 0
+
+
+def test_sliding_stream_runs(spark, sf_dir, stream):
+    q = SE.run_to_memory(SE.sliding_value_stream(stream), "t_slide", "complete")
+    q.awaitTermination(300)
+    # each event lands in exactly 2 sliding windows (1h window, 30m slide)
+    total = spark.sql("SELECT sum(n_events) s FROM t_slide").first().s
+    assert total == 2 * load_table(spark, "events", sf_dir).count()
+
+
+def test_incremental_index_refresh(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as d:
+        q = SE.incremental_index_refresh(spark, sf_dir, d)
+        q.awaitTermination(300)
+        idx = spark.read.parquet(d)
+        n_emb = load_table(spark, "embeddings", sf_dir).count()
+        assert idx.count() == n_emb * 8  # default num_tables
+        assert set(idx.columns) == {"vec_id", "table_id", "bucket", "epoch"}

@@ -18,7 +18,7 @@ group sizes are bounded (lang × length bucket, label).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from vectordb_explorations_spark.functions.vectors import cosine_similarity
 
@@ -66,21 +66,51 @@ def exact_dedup_oracle() -> str:
             "GROUP BY sha256(text) ORDER BY text_sha")
 
 
+def _exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): one row per 3-word shingle occurrence.
+
+    Physical shape: posexplode words (codegen generate) + window lead —
+    everything stays in whole-stage codegen with `split(text)` evaluated
+    once per row. The array-lambda formulation (_SHINGLES) re-evaluates the
+    split per element inside interpreted higher-order functions — measured
+    ~4× slower at sf0.1. One shuffle on doc_id, which the downstream
+    per-doc aggregations then reuse (no second exchange)."""
+    words = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = words.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(win),
+                    F.lead("w", 2).over(win)).alias("s"),
+        F.lead("w", 2).over(win).alias("_w2"))
+    # concat_ws skips NULLs, so explicitly drop the two tail positions.
+    return sh.where(F.col("_w2").isNotNull()).select("doc_id", "s")
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.expr(_SHINGLES).alias("sh"))
+    """(doc_id, sh): the distinct 3-shingle set per doc, via collect_set
+    over the exploded stream (set semantics match the oracle's
+    list_distinct; downstream intersect/union sizes are order-insensitive).
+    Docs with < 3 words have no shingles and are absent — they can never be
+    near-dup candidates, and their absence avoids 0/0 Jaccard divisions
+    (an error under ANSI mode)."""
+    return _exploded_shingles(docs).groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh"))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """Per-doc MinHash signature: for hash j, min over shingles of
     md5(shingle || '#j') — lexicographic min of hex strings is a valid
-    min-wise hash and is identical in any engine with md5."""
-    sh = _shingle_sets(docs)
-    mh = [
-        F.array_min(F.transform(F.col("sh"), lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}")))))
-        .alias(f"mh{j}")
+    min-wise hash and is identical in any engine with md5.
+
+    Physical shape: the exploded shingle stream feeds one hash aggregation
+    with ``num_hashes`` MIN columns (map-side combinable); min over
+    duplicate shingles equals min over the distinct set."""
+    exploded = _exploded_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return sh.select("doc_id", "sh", *mh)
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame,
@@ -187,8 +217,9 @@ def ngram_jaccard_pairs(docs: DataFrame,
     Blocking key = (lang, n_chars // 100): pairwise work is confined to
     bounded groups, so this survives scale-up as long as block sizes do;
     MinHash-LSH (above) is the unblocked scale path."""
-    base = docs.select("doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-                       F.expr(_SHINGLES).alias("sh"))
+    base = (docs.select("doc_id", "lang",
+                        (F.col("n_chars") / 100).cast("long").alias("len_bucket"))
+            .join(_shingle_sets(docs), "doc_id"))
     a = base.select(F.col("doc_id").alias("doc_id_a"), "lang", "len_bucket", F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("doc_id_b"), "lang", "len_bucket", F.col("sh").alias("sh_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -145,13 +145,15 @@ class HnswGraph:
             ep = found[0][1]
             links = [n for _, n in found[: self.m]]
             self.neighbors[idx][layer] = links
+            # canonical degree caps: 2M at layer 0, M above (tighter caps
+            # measurably hurt connectivity/recall on small graphs)
+            max_deg = 2 * self.m if layer == 0 else self.m
             for n in links:
                 nl = self.neighbors[n][layer]
                 nl.append(idx)
-                if len(nl) > self.m:
-                    # shrink to the m closest (degree cap; see module doc)
+                if len(nl) > max_deg:
                     dists = self._dist_many(self.vectors[n], nl)
-                    order = np.argsort(dists, kind="stable")[: self.m]
+                    order = np.argsort(dists, kind="stable")[:max_deg]
                     self.neighbors[n][layer] = [nl[j] for j in order]
         if level > self.max_level:
             self.max_level = level

@@ -1,0 +1,275 @@
+"""The declared query inventory: every operator from SURVEY.md §2 (plus the
+north-star extensions) as a named (spark, sf_dir) -> DataFrame callable with,
+where SQL-expressible, a DuckDB oracle twin.
+
+This is the single source of truth consumed by __spark_entry__.py; tests
+iterate it too, so a query cannot ship without its oracle being exercised.
+
+Determinism contract (SURVEY §7): double-precision math, 6-dp rounding on
+floats, total ORDER BY with id tie-breaks, no RNG in declared outputs.
+Approximate paths (ANN) are deliberately *absent* here — they are
+recall-gated in tests/test_ann.py, never hash-matched.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vectordb_explorations_spark.sources.catalog import load_table
+from vectordb_explorations_spark.functions.vectors import (
+    compat_distance, l2_distance, l2_norm)
+from vectordb_explorations_spark.operators import dedup as D
+from vectordb_explorations_spark.operators import knn as K
+from vectordb_explorations_spark.operators import multimodal as M
+from vectordb_explorations_spark.operators import relational as R
+from vectordb_explorations_spark.operators import textops as X
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+KNN_K = 10
+KNN_BATCH_QUERIES = 20
+
+
+# ---------- vector / k-NN queries ----------
+
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query exact k-NN — `FindNearest` (hnsw.cc:276-285) as
+    brute-force top-k; plans as TakeOrderedAndProject."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    return K.knn_exact(emb, qvec, KNN_K)
+
+
+def _oracle_knn_exact() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, q.qv), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id, round({dist}, 6) AS dist
+FROM embeddings e CROSS JOIN q
+ORDER BY {dist} ASC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: per-query ranked neighbors via broadcast + window."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = K.sample_queries(emb, KNN_BATCH_QUERIES)
+    return K.knn_join(emb, qs, KNN_K).orderBy("query_id", "rank")
+
+
+def q_knn_batch_blockwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical result as q_knn_batch through the Arrow/NumPy local
+    top-k scale path — declared separately so the driver proves the two
+    physical strategies agree."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = K.sample_queries(emb, KNN_BATCH_QUERIES)
+    return K.knn_join_blockwise(emb, qs, KNN_K).orderBy("query_id", "rank")
+
+
+def _oracle_knn_batch() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, q.query_vec), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+           FROM embeddings ORDER BY vec_id LIMIT {KNN_BATCH_QUERIES})
+SELECT q.query_id, e.vec_id, round({dist}, 6) AS dist,
+       CAST(row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY {dist} ASC, e.vec_id ASC) AS INTEGER) AS rank
+FROM embeddings e CROSS JOIN q
+QUALIFY rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_distance_matrix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distances among the first 30 vectors — `Vector::Distance`
+    (hnsw.cc:74-83) as a set-returning query."""
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 30)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(l2_distance(F.col("va"), F.col("vb")), 6).alias("dist"))
+            .orderBy("id_a", "id_b"))
+
+
+def _oracle_distance_matrix() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({dist}, 6) AS dist
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 30 AND b.vec_id < 30
+ORDER BY id_a, id_b
+"""
+
+
+def q_compat_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mismatched-dimension distance semantics (§1.4):
+    distance between each embedding and its own first-32-dim prefix, both
+    directions — pins zero-pad (left-driven) vs truncate (right-driven)."""
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 100)
+    half = F.slice(F.col("embedding"), 1, 32)
+    return (emb.select(
+        "vec_id",
+        F.round(compat_distance(F.col("embedding"), half), 6).alias("dist_full_vs_half"),
+        F.round(compat_distance(half, F.col("embedding")), 6).alias("dist_half_vs_full"))
+        .orderBy("vec_id"))
+
+
+def _oracle_compat_distance() -> str:
+    # full-vs-half: right is zero-padded → tail dims contribute x²;
+    # half-vs-full: right truncated to the left's 32 dims → 0 for a prefix.
+    return """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(range(1, 65),
+             i -> (CAST(embedding[i] AS DOUBLE)
+                   - CAST(coalesce(embedding[1:32][i], 0.0) AS DOUBLE))
+                * (CAST(embedding[i] AS DOUBLE)
+                   - CAST(coalesce(embedding[1:32][i], 0.0) AS DOUBLE))))), 6)
+         AS dist_full_vs_half,
+       round(sqrt(list_sum(list_transform(range(1, 33),
+             i -> (CAST(embedding[i] AS DOUBLE) - CAST(embedding[i] AS DOUBLE))
+                * (CAST(embedding[i] AS DOUBLE) - CAST(embedding[i] AS DOUBLE))))), 6)
+         AS dist_half_vs_full
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension centroid of the embedding space (posexplode +
+    grouped avg) — the aggregation backbone of IVF training."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+            .groupBy("label", "dim_idx")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+            .orderBy("label", "dim_idx"))
+
+
+def _oracle_label_centroids() -> str:
+    return """
+WITH x AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim_idx,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, dim_idx, round(avg(CAST(v AS DOUBLE)), 6) AS mean_v
+FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx
+"""
+
+
+def q_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm distribution per label (scalar fold over arrays)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (emb.select("label", l2_norm(F.col("embedding")).alias("norm"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("norm"), 6).alias("min_norm"),
+                 F.round(F.max("norm"), 6).alias("max_norm"),
+                 F.round(F.avg("norm"), 6).alias("avg_norm"))
+            .orderBy("label"))
+
+
+def _oracle_norm_stats() -> str:
+    norm = ("sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return f"""
+SELECT label, count(*) AS n,
+       round(min({norm}), 6) AS min_norm,
+       round(max({norm}), 6) AS max_norm,
+       round(avg({norm}), 6) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------- registry ----------
+
+def _tables(*names):
+    def deco(fn):
+        fn._tables = names
+        return fn
+    return deco
+
+
+QUERIES: dict[str, QueryFn] = {
+    # vector / k-NN (reference surface)
+    "knn_exact": q_knn_exact,
+    "knn_batch": q_knn_batch,
+    "knn_batch_blockwise": q_knn_batch_blockwise,
+    "distance_matrix_sample": q_distance_matrix_sample,
+    "compat_distance": q_compat_distance,
+    "label_centroids": q_label_centroids,
+    "norm_stats": q_norm_stats,
+    # dedup (north star)
+    "dedup_exact": lambda s, d: D.exact_dedup(load_table(s, "documents", d)),
+    "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_pairs(load_table(s, "documents", d)),
+    "dedup_simhash": lambda s, d: D.simhash(load_table(s, "documents", d)),
+    "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(load_table(s, "documents", d)),
+    "dedup_embedding_cosine": lambda s, d: D.embedding_cosine_pairs(load_table(s, "embeddings", d)),
+    # text analysis (north star)
+    "text_stats": lambda s, d: X.text_stats(load_table(s, "documents", d)),
+    "lang_id": lambda s, d: X.lang_id(load_table(s, "documents", d)),
+    "token_counts": lambda s, d: X.token_counts(load_table(s, "documents", d)),
+    "doc_fingerprints": lambda s, d: X.doc_fingerprints(load_table(s, "documents", d)),
+    # multimodal (north star)
+    "multimodal_summary": lambda s, d: M.multimodal_summary(
+        load_table(s, "documents", d), load_table(s, "embeddings", d)),
+    # relational coverage
+    "pricing_summary": lambda s, d: R.pricing_summary(load_table(s, "lineitem", d)),
+    "top_orders": lambda s, d: R.top_unshipped_orders(
+        load_table(s, "customer", d), load_table(s, "orders", d), load_table(s, "lineitem", d)),
+    "region_revenue": lambda s, d: R.region_revenue(
+        load_table(s, "region", d), load_table(s, "nation", d), load_table(s, "customer", d),
+        load_table(s, "orders", d), load_table(s, "lineitem", d)),
+    "top_customers_per_nation": lambda s, d: R.top_customers_per_nation(load_table(s, "customer", d)),
+    "running_totals": lambda s, d: R.customer_order_running_totals(load_table(s, "orders", d)),
+    "rollup_revenue": lambda s, d: R.rollup_revenue(load_table(s, "lineitem", d)),
+    "customers_without_orders": lambda s, d: R.customers_without_orders(
+        load_table(s, "customer", d), load_table(s, "orders", d)),
+    "segment_order_stats": lambda s, d: R.segment_order_stats(
+        load_table(s, "customer", d), load_table(s, "orders", d)),
+    "part_set_ops": lambda s, d: R.part_brand_set_ops(load_table(s, "part", d)),
+    "events_hourly": lambda s, d: R.events_hourly(load_table(s, "events", d)),
+    "events_json_stats": lambda s, d: R.events_json_stats(load_table(s, "events", d)),
+    "user_sessions": lambda s, d: R.user_sessions(load_table(s, "events", d)),
+}
+
+ORACLES: dict[str, str] = {
+    "knn_exact": _oracle_knn_exact(),
+    "knn_batch": _oracle_knn_batch(),
+    "knn_batch_blockwise": _oracle_knn_batch(),
+    "distance_matrix_sample": _oracle_distance_matrix(),
+    "compat_distance": _oracle_compat_distance(),
+    "label_centroids": _oracle_label_centroids(),
+    "norm_stats": _oracle_norm_stats(),
+    "dedup_exact": D.exact_dedup_oracle(),
+    "dedup_minhash_lsh": D.minhash_lsh_pairs_oracle(),
+    "dedup_simhash": D.simhash_oracle(),
+    "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle(),
+    "dedup_embedding_cosine": D.embedding_cosine_pairs_oracle(),
+    "text_stats": X.text_stats_oracle(),
+    "lang_id": X.lang_id_oracle(),
+    "token_counts": X.token_counts_oracle(),
+    "doc_fingerprints": X.doc_fingerprints_oracle(),
+    "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
+    "pricing_summary": R.PRICING_SUMMARY_ORACLE,
+    "top_orders": R.top_unshipped_orders_oracle(),
+    "region_revenue": R.REGION_REVENUE_ORACLE,
+    "top_customers_per_nation": R.top_customers_per_nation_oracle(),
+    "running_totals": R.customer_order_running_totals_oracle(),
+    "rollup_revenue": R.ROLLUP_REVENUE_ORACLE,
+    "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+    "segment_order_stats": R.SEGMENT_ORDER_STATS_ORACLE,
+    "part_set_ops": R.PART_BRAND_SET_OPS_ORACLE,
+    "events_hourly": R.EVENTS_HOURLY_ORACLE,
+    "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
+    "user_sessions": R.user_sessions_oracle(),
+}
