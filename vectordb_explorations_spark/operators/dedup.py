@@ -86,15 +86,23 @@ def _exploded_shingles(docs: DataFrame) -> DataFrame:
     return sh.where(F.col("_w2").isNotNull()).select("doc_id", "s")
 
 
+# 60-bit shingle fingerprint (15 hex chars of md5): set intersections on
+# longs are ~5× cheaper than on shingle strings, and the mapping is engine-
+# portable, so Jaccard values are identical in Spark and DuckDB (collisions
+# are negligible and would be common to both engines anyway).
+_SHINGLE_HASH = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+_SHINGLE_HASH_DUCK = "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): the distinct 3-shingle set per doc, via collect_set
-    over the exploded stream (set semantics match the oracle's
-    list_distinct; downstream intersect/union sizes are order-insensitive).
-    Docs with < 3 words have no shingles and are absent — they can never be
-    near-dup candidates, and their absence avoids 0/0 Jaccard divisions
-    (an error under ANSI mode)."""
-    return _exploded_shingles(docs).groupBy("doc_id").agg(
-        F.collect_set("s").alias("sh"))
+    """(doc_id, sh): the distinct hashed-3-shingle set per doc, via
+    collect_set over the exploded stream (set semantics; downstream
+    intersect/union sizes are order-insensitive). Docs with < 3 words have
+    no shingles and are absent — they can never be near-dup candidates, and
+    their absence avoids 0/0 Jaccard divisions (an error under ANSI mode)."""
+    return (_exploded_shingles(docs)
+            .groupBy("doc_id")
+            .agg(F.collect_set(F.expr(_SHINGLE_HASH)).alias("sh")))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
@@ -160,17 +168,19 @@ def minhash_lsh_pairs_oracle(num_hashes: int = NUM_HASHES,
         for b in range(n_bands))
     return f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents),
+shs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
+        FROM sh WHERE len(sh) > 0),
 sig AS (SELECT doc_id, sh, {mh_exprs} FROM sh),
 banded AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          FROM banded a JOIN banded b
            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
 SELECT c.doc_id_a, c.doc_id_b,
-       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id_a JOIN sh sb ON sb.doc_id = c.doc_id_b
-WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {threshold}
+       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE
+             / len(list_distinct(list_concat(sa.shh, sb.shh))), 6) AS jaccard
+FROM cand c JOIN shs sa ON sa.doc_id = c.doc_id_a JOIN shs sb ON sb.doc_id = c.doc_id_b
+WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE
+            / len(list_distinct(list_concat(sa.shh, sb.shh))), 6) >= {threshold}
 ORDER BY doc_id_a, doc_id_b
 """
 
@@ -233,13 +243,16 @@ def ngram_jaccard_pairs(docs: DataFrame,
 
 def ngram_jaccard_pairs_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
     return f"""
-WITH s AS (SELECT doc_id, lang, n_chars // 100 AS len_bucket, {_SHINGLES_DUCK} AS sh FROM documents)
+WITH s0 AS (SELECT doc_id, lang, n_chars // 100 AS len_bucket, {_SHINGLES_DUCK} AS sh FROM documents),
+s AS (SELECT doc_id, lang, len_bucket,
+             list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
+      FROM s0 WHERE len(sh) > 0)
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       round(len(list_intersect(a.shh, b.shh))::DOUBLE
+             / len(list_distinct(list_concat(a.shh, b.shh))), 6) AS jaccard
 FROM s a JOIN s b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= {threshold}
+WHERE round(len(list_intersect(a.shh, b.shh))::DOUBLE
+            / len(list_distinct(list_concat(a.shh, b.shh))), 6) >= {threshold}
 ORDER BY doc_id_a, doc_id_b
 """
 
