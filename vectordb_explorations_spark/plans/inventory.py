@@ -21,6 +21,7 @@ from vectordb_explorations_spark.sources.catalog import load_table
 from vectordb_explorations_spark.functions.vectors import (
     compat_distance, l2_distance, l2_norm)
 from vectordb_explorations_spark.operators import dedup as D
+from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
 from vectordb_explorations_spark.operators import multimodal as M
 from vectordb_explorations_spark.operators import relational as R
@@ -222,6 +223,9 @@ QUERIES: dict[str, QueryFn] = {
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
+    # advanced joins (SURVEY §2.2 join-kind coverage)
+    "asof_join": lambda s, d: J.asof_join_purchase_click(load_table(s, "events", d)),
+    "range_join": lambda s, d: J.range_join_event_pairs(load_table(s, "events", d)),
     # relational coverage
     "pricing_summary": lambda s, d: R.pricing_summary(load_table(s, "lineitem", d)),
     "top_orders": lambda s, d: R.top_unshipped_orders(
@@ -260,6 +264,8 @@ ORACLES: dict[str, str] = {
     "token_counts": X.token_counts_oracle(),
     "doc_fingerprints": X.doc_fingerprints_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
+    "asof_join": J.ASOF_JOIN_ORACLE,
+    "range_join": J.range_join_oracle(),
     "pricing_summary": R.PRICING_SUMMARY_ORACLE,
     "top_orders": R.top_unshipped_orders_oracle(),
     "region_revenue": R.REGION_REVENUE_ORACLE,
