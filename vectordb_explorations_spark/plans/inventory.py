@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vectordb_explorations_spark.sources.catalog import load_table
 from vectordb_explorations_spark.functions.vectors import (
     compat_distance, l2_distance, l2_norm)
+from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import dedup as D
 from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
@@ -241,6 +242,16 @@ QUERIES: dict[str, QueryFn] = {
     "segment_order_stats": lambda s, d: R.segment_order_stats(
         load_table(s, "customer", d), load_table(s, "orders", d)),
     "part_set_ops": lambda s, d: R.part_brand_set_ops(load_table(s, "part", d)),
+    # advanced aggregation / window analytics (SURVEY §2.2)
+    "cube_order_stats": lambda s, d: A.cube_order_stats(load_table(s, "orders", d)),
+    "pivot_flag_by_status": lambda s, d: A.pivot_flag_by_status(load_table(s, "lineitem", d)),
+    "order_gaps": lambda s, d: A.order_gaps(load_table(s, "orders", d)),
+    "customer_balance_tiles": lambda s, d: A.customer_balance_tiles(load_table(s, "customer", d)),
+    "moving_avg_daily_revenue": lambda s, d: A.moving_avg_daily_revenue(load_table(s, "orders", d)),
+    "customers_with_open_orders": lambda s, d: A.customers_with_open_orders(
+        load_table(s, "customer", d), load_table(s, "orders", d)),
+    "orders_above_customer_avg": lambda s, d: A.orders_above_customer_avg(
+        load_table(s, "orders", d)),
     "events_hourly": lambda s, d: R.events_hourly(load_table(s, "events", d)),
     "events_json_stats": lambda s, d: R.events_json_stats(load_table(s, "events", d)),
     "user_sessions": lambda s, d: R.user_sessions(load_table(s, "events", d)),
@@ -275,6 +286,13 @@ ORACLES: dict[str, str] = {
     "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "segment_order_stats": R.SEGMENT_ORDER_STATS_ORACLE,
     "part_set_ops": R.PART_BRAND_SET_OPS_ORACLE,
+    "cube_order_stats": A.CUBE_ORDER_STATS_ORACLE,
+    "pivot_flag_by_status": A.PIVOT_FLAG_BY_STATUS_ORACLE,
+    "order_gaps": A.order_gaps_oracle(),
+    "customer_balance_tiles": A.customer_balance_tiles_oracle(),
+    "moving_avg_daily_revenue": A.moving_avg_daily_revenue_oracle(),
+    "customers_with_open_orders": A.CUSTOMERS_WITH_OPEN_ORDERS_ORACLE,
+    "orders_above_customer_avg": A.orders_above_customer_avg_oracle(),
     "events_hourly": R.EVENTS_HOURLY_ORACLE,
     "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
     "user_sessions": R.user_sessions_oracle(),
