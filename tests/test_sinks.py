@@ -1,0 +1,69 @@
+"""Roundtrip tests for the file sinks: parquet (partitioned + plain), CSV,
+JSON — values survive, schemas survive (given the writer's schema on text
+formats), and partitionBy produces the hive layout Catalyst can prune."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vectordb_explorations_spark.sources import sinks  # noqa: E402
+from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
+
+
+def _nations(spark, sf_dir):
+    return load_table(spark, "nation", sf_dir)
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    df = _nations(spark, sf_dir)
+    path = str(tmp_path / "nation_pq")
+    sinks.write_parquet(df, path)
+    back = sinks.read_parquet(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_parquet_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
+    df = _nations(spark, sf_dir)
+    path = str(tmp_path / "nation_part")
+    sinks.write_parquet(df, path, partition_by=["n_regionkey"])
+    layout = sinks.partition_file_counts(path)
+    assert all(k.startswith("n_regionkey=") for k in layout)
+    assert len(layout) == df.select("n_regionkey").distinct().count()
+    back = sinks.read_parquet(spark, path).where(F.col("n_regionkey") == 0)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan.replace("#", " #") or \
+           "n_regionkey" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert back.count() == df.where(F.col("n_regionkey") == 0).count()
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    df = _nations(spark, sf_dir)
+    path = str(tmp_path / "nation_csv")
+    sinks.write_csv(df, path)
+    back = sinks.read_csv(spark, path, schema=df.schema)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip_nested(spark, sf_dir, tmp_path):
+    # JSON keeps nested arrays: write embeddings rows with their vector.
+    df = (load_table(spark, "embeddings", sf_dir)
+          .where(F.col("vec_id") < 20)
+          .select("vec_id", "label", "embedding"))
+    path = str(tmp_path / "emb_json")
+    sinks.write_json(df, path)
+    back = sinks.read_json(spark, path, schema=df.schema)
+    a = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    assert a == b
+
+
+def test_single_file_export(spark, sf_dir, tmp_path):
+    df = _nations(spark, sf_dir)
+    path = str(tmp_path / "nation_single")
+    sinks.write_csv(df, path, single_file=True)
+    assert sinks.partition_file_counts(path) == {"": 1}

@@ -82,3 +82,21 @@ def compat_distance(left: Column, right: Column) -> Column:
 def vector_to_string(a: Column) -> Column:
     """`Vector::Print` (hnsw.cc:86-91): space-joined float components."""
     return F.concat_ws(" ", F.transform(a, lambda x: x.cast("string")))
+
+
+def masked_get(a: Column, idx: Column | int) -> Column:
+    """`Vector::Get` (hnsw.cc:66-72): branchless bounds-masked element read —
+    out-of-range indices return 0.0 instead of erroring (the ZeroIfTrue mask,
+    hnsw.cc:29-31). ``idx`` is 0-based like the reference."""
+    i = F.lit(idx) if isinstance(idx, int) else idx
+    return F.coalesce(_d(F.try_element_at(a, i + F.lit(1))), F.lit(0.0))
+
+
+def set_element(a: Column, idx: int, value: float) -> Column:
+    """`Vector::Set` (hnsw.cc:57-60) as an immutable rebuild: return a copy
+    of the array with element ``idx`` (0-based) replaced. Out-of-range
+    writes are no-ops — the reference's `idx == size_` off-by-one write past
+    the buffer (SURVEY §1.4) is a latent bug, not a semantic we reproduce."""
+    return F.transform(
+        a, lambda x, i: F.when(i == F.lit(idx), F.lit(value).cast("float"))
+                         .otherwise(x))

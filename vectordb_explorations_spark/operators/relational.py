@@ -378,3 +378,73 @@ SELECT user_id, session_seq, count(*) AS n_events,
 FROM s GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
+
+
+def supplier_nation_volume(lineitem: DataFrame, supplier: DataFrame,
+                           nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Revenue per (region, nation) through the supplier side of lineitem —
+    the classic star join. supplier/nation/region are broadcast (small dims);
+    lineitem aggregates map-side first, so the single shuffle carries only
+    (suppkey, partial sums), not raw line items."""
+    per_supp = (lineitem.groupBy("l_suppkey")
+                .agg(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount"))).alias("rev")))
+    return (per_supp
+            .join(F.broadcast(supplier), per_supp.l_suppkey == supplier.s_suppkey)
+            .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.round(F.sum("rev"), 6).alias("revenue"))
+            .orderBy("r_name", "n_name"))
+
+
+SUPPLIER_NATION_VOLUME_ORACLE = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT r_name, n_name, count(*) AS n_suppliers, round(sum(rev), 6) AS revenue
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def nation_balance_full_outer(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Customer vs supplier account-balance totals per nation key via FULL
+    OUTER join of two pre-aggregated sides — covers the outer-join family
+    with nulls surviving on either side. Aggregating before the join keeps
+    the outer join at nation cardinality (tiny) regardless of fact size."""
+    c = (customer.groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_customers"),
+              F.round(F.sum("c_acctbal"), 6).alias("cust_bal")))
+    s = (supplier.groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_suppliers"),
+              F.round(F.sum("s_acctbal"), 6).alias("supp_bal")))
+    return (c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+            .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                    F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                    "cust_bal",
+                    F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+                    "supp_bal")
+            .orderBy("nationkey"))
+
+
+NATION_BALANCE_FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey, count(*) AS n_customers, round(sum(c_acctbal), 6) AS cust_bal
+  FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 6) AS supp_bal
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers, cust_bal,
+       coalesce(n_suppliers, 0) AS n_suppliers, supp_bal
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from vectordb_explorations_spark.sources.catalog import load_table
 from vectordb_explorations_spark.functions.vectors import (
-    compat_distance, l2_distance, l2_norm)
+    compat_distance, l2_distance, l2_norm, masked_get, set_element)
 from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import dedup as D
 from vectordb_explorations_spark.operators import joins as J
@@ -192,6 +192,43 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q_vector_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's element-level ops as a declared query: masked Get
+    (hnsw.cc:66-72; in-range read + OOB-returns-0.0), immutable Set rebuild
+    (hnsw.cc:57-60), and Print (hnsw.cc:86-91). The print string joins the
+    first 4 components scaled to 1e-4 integers — fixed-point keeps the text
+    identical across engines (raw float→string formatting is not portable)."""
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 50)
+    head_ints = F.transform(
+        F.slice("embedding", 1, 4),
+        lambda x: F.round(x.cast("double") * 10000).cast("long").cast("string"))
+    return (emb.select(
+        "vec_id",
+        F.round(masked_get(F.col("embedding"), 10), 6).alias("get_dim10"),
+        F.round(masked_get(F.col("embedding"), 100), 6).alias("get_oob"),
+        F.round(l2_norm(set_element(F.col("embedding"), 5, 0.0)), 6)
+         .alias("norm_zeroed_dim5"),
+        F.concat_ws(" ", head_ints).alias("head_print"))
+        .orderBy("vec_id"))
+
+
+def _oracle_vector_elements() -> str:
+    return """
+SELECT vec_id,
+       round(CAST(embedding[11] AS DOUBLE), 6) AS get_dim10,
+       0.0 AS get_oob,
+       round(sqrt(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN i = 6 THEN 0.0
+                       ELSE CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE) END))), 6)
+         AS norm_zeroed_dim5,
+       array_to_string(list_transform(embedding[1:4],
+             x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+                       AS VARCHAR)), ' ') AS head_print
+FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
+"""
+
+
 # ---------- registry ----------
 
 def _tables(*names):
@@ -208,6 +245,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_batch_blockwise": q_knn_batch_blockwise,
     "distance_matrix_sample": q_distance_matrix_sample,
     "compat_distance": q_compat_distance,
+    "vector_elements": q_vector_elements,
     "label_centroids": q_label_centroids,
     "norm_stats": q_norm_stats,
     # dedup (north star)
@@ -255,6 +293,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": lambda s, d: R.events_hourly(load_table(s, "events", d)),
     "events_json_stats": lambda s, d: R.events_json_stats(load_table(s, "events", d)),
     "user_sessions": lambda s, d: R.user_sessions(load_table(s, "events", d)),
+    "supplier_nation_volume": lambda s, d: R.supplier_nation_volume(
+        load_table(s, "lineitem", d), load_table(s, "supplier", d),
+        load_table(s, "nation", d), load_table(s, "region", d)),
+    "nation_balance_full_outer": lambda s, d: R.nation_balance_full_outer(
+        load_table(s, "customer", d), load_table(s, "supplier", d)),
 }
 
 ORACLES: dict[str, str] = {
@@ -296,4 +339,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": R.EVENTS_HOURLY_ORACLE,
     "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
     "user_sessions": R.user_sessions_oracle(),
+    "vector_elements": _oracle_vector_elements(),
+    "supplier_nation_volume": R.SUPPLIER_NATION_VOLUME_ORACLE,
+    "nation_balance_full_outer": R.NATION_BALANCE_FULL_OUTER_ORACLE,
 }

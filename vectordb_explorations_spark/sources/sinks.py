@@ -1,0 +1,84 @@
+"""Sink surface: parquet / CSV / JSON writers with read-back twins.
+
+The reference's only sink is stdout (`Vector::Print`, hnsw.cc:86-91,
+316-319); every file sink here is new surface (SURVEY §2.2 sinks row).
+
+Scale notes: writers keep Spark's task-parallel layout — one file per
+partition, optionally `partitionBy` columns for partition-pruned reads
+downstream. Nothing funnels through the driver; `single_file=True` exists
+only for small oracle/debug exports and repartitions to 1 explicitly so the
+cost is visible at the call site.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None,
+                  mode: str = "overwrite",
+                  single_file: bool = False) -> None:
+    """Parquet sink. ``partition_by`` produces hive-style directories that
+    Catalyst partition-prunes on read (check PartitionFilters in .explain)."""
+    if single_file:
+        df = df.repartition(1)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True, single_file: bool = False) -> None:
+    """CSV sink — complex types (arrays/structs) are not CSV-representable;
+    callers must project to scalars first (Spark raises otherwise)."""
+    if single_file:
+        df = df.repartition(1)
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               single_file: bool = False) -> None:
+    """JSON-lines sink; nested arrays/structs serialize natively."""
+    if single_file:
+        df = df.repartition(1)
+    df.write.mode(mode).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None,
+             header: bool = True) -> DataFrame:
+    """CSV read-back. Pass the writer's schema for a lossless roundtrip —
+    inference samples the data and can widen/narrow types."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def partition_file_counts(path: str) -> dict[str, int]:
+    """Data-file count per hive partition directory (for asserting layout
+    in tests): {'' : n} for unpartitioned, {'k=v': n, ...} otherwise."""
+    out: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        data = [f for f in files
+                if not f.startswith(("_", ".")) and not f.endswith(".crc")]
+        if data:
+            rel = os.path.relpath(root, path)
+            out["" if rel == "." else rel] = len(data)
+    return out
