@@ -26,7 +26,9 @@ from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
 from vectordb_explorations_spark.operators import multimodal as M
 from vectordb_explorations_spark.operators import relational as R
+from vectordb_explorations_spark.operators import skew as SK
 from vectordb_explorations_spark.operators import textops as X
+from vectordb_explorations_spark.plans import sql_api as Q
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -298,6 +300,13 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "nation", d), load_table(s, "region", d)),
     "nation_balance_full_outer": lambda s, d: R.nation_balance_full_outer(
         load_table(s, "customer", d), load_table(s, "supplier", d)),
+    # SQL-text surface (same plans as the DataFrame twins)
+    "sql_volume_shipping": Q.volume_shipping,
+    "sql_grouping_sets": Q.grouping_sets_revenue,
+    "sql_knn": Q.sql_knn,
+    # skew mitigation (salted two-phase aggregation)
+    "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
+        load_table(s, "events", d)),
 }
 
 ORACLES: dict[str, str] = {
@@ -342,4 +351,8 @@ ORACLES: dict[str, str] = {
     "vector_elements": _oracle_vector_elements(),
     "supplier_nation_volume": R.SUPPLIER_NATION_VOLUME_ORACLE,
     "nation_balance_full_outer": R.NATION_BALANCE_FULL_OUTER_ORACLE,
+    "sql_volume_shipping": Q.VOLUME_SHIPPING_ORACLE,
+    "sql_grouping_sets": Q.GROUPING_SETS_REVENUE_ORACLE,
+    "sql_knn": _oracle_knn_exact(),
+    "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
 }
