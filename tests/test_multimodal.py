@@ -43,3 +43,33 @@ def test_struct_schema(spark, sf_dir):
     rec = M.multimodal_struct(docs, emb)
     fields = {f.name for f in rec.schema["record"].dataType.fields}
     assert fields == {"text", "lang", "source", "n_chars", "embedding", "label"}
+
+
+def test_resize_images_shape_and_determinism(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).where("doc_id < 200")
+    assets = M.synthesize_assets(docs)
+    out = M.resize_images(assets, out_w=8, out_h=8)
+    rows = out.collect()
+    n_images = assets.where("modality = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    assert all(r["out_w"] == 8 and r["out_h"] == 8 for r in rows)
+    again = {r["asset_id"]: r["resized_sha"] for r in out.collect()}
+    assert {r["asset_id"]: r["resized_sha"] for r in rows} == again
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).where("doc_id < 200")
+    assets = M.synthesize_assets(docs)
+    frames = M.sample_frames(assets, frame_bytes=64, every_nth=2).collect()
+    vids = assets.where("modality = 'video'").count()
+    assert vids > 0
+    # every video yields >= 1 frame; multi-chunk payloads fan out to > 1
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(per_asset) == vids
+    assert any(len(v) > 1 for v in per_asset.values())
+    for rows in per_asset.values():
+        for r in rows:
+            assert r["byte_offset"] == r["frame_idx"] * 64
+            assert r["frame_idx"] % 2 == 0

@@ -54,3 +54,22 @@ def test_incremental_index_refresh(spark, sf_dir):
         n_emb = load_table(spark, "embeddings", sf_dir).count()
         assert idx.count() == n_emb * 8  # default num_tables
         assert set(idx.columns) == {"vec_id", "table_id", "bucket", "epoch"}
+
+
+def test_stateful_user_totals_equals_batch(spark, sf_dir, stream):
+    from pyspark.sql import functions as F
+    q = SE.run_to_memory(SE.user_running_totals_stream(stream),
+                         "t_user_totals", "update")
+    q.awaitTermination(300)
+    # The fixture is one parquet file → one micro-batch → exactly one
+    # update row per user, which must equal the batch aggregate.
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6),
+                          round(r["max_value"], 6))
+           for r in spark.sql("SELECT * FROM t_user_totals").collect()}
+    batch = {r["user_id"]: (r["n"], round(r["s"], 6), round(r["m"], 6))
+             for r in (load_table(spark, "events", sf_dir)
+                       .groupBy("user_id")
+                       .agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("value").alias("s"),
+                            F.max("value").alias("m"))).collect()}
+    assert got == batch

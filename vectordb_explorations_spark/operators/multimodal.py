@@ -148,3 +148,90 @@ FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY lang, label
 ORDER BY lang, label
 """
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("out_w", T.IntegerType()),
+    T.StructField("out_h", T.IntegerType()),
+    T.StructField("resized_sha", T.StringType()),
+])
+
+
+def resize_images(assets: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Image-resize stage shape: filter to the image modality, decode →
+    resize → re-encode inside one Arrow batch pass. The codec is stubbed
+    (no PIL/cv2 in this container): source dims derive deterministically
+    from payload length and the "resize" strides the raw bytes down to
+    out_w*out_h samples — the schema, filtering, batching, and output
+    contract are the real pipeline's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {k: [] for k in ("asset_id", "src_w", "src_h",
+                                    "out_w", "out_h", "resized_sha")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                # fake dims: a real decode would read them from the header
+                src_w = 16 + (len(b) % 113)
+                src_h = 16 + ((len(b) // 7) % 97)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                # stride-sample bytes down to the target raster size
+                idx = (np.arange(out_w * out_h) * max(1, len(arr))
+                       // (out_w * out_h)) % max(1, len(arr))
+                resized = arr[idx] if len(arr) else np.zeros(
+                    out_w * out_h, dtype=np.uint8)
+                rows["asset_id"].append(aid)
+                rows["src_w"].append(src_w)
+                rows["src_h"].append(src_h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["resized_sha"].append(
+                    hashlib.sha256(resized.tobytes()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return (assets.where(F.col("modality") == "image")
+            .mapInPandas(run, schema=RESIZE_SCHEMA))
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("byte_offset", T.LongType()),
+    T.StructField("frame_sha", T.StringType()),
+])
+
+
+def sample_frames(assets: DataFrame, frame_bytes: int = 256,
+                  every_nth: int = 4) -> DataFrame:
+    """Video frame-sampling stage shape: one asset fans out to many frame
+    rows (every ``every_nth`` fixed-size chunk stands in for a decoded
+    frame; a real demuxer is stubbed out per the container's codec-free
+    environment). Demonstrates the 1→N mapInPandas contract: yielded
+    batches need not align 1:1 with input rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("asset_id", "frame_idx",
+                                   "byte_offset", "frame_sha")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, len(b) // frame_bytes)
+                for fi in range(0, n_frames, every_nth):
+                    off = fi * frame_bytes
+                    chunk = b[off: off + frame_bytes]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(fi)
+                    out["byte_offset"].append(off)
+                    out["frame_sha"].append(
+                        hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (assets.where(F.col("modality") == "video")
+            .mapInPandas(run, schema=FRAME_SCHEMA))

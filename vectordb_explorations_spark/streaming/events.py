@@ -135,3 +135,50 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
             .foreachBatch(refresh)
             .trigger(availableNow=True)
             .start())
+
+
+USER_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+    T.StructField("max_value", T.DoubleType()),
+])
+
+USER_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+    T.StructField("max_value", T.DoubleType()),
+])
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) maintained across micro-batches — the
+    arbitrary-state surface for operators the built-in windowed aggs can't
+    express (per-key models, custom eviction, cross-batch counters).
+
+    State is one fixed-width tuple per user — bounded by the user-key
+    cardinality, not the event volume; the grouped shuffle is the same one
+    a groupBy would pay."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdf_iter:
+            vals = pdf["value"].astype(float)
+            n += len(pdf)
+            s += float(vals.sum())
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [s], "max_value": [mx]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=USER_TOTALS_SCHEMA,
+                stateStructType=USER_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
