@@ -67,3 +67,30 @@ def test_single_file_export(spark, sf_dir, tmp_path):
     path = str(tmp_path / "nation_single")
     sinks.write_csv(df, path, single_file=True)
     assert sinks.partition_file_counts(path) == {"": 1}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    # Two tables bucketed 8-ways on the same key: the equi-join must read
+    # co-located buckets with ZERO Exchange operators in the plan.
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    spark.sql("DROP TABLE IF EXISTS doc_bucketed")
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    sinks.write_bucketed_table(emb, "emb_bucketed", ["vec_id"], 8,
+                               sort_cols=["vec_id"],
+                               path=str(tmp_path / "emb_b"))
+    sinks.write_bucketed_table(docs, "doc_bucketed", ["doc_id"], 8,
+                               sort_cols=["doc_id"],
+                               path=str(tmp_path / "doc_b"))
+    # hint('merge') pins sort-merge (the fixture is small enough that Spark
+    # would otherwise broadcast); bucketing must then elide BOTH exchanges,
+    # and sortBy the join-time sorts.
+    joined = (spark.table("emb_bucketed")
+              .join(spark.table("doc_bucketed").hint("merge"),
+                    F.col("vec_id") == F.col("doc_id")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == emb.join(docs, emb.vec_id == docs.doc_id).count()
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    spark.sql("DROP TABLE IF EXISTS doc_bucketed")
