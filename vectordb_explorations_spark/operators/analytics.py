@@ -26,7 +26,7 @@ def cube_order_stats(orders: DataFrame) -> DataFrame:
     aggregations)."""
     return (orders.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"),
                  F.grouping_id().alias("gid"))
             .orderBy(F.col("gid"),
                      F.col("o_orderstatus").asc_nulls_first(),
@@ -36,7 +36,7 @@ def cube_order_stats(orders: DataFrame) -> DataFrame:
 CUBE_ORDER_STATS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 6) AS total_price,
+       round(sum(o_totalprice), 2) AS total_price,
        GROUPING(o_orderstatus, o_orderpriority) AS gid
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -395,7 +395,7 @@ def supplier_nation_volume(lineitem: DataFrame, supplier: DataFrame,
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .groupBy("r_name", "n_name")
             .agg(F.count(F.lit(1)).alias("n_suppliers"),
-                 F.round(F.sum("rev"), 6).alias("revenue"))
+                 F.round(F.sum("rev"), 2).alias("revenue"))
             .orderBy("r_name", "n_name"))
 
 
@@ -404,7 +404,7 @@ WITH per_supp AS (
   SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
   FROM lineitem GROUP BY l_suppkey
 )
-SELECT r_name, n_name, count(*) AS n_suppliers, round(sum(rev), 6) AS revenue
+SELECT r_name, n_name, count(*) AS n_suppliers, round(sum(rev), 2) AS revenue
 FROM per_supp
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -447,4 +447,48 @@ SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
        coalesce(n_suppliers, 0) AS n_suppliers, supp_bal
 FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
 ORDER BY nationkey
+"""
+
+
+def priority_customer_counts(orders: DataFrame) -> DataFrame:
+    """DISTINCT aggregation coverage: per order priority, exact distinct
+    customer count alongside the plain count. Spark plans the distinct as a
+    two-phase expand-aggregate; partial aggregation still applies to the
+    non-distinct columns."""
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.count_distinct("o_custkey").alias("n_customers"),
+                 # 2 dp: at ~1e9 magnitude, double summation order shifts
+                 # the 6th decimal between engines; cents are stable.
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+            .orderBy("o_orderpriority"))
+
+
+PRIORITY_CUSTOMER_COUNTS_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def event_prop_keys(events: DataFrame) -> DataFrame:
+    """Map-function coverage: parse the props JSON into MAP<STRING,STRING>,
+    explode the key space, and count occurrences per key — the
+    semi-structured column pattern (schema-on-read without a fixed struct)."""
+    m = F.from_json("props", "map<string,string>")
+    return (events.select(F.explode(F.map_keys(m)).alias("prop_key"))
+            .groupBy("prop_key")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("prop_key"))
+
+
+EVENT_PROP_KEYS_ORACLE = """
+SELECT k AS prop_key, count(*) AS n_events
+FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+GROUP BY k
+ORDER BY k
 """

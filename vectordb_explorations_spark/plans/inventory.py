@@ -294,6 +294,9 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "orders", d)),
     "events_hourly": lambda s, d: R.events_hourly(load_table(s, "events", d)),
     "events_json_stats": lambda s, d: R.events_json_stats(load_table(s, "events", d)),
+    "event_prop_keys": lambda s, d: R.event_prop_keys(load_table(s, "events", d)),
+    "priority_customer_counts": lambda s, d: R.priority_customer_counts(
+        load_table(s, "orders", d)),
     "user_sessions": lambda s, d: R.user_sessions(load_table(s, "events", d)),
     "supplier_nation_volume": lambda s, d: R.supplier_nation_volume(
         load_table(s, "lineitem", d), load_table(s, "supplier", d),
@@ -347,6 +350,8 @@ ORACLES: dict[str, str] = {
     "orders_above_customer_avg": A.orders_above_customer_avg_oracle(),
     "events_hourly": R.EVENTS_HOURLY_ORACLE,
     "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
+    "event_prop_keys": R.EVENT_PROP_KEYS_ORACLE,
+    "priority_customer_counts": R.PRIORITY_CUSTOMER_COUNTS_ORACLE,
     "user_sessions": R.user_sessions_oracle(),
     "vector_elements": _oracle_vector_elements(),
     "supplier_nation_volume": R.SUPPLIER_NATION_VOLUME_ORACLE,

@@ -100,7 +100,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
       SELECT l_returnflag, l_linestatus,
              count(*) AS n_items,
-             round(sum(l_extendedprice), 6) AS total_price,
+             round(sum(l_extendedprice), 2) AS total_price,
              grouping_id() AS gid
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -111,7 +111,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_REVENUE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_items,
-       round(sum(l_extendedprice), 6) AS total_price,
+       round(sum(l_extendedprice), 2) AS total_price,
        GROUPING(l_returnflag, l_linestatus) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
