@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the vector expression library:
+Spark's native-expression results must match a NumPy model on arbitrary
+finite float32 inputs — including the reference's asymmetric mismatched-
+dimension semantics (SURVEY §1.4) and masked element access.
+
+Examples are batched into one DataFrame per hypothesis case to keep the
+Spark-job count bounded (deadline disabled; 15 cases x 1 job each)."""
+
+import math
+import os
+import sys
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vectordb_explorations_spark.functions import vectors as V  # noqa: E402
+
+finite_f32 = st.floats(min_value=-1e3, max_value=1e3, width=32,
+                       allow_nan=False, allow_infinity=False)
+vec = st.lists(finite_f32, min_size=1, max_size=12)
+pair = st.tuples(vec, vec)
+CASES = settings(max_examples=15, deadline=None)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in a], [float(y) for y in b])
+         for i, (a, b) in enumerate(pairs)],
+        "id long, a array<float>, b array<float>")
+
+
+def _ref_compat(a, b):
+    # the reference's Distance (hnsw.cc:74-83): left drives; right is
+    # zero-padded / truncated via the masked Get (hnsw.cc:66-72)
+    a64 = np.asarray(a, dtype=np.float32).astype(np.float64)
+    b64 = np.asarray(b, dtype=np.float32).astype(np.float64)
+    acc = 0.0
+    for i, x in enumerate(a64):
+        y = b64[i] if i < len(b64) else 0.0
+        acc += (x - y) * (x - y)
+    return math.sqrt(acc)
+
+
+@given(st.lists(pair, min_size=1, max_size=6))
+@CASES
+def test_compat_distance_matches_reference_model(spark, pairs):
+    rows = _df(spark, pairs).select(
+        "id",
+        V.compat_distance(F.col("a"), F.col("b")).alias("ab"),
+        V.compat_distance(F.col("b"), F.col("a")).alias("ba")).collect()
+    for r in rows:
+        a, b = pairs[r["id"]]
+        assert math.isclose(r["ab"], _ref_compat(a, b), rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(r["ba"], _ref_compat(b, a), rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(st.lists(vec, min_size=1, max_size=6))
+@CASES
+def test_l2_self_distance_zero_and_symmetry(spark, vecs):
+    pairs = [(v, v) for v in vecs]
+    rows = _df(spark, pairs).select(
+        "id", V.l2_distance(F.col("a"), F.col("b")).alias("d"),
+        V.l2_norm(F.col("a")).alias("n")).collect()
+    for r in rows:
+        assert r["d"] == 0.0
+        a = np.asarray(vecs[r["id"]], dtype=np.float32).astype(np.float64)
+        assert math.isclose(r["n"], float(np.sqrt((a * a).sum())),
+                            rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(st.lists(vec, min_size=1, max_size=6), st.integers(0, 20))
+@CASES
+def test_masked_get_oob_is_zero(spark, vecs, idx):
+    pairs = [(v, v) for v in vecs]
+    rows = _df(spark, pairs).select(
+        "id", V.masked_get(F.col("a"), idx).alias("g")).collect()
+    for r in rows:
+        a = vecs[r["id"]]
+        expected = float(np.float32(a[idx])) if idx < len(a) else 0.0
+        assert math.isclose(r["g"], expected, rel_tol=1e-6, abs_tol=1e-9)
+
+
+@given(vec, st.integers(0, 15), finite_f32)
+@CASES
+def test_set_element_rebuild(spark, v, idx, value):
+    rows = _df(spark, [(v, v)]).select(
+        V.set_element(F.col("a"), idx, float(value)).alias("s")).collect()
+    got = rows[0]["s"]
+    expected = [float(np.float32(x)) for x in v]
+    if idx < len(v):
+        expected[idx] = float(np.float32(value))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert math.isclose(g, e, rel_tol=1e-6, abs_tol=1e-9)

@@ -492,3 +492,35 @@ FROM (SELECT unnest(json_keys(props)) AS k FROM events)
 GROUP BY k
 ORDER BY k
 """
+
+
+def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame,
+                         k: int = 20) -> DataFrame:
+    """Top-k parts by revenue: aggregate the fact first (map-side partials,
+    one keyed shuffle), broadcast-join the part dim onto just the aggregated
+    rows, then global top-k via TakeOrderedAndProject — the aggregate-then-
+    join-then-limit shape that keeps dim attributes off the fact shuffle."""
+    rev = (lineitem.groupBy("l_partkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines")))
+    return (rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+            .select(F.col("p_partkey").alias("partkey"), "p_name", "p_brand",
+                    "revenue", "n_lines")
+            .orderBy(F.col("revenue").desc(), F.col("partkey"))
+            .limit(k))
+
+
+def top_parts_by_revenue_oracle(k: int = 20) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey AS partkey, p_name, p_brand, revenue, n_lines
+FROM rev JOIN part ON l_partkey = p_partkey
+ORDER BY revenue DESC, partkey
+LIMIT {k}
+"""

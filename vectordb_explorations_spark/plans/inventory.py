@@ -297,6 +297,8 @@ QUERIES: dict[str, QueryFn] = {
     "event_prop_keys": lambda s, d: R.event_prop_keys(load_table(s, "events", d)),
     "priority_customer_counts": lambda s, d: R.priority_customer_counts(
         load_table(s, "orders", d)),
+    "top_parts_by_revenue": lambda s, d: R.top_parts_by_revenue(
+        load_table(s, "lineitem", d), load_table(s, "part", d)),
     "user_sessions": lambda s, d: R.user_sessions(load_table(s, "events", d)),
     "supplier_nation_volume": lambda s, d: R.supplier_nation_volume(
         load_table(s, "lineitem", d), load_table(s, "supplier", d),
@@ -352,6 +354,7 @@ ORACLES: dict[str, str] = {
     "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
     "event_prop_keys": R.EVENT_PROP_KEYS_ORACLE,
     "priority_customer_counts": R.PRIORITY_CUSTOMER_COUNTS_ORACLE,
+    "top_parts_by_revenue": R.top_parts_by_revenue_oracle(),
     "user_sessions": R.user_sessions_oracle(),
     "vector_elements": _oracle_vector_elements(),
     "supplier_nation_volume": R.SUPPLIER_NATION_VOLUME_ORACLE,
