@@ -101,12 +101,32 @@ def main() -> None:
     bench("ann_lsh_batch100",
           lambda: _force(lsh_search(emb, queries, K, index=lsh_idx["df"])))
 
+    from vectordb_explorations_spark.operators import pq as PQ
+
+    pq_state = {}
+
+    def build_pq():
+        books = PQ.pq_train(emb, m_subspaces=8, k_codes=64)
+        codes = PQ.pq_encode(emb, books).cache()
+        codes.count()
+        pq_state["books"], pq_state["codes"] = books, codes
+
+    bench("index_build_pq", build_pq, warmup=False)
+    bench("ann_pq_refined_batch100",
+          lambda: _force(PQ.pq_search(pq_state["codes"], pq_state["books"],
+                                      queries, K, refine_with=emb,
+                                      refine_factor=10)))
+
     exact = knn_join(emb, queries, K).cache()
     exact.count()
     extras["recall_lsh_at_10"] = round(
         recall_at_k(lsh_search(emb, queries, K, index=lsh_idx["df"]), exact, K), 4)
     extras["recall_hnsw_at_10"] = round(
         recall_at_k(hnsw_search(hnsw_idx["df"], queries, K), exact, K), 4)
+    extras["recall_pq_refined_at_10"] = round(
+        recall_at_k(PQ.pq_search(pq_state["codes"], pq_state["books"], queries,
+                                 K, refine_with=emb, refine_factor=10),
+                    exact, K), 4)
 
     bench("dedup_minhash_lsh", lambda: _force(D.minhash_lsh_pairs(docs)))
     bench("dedup_exact", lambda: _force(D.exact_dedup(docs)))

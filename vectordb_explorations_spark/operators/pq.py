@@ -1,0 +1,174 @@
+"""Product quantization (PQ): compress vectors to per-subspace code ids and
+search with asymmetric distance computation (ADC) + exact refine.
+
+Not in the reference (HNSW is its only index, hnsw.cc:94-285) — PQ is the
+standard memory-side companion at scale: 64 float32 dims (256 B) become
+``m`` one-byte codes, so a 100 TB embedding corpus's index fits in a few
+hundred GB and the ADC scan is table lookups, not float math.
+
+Scale shape: codebooks are tiny ((m, k, dsub) ≈ KBs) and train on a driver
+sample (standard practice — quality depends on distribution, not corpus
+size); encoding is an Arrow-batched GEMM per partition; search broadcasts
+per-query lookup tables and does local top-k before the global merge, like
+the other ANN paths. Recall-gated against the exact path, never
+hash-matched (SURVEY §0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from vectordb_explorations_spark.functions.vectors import l2_distance
+
+
+def _kmeans_1d(data: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means for one subspace: (n, dsub) → (k, dsub).
+    k-means++-style seeding from a seeded RNG; empty clusters respawn on the
+    farthest point so all k codes stay live."""
+    rng = np.random.RandomState(seed)
+    cents = data[rng.choice(len(data), size=1)]
+    while len(cents) < k:
+        d2 = np.min(((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents = np.vstack([cents, data[rng.choice(len(data), p=p)]])
+    for _ in range(iters):
+        assign = np.argmin(
+            ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+        for j in range(k):
+            pts = data[assign == j]
+            if len(pts):
+                cents[j] = pts.mean(axis=0)
+            else:
+                far = np.argmax(((data - cents[assign]) ** 2).sum(-1))
+                cents[j] = data[far]
+    return cents
+
+
+def pq_train(vectors: DataFrame, m_subspaces: int = 8, k_codes: int = 32,
+             seed: int = 42, sample_n: int = 4096,
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train per-subspace codebooks on a bounded driver-side sample.
+    Returns (m, k, dsub) float64."""
+    sample = [r[0] for r in
+              vectors.select(vec_col).limit(sample_n).collect()]
+    mat = np.asarray(sample, dtype=np.float64)
+    dim = mat.shape[1]
+    assert dim % m_subspaces == 0, (dim, m_subspaces)
+    dsub = dim // m_subspaces
+    return np.stack([
+        _kmeans_1d(mat[:, s * dsub:(s + 1) * dsub], k_codes, seed + s)
+        for s in range(m_subspaces)])
+
+
+def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to its m nearest-code ids (Arrow-batched argmin
+    GEMM per subspace). Output is (id, codes ARRAY<INT>) — the narrow
+    representation that replaces the vectors in the scan."""
+    import pandas as pd
+
+    m, k, dsub = codebooks.shape
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                # ||x - c||² argmin via -2xc + ||c||² (||x||² constant in argmin)
+                d = -2.0 * sub @ codebooks[s].T + (codebooks[s] ** 2).sum(-1)
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes.tolist())})
+
+    return vectors.select(id_col, vec_col).mapInPandas(enc, schema=schema)
+
+
+def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
+              k: int, refine_with: DataFrame | None = None,
+              refine_factor: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """ADC search: per query, the (m, k) lookup table of exact
+    query-subvector→code distances broadcasts in the UDF closure; scoring a
+    vector is m table lookups. Local per-partition top-k keeps the shuffle
+    at candidates × queries, then a window merge ranks globally.
+
+    With ``refine_with`` (the original vectors), the top candidates×
+    ``refine_factor`` are re-scored exactly and re-ranked — the standard
+    ADC-then-refine pipeline.
+    """
+    import pandas as pd
+
+    m, kc, dsub = codebooks.shape
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([int(r[0]) for r in qrows])
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # (Q, m, kc) squared-distance LUTs
+    luts = np.stack([
+        ((qmat[:, s * dsub:(s + 1) * dsub][:, None, :]
+          - codebooks[s][None, :, :]) ** 2).sum(-1)
+        for s in range(m)], axis=1)
+
+    n_local = k * refine_factor if refine_with is not None else k
+    schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (N, m)
+            ids = pdf[id_col].to_numpy()
+            # (Q, N): sum over subspaces of LUT[q, s, codes[n, s]]
+            d2 = np.zeros((len(qids), len(codes)))
+            for s in range(m):
+                d2 += luts[:, s, :][:, codes[:, s]]
+            top = min(n_local, len(codes))
+            part = np.argpartition(d2, top - 1, axis=1)[:, :top]
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids)):
+                sel = part[qi]
+                out_q.extend([qids[qi]] * len(sel))
+                out_i.extend(ids[sel])
+                out_d.extend(np.sqrt(d2[qi, sel]))
+            yield pd.DataFrame({qid_col: out_q, id_col: out_i,
+                                "adc_dist": out_d})
+
+    local = codes_df.mapInPandas(score, schema=schema)
+    if refine_with is None:
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("adc_dist").asc(), F.col(id_col).asc())
+        return (local.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(qid_col, id_col,
+                        F.round("adc_dist", 6).alias("dist"), "rank"))
+    wloc = Window.partitionBy(qid_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc())
+    cand = (local.withColumn("r", F.row_number().over(wloc))
+            .where(F.col("r") <= k * refine_factor)
+            .select(qid_col, id_col))
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
+        f"{qid_col} long, {qvec_col} array<double>")
+    scored = (cand.join(refine_with.select(id_col, vec_col), id_col)
+              .join(F.broadcast(qdf), qid_col)
+              .withColumn("dist", F.round(
+                  l2_distance(F.col(vec_col), F.col(qvec_col)), 6)))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "dist", "rank"))
