@@ -94,3 +94,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() == emb.join(docs, emb.vec_id == docs.doc_id).count()
     spark.sql("DROP TABLE IF EXISTS emb_bucketed")
     spark.sql("DROP TABLE IF EXISTS doc_bucketed")
+
+
+def test_training_shards_balanced_and_stable(spark, sf_dir, tmp_path):
+    from vectordb_explorations_spark.operators import sampling as SP
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "shards")
+    SP.write_training_shards(docs, path, num_shards=8)
+    layout = sinks.partition_file_counts(path)
+    assert layout == {"": 8}
+    back = sinks.read_parquet(spark, path)
+    assert back.count() == docs.count()
+    # stable: same id always lands in the same shard file set
+    SP.write_training_shards(docs, str(tmp_path / "shards2"), num_shards=8)
+    a = spark.read.parquet(path).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    b = spark.read.parquet(str(tmp_path / "shards2")).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    ga = {r["doc_id"]: sorted(r["fs"]) for r in
+          a.groupBy("doc_id").agg(F.collect_set("f").alias("fs")).collect()}
+    gb = {r["doc_id"]: sorted(r["fs"]) for r in
+          b.groupBy("doc_id").agg(F.collect_set("f").alias("fs")).collect()}
+    # file names differ run to run; compare the grouping structure instead:
+    inv_a, inv_b = {}, {}
+    for d, fs in ga.items():
+        inv_a.setdefault(tuple(fs), set()).add(d)
+    for d, fs in gb.items():
+        inv_b.setdefault(tuple(fs), set()).add(d)
+    assert set(map(frozenset, inv_a.values())) == set(map(frozenset, inv_b.values()))

@@ -26,6 +26,7 @@ from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
 from vectordb_explorations_spark.operators import multimodal as M
 from vectordb_explorations_spark.operators import relational as R
+from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
 from vectordb_explorations_spark.operators import textops as X
 from vectordb_explorations_spark.plans import sql_api as Q
@@ -309,6 +310,9 @@ QUERIES: dict[str, QueryFn] = {
     "sql_volume_shipping": Q.volume_shipping,
     "sql_grouping_sets": Q.grouping_sets_revenue,
     "sql_knn": Q.sql_knn,
+    # training-pipeline data management
+    "train_val_split_stats": lambda s, d: SP.train_val_split_stats(
+        load_table(s, "documents", d)),
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
@@ -362,5 +366,6 @@ ORACLES: dict[str, str] = {
     "sql_volume_shipping": Q.VOLUME_SHIPPING_ORACLE,
     "sql_grouping_sets": Q.GROUPING_SETS_REVENUE_ORACLE,
     "sql_knn": _oracle_knn_exact(),
+    "train_val_split_stats": SP.train_val_split_stats_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
 }
