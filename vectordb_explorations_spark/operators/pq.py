@@ -29,13 +29,19 @@ def _kmeans_1d(data: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarr
     farthest point so all k codes stay live."""
     rng = np.random.RandomState(seed)
     cents = data[rng.choice(len(data), size=1)]
+    # incremental k-means++: track the running min-distance to the chosen
+    # set; each new centroid costs one (n, d) pass instead of re-scoring
+    # against every centroid so far.
+    d2 = ((data - cents[0]) ** 2).sum(-1)
     while len(cents) < k:
-        d2 = np.min(((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
         p = d2 / d2.sum() if d2.sum() > 0 else None
-        cents = np.vstack([cents, data[rng.choice(len(data), p=p)]])
+        nxt = data[rng.choice(len(data), p=p)]
+        cents = np.vstack([cents, nxt])
+        d2 = np.minimum(d2, ((data - nxt) ** 2).sum(-1))
     for _ in range(iters):
+        # argmin ||x-c||² = argmin(-2xc + ||c||²) — GEMM, no (n,k,d) temp
         assign = np.argmin(
-            ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+            -2.0 * data @ cents.T + (cents ** 2).sum(-1), axis=1)
         for j in range(k):
             pts = data[assign == j]
             if len(pts):
