@@ -73,3 +73,27 @@ def test_stateful_user_totals_equals_batch(spark, sf_dir, stream):
                             F.sum("value").alias("s"),
                             F.max("value").alias("m"))).collect()}
     assert got == batch
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, stream):
+    from pyspark.sql import functions as F
+    q = SE.run_to_memory(SE.purchase_click_stream_join(stream),
+                         "t_ss_join", "append")
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT user_id, purchase_id, click_id, purchase_us, click_us "
+        "FROM t_ss_join").collect())
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"))
+    p = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_us"))
+    batch = (p.join(c, (p.user_id == c.cu)
+                    & (c.click_us < p.purchase_us)
+                    & (c.click_us >= p.purchase_us - 30 * 60 * 1_000_000))
+             .select("user_id", "purchase_id", "click_id",
+                     "purchase_us", "click_us"))
+    assert got == sorted(tuple(r) for r in batch.collect())
+    assert len(got) > 0

@@ -182,3 +182,34 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
                 stateStructType=USER_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def purchase_click_stream_join(events: DataFrame,
+                               window_minutes: int = 30,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    clicks from the preceding ``window_minutes``. Watermarks on BOTH sides
+    bound the join state — Spark evicts buffered clicks once the purchase
+    watermark passes the interval, so state is (users active in the
+    horizon) × (clicks in the window), independent of stream length."""
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("p_ts", watermark))
+    cond = F.expr(f"""
+        c_user = p_user
+        AND click_ts < p_ts
+        AND click_ts >= p_ts - INTERVAL {window_minutes} MINUTES
+    """)
+    return (purchases.join(clicks, cond, "inner")
+            .select(F.col("p_user").alias("user_id"), "purchase_id",
+                    "click_id",
+                    F.unix_micros("p_ts").alias("purchase_us"),
+                    F.unix_micros("click_ts").alias("click_us")))
