@@ -42,3 +42,15 @@ def test_cosine_pairs_symmetric_bound(spark, sf_dir):
     rows = pairs.collect()
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
     assert all(r.vec_id_a < r.vec_id_b for r in rows)
+
+
+def test_min_label_propagation_chain(spark):
+    # chain 1-2, 2-3, 3-4 plus singleton 9: all chain members -> root 1,
+    # even though 4 is three hops from 1 (needs multiple iterations).
+    from vectordb_explorations_spark.operators.dedup import propagate_min_labels
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["root"]
+           for r in propagate_min_labels(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}

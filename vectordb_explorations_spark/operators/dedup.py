@@ -286,3 +286,74 @@ FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
 ORDER BY vec_id_a, vec_id_b
 """
+
+
+def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over the
+    MinHash-LSH pair graph by iterative min-label propagation — each doc's
+    cluster id converges to the minimum doc_id reachable through dup pairs
+    (singletons keep their own id). This is the operator a dedup pipeline
+    ends with: keep one representative per cluster.
+
+    Scale shape: each iteration is one join + one min-aggregation on the
+    edge list (both keyed shuffles); iterations needed = graph diameter,
+    and near-dup clusters are shallow (pairs share LSH bands), so the loop
+    converges in a handful of rounds. The driver-side fixpoint check reads
+    a single count per round.
+    """
+    pairs = minhash_lsh_pairs(docs).select("doc_id_a", "doc_id_b")
+    nodes = docs.select("doc_id")
+    return propagate_min_labels(nodes, pairs, max_iters)
+
+
+def propagate_min_labels(nodes: DataFrame, pairs: DataFrame,
+                         max_iters: int = 20) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair list.
+    ``nodes``: one doc_id per row; ``pairs``: (doc_id_a, doc_id_b)."""
+    edges = (pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_id_b").alias("src"),
+                                       F.col("doc_id_a").alias("dst")))
+             .cache())
+    labels = nodes.select("doc_id", F.col("doc_id").alias("root")).cache()
+    for _ in range(max_iters):
+        neighbor_roots = (edges.join(labels, edges.dst == labels.doc_id)
+                          .select(F.col("src").alias("doc_id"),
+                                  F.col("root").alias("nroot")))
+        new_labels = (labels.join(neighbor_roots, "doc_id", "left")
+                      .groupBy("doc_id")
+                      .agg(F.least(F.min("root"), F.coalesce(F.min("nroot"),
+                                                             F.min("root")))
+                           .alias("root"))
+                      .cache())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.root") != F.col("o.root")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "root").orderBy("doc_id")
+
+
+def dedup_clusters_oracle() -> str:
+    # Transitive closure by recursive CTE over the same pair set the
+    # minhash_lsh_pairs oracle produces; cluster id = min reachable doc_id.
+    pairs_sql = minhash_lsh_pairs_oracle().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+), edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS root
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""

@@ -257,6 +257,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": lambda s, d: D.simhash(load_table(s, "documents", d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(load_table(s, "documents", d)),
     "dedup_embedding_cosine": lambda s, d: D.embedding_cosine_pairs(load_table(s, "embeddings", d)),
+    "dedup_clusters": lambda s, d: D.dedup_clusters(load_table(s, "documents", d)),
     # text analysis (north star)
     "text_stats": lambda s, d: X.text_stats(load_table(s, "documents", d)),
     "lang_id": lambda s, d: X.lang_id(load_table(s, "documents", d)),
@@ -331,6 +332,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": D.simhash_oracle(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle(),
     "dedup_embedding_cosine": D.embedding_cosine_pairs_oracle(),
+    "dedup_clusters": D.dedup_clusters_oracle(),
     "text_stats": X.text_stats_oracle(),
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),
