@@ -4,6 +4,8 @@ by construction — validated by recall against the exact path, never hashed).
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from vectordb_explorations_spark.operators.ann import (
     ivf_build, ivf_search, lsh_search, random_hyperplane_lsh, recall_at_k)
 from vectordb_explorations_spark.operators.hnsw import (
@@ -77,3 +79,28 @@ def test_hnsw_reference_level_mult():
     g_can = HnswGraph(dim=2, m=8, reference_level_mult=False)
     assert g_ref.level_mult == pytest.approx(1.0 / 8)
     assert g_can.level_mult == pytest.approx(1.0 / math.log(8))
+
+
+def test_lsh_bucketed_probe_prunes(spark, sf_dir, tmp_path):
+    import re
+    from vectordb_explorations_spark.operators.ann import (
+        lsh_persist_bucketed, lsh_probe_bucketed)
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = random_hyperplane_lsh(emb)
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_bucketed")
+    lsh_persist_bucketed(idx, "lsh_idx_bucketed",
+                         str(tmp_path / "lshb"), num_buckets=16)
+    probes = [(0, 3), (1, 7), (2, 3)]
+    pruned = lsh_probe_bucketed(spark, "lsh_idx_bucketed", probes)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2))
+    expected = idx.where(
+        F.struct("table_id", "bucket").isin(
+            [F.struct(F.lit(t), F.lit(b)) for t, b in probes]))
+    assert (sorted(map(tuple, pruned.collect()))
+            == sorted(map(tuple, expected.collect())))
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "true")
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_bucketed")

@@ -192,3 +192,31 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int,
              .select((F.coalesce(F.col("count"), F.lit(0)) / F.col("total")).alias("r")))
     row = per_q.agg(F.avg("r").alias("recall")).collect()[0]
     return float(row["recall"])
+
+
+def lsh_persist_bucketed(index: DataFrame, table_name: str, path: str,
+                         num_buckets: int = 64) -> None:
+    """Persist the LSH index hash-bucketed on the `bucket` column (SURVEY
+    §7 M6): probe queries then read only the file buckets their target
+    bucket ids hash into — at 100 TB the probe touches a constant fraction
+    of the index instead of scanning it."""
+    (index.write.mode("overwrite")
+     .bucketBy(num_buckets, "bucket").sortBy("bucket")
+     .option("path", path).saveAsTable(table_name))
+
+
+def lsh_probe_bucketed(spark, table_name: str,
+                       probes: list[tuple[int, int]]) -> DataFrame:
+    """Read only the index buckets matching the probe list. Requires
+    autoBucketedScan=false so the scan keeps the bucketed layout (otherwise
+    Spark 4 rewrites joinless bucketed scans as plain scans and the
+    SelectedBucketsCount pruning is lost). The bucket-id IN filter does the
+    pruning; the exact (table_id, bucket) pair filter tightens on top."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false")
+    bucket_ids = sorted({b for _, b in probes})
+    pair_cond = F.struct("table_id", "bucket").isin(
+        [F.struct(F.lit(t), F.lit(b)) for t, b in probes])
+    return (spark.table(table_name)
+            .where(F.col("bucket").isin(bucket_ids))
+            .where(pair_cond))

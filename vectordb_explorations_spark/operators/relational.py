@@ -524,3 +524,34 @@ FROM rev JOIN part ON l_partkey = p_partkey
 ORDER BY revenue DESC, partkey
 LIMIT {k}
 """
+
+
+def events_sliding_2h(events: DataFrame) -> DataFrame:
+    """Sliding-window aggregation (2-hour windows, 1-hour slide): each event
+    contributes to two windows — `F.window` generates the overlapping
+    assignment natively (one Expand-style projection, one grouped agg), the
+    batch twin of the streaming sliding query."""
+    return (events
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("win.start")).alias("win_start"),
+                    "event_type", "n_events", "sum_value")
+            .orderBy("win_start", "event_type"))
+
+
+EVENTS_SLIDING_2H_ORACLE = """
+WITH e AS (
+  SELECT (epoch_ns(ts) // 1000000000) AS t_s, event_type, value FROM events
+), assigned AS (
+  SELECT (t_s // 3600) * 3600 AS win_start, event_type, value FROM e
+  UNION ALL
+  SELECT (t_s // 3600) * 3600 - 3600 AS win_start, event_type, value FROM e
+)
+SELECT win_start, event_type, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM assigned
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""

@@ -295,6 +295,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_above_customer_avg": lambda s, d: A.orders_above_customer_avg(
         load_table(s, "orders", d)),
     "events_hourly": lambda s, d: R.events_hourly(load_table(s, "events", d)),
+    "events_sliding_2h": lambda s, d: R.events_sliding_2h(load_table(s, "events", d)),
     "events_json_stats": lambda s, d: R.events_json_stats(load_table(s, "events", d)),
     "event_prop_keys": lambda s, d: R.event_prop_keys(load_table(s, "events", d)),
     "priority_customer_counts": lambda s, d: R.priority_customer_counts(
@@ -357,6 +358,7 @@ ORACLES: dict[str, str] = {
     "customers_with_open_orders": A.CUSTOMERS_WITH_OPEN_ORDERS_ORACLE,
     "orders_above_customer_avg": A.orders_above_customer_avg_oracle(),
     "events_hourly": R.EVENTS_HOURLY_ORACLE,
+    "events_sliding_2h": R.EVENTS_SLIDING_2H_ORACLE,
     "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
     "event_prop_keys": R.EVENT_PROP_KEYS_ORACLE,
     "priority_customer_counts": R.PRIORITY_CUSTOMER_COUNTS_ORACLE,
