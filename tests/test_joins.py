@@ -71,3 +71,15 @@ def test_range_join_window_bound(spark):
     out = {(r["type_a"], r["type_b"]): r["n_pairs"]
            for r in J.range_join_event_pairs(df).collect()}
     assert out == {("click", "view"): 1, ("view", "purchase"): 1}
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    # approx_percentile (t-digest) is the scale path; gate on relative
+    # error vs the exact interpolated percentile, never on hashes.
+    from vectordb_explorations_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    ev = load_table(spark, "events", sf_dir)
+    row = ev.agg(
+        F.expr("percentile(value, 0.9)").alias("exact"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("approx")).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05

@@ -555,3 +555,30 @@ FROM assigned
 GROUP BY win_start, event_type
 ORDER BY win_start, event_type
 """
+
+
+def event_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per type
+    — the latency/quality-distribution query shape. Spark's `percentile`
+    and DuckDB's `quantile_cont` share the linear-interpolation definition,
+    so results hash-match exactly. Exact percentile sorts within each
+    group; at scale swap in approx_percentile (t-digest) where a bounded
+    error is acceptable (tested separately, never hash-matched)."""
+    pcts = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(pcts[0], 6).alias("p50"),
+                 F.round(pcts[1], 6).alias("p90"),
+                 F.round(pcts[2], 6).alias("p99"))
+            .orderBy("event_type"))
+
+
+EVENT_VALUE_PERCENTILES_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -296,6 +296,8 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "orders", d)),
     "events_hourly": lambda s, d: R.events_hourly(load_table(s, "events", d)),
     "events_sliding_2h": lambda s, d: R.events_sliding_2h(load_table(s, "events", d)),
+    "event_value_percentiles": lambda s, d: R.event_value_percentiles(
+        load_table(s, "events", d)),
     "events_json_stats": lambda s, d: R.events_json_stats(load_table(s, "events", d)),
     "event_prop_keys": lambda s, d: R.event_prop_keys(load_table(s, "events", d)),
     "priority_customer_counts": lambda s, d: R.priority_customer_counts(
@@ -359,6 +361,7 @@ ORACLES: dict[str, str] = {
     "orders_above_customer_avg": A.orders_above_customer_avg_oracle(),
     "events_hourly": R.EVENTS_HOURLY_ORACLE,
     "events_sliding_2h": R.EVENTS_SLIDING_2H_ORACLE,
+    "event_value_percentiles": R.EVENT_VALUE_PERCENTILES_ORACLE,
     "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
     "event_prop_keys": R.EVENT_PROP_KEYS_ORACLE,
     "priority_customer_counts": R.PRIORITY_CUSTOMER_COUNTS_ORACLE,
