@@ -105,18 +105,43 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
             .agg(F.collect_set(F.expr(_SHINGLE_HASH)).alias("sh")))
 
 
+# Universal-hash family for MinHash: one md5 per shingle reduced to a
+# 32-bit integer, then num_hashes cheap (a_j*h + b_j) mod P mixes — md5
+# work drops num_hashes-fold vs hashing (shingle || '#j') per function.
+# P = 2^31-1 (Mersenne prime); a_j < 2^30 keeps a*h + b < 2^63 (no
+# overflow in either engine's signed 64-bit arithmetic).
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs shared verbatim by the Spark and
+    DuckDB formulations (seeded LCG, no RNG state)."""
+    out, x = [], 88172645463325252
+    for _ in range(num_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x >> 20) % (1 << 30) | 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = (x >> 20) % (1 << 30)
+        out.append((a, b))
+    return out
+
+
+_H32 = "cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)"
+_H32_DUCK = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: for hash j, min over shingles of
-    md5(shingle || '#j') — lexicographic min of hex strings is a valid
-    min-wise hash and is identical in any engine with md5.
+    """Per-doc MinHash signature: min over shingles of (a_j*h32 + b_j) mod P
+    where h32 is the shingle's 32-bit md5 prefix — a classic universal-hash
+    min-wise family, bit-identical across engines.
 
     Physical shape: the exploded shingle stream feeds one hash aggregation
     with ``num_hashes`` MIN columns (map-side combinable); min over
     duplicate shingles equals min over the distinct set."""
-    exploded = _exploded_shingles(docs)
+    exploded = _exploded_shingles(docs).withColumn("h32", F.expr(_H32))
     aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
@@ -133,7 +158,8 @@ def minhash_lsh_pairs(docs: DataFrame,
     sig = minhash_signatures(docs, num_hashes)
     n_bands = num_hashes // band_size
     bands = [
-        F.md5(F.concat(*[F.col(f"mh{b * band_size + r}") for r in range(band_size)]))
+        F.md5(F.concat_ws("#", *[F.col(f"mh{b * band_size + r}")
+                                 for r in range(band_size)]))
         .alias(f"band{b}")
         for b in range(n_bands)
     ]
@@ -159,18 +185,20 @@ def minhash_lsh_pairs_oracle(num_hashes: int = NUM_HASHES,
                              band_size: int = BAND_SIZE,
                              threshold: float = JACCARD_THRESHOLD) -> str:
     mh_exprs = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5(concat(s, '#{j}'))), 'min') AS mh{j}"
-        for j in range(num_hashes))
+        f"list_aggregate(list_transform(h32s, h -> ({a} * h + {b}) % {MINHASH_P}),"
+        f" 'min') AS mh{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes)))
     n_bands = num_hashes // band_size
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_idx, md5(concat({parts})) AS band_key FROM sig".format(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws('#', {parts})) AS band_key FROM sig".format(
             b=b, parts=", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
         for b in range(n_bands))
     return f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents),
 shs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
         FROM sh WHERE len(sh) > 0),
-sig AS (SELECT doc_id, sh, {mh_exprs} FROM sh),
+sig AS (SELECT doc_id, {mh_exprs}
+        FROM (SELECT doc_id, list_transform(sh, s -> {_H32_DUCK}) AS h32s FROM sh)),
 banded AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          FROM banded a JOIN banded b
