@@ -176,3 +176,32 @@ SELECT doc_id,
        ELSE md5(text) END AS fingerprint
 FROM documents ORDER BY doc_id
 """
+
+
+def clean_text(docs: DataFrame) -> DataFrame:
+    """Normalization stage of a training-data pipeline: lowercase, strip
+    non-alphanumerics, collapse runs of whitespace, trim. Declared output
+    is the cleaned text's md5 + lengths (hash-stable across engines; the
+    regexes use only character classes, identical in Java regex and RE2)."""
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return (docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
+CLEAN_TEXT_ORACLE = """
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS cleaned
+  FROM documents
+)
+SELECT doc_id, length(text) AS raw_len, length(cleaned) AS clean_len,
+       md5(cleaned) AS clean_md5
+FROM c ORDER BY doc_id
+"""

@@ -263,6 +263,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": lambda s, d: X.lang_id(load_table(s, "documents", d)),
     "token_counts": lambda s, d: X.token_counts(load_table(s, "documents", d)),
     "doc_fingerprints": lambda s, d: X.doc_fingerprints(load_table(s, "documents", d)),
+    "clean_text": lambda s, d: X.clean_text(load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -340,6 +341,7 @@ ORACLES: dict[str, str] = {
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),
     "doc_fingerprints": X.doc_fingerprints_oracle(),
+    "clean_text": X.CLEAN_TEXT_ORACLE,
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "asof_join": J.ASOF_JOIN_ORACLE,
     "range_join": J.range_join_oracle(),
