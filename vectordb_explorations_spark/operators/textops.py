@@ -155,13 +155,18 @@ def doc_fingerprints(docs: DataFrame, k: int = FINGERPRINT_SHINGLE) -> DataFrame
     """Document fingerprint: minimum md5 over k-word shingles (min-sampling of
     a rolling-hash family — one representative hash per doc, MOSS/winnowing
     style). Equal fingerprints ⇒ shared k-shingle."""
-    words = "split(text, ' ')"
-    shingle_parts = ", ' ', ".join(f"{words}[i+{j}]" for j in range(k))
-    expr = (f"CASE WHEN size({words}) >= {k} THEN "
-            f"array_min(transform(sequence(0, size({words}) - {k}), "
+    # Hoist the split into a projected column: referencing split(text)
+    # inside the transform lambda re-tokenizes the document once per
+    # shingle in the interpreted higher-order-function path (~4x slower,
+    # same trap as dedup._exploded_shingles notes).
+    shingle_parts = ", ' ', ".join(f"ws[i+{j}]" for j in range(k))
+    expr = (f"CASE WHEN size(ws) >= {k} THEN "
+            f"array_min(transform(sequence(0, size(ws) - {k}), "
             f"i -> md5(concat({shingle_parts})))) "
             f"ELSE md5(text) END")
-    return (docs.select("doc_id", F.expr(expr).alias("fingerprint"))
+    return (docs
+            .select("doc_id", "text", F.split("text", " ").alias("ws"))
+            .select("doc_id", F.expr(expr).alias("fingerprint"))
             .orderBy("doc_id"))
 
 
