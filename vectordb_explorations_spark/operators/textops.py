@@ -36,7 +36,10 @@ def text_stats(docs: DataFrame) -> DataFrame:
     """Per-doc quality metrics: token counts, uniqueness, mean token length,
     stopword ratio, and a composite quality score — the standard features a
     corpus-quality filter thresholds on."""
-    words = F.split(F.col("text"), " ")
+    # tokenize once into a projected column — repeating split(text) in
+    # each metric re-tokenizes per expression (interpreted HOFs don't CSE)
+    docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    words = F.col("ws")
     n_tokens = F.size(words)
     n_unique = F.size(F.array_distinct(words))
     sw_array = F.array(*[F.lit(w) for w in STOPWORDS])
@@ -87,7 +90,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
     marker list; argmax with a fixed tie-break order. Deterministic by
     construction (the fixture's `lang` column is the label to compare
     against, not an input)."""
-    words = F.split(F.col("text"), " ")
+    docs = docs.select("doc_id", "lang",
+                       F.split(F.col("text"), " ").alias("ws"))
+    words = F.col("ws")
 
     def marker_hits(markers: list[str]):
         arr = F.array(*[F.lit(w) for w in markers])
