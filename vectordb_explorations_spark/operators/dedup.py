@@ -258,12 +258,21 @@ def ngram_jaccard_pairs(docs: DataFrame,
     base = (docs.select("doc_id", "lang",
                         (F.col("n_chars") / 100).cast("long").alias("len_bucket"))
             .join(_shingle_sets(docs), "doc_id"))
-    a = base.select(F.col("doc_id").alias("doc_id_a"), "lang", "len_bucket", F.col("sh").alias("sh_a"))
-    b = base.select(F.col("doc_id").alias("doc_id_b"), "lang", "len_bucket", F.col("sh").alias("sh_b"))
+    base = base.withColumn("n_sh", F.size("sh"))
+    a = base.select(F.col("doc_id").alias("doc_id_a"), "lang", "len_bucket",
+                    F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    b = base.select(F.col("doc_id").alias("doc_id_b"), "lang", "len_bucket",
+                    F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
            / F.size(F.array_union("sh_a", "sh_b")))
+    # Size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    # whose set sizes differ by more than the threshold ratio can't pass —
+    # prune them BEFORE the expensive intersect/union (purely a necessary
+    # condition; emitted pairs are unchanged, so the oracle stays as is).
+    ratio_ok = ((F.least("na", "nb").cast("double")
+                 / F.greatest("na", "nb")) >= threshold)
     return (a.join(b, ["lang", "len_bucket"])
-            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+            .where((F.col("doc_id_a") < F.col("doc_id_b")) & ratio_ok)
             .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .orderBy("doc_id_a", "doc_id_b"))
@@ -290,11 +299,20 @@ def embedding_cosine_pairs(embeddings: DataFrame,
     """Embedding near-dup pairs: cosine similarity ≥ threshold within a
     label block. The label is the blocking key here; the unblocked scale
     path is the ANN module's hyperplane-LSH bucketing."""
-    a = embeddings.select(F.col("vec_id").alias("vec_id_a"), "label",
-                          F.col("embedding").alias("emb_a"))
-    b = embeddings.select(F.col("vec_id").alias("vec_id_b"), "label",
-                          F.col("embedding").alias("emb_b"))
-    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    # Precompute each vector's norm once: the naive per-pair cosine does
+    # three interpreted array folds per pair; with norms as columns only
+    # the dot product remains pairwise.
+    from vectordb_explorations_spark.functions.vectors import dot_product, l2_norm
+    with_norm = embeddings.select("vec_id", "label", "embedding",
+                                  l2_norm(F.col("embedding")).alias("nrm"))
+    a = with_norm.select(F.col("vec_id").alias("vec_id_a"), "label",
+                         F.col("embedding").alias("emb_a"),
+                         F.col("nrm").alias("norm_a"))
+    b = with_norm.select(F.col("vec_id").alias("vec_id_b"), "label",
+                         F.col("embedding").alias("emb_b"),
+                         F.col("nrm").alias("norm_b"))
+    cos = (dot_product(F.col("emb_a"), F.col("emb_b"))
+           / (F.col("norm_a") * F.col("norm_b")))
     return (a.join(b, "label")
             .where(F.col("vec_id_a") < F.col("vec_id_b"))
             .select("vec_id_a", "vec_id_b", "label", F.round(cos, 6).alias("cosine"))
