@@ -122,3 +122,14 @@ def test_training_shards_balanced_and_stable(spark, sf_dir, tmp_path):
     for d, fs in gb.items():
         inv_b.setdefault(tuple(fs), set()).add(d)
     assert set(map(frozenset, inv_a.values())) == set(map(frozenset, inv_b.values()))
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir)
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(40).write.parquet(frag)
+    assert sinks.partition_file_counts(frag)[""] == 40
+    dst = str(tmp_path / "compacted")
+    n = sinks.compact_parquet(spark, frag, dst, target_mb=128)
+    assert sinks.partition_file_counts(dst)[""] == n < 40
+    assert sinks.read_parquet(spark, dst).count() == docs.count()

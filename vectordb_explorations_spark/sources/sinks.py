@@ -101,3 +101,24 @@ def write_bucketed_table(df: DataFrame, table_name: str, bucket_cols: list[str],
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ~``target_mb`` files. The small-files problem is the classic 100 TB
+    operational failure mode (every file costs a task + footer read +
+    namenode entry); pipelines run this after high-parallelism or
+    micro-batch writes. Sizes from the source listing, not a data scan;
+    one round-robin repartition balances the output exactly. Returns the
+    output file count."""
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith(("_", ".")) and not f.endswith(".crc"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, round(total / (target_mb * 1024 * 1024)))
+    (spark.read.parquet(src)
+     .repartition(n_files)
+     .write.mode("overwrite").parquet(dst))
+    return n_files
