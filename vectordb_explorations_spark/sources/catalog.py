@@ -21,6 +21,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS): a session without this conf
+        # fails the read outright (PARQUET_TYPE_ILLEGAL). The session
+        # factory sets it, but queries() callables must also work under a
+        # caller-provided vanilla session, so set it defensively here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name in ("events", "orders", "lineitem"):
+        # Declared outputs render dates/epochs in UTC (the oracle's frame
+        # of reference); a caller session in another timezone would shift
+        # date_format/year results.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts arrives as INT64 nanos (spark.sql.legacy.parquet.nanosAsLong);
