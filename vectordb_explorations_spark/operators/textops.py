@@ -215,3 +215,49 @@ SELECT doc_id, length(text) AS raw_len, length(cleaned) AS clean_len,
        md5(cleaned) AS clean_md5
 FROM c ORDER BY doc_id
 """
+
+
+QF_MIN_TOKENS = 5
+QF_MAX_STOP_RATIO = 0.5
+QF_MIN_UNIQUE_RATIO = 0.3
+QF_MIN_QUALITY = 0.5
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """The corpus-filter stage: threshold the text_stats metrics and emit
+    per-doc keep/drop with the firing reasons (pipe-joined, ordered) — the
+    audit output a data pipeline persists alongside the filtered corpus.
+    One pass over the metrics, no second scan of the text."""
+    m = text_stats(docs)
+    reasons = F.concat_ws(
+        "|",
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short")),
+        F.when(F.col("stopword_ratio") > QF_MAX_STOP_RATIO, F.lit("stopword_heavy")),
+        F.when(F.col("unique_ratio") < QF_MIN_UNIQUE_RATIO, F.lit("repetitive")),
+        F.when(F.col("quality") < QF_MIN_QUALITY, F.lit("low_quality")))
+    return (m.select("doc_id", "n_tokens",
+                     F.col("quality"),
+                     (reasons == "").alias("keep"),
+                     reasons.alias("drop_reasons"))
+            .orderBy("doc_id"))
+
+
+def quality_filter_oracle() -> str:
+    stats = text_stats_oracle().strip()
+    return f"""
+WITH stats AS ({stats})
+SELECT doc_id, n_tokens, quality,
+       concat_ws('|',
+         CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN stopword_ratio > {QF_MAX_STOP_RATIO} THEN 'stopword_heavy' END,
+         CASE WHEN unique_ratio < {QF_MIN_UNIQUE_RATIO} THEN 'repetitive' END,
+         CASE WHEN quality < {QF_MIN_QUALITY} THEN 'low_quality' END) = ''
+         AS keep,
+       concat_ws('|',
+         CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN stopword_ratio > {QF_MAX_STOP_RATIO} THEN 'stopword_heavy' END,
+         CASE WHEN unique_ratio < {QF_MIN_UNIQUE_RATIO} THEN 'repetitive' END,
+         CASE WHEN quality < {QF_MIN_QUALITY} THEN 'low_quality' END)
+         AS drop_reasons
+FROM stats ORDER BY doc_id
+"""
