@@ -101,6 +101,21 @@ def main() -> None:
     bench("ann_lsh_batch100",
           lambda: _force(lsh_search(emb, queries, K, index=lsh_idx["df"])))
 
+    from vectordb_explorations_spark.operators.ann import ivf_build, ivf_search
+
+    ivf_state = {}
+
+    def build_ivf():
+        assigned, cents = ivf_build(emb, num_centroids=16)
+        assigned = assigned.cache()
+        assigned.count()
+        ivf_state["assigned"], ivf_state["cents"] = assigned, cents
+
+    bench("index_build_ivf", build_ivf, warmup=False)
+    bench("ann_ivf_batch100",
+          lambda: _force(ivf_search(ivf_state["assigned"], ivf_state["cents"],
+                                    queries, K, nprobe=8)))
+
     from vectordb_explorations_spark.operators import pq as PQ
 
     pq_state = {}
@@ -123,6 +138,9 @@ def main() -> None:
         recall_at_k(lsh_search(emb, queries, K, index=lsh_idx["df"]), exact, K), 4)
     extras["recall_hnsw_at_10"] = round(
         recall_at_k(hnsw_search(hnsw_idx["df"], queries, K), exact, K), 4)
+    extras["recall_ivf_at_10"] = round(
+        recall_at_k(ivf_search(ivf_state["assigned"], ivf_state["cents"],
+                               queries, K, nprobe=8), exact, K), 4)
     extras["recall_pq_refined_at_10"] = round(
         recall_at_k(PQ.pq_search(pq_state["codes"], pq_state["books"], queries,
                                  K, refine_with=emb, refine_factor=10),

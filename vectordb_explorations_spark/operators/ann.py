@@ -161,15 +161,22 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
     within them, global top-k. Equivalent role to HNSW's upper-layer
     routing (hnsw.cc:150-156): coarse structure prunes, fine search scores.
     """
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    # Probe selection is a (Q, C) argmin over driver-resident centroids —
+    # pure NumPy, no crossJoin/window stage (queries and centroids are both
+    # tiny; the cluster only ever sees the final probe list).
     spark = assigned.sparkSession
-    cents = spark.createDataFrame(cent_rows, "list_id int, centroid array<double>")
-    qc = (queries.crossJoin(F.broadcast(cents))
-          .withColumn("cdist", l2_distance(F.col(qvec_col), F.col("centroid"))))
-    wq = Window.partitionBy(qid_col).orderBy(F.col("cdist").asc(), F.col("list_id").asc())
-    probes = (qc.withColumn("crank", F.row_number().over(wq))
-              .where(F.col("crank") <= nprobe)
-              .select(qid_col, qvec_col, "list_id"))
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    cd = (qmat[:, None, :] - centroids[None, :, :])
+    cdist = (cd * cd).sum(-1)  # (Q, C)
+    nn = min(nprobe, centroids.shape[0])
+    probe_rows = []
+    for qi, r in enumerate(qrows):
+        order = np.lexsort((np.arange(centroids.shape[0]), cdist[qi]))[:nn]
+        for li in order:
+            probe_rows.append((int(r[0]), [float(x) for x in qmat[qi]], int(li)))
+    probes = spark.createDataFrame(
+        probe_rows, f"{qid_col} long, {qvec_col} array<double>, list_id int")
     scored = (assigned.join(F.broadcast(probes), "list_id")
               .withColumn("dist", F.round(l2_distance(F.col(vec_col), F.col(qvec_col)), 6)))
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
