@@ -17,11 +17,22 @@ ORACLES = entry_mod.oracle_sql()
 
 
 def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLES)
+    from vectordb_explorations_spark.plans.inventory import NON_SQL_QUERIES
+    assert set(QUERIES) - set(ORACLES) == NON_SQL_QUERIES
+    assert set(ORACLES) <= set(QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_parity(name, spark, sf_dir):
+    if name not in ORACLES:
+        # rows-only check (the driver's fallback for non-SQL ops):
+        # non-empty, stable schema, deterministic across runs
+        df = QUERIES[name](spark, sf_dir)
+        rows = sorted(map(tuple, df.collect()))
+        assert len(rows) > 0
+        again = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        assert rows == again
+        return
     ok, detail = compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir,
                          verbose=False)
     assert ok, f"{name}: {detail}"

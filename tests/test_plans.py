@@ -14,9 +14,10 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 QUERIES = entry_mod.queries()
 
-# The only declared queries allowed to run Python (Arrow-batched blockwise
-# k-NN is deliberately the NumPy scale path).
-PYTHON_ALLOWED = {"knn_batch_blockwise"}
+# The only declared queries allowed to run Python (deliberate Arrow-batched
+# paths: blockwise k-NN and the multimodal byte-payload stages).
+PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
+                  "multimodal_frames"}
 
 
 def _plan(spark, sf_dir, name):
@@ -29,7 +30,10 @@ def test_no_python_in_declared_plans(name, spark, sf_dir):
     if name in PYTHON_ALLOWED:
         pytest.skip("Arrow-batched by design")
     plan = _plan(spark, sf_dir, name)
-    assert "Python" not in plan, f"{name} fell off the JVM path"
+    # "Python" catches Batch/ArrowEvalPython (row/scalar UDFs);
+    # MapInPandas/FlatMapGroupsInPandas are the grouped Arrow operators.
+    for marker in ("Python", "MapInPandas", "InPandas"):
+        assert marker not in plan, f"{name} fell off the JVM path ({marker})"
 
 
 @pytest.mark.parametrize("name", ["knn_exact", "sql_knn"])

@@ -268,6 +268,15 @@ QUERIES: dict[str, QueryFn] = {
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
+    # Arrow/Python-path multimodal stages: deterministic but not
+    # SQL-expressible (sha256-derived features, byte entropy, stride
+    # sampling) — declared WITHOUT oracles per the driver contract, which
+    # records a rows-only check for them (NON_SQL_QUERIES below).
+    "multimodal_features": lambda s, d: M.extract_features(
+        M.synthesize_assets(load_table(s, "documents", d))).orderBy("asset_id"),
+    "multimodal_frames": lambda s, d: M.sample_frames(
+        M.synthesize_assets(load_table(s, "documents", d)))
+        .orderBy("asset_id", "frame_idx"),
     # advanced joins (SURVEY §2.2 join-kind coverage)
     "asof_join": lambda s, d: J.asof_join_purchase_click(load_table(s, "events", d)),
     "range_join": lambda s, d: J.range_join_event_pairs(load_table(s, "events", d)),
@@ -323,6 +332,10 @@ QUERIES: dict[str, QueryFn] = {
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
 }
+
+# Declared queries with no DuckDB twin (genuinely non-SQL-expressible;
+# the driver's correctness gate records a rows-only check for these).
+NON_SQL_QUERIES = {"multimodal_features", "multimodal_frames"}
 
 ORACLES: dict[str, str] = {
     "knn_exact": _oracle_knn_exact(),
