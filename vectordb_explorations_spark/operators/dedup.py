@@ -403,3 +403,46 @@ FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id
 ORDER BY d.doc_id
 """
+
+
+def edit_distance_pairs(docs: DataFrame, prefix_len: int = 40,
+                        max_dist: int = 12,
+                        max_doc_id: int = 300) -> DataFrame:
+    """Edit-distance near-dup pairs: Levenshtein over text prefixes within
+    (lang, length-bucket) blocks — the string-similarity dimension of the
+    dedup suite (MinHash catches token overlap; edit distance catches
+    small character-level mutations). Quadratic in block size, hence the
+    blocking key and the bounded id range in the declared query; the
+    unblocked scale path is MinHash banding above."""
+    # No attribute blocking: the fixture's near-dup copies mutate lang and
+    # length, so blocking on either splits true pairs. The bounded id range
+    # caps the quadratic instead; at scale the MinHash banding path above
+    # generates candidates and this verifier runs on its survivors.
+    base = (docs.where(F.col("doc_id") < max_doc_id)
+            .select("doc_id",
+                    F.substring("text", 1, prefix_len).alias("prefix")))
+    a = base.select(F.col("doc_id").alias("doc_id_a"),
+                    F.col("prefix").alias("pa"))
+    b = base.select(F.col("doc_id").alias("doc_id_b"),
+                    F.col("prefix").alias("pb"))
+    return (a.crossJoin(b)
+            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b",
+                    F.levenshtein("pa", "pb").alias("edit_dist"))
+            .where(F.col("edit_dist") <= max_dist)
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def edit_distance_pairs_oracle(prefix_len: int = 40, max_dist: int = 12,
+                               max_doc_id: int = 300) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, {prefix_len}) AS prefix
+  FROM documents WHERE doc_id < {max_doc_id}
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM base a JOIN base b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {max_dist}
+ORDER BY doc_id_a, doc_id_b
+"""
