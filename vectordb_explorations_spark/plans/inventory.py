@@ -92,6 +92,38 @@ ORDER BY query_id, rank
 """
 
 
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity top-k (descending) — the metric the reference
+    lacks (L2 only, SURVEY §1.5) but embedding retrieval defaults to.
+    Same TakeOrderedAndProject shape as q_knn_exact."""
+    from vectordb_explorations_spark.functions.vectors import cosine_similarity
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
+    sim = cosine_similarity(F.col("embedding"), qcol)
+    # order by the RAW similarity (matching the oracle's ORDER BY), round
+    # only in the projection — ordering on the rounded value would break
+    # near-boundary ties differently than the oracle.
+    return (emb.select("vec_id", sim.alias("_raw"))
+            .orderBy(F.col("_raw").desc(), F.col("vec_id"))
+            .limit(KNN_K)
+            .select("vec_id", F.round("_raw", 6).alias("cos_sim")))
+
+
+def _oracle_knn_cosine() -> str:
+    dot = ("list_sum(list_transform(list_zip(e.embedding, q.qv), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+    na = "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id, round({dot} / ({na} * {nb}), 6) AS cos_sim
+FROM embeddings e CROSS JOIN q
+ORDER BY {dot} / ({na} * {nb}) DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
 def q_distance_matrix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise L2 distances among the first 30 vectors — `Vector::Distance`
     (hnsw.cc:74-83) as a set-returning query."""
@@ -246,6 +278,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_exact": q_knn_exact,
     "knn_batch": q_knn_batch,
     "knn_batch_blockwise": q_knn_batch_blockwise,
+    "knn_cosine": q_knn_cosine,
     "distance_matrix_sample": q_distance_matrix_sample,
     "compat_distance": q_compat_distance,
     "vector_elements": q_vector_elements,
@@ -342,6 +375,7 @@ ORACLES: dict[str, str] = {
     "knn_exact": _oracle_knn_exact(),
     "knn_batch": _oracle_knn_batch(),
     "knn_batch_blockwise": _oracle_knn_batch(),
+    "knn_cosine": _oracle_knn_cosine(),
     "distance_matrix_sample": _oracle_distance_matrix(),
     "compat_distance": _oracle_compat_distance(),
     "label_centroids": _oracle_label_centroids(),
