@@ -446,3 +446,35 @@ FROM base a JOIN base b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.prefix, b.prefix) <= {max_dist}
 ORDER BY doc_id_a, doc_id_b
 """
+
+
+def dedup_representatives(docs: DataFrame) -> DataFrame:
+    """The end of the dedup pipeline: keep one representative per
+    near-dup cluster (the minimum doc_id — the cluster root) and report
+    the kept/dropped tally per lang. Join-with-clusters + filter: the
+    filtered corpus is the `kept` side; this audit query is what a
+    pipeline records about the drop."""
+    clusters = dedup_clusters(docs)
+    joined = docs.join(clusters, "doc_id")
+    return (joined
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("doc_id") == F.col("root"), 1))
+                  .alias("n_kept"),
+                 F.count(F.when(F.col("doc_id") != F.col("root"), 1))
+                  .alias("n_dropped"))
+            .orderBy("lang"))
+
+
+def dedup_representatives_oracle() -> str:
+    clusters_sql = dedup_clusters_oracle().strip()
+    return f"""
+WITH clusters AS ({clusters_sql})
+SELECT d.lang,
+       count(*) AS n_docs,
+       count(CASE WHEN d.doc_id = c.root THEN 1 END) AS n_kept,
+       count(CASE WHEN d.doc_id <> c.root THEN 1 END) AS n_dropped
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""

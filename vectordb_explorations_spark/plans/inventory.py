@@ -292,6 +292,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_cosine": lambda s, d: D.embedding_cosine_pairs(load_table(s, "embeddings", d)),
     "dedup_clusters": lambda s, d: D.dedup_clusters(load_table(s, "documents", d)),
     "dedup_edit_distance": lambda s, d: D.edit_distance_pairs(load_table(s, "documents", d)),
+    "dedup_representatives": lambda s, d: D.dedup_representatives(
+        load_table(s, "documents", d)),
     # text analysis (north star)
     "text_stats": lambda s, d: X.text_stats(load_table(s, "documents", d)),
     "lang_id": lambda s, d: X.lang_id(load_table(s, "documents", d)),
@@ -387,6 +389,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": D.embedding_cosine_pairs_oracle(),
     "dedup_clusters": D.dedup_clusters_oracle(),
     "dedup_edit_distance": D.edit_distance_pairs_oracle(),
+    "dedup_representatives": D.dedup_representatives_oracle(),
     "text_stats": X.text_stats_oracle(),
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),
