@@ -97,3 +97,19 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, stream):
                      "purchase_us", "click_us"))
     assert got == sorted(tuple(r) for r in batch.collect())
     assert len(got) > 0
+
+
+def test_sliding_stream_equals_batch_twin(spark, sf_dir, stream):
+    from pyspark.sql import functions as F
+    q = SE.run_to_memory(SE.sliding_value_stream(stream),
+                         "t_slide_eq", "complete")
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT * FROM t_slide_eq").collect())
+    batch = (load_table(spark, "events", sf_dir)
+             .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.avg("value"), 6).alias("avg_value"))
+             .select(F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+                     "n_events", "avg_value"))
+    assert got == sorted(tuple(r) for r in batch.collect())
