@@ -118,16 +118,53 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
         probe_rows, f"{qid_col} long, table_id int, bucket int").distinct()
     cand = (index.join(F.broadcast(probes), ["table_id", "bucket"])
             .select(qid_col, id_col).distinct())
-    qdf = spark.createDataFrame(
-        [(qid, [float(x) for x in qmat[i]]) for i, qid in enumerate(qids)],
-        f"{qid_col} long, {qvec_col} array<double>")
-    scored = (cand.join(vectors.select(id_col, vec_col), id_col)
-              .join(F.broadcast(qdf), qid_col)
-              .withColumn("dist", F.round(l2_distance(F.col(vec_col), F.col(qvec_col)), 6)))
+    # Scoring shape: group candidates per vector FIRST — (vec_id, [qids])
+    # is ~num_candidate_vectors rows instead of num_(query,vector)_pairs,
+    # so the join against the vector table shuffles each candidate vector
+    # once, not once per probing query. The Arrow stage scores every
+    # (vector, probing-query) pair via NumPy against the broadcast query
+    # matrix and emits only per-batch top-k per query; the global window
+    # then ranks <= batches*Q*k narrow rows.
+    import pandas as pd
+
+    cand_by_vec = cand.groupBy(id_col).agg(F.collect_list(qid_col).alias("qids"))
+    joined = cand_by_vec.join(vectors.select(id_col, vec_col), id_col)
+    qindex = {qid: i for i, qid in enumerate(qids)}
+    out_schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("dist", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            # vectorized ragged expansion (a Python per-pair loop here costs
+            # more than the distance math itself)
+            lens = np.fromiter((len(x) for x in pdf["qids"]), dtype=np.int64,
+                               count=len(pdf))
+            ri = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            flat_q = np.concatenate([np.asarray(x, dtype=np.int64)
+                                     for x in pdf["qids"]]) if lens.sum() else \
+                np.empty(0, dtype=np.int64)
+            qi = pd.Series(flat_q).map(qindex).to_numpy(dtype=np.int64)
+            d = mat[ri] - qmat[qi]
+            dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+            flat = pd.DataFrame({qid_col: np.asarray(qids, dtype=np.int64)[qi],
+                                 id_col: ids[ri], "dist": dist})
+            # per-batch local top-k per query bounds the shuffle
+            flat = (flat.sort_values([qid_col, "dist", id_col])
+                    .groupby(qid_col, sort=False).head(k))
+            yield flat
+
+    local = joined.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select(qid_col, id_col, "dist", "rank"))
+            .select(qid_col, id_col, F.round("dist", 6).alias("dist"), "rank"))
 
 
 # ---------------- IVF (inverted-file / coarse k-means) ----------------
@@ -177,8 +214,10 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
             probe_rows.append((int(r[0]), [float(x) for x in qmat[qi]], int(li)))
     probes = spark.createDataFrame(
         probe_rows, f"{qid_col} long, {qvec_col} array<double>, list_id int")
+    from vectordb_explorations_spark.functions.vectors import l2_distance_arrow
+    adist = l2_distance_arrow()
     scored = (assigned.join(F.broadcast(probes), "list_id")
-              .withColumn("dist", F.round(l2_distance(F.col(vec_col), F.col(qvec_col)), 6)))
+              .withColumn("dist", F.round(adist(F.col(vec_col), F.col(qvec_col)), 6)))
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
