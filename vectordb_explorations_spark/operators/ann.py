@@ -171,20 +171,24 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
 
 def ivf_build(vectors: DataFrame, num_centroids: int = 16, seed: int = 42,
               vec_col: str = "embedding",
-              max_iter: int = 10) -> tuple[DataFrame, np.ndarray]:
+              max_iter: int = 10,
+              fit_sample: int = 50_000) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: k-means centroids (MLlib, seeded), each vector
     assigned to its nearest centroid's list. Returns (assigned_df, centroids).
 
-    Scale: KMeans fits on a sample; assignment is a broadcast argmin —
-    narrow. Persist the assignment bucketed by list_id for pruned probes.
+    Scale: KMeans FITS on a bounded sample (centroid quality depends on the
+    distribution, not the corpus size — fitting on 100 TB would iterate the
+    whole corpus max_iter times); ASSIGNMENT transforms the full table in
+    one narrow pass. Persist the assignment bucketed by list_id for pruned
+    probes.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     ml_df = vectors.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=num_centroids, seed=seed, maxIter=max_iter, featuresCol="features",
                 predictionCol="list_id")
-    model = km.fit(ml_df)
+    model = km.fit(ml_df.limit(fit_sample))
     assigned = model.transform(ml_df).drop("features")
     centroids = np.array(model.clusterCenters())
     return assigned, centroids
