@@ -133,3 +133,24 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     n = sinks.compact_parquet(spark, frag, dst, target_mb=128)
     assert sinks.partition_file_counts(dst)[""] == n < 40
     assert sinks.read_parquet(spark, dst).count() == docs.count()
+
+
+def test_synthetic_datasource(spark):
+    from vectordb_explorations_spark.sources.synthetic import (
+        SyntheticVectorsDataSource)
+    spark.dataSource.register(SyntheticVectorsDataSource)
+    df = (spark.read.format("synthetic_vectors")
+          .option("n", 500).option("dim", 16).option("partitions", 4).load())
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    assert len(rows) == 500 and all(len(v) == 16 for v in rows.values())
+    # deterministic: a second read yields identical vectors
+    df2 = (spark.read.format("synthetic_vectors")
+           .option("n", 500).option("dim", 16).option("partitions", 4).load())
+    assert {r["vec_id"]: r["embedding"] for r in df2.collect()} == rows
+    # and the generated corpus feeds the k-NN operators directly
+    from vectordb_explorations_spark.operators.knn import knn_exact
+    q = rows[0]
+    top = knn_exact(df, q, 3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["dist"] == 0.0
