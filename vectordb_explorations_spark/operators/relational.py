@@ -582,3 +582,30 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_variant_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse the
+    props JSON once into a variant column and extract typed paths — the
+    open-schema alternative to from_json-with-a-fixed-StructType (binary
+    variant encoding, no per-query re-parse, path access pushdown-ready)."""
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k"))
+            .orderBy("event_type"))
+
+
+EVENTS_VARIANT_STATS_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

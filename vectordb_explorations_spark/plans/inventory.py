@@ -347,6 +347,8 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "events", d)),
     "events_json_stats": lambda s, d: R.events_json_stats(load_table(s, "events", d)),
     "event_prop_keys": lambda s, d: R.event_prop_keys(load_table(s, "events", d)),
+    "events_variant_stats": lambda s, d: R.events_variant_stats(
+        load_table(s, "events", d)),
     "priority_customer_counts": lambda s, d: R.priority_customer_counts(
         load_table(s, "orders", d)),
     "top_parts_by_revenue": lambda s, d: R.top_parts_by_revenue(
@@ -420,6 +422,7 @@ ORACLES: dict[str, str] = {
     "event_value_percentiles": R.EVENT_VALUE_PERCENTILES_ORACLE,
     "events_json_stats": R.EVENTS_JSON_STATS_ORACLE,
     "event_prop_keys": R.EVENT_PROP_KEYS_ORACLE,
+    "events_variant_stats": R.EVENTS_VARIANT_STATS_ORACLE,
     "priority_customer_counts": R.PRIORITY_CUSTOMER_COUNTS_ORACLE,
     "top_parts_by_revenue": R.top_parts_by_revenue_oracle(),
     "user_sessions": R.user_sessions_oracle(),
