@@ -609,3 +609,64 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_session_window(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Native session windows in BATCH (F.session_window): gap-merged
+    per-user sessions — the built-in operator behind the streaming
+    session query, declared in batch so the oracle can pin its exact
+    merge semantics against the islands-and-gaps SQL formulation."""
+    gap = f"{gap_minutes} minutes"
+    return (events
+            .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("session_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("win.start")).alias("start_us"),
+                    "n_events", "session_value")
+            .orderBy("user_id", "start_us"))
+
+
+def events_session_window_oracle(gap_minutes: int = 30) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, value FROM events
+), g AS (
+  SELECT user_id, t_us, value,
+         CASE WHEN lag(t_us) OVER w IS NULL
+                OR t_us - lag(t_us) OVER w > {gap_minutes * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+), s AS (
+  SELECT user_id, t_us, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM g
+)
+SELECT user_id, min(t_us) AS start_us, count(*) AS n_events,
+       round(sum(value), 6) AS session_value
+FROM s GROUP BY user_id, seq
+ORDER BY user_id, start_us
+"""
+
+
+def nation_customer_lists(customer: DataFrame, top_n: int = 10) -> DataFrame:
+    """Deterministic array aggregation: per nation, the sorted list of its
+    lowest ``top_n`` customer keys — collect_list alone is order-
+    nondeterministic across partitions; sort_array + slice pins it."""
+    return (customer.groupBy("c_nationkey")
+            .agg(F.slice(F.sort_array(F.collect_list("c_custkey")), 1, top_n)
+                 .alias("custkeys"),
+                 F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("c_nationkey"))
+
+
+def nation_customer_lists_oracle(top_n: int = 10) -> str:
+    return f"""
+SELECT c_nationkey,
+       list_sort(list(c_custkey))[1:{top_n}] AS custkeys,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

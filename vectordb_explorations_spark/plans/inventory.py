@@ -354,6 +354,10 @@ QUERIES: dict[str, QueryFn] = {
     "top_parts_by_revenue": lambda s, d: R.top_parts_by_revenue(
         load_table(s, "lineitem", d), load_table(s, "part", d)),
     "user_sessions": lambda s, d: R.user_sessions(load_table(s, "events", d)),
+    "events_session_window": lambda s, d: R.events_session_window(
+        load_table(s, "events", d)),
+    "nation_customer_lists": lambda s, d: R.nation_customer_lists(
+        load_table(s, "customer", d)),
     "supplier_nation_volume": lambda s, d: R.supplier_nation_volume(
         load_table(s, "lineitem", d), load_table(s, "supplier", d),
         load_table(s, "nation", d), load_table(s, "region", d)),
@@ -426,6 +430,8 @@ ORACLES: dict[str, str] = {
     "priority_customer_counts": R.PRIORITY_CUSTOMER_COUNTS_ORACLE,
     "top_parts_by_revenue": R.top_parts_by_revenue_oracle(),
     "user_sessions": R.user_sessions_oracle(),
+    "events_session_window": R.events_session_window_oracle(),
+    "nation_customer_lists": R.nation_customer_lists_oracle(),
     "vector_elements": _oracle_vector_elements(),
     "supplier_nation_volume": R.SUPPLIER_NATION_VOLUME_ORACLE,
     "nation_balance_full_outer": R.NATION_BALANCE_FULL_OUTER_ORACLE,
