@@ -219,3 +219,54 @@ FROM orders
 QUALIFY o_totalprice > avg(o_totalprice) OVER (PARTITION BY o_custkey) * {factor}
 ORDER BY o_custkey, o_orderkey
 """
+
+
+def customer_first_orders(orders: DataFrame, limit_custkey: int = 500) -> DataFrame:
+    """first_value / nth_value coverage: each customer's first and second
+    order keys over their date-ordered history, evaluated once per row and
+    deduplicated to one row per customer (the windows need the full-frame
+    ROWS spec — default frames end at CURRENT ROW, where nth_value(2) is
+    NULL until the second row)."""
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (orders.where(F.col("o_custkey") < limit_custkey)
+            .select("o_custkey",
+                    F.first_value("o_orderkey").over(w).alias("first_order"),
+                    F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+                    F.count(F.lit(1)).over(w).alias("n_orders"))
+            .distinct()
+            .orderBy("o_custkey"))
+
+
+def customer_first_orders_oracle(limit_custkey: int = 500) -> str:
+    return f"""
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       count(*) OVER w AS n_orders
+FROM orders WHERE o_custkey < {limit_custkey}
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+"""
+
+
+def event_value_histogram(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram of event values per type — floor-division
+    bucketing (portable; width_bucket is not in every engine). The classic
+    distribution-profiling aggregation: one grouped count, bucket count
+    bounded by the value range."""
+    bucket = F.floor(F.col("value") / bucket_width).cast("int")
+    return (events.groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("event_type", "bucket"))
+
+
+def event_value_histogram_oracle(bucket_width: float = 10.0) -> str:
+    return f"""
+SELECT event_type, CAST(floor(value / {bucket_width}) AS INTEGER) AS bucket,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""

@@ -341,6 +341,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "customer", d), load_table(s, "orders", d)),
     "orders_above_customer_avg": lambda s, d: A.orders_above_customer_avg(
         load_table(s, "orders", d)),
+    "customer_first_orders": lambda s, d: A.customer_first_orders(
+        load_table(s, "orders", d)),
+    "event_value_histogram": lambda s, d: A.event_value_histogram(
+        load_table(s, "events", d)),
     "events_hourly": lambda s, d: R.events_hourly(load_table(s, "events", d)),
     "events_sliding_2h": lambda s, d: R.events_sliding_2h(load_table(s, "events", d)),
     "event_value_percentiles": lambda s, d: R.event_value_percentiles(
@@ -421,6 +425,8 @@ ORACLES: dict[str, str] = {
     "moving_avg_daily_revenue": A.moving_avg_daily_revenue_oracle(),
     "customers_with_open_orders": A.CUSTOMERS_WITH_OPEN_ORDERS_ORACLE,
     "orders_above_customer_avg": A.orders_above_customer_avg_oracle(),
+    "customer_first_orders": A.customer_first_orders_oracle(),
+    "event_value_histogram": A.event_value_histogram_oracle(),
     "events_hourly": R.EVENTS_HOURLY_ORACLE,
     "events_sliding_2h": R.EVENTS_SLIDING_2H_ORACLE,
     "event_value_percentiles": R.EVENT_VALUE_PERCENTILES_ORACLE,
