@@ -261,3 +261,37 @@ SELECT doc_id, n_tokens, quality,
          AS drop_reasons
 FROM stats ORDER BY doc_id
 """
+
+
+def mask_pii(docs: DataFrame) -> DataFrame:
+    """PII-scrubbing stage shape: mask email-like tokens and digit runs
+    before training. Regexes restrict to alternation + character classes
+    (identical in Java regex and RE2); declared output is the masked
+    text's md5 + how many substitutions fired, so the transform is
+    hash-pinned without shipping raw text."""
+    emailish = "[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), emailish, "[EMAIL]"),
+        "[0-9]+", "[NUM]")
+    n_email = F.size(F.split(F.col("text"), emailish)) - 1
+    n_num = F.size(F.split(F.regexp_replace(F.col("text"), emailish, "[EMAIL]"),
+                           "[0-9]+")) - 1
+    return (docs.select(
+        "doc_id",
+        F.md5(masked).alias("masked_md5"),
+        n_email.alias("n_emails_masked"),
+        n_num.alias("n_numbers_masked"))
+        .orderBy("doc_id"))
+
+
+def mask_pii_oracle() -> str:
+    emailish = "[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"
+    return f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, '{emailish}', '[EMAIL]', 'g'),
+                          '[0-9]+', '[NUM]', 'g')) AS masked_md5,
+       len(string_split_regex(text, '{emailish}')) - 1 AS n_emails_masked,
+       len(string_split_regex(regexp_replace(text, '{emailish}', '[EMAIL]', 'g'),
+                              '[0-9]+')) - 1 AS n_numbers_masked
+FROM documents ORDER BY doc_id
+"""
