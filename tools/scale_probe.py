@@ -100,6 +100,19 @@ def main() -> None:
         ivf_search(ivf_state["a"], ivf_state["c"], queries, K, nprobe=8),
         exact, K), 3)
 
+    from vectordb_explorations_spark.operators.hnsw import hnsw_build, hnsw_search
+
+    hnsw_state = {}
+
+    def build_hnsw():
+        idx = hnsw_build(emb, num_shards=32).cache(); idx.count()
+        hnsw_state["idx"] = idx
+    timed("hnsw_index_build", build_hnsw)
+    timed("hnsw_search_batch100",
+          lambda: force(hnsw_search(hnsw_state["idx"], queries, K)))
+    recalls["hnsw"] = round(recall_at_k(
+        hnsw_search(hnsw_state["idx"], queries, K), exact, K), 3)
+
     pq_state = {}
 
     def build_pq():
@@ -127,6 +140,7 @@ def main() -> None:
         f"| exact blockwise (baseline) | — | {results['exact_blockwise_knn_batch100']} | 1.0 |",
         f"| hyperplane LSH (T=8, P=10) | {results['lsh_index_build']} | {results['lsh_search_batch100']} | {recalls['lsh']} |",
         f"| IVF (C=64, nprobe=8) | {results['ivf_index_build']} | {results['ivf_search_batch100']} | {recalls['ivf']} |",
+        f"| sharded HNSW (32 shards, M=8) | {results['hnsw_index_build']} | {results['hnsw_search_batch100']} | {recalls['hnsw']} |",
         f"| PQ + exact refine (m=16, k=64, rf=30) | {results['pq_index_build']} | {results['pq_refined_search_batch100']} | {recalls['pq_refined']} |",
         "",
         "Findings (honest, data-dependent):",
@@ -145,6 +159,12 @@ def main() -> None:
         "- **PQ needs subspaces finer than the cluster radius**: m=8 gave "
         "recall 0.33 on this corpus (within-cluster codes collide); m=16 "
         "restores 0.91 at the same storage order.",
+        "- **Sharded HNSW build is Python-bound** (~30 s for 200k: per-"
+        "insert graph construction inside applyInPandas) — faithful to the "
+        "reference's algorithm but the slowest build; its recall also dips "
+        "with shard count (each shard walks an independent graph). At real "
+        "scale prefer IVF/PQ for bulk builds, or fewer, larger HNSW shards "
+        "built offline.",
         "- All paths keep the documented scale shapes: narrow index "
         "shuffles, broadcast probe lists, candidates grouped per vector "
         "before the join, partition-local top-k before the global merge.",
