@@ -83,3 +83,16 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         F.expr("percentile(value, 0.9)").alias("exact"),
         F.expr("approx_percentile(value, 0.9, 1000)").alias("approx")).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+    # HLL-sketch distinct counting is the 100 TB path (count_distinct
+    # shuffles every distinct value; approx ships fixed-size sketches) —
+    # gated on relative error, never hashed.
+    from vectordb_explorations_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    orders = load_table(spark, "orders", sf_dir)
+    row = orders.agg(
+        F.count_distinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx")).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
