@@ -670,3 +670,30 @@ FROM customer
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+def region_nation_rollcall(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): each region's
+    nations as one comma-joined, deterministically ordered string — the
+    report-formatting aggregate (Spark 4 listagg; DuckDB string_agg with
+    ORDER BY)."""
+    joined = nation.join(F.broadcast(region),
+                         nation.n_regionkey == region.r_regionkey)
+    joined.createOrReplaceTempView("_rollcall_src")
+    return joined.sparkSession.sql("""
+        SELECT r_name,
+               count(*) AS n_nations,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM _rollcall_src
+        GROUP BY r_name
+        ORDER BY r_name
+    """)
+
+
+REGION_NATION_ROLLCALL_ORACLE = """
+SELECT r_name, count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""

@@ -363,6 +363,8 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "events", d)),
     "nation_customer_lists": lambda s, d: R.nation_customer_lists(
         load_table(s, "customer", d)),
+    "region_nation_rollcall": lambda s, d: R.region_nation_rollcall(
+        load_table(s, "region", d), load_table(s, "nation", d)),
     "supplier_nation_volume": lambda s, d: R.supplier_nation_volume(
         load_table(s, "lineitem", d), load_table(s, "supplier", d),
         load_table(s, "nation", d), load_table(s, "region", d)),
@@ -440,6 +442,7 @@ ORACLES: dict[str, str] = {
     "user_sessions": R.user_sessions_oracle(),
     "events_session_window": R.events_session_window_oracle(),
     "nation_customer_lists": R.nation_customer_lists_oracle(),
+    "region_nation_rollcall": R.REGION_NATION_ROLLCALL_ORACLE,
     "vector_elements": _oracle_vector_elements(),
     "supplier_nation_volume": R.SUPPLIER_NATION_VOLUME_ORACLE,
     "nation_balance_full_outer": R.NATION_BALANCE_FULL_OUTER_ORACLE,
