@@ -263,6 +263,44 @@ FROM stats ORDER BY doc_id
 """
 
 
+VOCAB_TOP_N = 100
+
+
+def vocab_stats(docs: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: term frequency, document frequency,
+    and smoothed IDF for the top-N tokens — the vocabulary-building stage of
+    a training-data pipeline (tokenizer fitting, stopword discovery).
+
+    Scale shape: explode → groupBy(token) does map-side partial aggregation,
+    so zipfian head tokens ("the") never concentrate raw rows on one reducer;
+    the corpus size joins in as a broadcast scalar, and only the top-N
+    survive the final TakeOrderedAndProject."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    g = toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))), 6)
+    return (g.crossJoin(F.broadcast(n))
+            .select("token", "tf", "df", idf.alias("idf"))
+            .orderBy(F.col("tf").desc(), "token")
+            .limit(top_n))
+
+
+def vocab_stats_oracle(top_n: int = VOCAB_TOP_N) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY token)
+SELECT token, tf, df,
+       round(ln((1.0 + n_docs) / (1.0 + df)), 6) AS idf
+FROM g, n
+ORDER BY tf DESC, token
+LIMIT {top_n}
+"""
+
+
 def mask_pii(docs: DataFrame) -> DataFrame:
     """PII-scrubbing stage shape: mask email-like tokens and digit runs
     before training. Regexes restrict to alternation + character classes

@@ -302,6 +302,7 @@ QUERIES: dict[str, QueryFn] = {
     "clean_text": lambda s, d: X.clean_text(load_table(s, "documents", d)),
     "quality_filter": lambda s, d: X.quality_filter(load_table(s, "documents", d)),
     "mask_pii": lambda s, d: X.mask_pii(load_table(s, "documents", d)),
+    "vocab_stats": lambda s, d: X.vocab_stats(load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -410,6 +411,7 @@ ORACLES: dict[str, str] = {
     "clean_text": X.CLEAN_TEXT_ORACLE,
     "quality_filter": X.quality_filter_oracle(),
     "mask_pii": X.mask_pii_oracle(),
+    "vocab_stats": X.vocab_stats_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "asof_join": J.ASOF_JOIN_ORACLE,
     "range_join": J.range_join_oracle(),
