@@ -62,6 +62,11 @@ COMMENTARY = {
         "MinHash+LSH banding: one md5 per shingle + integer mixing, band "
         "keys self-join on (band_idx, band_key), exact Jaccard re-verifies "
         "only surviving candidates."),
+    "vocab_stats": (
+        "Vocabulary heavy-hitters: explode → groupBy(token) aggregates "
+        "partially map-side (zipfian head tokens never concentrate raw rows "
+        "on one reducer), the corpus count joins in as a broadcast scalar, "
+        "and only the top-N rows survive TakeOrderedAndProject."),
     "train_val_split_stats": (
         "Deterministic md5-threshold split audit — pure projection + one "
         "grouped aggregation; no RNG, no shuffle beyond the group-by."),
