@@ -12,6 +12,7 @@ Lexicographic thresholds on the 8-hex-digit prefix give ratio control at
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def _hex_threshold(ratio: float) -> str:
@@ -54,6 +55,44 @@ WITH s AS (
 )
 SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
 FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+STRATIFIED_PER_LANG = 20
+
+
+def stratified_sample(docs: DataFrame,
+                      per_stratum: int = STRATIFIED_PER_LANG) -> DataFrame:
+    """Deterministic stratified sample: the first ``per_stratum`` documents
+    per language, ordered by md5(doc_id) — a hash-shuffled-but-reproducible
+    balanced subset (eval-set construction, per-language inspection pulls).
+
+    Scale shape: one keyed shuffle on lang for the window rank; the md5
+    order decorrelates the pick from ingest order without RNG state. For
+    strata too hot for a single reducer, the same hash order nests under a
+    salted pre-rank — the declared semantics stay identical."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    rank = F.row_number().over(
+        Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc()))
+    return (docs.select("doc_id", "lang", "n_chars", h.alias("pick_hash"))
+            .withColumn("rk", rank)
+            .where(F.col("rk") <= per_stratum)
+            .select("doc_id", "lang", "n_chars", "pick_hash", "rk")
+            .orderBy("lang", "rk"))
+
+
+def stratified_sample_oracle(per_stratum: int = STRATIFIED_PER_LANG) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS pick_hash,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, pick_hash, rk
+FROM r WHERE rk <= {per_stratum}
+ORDER BY lang, rk
 """
 
 

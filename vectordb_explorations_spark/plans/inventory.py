@@ -378,6 +378,8 @@ QUERIES: dict[str, QueryFn] = {
     # training-pipeline data management
     "train_val_split_stats": lambda s, d: SP.train_val_split_stats(
         load_table(s, "documents", d)),
+    "stratified_sample": lambda s, d: SP.stratified_sample(
+        load_table(s, "documents", d)),
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
@@ -452,5 +454,6 @@ ORACLES: dict[str, str] = {
     "sql_grouping_sets": Q.GROUPING_SETS_REVENUE_ORACLE,
     "sql_knn": _oracle_knn_exact(),
     "train_val_split_stats": SP.train_val_split_stats_oracle(),
+    "stratified_sample": SP.stratified_sample_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
 }
