@@ -301,6 +301,35 @@ LIMIT {top_n}
 """
 
 
+def doc_length_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-language document-length distribution: exact continuous p50/p90/p99
+    of n_chars plus count and mean — the corpus-profiling query that sizes
+    context windows and flags truncation risk per language.
+
+    Exact percentile is a sort-based aggregate (one keyed shuffle on lang);
+    at 100 TB swap in approx_percentile for a mergeable sketch — the declared
+    exact form is the oracle-checkable twin."""
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+                 F.round(F.try_element_at(pct, F.lit(1)), 6).alias("p50_chars"),
+                 F.round(F.try_element_at(pct, F.lit(2)), 6).alias("p90_chars"),
+                 F.round(F.try_element_at(pct, F.lit(3)), 6).alias("p99_chars"))
+            .orderBy("lang"))
+
+
+DOC_LENGTH_PERCENTILES_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def mask_pii(docs: DataFrame) -> DataFrame:
     """PII-scrubbing stage shape: mask email-like tokens and digit runs
     before training. Regexes restrict to alternation + character classes

@@ -303,6 +303,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_filter": lambda s, d: X.quality_filter(load_table(s, "documents", d)),
     "mask_pii": lambda s, d: X.mask_pii(load_table(s, "documents", d)),
     "vocab_stats": lambda s, d: X.vocab_stats(load_table(s, "documents", d)),
+    "doc_length_percentiles": lambda s, d: X.doc_length_percentiles(
+        load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -414,6 +416,7 @@ ORACLES: dict[str, str] = {
     "quality_filter": X.quality_filter_oracle(),
     "mask_pii": X.mask_pii_oracle(),
     "vocab_stats": X.vocab_stats_oracle(),
+    "doc_length_percentiles": X.DOC_LENGTH_PERCENTILES_ORACLE,
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "asof_join": J.ASOF_JOIN_ORACLE,
     "range_join": J.range_join_oracle(),
