@@ -110,6 +110,98 @@ def extract_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def features_flat(docs: DataFrame) -> DataFrame:
+    """Driver-safe projection of :func:`extract_features`: every column is a
+    hashable scalar. The ``feature ARRAY<DOUBLE>`` column is re-expressed as
+    ``feature_u32`` — the comma-joined little-endian uint32 words the fake
+    decode derived them from (``x * 2**32`` is exact in float64, so the
+    round-trip is lossless) — and ``byte_entropy`` is rounded to 6 dp.
+
+    Round-1 driver feedback: the rows-only canonicalizer cannot factorize
+    list cells (`TypeError: unhashable type: 'list'`), so the declared query
+    must not carry arrays. The array-returning operator stays for pipeline
+    use; this is the correctness-gate surface.
+    """
+    feats = extract_features(synthesize_assets(docs))
+    u32 = F.transform(
+        "feature", lambda x: (x * F.lit(float(2 ** 32))).cast("long").cast("string"))
+    return feats.select(
+        "asset_id", "modality", "n_bytes", "payload_sha",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.concat_ws(",", u32).alias("feature_u32"),
+    ).orderBy("asset_id")
+
+
+# Oracle validity note: DuckDB's sha256() takes VARCHAR (UTF-8 bytes) and the
+# synthetic documents corpus is pure ASCII, so char-substrings == byte-slices
+# and sha256(text) == sha256 of the payload bytes. The Spark operator itself
+# handles arbitrary binary; only the oracle relies on the ASCII fixture.
+# byte_entropy: DuckDB's entropy() aggregate is log2-based, matching the
+# NumPy -(p*log2 p).sum(); both sides round to 6 dp. The uint32 feature words
+# are recovered from the hex digest via strpos-nibble parsing.
+FEATURES_FLAT_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                         WHEN 2 THEN 'audio' ELSE 'video' END AS modality,
+         text,
+         length(text) AS n_bytes,
+         sha256(text) AS payload_sha
+  FROM documents
+), ent AS (
+  SELECT a.asset_id,
+         round(entropy(substring(a.text, CAST(t.i AS INT), 1)), 6) AS byte_entropy
+  FROM a, LATERAL unnest(generate_series(1, a.n_bytes)) t(i)
+  GROUP BY a.asset_id
+), nib AS (
+  SELECT a.asset_id, jj.j,
+         CAST(SUM((
+             (strpos('0123456789abcdef',
+                     substring(a.payload_sha, CAST((jj.j*4+kk.k)*2+1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substring(a.payload_sha, CAST((jj.j*4+kk.k)*2+2 AS INT), 1)) - 1)
+         ) * CAST(pow(256, kk.k) AS BIGINT)) AS BIGINT) AS u32
+  FROM a,
+       LATERAL unnest(generate_series(0, 7)) jj(j),
+       LATERAL unnest(generate_series(0, 3)) kk(k)
+  GROUP BY a.asset_id, jj.j
+), feat AS (
+  SELECT asset_id,
+         string_agg(CAST(u32 AS VARCHAR), ',' ORDER BY j) AS feature_u32
+  FROM nib GROUP BY asset_id
+)
+SELECT a.asset_id, a.modality, CAST(a.n_bytes AS BIGINT) AS n_bytes,
+       a.payload_sha, ent.byte_entropy, feat.feature_u32
+FROM a JOIN ent USING (asset_id) JOIN feat USING (asset_id)
+ORDER BY asset_id
+"""
+
+
+def frames_flat(docs: DataFrame) -> DataFrame:
+    """Driver-safe declared query for :func:`sample_frames` (already flat —
+    every column scalar), ordered deterministically."""
+    return (sample_frames(synthesize_assets(docs))
+            .orderBy("asset_id", "frame_idx"))
+
+
+# Same ASCII-fixture caveat as FEATURES_FLAT_ORACLE. Python's
+# range(0, n_frames, every_nth) with n_frames = max(1, len // 256) maps to
+# generate_series(0, n_frames-1, 4); substring end-clamps like bytes slicing.
+FRAMES_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id, text,
+         greatest(1, length(text) // 256) AS n_frames
+  FROM documents WHERE doc_id % 4 = 3
+)
+SELECT a.asset_id,
+       CAST(t.fi AS INT) AS frame_idx,
+       CAST(t.fi AS BIGINT) * 256 AS byte_offset,
+       sha256(substring(a.text, CAST(t.fi*256+1 AS INT), 256)) AS frame_sha
+FROM a, LATERAL unnest(generate_series(0, a.n_frames - 1, 4)) t(fi)
+ORDER BY asset_id, frame_idx
+"""
+
+
 def multimodal_struct(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     """The multimodal document record: text + typed metadata + embedding in
     one struct column (documents ⋈ embeddings on doc_id = vec_id). At scale

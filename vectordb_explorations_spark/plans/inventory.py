@@ -308,15 +308,16 @@ QUERIES: dict[str, QueryFn] = {
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
-    # Arrow/Python-path multimodal stages: deterministic but not
-    # SQL-expressible (sha256-derived features, byte entropy, stride
-    # sampling) — declared WITHOUT oracles per the driver contract, which
-    # records a rows-only check for them (NON_SQL_QUERIES below).
-    "multimodal_features": lambda s, d: M.extract_features(
-        M.synthesize_assets(load_table(s, "documents", d))).orderBy("asset_id"),
-    "multimodal_frames": lambda s, d: M.sample_frames(
-        M.synthesize_assets(load_table(s, "documents", d)))
-        .orderBy("asset_id", "frame_idx"),
+    # Arrow/Python-path multimodal stages. The operators are mapInPandas
+    # (genuinely non-SQL execution), but their OUTPUTS are fully
+    # deterministic and — because the synthetic corpus is ASCII — DuckDB
+    # can recompute them (sha256 + entropy + hex parsing), so both are
+    # hash-checked. Declared via the *_flat projections: scalar columns
+    # only (round-1 driver canon choked on ARRAY<DOUBLE> cells).
+    "multimodal_features": lambda s, d: M.features_flat(
+        load_table(s, "documents", d)),
+    "multimodal_frames": lambda s, d: M.frames_flat(
+        load_table(s, "documents", d)),
     # advanced joins (SURVEY §2.2 join-kind coverage)
     "asof_join": lambda s, d: J.asof_join_purchase_click(load_table(s, "events", d)),
     "range_join": lambda s, d: J.range_join_event_pairs(load_table(s, "events", d)),
@@ -387,9 +388,11 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "events", d)),
 }
 
-# Declared queries with no DuckDB twin (genuinely non-SQL-expressible;
-# the driver's correctness gate records a rows-only check for these).
-NON_SQL_QUERIES = {"multimodal_features", "multimodal_frames"}
+# Declared queries with no DuckDB twin (the driver's correctness gate
+# records a rows-only check for these). Empty since round 2: the two
+# multimodal mapInPandas stages gained full oracles (ASCII fixture makes
+# sha256/entropy recomputable in DuckDB — see operators/multimodal.py).
+NON_SQL_QUERIES: set[str] = set()
 
 ORACLES: dict[str, str] = {
     "knn_exact": _oracle_knn_exact(),
@@ -418,6 +421,8 @@ ORACLES: dict[str, str] = {
     "vocab_stats": X.vocab_stats_oracle(),
     "doc_length_percentiles": X.DOC_LENGTH_PERCENTILES_ORACLE,
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
+    "multimodal_features": M.FEATURES_FLAT_ORACLE,
+    "multimodal_frames": M.FRAMES_ORACLE,
     "asof_join": J.ASOF_JOIN_ORACLE,
     "range_join": J.range_join_oracle(),
     "pricing_summary": R.PRICING_SUMMARY_ORACLE,
