@@ -41,12 +41,17 @@ def knn_exact(vectors: DataFrame, query_vec: Sequence[float], k: int,
     """
     q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     dist = l2_distance(F.col(vec_col), q)
+    # Order by the RAW distance (id tie-break) and round only in the final
+    # projection — rounding before the top-k can flip boundary selections
+    # against the oracle, which also orders raw (same hazard knn_cosine
+    # documents; flagged by round-1 ADVICE).
+    out = (vectors
+           .select(F.col(id_col), dist.alias("dist"))
+           .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+           .limit(k))
     if round_dp is not None:
-        dist = F.round(dist, round_dp)
-    return (vectors
-            .select(F.col(id_col), dist.alias("dist"))
-            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
-            .limit(k))
+        out = out.select(F.col(id_col), F.round("dist", round_dp).alias("dist"))
+    return out
 
 
 def knn_join(vectors: DataFrame, queries: DataFrame, k: int,
