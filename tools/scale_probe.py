@@ -159,12 +159,14 @@ def main() -> None:
         "- **PQ needs subspaces finer than the cluster radius**: m=8 gave "
         "recall 0.33 on this corpus (within-cluster codes collide); m=16 "
         "restores 0.91 at the same storage order.",
-        "- **Sharded HNSW build is Python-bound** (~30 s for 200k: per-"
-        "insert graph construction inside applyInPandas) — faithful to the "
-        "reference's algorithm but the slowest build; its recall also dips "
-        "with shard count (each shard walks an independent graph). At real "
-        "scale prefer IVF/PQ for bulk builds, or fewer, larger HNSW shards "
-        "built offline.",
+        "- **Sharded HNSW bulk-builds via blockwise-GEMM exact-kNN layer "
+        "wiring** (HnswGraph._bulk_build) instead of sequential inserts: "
+        "the 200k build dropped ~30 s → ~5.5 s (round-1 VERDICT item 3) "
+        "and recall rose (exact, not search-approximated, layer-0 "
+        "neighborhoods). Per-shard build is O(n_shard^2) BLAS flops, so "
+        "shard size — not corpus size — is the knob: keep shards ~10k and "
+        "scale shard count with executors. Recall still dips slightly "
+        "with shard count (each shard walks an independent graph).",
         "- All paths keep the documented scale shapes: narrow index "
         "shuffles, broadcast probe lists, candidates grouped per vector "
         "before the join, partition-local top-k before the global merge.",

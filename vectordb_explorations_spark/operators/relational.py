@@ -61,11 +61,16 @@ ORDER BY l_returnflag, l_linestatus
 def top_unshipped_orders(customer: DataFrame, orders: DataFrame,
                          lineitem: DataFrame, segment: str = "BUILDING",
                          k: int = 10) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast customer into
-    orders, shuffle join to lineitem on orderkey, revenue agg, top-k
-    (TakeOrderedAndProject — no global sort materialized)."""
+    """TPC-H Q3 shape: selective dim filter on customer, join into orders,
+    shuffle join to lineitem on orderkey, revenue agg, top-k
+    (TakeOrderedAndProject — no global sort materialized).
+
+    No broadcast hint on customer: even segment-filtered it scales linearly
+    with sf (~300k rows at sf10), so a forced broadcast becomes an OOM at
+    100 TB. AQE picks broadcast at small sf and shuffle join beyond its
+    threshold (round-1 VERDICT item 4)."""
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
-    return (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
             .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
             .groupBy("o_orderkey",
                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
@@ -94,11 +99,15 @@ LIMIT {k}
 
 def region_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
                    orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Star join region→nation→customer→orders→lineitem. The three dim
-    hops broadcast; only orders⋈lineitem shuffles. Revenue per nation."""
+    """Star join region→nation→customer→orders→lineitem. nation/region are
+    fixed-size (25/5 rows at every sf) and broadcast explicitly; customer is
+    fact-scaling (1.5 M rows at sf10) so its join carries NO hint — AQE
+    broadcasts it while it fits and falls back to shuffle join beyond the
+    threshold (round-1 VERDICT item 4: a forced customer broadcast is a
+    driver OOM at 100 TB). Only orders⋈lineitem and customer must shuffle."""
     return (lineitem
             .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("r_name", "n_name")
@@ -383,14 +392,16 @@ ORDER BY user_id, session_seq
 def supplier_nation_volume(lineitem: DataFrame, supplier: DataFrame,
                            nation: DataFrame, region: DataFrame) -> DataFrame:
     """Revenue per (region, nation) through the supplier side of lineitem —
-    the classic star join. supplier/nation/region are broadcast (small dims);
-    lineitem aggregates map-side first, so the single shuffle carries only
-    (suppkey, partial sums), not raw line items."""
+    the classic star join. nation/region broadcast (fixed-size dims);
+    supplier scales with sf, so no hint — post-agg per_supp has the same
+    cardinality as supplier and AQE picks the join strategy from runtime
+    sizes. lineitem aggregates map-side first, so the single shuffle
+    carries only (suppkey, partial sums), not raw line items."""
     per_supp = (lineitem.groupBy("l_suppkey")
                 .agg(F.sum(F.col("l_extendedprice")
                            * (F.lit(1.0) - F.col("l_discount"))).alias("rev")))
     return (per_supp
-            .join(F.broadcast(supplier), per_supp.l_suppkey == supplier.s_suppkey)
+            .join(supplier, per_supp.l_suppkey == supplier.s_suppkey)
             .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .groupBy("r_name", "n_name")
@@ -497,14 +508,16 @@ ORDER BY k
 def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame,
                          k: int = 20) -> DataFrame:
     """Top-k parts by revenue: aggregate the fact first (map-side partials,
-    one keyed shuffle), broadcast-join the part dim onto just the aggregated
-    rows, then global top-k via TakeOrderedAndProject — the aggregate-then-
-    join-then-limit shape that keeps dim attributes off the fact shuffle."""
+    one keyed shuffle), join the part dim onto just the aggregated rows,
+    then global top-k via TakeOrderedAndProject — the aggregate-then-
+    join-then-limit shape that keeps dim attributes off the fact shuffle.
+    part is fact-scaling (2 M rows at sf10) so the join carries no
+    broadcast hint; AQE decides from runtime sizes."""
     rev = (lineitem.groupBy("l_partkey")
            .agg(F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
                 F.count(F.lit(1)).alias("n_lines")))
-    return (rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+    return (rev.join(part, rev.l_partkey == part.p_partkey)
             .select(F.col("p_partkey").alias("partkey"), "p_name", "p_brand",
                     "revenue", "n_lines")
             .orderBy(F.col("revenue").desc(), F.col("partkey"))
