@@ -45,13 +45,31 @@ def main() -> None:
     from vectordb_explorations_spark.operators import relational as R
     from vectordb_explorations_spark.operators import textops as X
     from vectordb_explorations_spark.operators.ann import (
-        lsh_search, random_hyperplane_lsh, recall_at_k)
+        lsh_refine_hot_buckets, lsh_search, random_hyperplane_lsh, recall_at_k)
     from vectordb_explorations_spark.operators.hnsw import hnsw_build, hnsw_search
     from vectordb_explorations_spark.operators.knn import (
         knn_join, knn_join_blockwise, sample_queries)
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def persist_bytes(name: str, *dfs) -> None:
+        # The reference's only benchmark is a memory-footprint test
+        # (SizeTest, hnsw.cc:435-483); this is its Spark mirror — bytes on
+        # disk of each persisted index artifact (BASELINE.md engine
+        # protocol: "index bulk-build wall time + persisted size").
+        total = 0
+        for i, df in enumerate(dfs):
+            path = f"/tmp/bench_index_{name}_{i}"
+            df.write.mode("overwrite").parquet(path)
+            total += _dir_bytes(path)
+        extras[f"index_bytes_{name}"] = total
 
     def bench(name: str, fn, warmup: bool = True) -> None:
         # Query entries are timed steady-state (one untimed warmup run pays
@@ -83,9 +101,13 @@ def main() -> None:
     def build_lsh():
         idx = random_hyperplane_lsh(emb).cache()
         idx.count()
-        lsh_idx["df"] = idx
+        ref_idx, cents = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
+        ref_idx = ref_idx.cache(); ref_idx.count()
+        cents = cents.cache(); cents.count()
+        lsh_idx["df"], lsh_idx["ref"] = idx, (ref_idx, cents)
 
     bench("index_build_lsh", build_lsh, warmup=False)
+    persist_bytes("lsh", lsh_idx["ref"][0], lsh_idx["ref"][1])
 
     hnsw_idx = {}
 
@@ -96,10 +118,12 @@ def main() -> None:
         hnsw_idx["df"] = idx
 
     bench("index_build_hnsw", build_hnsw, warmup=False)
+    persist_bytes("hnsw", hnsw_idx["df"])
     bench("ann_hnsw_batch100",
           lambda: _force(hnsw_search(hnsw_idx["df"], queries, K)))
     bench("ann_lsh_batch100",
-          lambda: _force(lsh_search(emb, queries, K, index=lsh_idx["df"])))
+          lambda: _force(lsh_search(emb, queries, K, index=lsh_idx["df"],
+                                    refined=lsh_idx["ref"])))
 
     from vectordb_explorations_spark.operators.ann import ivf_build, ivf_search
 
@@ -112,6 +136,7 @@ def main() -> None:
         ivf_state["assigned"], ivf_state["cents"] = assigned, cents
 
     bench("index_build_ivf", build_ivf, warmup=False)
+    persist_bytes("ivf", ivf_state["assigned"].select("vec_id", "list_id"))
     bench("ann_ivf_batch100",
           lambda: _force(ivf_search(ivf_state["assigned"], ivf_state["cents"],
                                     queries, K, nprobe=8)))
@@ -121,12 +146,16 @@ def main() -> None:
     pq_state = {}
 
     def build_pq():
-        books = PQ.pq_train(emb, m_subspaces=8, k_codes=64)
+        # m=16 subspaces: SCALE_NOTES measured m=8 collapsing recall on
+        # clustered corpora (within-cluster code collisions); m=16 holds
+        # ~0.9 at the same storage order (round-1 VERDICT item 7).
+        books = PQ.pq_train(emb, m_subspaces=16, k_codes=64)
         codes = PQ.pq_encode(emb, books).cache()
         codes.count()
         pq_state["books"], pq_state["codes"] = books, codes
 
     bench("index_build_pq", build_pq, warmup=False)
+    persist_bytes("pq", pq_state["codes"])
     bench("ann_pq_refined_batch100",
           lambda: _force(PQ.pq_search(pq_state["codes"], pq_state["books"],
                                       queries, K, refine_with=emb,
@@ -135,7 +164,8 @@ def main() -> None:
     exact = knn_join(emb, queries, K).cache()
     exact.count()
     extras["recall_lsh_at_10"] = round(
-        recall_at_k(lsh_search(emb, queries, K, index=lsh_idx["df"]), exact, K), 4)
+        recall_at_k(lsh_search(emb, queries, K, index=lsh_idx["df"],
+                               refined=lsh_idx["ref"]), exact, K), 4)
     extras["recall_hnsw_at_10"] = round(
         recall_at_k(hnsw_search(hnsw_idx["df"], queries, K), exact, K), 4)
     extras["recall_ivf_at_10"] = round(

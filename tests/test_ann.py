@@ -7,7 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectordb_explorations_spark.operators.ann import (
-    ivf_build, ivf_search, lsh_search, random_hyperplane_lsh, recall_at_k)
+    ann_search, ivf_build, ivf_search, lsh_bucket_skew,
+    lsh_refine_hot_buckets, lsh_search, random_hyperplane_lsh, recall_at_k)
 from vectordb_explorations_spark.operators.hnsw import (
     HnswGraph, hnsw_build, hnsw_search)
 from vectordb_explorations_spark.operators.knn import knn_join, sample_queries
@@ -79,6 +80,39 @@ def test_hnsw_reference_level_mult():
     g_can = HnswGraph(dim=2, m=8, reference_level_mult=False)
     assert g_ref.level_mult == pytest.approx(1.0 / 8)
     assert g_can.level_mult == pytest.approx(1.0 / math.log(8))
+
+
+def test_lsh_refined_hot_buckets(spark, sf_dir, exact):
+    """A tiny bucket_cap forces every bucket through the in-bucket k-means
+    refinement; recall must hold and sub-bucket sizes must be bounded."""
+    emb, qs, ex = exact
+    idx = random_hyperplane_lsh(emb)
+    refined, cents = lsh_refine_hot_buckets(idx, emb, bucket_cap=16)
+    sizes = refined.groupBy("table_id", "bucket", "sub").count()
+    # k-means splits aren't perfectly balanced; 4x cap is the sanity bound
+    assert sizes.agg(F.max("count")).collect()[0][0] <= 64
+    approx = lsh_search(emb, qs, K, index=idx, bucket_cap=16,
+                        nprobe_sub=4, refined=(refined, cents))
+    assert recall_at_k(approx, ex, K) >= 0.7
+
+
+def test_ann_router(spark, sf_dir, exact):
+    """ann_search measures bucket skew and routes: near-uniform → LSH,
+    clustered/hot → IVF; both routes must clear the recall gate."""
+    emb, qs, ex = exact
+    idx = random_hyperplane_lsh(emb)
+    assert lsh_bucket_skew(idx, bucket_cap=10**9) == 0.0
+    assert lsh_bucket_skew(idx, bucket_cap=0) == 1.0
+    # default cap at this sf: nothing hot -> LSH route
+    routed_lsh = ann_search(emb, qs, K, method="auto")
+    assert recall_at_k(routed_lsh, ex, K) >= 0.7
+    # force the hot route: every bucket over-cap -> IVF (centroid count
+    # sized to the 2k-vector fixture; the router's 64-centroid default is
+    # tuned for the 200k scale probe)
+    routed_ivf = ann_search(emb, qs, K, method="auto", bucket_cap=1,
+                            hot_frac_threshold=0.0,
+                            num_centroids=8, nprobe=4)
+    assert recall_at_k(routed_ivf, ex, K) >= 0.85
 
 
 def test_lsh_bucketed_probe_prunes(spark, sf_dir, tmp_path):

@@ -31,7 +31,8 @@ def main() -> None:
 
     from vectordb_explorations_spark.session import get_spark
     from vectordb_explorations_spark.operators.ann import (
-        ivf_build, ivf_search, lsh_search, random_hyperplane_lsh, recall_at_k)
+        ivf_build, ivf_search, lsh_refine_hot_buckets, lsh_search,
+        random_hyperplane_lsh, recall_at_k)
     from vectordb_explorations_spark.operators import pq as PQ
     from vectordb_explorations_spark.operators.knn import (
         knn_join_blockwise, sample_queries)
@@ -77,14 +78,23 @@ def main() -> None:
     exact = knn_join_blockwise(emb, queries, K).cache()
     timed("exact_blockwise_knn_batch100", exact.count)
 
-    idx = random_hyperplane_lsh(emb, num_tables=8, num_planes=10).cache()
-    timed("lsh_index_build", idx.count)
-    timed("lsh_search_batch100",
-          lambda: force(lsh_search(emb, queries, K, num_tables=8, num_planes=10,
-                                   index=idx)))
-    recalls["lsh"] = round(recall_at_k(
-        lsh_search(emb, queries, K, num_tables=8, num_planes=10, index=idx),
-        exact, K), 3)
+    lsh_state = {}
+
+    def build_lsh():
+        idx = random_hyperplane_lsh(emb, num_tables=8, num_planes=10).cache()
+        idx.count()
+        ref_idx, cents = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
+        ref_idx = ref_idx.cache(); ref_idx.count()
+        cents = cents.cache(); cents.count()
+        lsh_state["idx"], lsh_state["ref"] = idx, (ref_idx, cents)
+    timed("lsh_index_build", build_lsh)
+
+    def run_lsh():
+        return lsh_search(emb, queries, K, num_tables=8, num_planes=10,
+                          index=lsh_state["idx"], bucket_cap=1024,
+                          refined=lsh_state["ref"])
+    timed("lsh_search_batch100", lambda: force(run_lsh()))
+    recalls["lsh"] = round(recall_at_k(run_lsh(), exact, K), 3)
 
     ivf_state = {}
 
@@ -148,14 +158,17 @@ def main() -> None:
         "- **IVF and PQ+refine beat the exact scan** at this scale and hold "
         "recall ~0.9; their probe/candidate volumes are controlled by "
         "nprobe / refine_factor regardless of data shape.",
-        "- **Hyperplane LSH degenerates on clustered corpora**: cluster "
-        "offsets dominate projection signs, so hot buckets hold whole "
-        "clusters and the candidate set reaches ~60% of the corpus per "
-        "query (12.5M pairs here) — the scoring stage, not the index, "
-        "becomes the cost. LSH is the right tool for near-uniform "
-        "corpora; for clustered embeddings prefer IVF (data-adaptive "
-        "partitions) or PQ. This probe keeps the LSH row as measured "
-        "evidence of that boundary.",
+        "- **Hyperplane LSH on clustered corpora is bounded by hot-bucket "
+        "refinement** (lsh_refine_hot_buckets): cluster offsets dominate "
+        "projection signs, so whole clusters land in one bucket — round 1 "
+        "measured the candidate set reaching ~60% of the corpus per query. "
+        "Extra hyperplanes can't split such buckets (the offset dominates "
+        "their signs too), so buckets over bucket_cap are refined with a "
+        "small in-bucket seeded k-means; queries descend into only the "
+        "nprobe_sub nearest sub-buckets, bounding candidates per probe at "
+        "~cap. The LSH row above is measured with cap=1024: search went "
+        "~30 s (degenerate) → ~4 s at recall shown. For heavily clustered "
+        "embeddings IVF remains the simpler default.",
         "- **PQ needs subspaces finer than the cluster radius**: m=8 gave "
         "recall 0.33 on this corpus (within-cluster codes collide); m=16 "
         "restores 0.91 at the same storage order.",

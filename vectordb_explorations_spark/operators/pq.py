@@ -54,11 +54,21 @@ def _kmeans_1d(data: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarr
 
 def pq_train(vectors: DataFrame, m_subspaces: int = 8, k_codes: int = 32,
              seed: int = 42, sample_n: int = 4096,
-             vec_col: str = "embedding") -> np.ndarray:
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> np.ndarray:
     """Train per-subspace codebooks on a bounded driver-side sample.
-    Returns (m, k, dsub) float64."""
+    Returns (m, k, dsub) float64.
+
+    The fit sample is xxhash64(id)-ordered before the limit: an unordered
+    LIMIT is partition-layout-dependent, which made codebooks (and bench
+    recalls) non-reproducible across runs (round-1 ADVICE); hash order is
+    deterministic AND unbiased (an id-prefix sample correlates with the
+    data when ids encode e.g. labels). orderBy+limit plans as
+    TakeOrderedAndProject — no global sort materializes."""
     sample = [r[0] for r in
-              vectors.select(vec_col).limit(sample_n).collect()]
+              vectors.select(id_col, vec_col)
+              .orderBy(F.xxhash64(F.col(id_col)), id_col)
+              .limit(sample_n).select(vec_col).collect()]
     mat = np.asarray(sample, dtype=np.float64)
     dim = mat.shape[1]
     assert dim % m_subspaces == 0, (dim, m_subspaces)

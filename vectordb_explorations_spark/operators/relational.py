@@ -692,15 +692,17 @@ def region_nation_rollcall(region: DataFrame, nation: DataFrame) -> DataFrame:
     ORDER BY)."""
     joined = nation.join(F.broadcast(region),
                          nation.n_regionkey == region.r_regionkey)
-    joined.createOrReplaceTempView("_rollcall_src")
+    # DataFrame placeholder instead of a temp view: no session-global name
+    # to collide under concurrent query iteration or a caller's own views
+    # (round-1 VERDICT item 9).
     return joined.sparkSession.sql("""
         SELECT r_name,
                count(*) AS n_nations,
                listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
-        FROM _rollcall_src
+        FROM {src}
         GROUP BY r_name
         ORDER BY r_name
-    """)
+    """, src=joined)
 
 
 REGION_NATION_ROLLCALL_ORACLE = """
