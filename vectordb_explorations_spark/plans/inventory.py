@@ -30,6 +30,7 @@ from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
 from vectordb_explorations_spark.operators import textops as X
 from vectordb_explorations_spark.plans import sql_api as Q
+from vectordb_explorations_spark.streaming import events as SE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -386,6 +387,10 @@ QUERIES: dict[str, QueryFn] = {
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
+    # streaming paths pinned end-to-end (drained with availableNow, then
+    # summarized deterministically — round-1 VERDICT item 10)
+    "streaming_dedup_stats": SE.streaming_dedup_stats,
+    "streaming_index_refresh": SE.streaming_index_refresh_stats,
 }
 
 # Declared queries with no DuckDB twin (the driver's correctness gate
@@ -464,4 +469,6 @@ ORACLES: dict[str, str] = {
     "train_val_split_stats": SP.train_val_split_stats_oracle(),
     "stratified_sample": SP.stratified_sample_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
+    "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
+    "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
 }

@@ -137,6 +137,68 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
             .start())
 
 
+def streaming_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the stateful-dedup path (round-1
+    VERDICT item 10): drain ``streaming_dedup`` with availableNow into a
+    uniquely-named memory sink, then aggregate the deduped stream into a
+    deterministic per-event_type summary. The oracle applies the same
+    (event_id, ts) dedup and aggregate in SQL, so the driver hash-checks
+    the streaming path end to end."""
+    import uuid
+
+    name = f"sdedup_{uuid.uuid4().hex[:12]}"  # no session-global collisions
+    stream = read_events_stream(spark, sf_dir)
+    q = run_to_memory(streaming_dedup(stream), name, "append")
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("event_type"))
+
+
+STREAMING_DEDUP_STATS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_id, ts
+                                   ORDER BY event_id) AS rn
+      FROM events)
+WHERE rn = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def streaming_index_refresh_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the foreachBatch incremental index
+    refresh (round-1 VERDICT item 10): run ``incremental_index_refresh``
+    into a fresh temp dir, then audit the written LSH index — row count
+    must be vectors x num_tables with all 8 tables present. The audit
+    columns are chosen to be SQL-derivable so the check is a full oracle
+    hash, not rows-only."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="lsh_refresh_")
+    q = incremental_index_refresh(spark, sf_dir, out)
+    q.awaitTermination(300)
+    idx = spark.read.parquet(out)
+    return idx.agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.count_distinct("table_id").alias("n_tables"),
+                   F.count_distinct("vec_id").alias("n_vectors"))
+
+
+STREAMING_INDEX_REFRESH_ORACLE = """
+SELECT 8 * count(*) AS n_rows,
+       CAST(8 AS BIGINT) AS n_tables,
+       count(*) AS n_vectors
+FROM embeddings
+"""
+
+
 USER_STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
     T.StructField("sum_value", T.DoubleType()),
