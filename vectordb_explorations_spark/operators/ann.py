@@ -117,6 +117,13 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
 
     sizes = index.groupBy("table_id", "bucket").agg(F.count("*").alias("sz"))
     hot = sizes.where(F.col("sz") > bucket_cap)
+    if hot.isEmpty():
+        # nothing to refine (near-uniform corpus): skip the anti-join and
+        # the applyInPandas stage entirely — the common fast path
+        spark = index.sparkSession
+        empty_cents = spark.createDataFrame(
+            [], "table_id int, bucket int, sub int, centroid array<double>")
+        return index.withColumn("sub", F.lit(0)), empty_cents
     cold = (index.join(hot.select("table_id", "bucket"),
                        ["table_id", "bucket"], "left_anti")
             .withColumn("sub", F.lit(0)))
