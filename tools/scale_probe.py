@@ -167,8 +167,10 @@ def main() -> None:
         "small in-bucket seeded k-means; queries descend into only the "
         "nprobe_sub nearest sub-buckets, bounding candidates per probe at "
         "~cap. The LSH row above is measured with cap=1024: search went "
-        "~30 s (degenerate) → ~4 s at recall shown. For heavily clustered "
-        "embeddings IVF remains the simpler default.",
+        "~30 s (degenerate, ~60% of corpus scored) → ~12 s (~25%) at the "
+        "recall shown. Still the weakest path here — ann_search routes "
+        "clustered corpora like this one to IVF and reserves LSH for "
+        "near-uniform embeddings.",
         "- **PQ needs subspaces finer than the cluster radius**: m=8 gave "
         "recall 0.33 on this corpus (within-cluster codes collide); m=16 "
         "restores 0.91 at the same storage order.",

@@ -104,3 +104,118 @@ def write_training_shards(df: DataFrame, path: str, num_shards: int,
     (the repartition); readers stream shards independently."""
     (df.repartition(num_shards, F.col(id_col))
        .write.mode("overwrite").parquet(path))
+
+
+SEQ_PACK_LEN = 512
+
+
+def sequence_pack_bins(docs: DataFrame, seq_len: int = SEQ_PACK_LEN) -> DataFrame:
+    """Greedy sequence packing manifest: documents are concatenated per
+    language in doc_id order and chunked every ``seq_len`` whitespace
+    tokens (the standard concat-then-chunk packing for LLM training
+    batches); each document starts in bin floor(tokens_before / seq_len).
+    Output is the per-(lang, bin) packing manifest — doc count, token
+    volume, and the doc_id range the bin draws from.
+
+    Scale shape: packing is sequential only WITHIN a stream, and the stream
+    (here: language) is the parallel unit — one keyed shuffle for the
+    window cumsum, map-side partial aggregation for the manifest. At 100 TB
+    the stream key becomes a hash shard and the same plan holds; no global
+    sequential pass exists anywhere."""
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+            .withColumn("bin_id", F.floor(cum_before / F.lit(seq_len)))
+            .groupBy("lang", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("lang", "bin_id"))
+
+
+def sequence_pack_bins_oracle(seq_len: int = SEQ_PACK_LEN) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT lang, CAST(FLOOR(cum_before / {seq_len}.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       SUM(n_tokens) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
+# Default training-mix weights: downsample the over-represented head
+# language, keep the tail. Fractions are acceptance probabilities applied
+# as deterministic md5-prefix thresholds (same mechanism as split_column).
+DOMAIN_MIX_WEIGHTS: dict[str, float] = {
+    "en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.75,
+}
+
+
+def domain_mix_sample(docs: DataFrame,
+                      weights: dict[str, float] | None = None) -> DataFrame:
+    """Deterministic domain-mix resampling audit: each language keeps a
+    configured fraction of its documents (training-mixture reweighting —
+    e.g. downsample the dominant crawl language before tokenization).
+    Acceptance is md5(doc_id) thresholding per language: reproducible,
+    coordination-free, stable under re-runs and engine changes; languages
+    absent from ``weights`` are kept whole. Output is the per-language
+    before/after manifest.
+
+    Scale shape: the accept decision is a pure projection (no RNG state,
+    no shuffle); the manifest is one map-side-combinable aggregation."""
+    weights = DOMAIN_MIX_WEIGHTS if weights is None else weights
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    # keep-everything threshold is "g": it sorts above every hex digit, so
+    # the comparison stays a clean 8-char lexicographic test (a 9-char
+    # "100000000" would compare WRONG lexicographically: 'f' > '1')
+    thr = F.lit("g")
+    for lang, w in sorted(weights.items()):
+        t = "g" if w >= 1.0 else format(int(float(w) * 0x100000000), "08x")
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    accept = h < thr
+    return (docs.select("lang", accept.alias("kept"), "n_chars")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.sum(F.when(F.col("kept"), F.col("n_chars"))
+                       .otherwise(F.lit(0))).alias("kept_chars"))
+            .orderBy("lang"))
+
+
+def domain_mix_sample_oracle(weights: dict[str, float] | None = None) -> str:
+    weights = DOMAIN_MIX_WEIGHTS if weights is None else weights
+    cases = " ".join(
+        "WHEN lang = '{}' THEN '{}'".format(
+            lang, "g" if float(w) >= 1.0
+            else format(int(float(w) * 0x100000000), "08x"))
+        for lang, w in sorted(weights.items()))
+    return f"""
+WITH a AS (
+  SELECT lang, n_chars,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           < (CASE {cases} ELSE 'g' END) AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       SUM(CAST(kept AS BIGINT)) AS n_kept,
+       SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS kept_chars
+FROM a
+GROUP BY lang
+ORDER BY lang
+"""

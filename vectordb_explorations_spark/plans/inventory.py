@@ -384,6 +384,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "stratified_sample": lambda s, d: SP.stratified_sample(
         load_table(s, "documents", d)),
+    "sequence_pack_bins": lambda s, d: SP.sequence_pack_bins(
+        load_table(s, "documents", d)),
+    "domain_mix_sample": lambda s, d: SP.domain_mix_sample(
+        load_table(s, "documents", d)),
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
@@ -468,6 +472,8 @@ ORACLES: dict[str, str] = {
     "sql_knn": _oracle_knn_exact(),
     "train_val_split_stats": SP.train_val_split_stats_oracle(),
     "stratified_sample": SP.stratified_sample_oracle(),
+    "sequence_pack_bins": SP.sequence_pack_bins_oracle(),
+    "domain_mix_sample": SP.domain_mix_sample_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
