@@ -393,12 +393,16 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
 
 
 def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
-                ef_search: int = 64,
+                ef_search: int = 128,
                 qid_col: str = "query_id", qvec_col: str = "query_vec",
                 id_col: str = "vec_id") -> DataFrame:
     """Fan queries out to every shard (mapInPandas over index blobs), local
     graph search, global top-k merge — SURVEY §3 entry point C, two stages
-    and one shuffle of only shards×k rows per query."""
+    and one shuffle of only shards×k rows per query.
+
+    ef_search defaults to 128: at the 200k probe this lifts recall@10
+    0.865 → 0.935 for <25% extra beam work (per-shard graphs are small, so
+    a wider beam is cheap relative to the fan-out overhead)."""
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)

@@ -666,9 +666,15 @@ ORDER BY user_id, start_us
 def nation_customer_lists(customer: DataFrame, top_n: int = 10) -> DataFrame:
     """Deterministic array aggregation: per nation, the sorted list of its
     lowest ``top_n`` customer keys — collect_list alone is order-
-    nondeterministic across partitions; sort_array + slice pins it."""
+    nondeterministic across partitions; sort_array + slice pins it. The
+    list is surfaced as a comma-joined string: the correctness driver's
+    canonicalizer can't factorize list cells (round-1 CORRECTNESS err on
+    multimodal_features), and a joined string hashes identically in both
+    engines."""
     return (customer.groupBy("c_nationkey")
-            .agg(F.slice(F.sort_array(F.collect_list("c_custkey")), 1, top_n)
+            .agg(F.array_join(
+                     F.slice(F.sort_array(F.collect_list("c_custkey")),
+                             1, top_n).cast("array<string>"), ",")
                  .alias("custkeys"),
                  F.count(F.lit(1)).alias("n_customers"))
             .orderBy("c_nationkey"))
@@ -677,7 +683,7 @@ def nation_customer_lists(customer: DataFrame, top_n: int = 10) -> DataFrame:
 def nation_customer_lists_oracle(top_n: int = 10) -> str:
     return f"""
 SELECT c_nationkey,
-       list_sort(list(c_custkey))[1:{top_n}] AS custkeys,
+       array_to_string(list_sort(list(c_custkey))[1:{top_n}], ',') AS custkeys,
        count(*) AS n_customers
 FROM customer
 GROUP BY c_nationkey
