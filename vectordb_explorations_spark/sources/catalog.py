@@ -18,9 +18,38 @@ from vectordb_explorations_spark.schemas import TABLE_NAMES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Spark Python workers once per session.
+
+    cloudpickle serializes the package's mapInPandas/applyInPandas
+    functions BY REFERENCE (module + qualname), so workers must be able to
+    import ``vectordb_explorations_spark``. Sessions from our factory
+    inherit the repo on PYTHONPATH; a caller-provided vanilla session's
+    workers would die with ModuleNotFoundError. addPyFile(zip) makes the
+    package importable from the zip on every worker; guarded by a session
+    conf so the zip ships once."""
+    key = "spark.vectordb_explorations.pyfiles.shipped"
+    if spark.conf.get(key, "false") == "true":
+        return
+    import shutil
+    import tempfile
+
+    import vectordb_explorations_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    base = os.path.join(tempfile.gettempdir(),
+                        f"vx_pkg_{os.getpid()}")
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set(key, "true")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    ensure_package_on_workers(spark)
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS): a session without this conf
         # fails the read outright (PARQUET_TYPE_ILLEGAL). The session

@@ -41,6 +41,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     transformation graph is source-agnostic."""
     # File streams require a directory source; select the single fixture
     # file with a glob filter.
+    # Same defensive setup as sources/catalog.load_table: the fixture is
+    # TIMESTAMP(NANOS) (unreadable without nanosAsLong), declared outputs
+    # render epochs in UTC, and workers need the package shipped. queries()
+    # callables must work under a caller-provided vanilla session, and this
+    # path bypasses the catalog.
+    from vectordb_explorations_spark.sources.catalog import (
+        ensure_package_on_workers)
+    ensure_package_on_workers(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = (spark.readStream
           .schema(_EVENTS_RAW)
           .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -115,7 +125,10 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
     builds indexes; it does not serve online point inserts).
     """
     from vectordb_explorations_spark.operators.ann import random_hyperplane_lsh
+    from vectordb_explorations_spark.sources.catalog import (
+        ensure_package_on_workers)
 
+    ensure_package_on_workers(spark)
     emb_schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
