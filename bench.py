@@ -101,13 +101,18 @@ def main() -> None:
     def build_lsh():
         idx = random_hyperplane_lsh(emb).cache()
         idx.count()
-        ref_idx, cents = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
+        # cent rows come back pre-collected (bounded tiny by construction)
+        ref_idx, cent_rows = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
         ref_idx = ref_idx.cache(); ref_idx.count()
-        cents = cents.cache(); cents.count()
-        lsh_idx["df"], lsh_idx["ref"] = idx, (ref_idx, cents)
+        lsh_idx["df"], lsh_idx["ref"] = idx, (ref_idx, cent_rows)
 
     bench("index_build_lsh", build_lsh, warmup=False)
-    persist_bytes("lsh", lsh_idx["ref"][0], lsh_idx["ref"][1])
+    cents_df = spark.createDataFrame(
+        lsh_idx["ref"][1],
+        "table_id int, bucket int, sub int, centroid array<double>") \
+        if lsh_idx["ref"][1] else None
+    persist_bytes("lsh", lsh_idx["ref"][0],
+                  *([cents_df] if cents_df is not None else []))
 
     hnsw_idx = {}
 

@@ -1,0 +1,59 @@
+"""Unit tests for the corpus-curation text ops added in round 2:
+intra-document repetition stats (Gopher-style rules) and eval-set
+n-gram contamination. Hand-built fixtures pin the exact semantics the
+DuckDB oracle twins re-derive at fixture scale."""
+
+from vectordb_explorations_spark.operators.textops import (
+    contamination_check, doc_repetition_stats)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_flags_keyword_stuffing(spark):
+    docs = _docs(spark, [
+        (1, "spam spam spam spam spam"),          # one token repeated
+        (2, "a b c d e f g h i j"),               # all distinct
+        (3, "x y x y x y x y x y"),               # repeated bigram loop
+    ])
+    rows = {r["doc_id"]: r for r in doc_repetition_stats(docs).collect()}
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 0.75       # 4 bigrams, 1 distinct
+    assert rows[1]["repetitive"] == 1
+    assert rows[2]["top_word_frac"] == 0.1
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["repetitive"] == 0
+    # doc 3: 10 tokens, top token 5/10; 9 bigrams, 2 distinct
+    assert rows[3]["top_word_frac"] == 0.5
+    assert rows[3]["dup_bigram_frac"] == round(1 - 2 / 9, 6)
+    assert rows[3]["repetitive"] == 1
+
+
+def test_repetition_bigram_math(spark):
+    # 5 tokens -> 4 bigrams: "s s","s s","s s","s s" -> 1 distinct -> 0.75
+    docs = _docs(spark, [(1, "s s s s s")])
+    r = doc_repetition_stats(docs).collect()[0]
+    assert r["dup_bigram_frac"] == 0.75
+    assert r["n_tokens"] == 5
+
+
+def test_contamination_detects_eval_ngram(spark):
+    # doc 0 is the eval slice (doc_id % 50 == 0); doc 1 shares its 8-gram
+    # prefix, doc 2 shares nothing.
+    eval_text = "one two three four five six seven eight nine ten"
+    contaminated = "one two three four five six seven eight QQQ RRR"
+    clean = "aa bb cc dd ee ff gg hh ii jj"
+    docs = _docs(spark, [(0, eval_text), (1, contaminated), (2, clean)])
+    out = {r["doc_id"]: r for r in contamination_check(docs).collect()}
+    assert set(out) == {1}                       # only doc 1 overlaps
+    r = out[1]
+    assert r["n_grams"] == 3                     # 10 tokens -> 3 distinct 8-grams
+    assert r["n_contaminated"] == 1              # the shared prefix 8-gram
+    assert r["contam_frac"] == round(1 / 3, 6)
+
+
+def test_contamination_skips_short_docs(spark):
+    # under 8 tokens -> no 8-grams -> excluded from both slices, no crash
+    docs = _docs(spark, [(0, "a b c d e f g h i"), (1, "too short doc")])
+    assert contamination_check(docs).count() == 0

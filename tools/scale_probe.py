@@ -83,10 +83,9 @@ def main() -> None:
     def build_lsh():
         idx = random_hyperplane_lsh(emb, num_tables=8, num_planes=10).cache()
         idx.count()
-        ref_idx, cents = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
+        ref_idx, cent_rows = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
         ref_idx = ref_idx.cache(); ref_idx.count()
-        cents = cents.cache(); cents.count()
-        lsh_state["idx"], lsh_state["ref"] = idx, (ref_idx, cents)
+        lsh_state["idx"], lsh_state["ref"] = idx, (ref_idx, cent_rows)
     timed("lsh_index_build", build_lsh)
 
     def run_lsh():

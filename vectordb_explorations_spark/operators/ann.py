@@ -102,10 +102,13 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     ~cap instead of the full bucket.
 
     Returns ``(refined_index, sub_centroids)``:
-    - refined_index: (vec_id, table_id, bucket, sub) — cold buckets keep
-      sub=0;
-    - sub_centroids: (table_id, bucket, sub, centroid) — tiny
-      (total_hot_members / cap rows), driver-collectable.
+    - refined_index: DataFrame (vec_id, table_id, bucket, sub) — cold
+      buckets keep sub=0;
+    - sub_centroids: a LIST of Rows (table_id, bucket, sub, centroid) —
+      bounded by construction at total_hot_members / cap rows, so it is
+      collected here rather than returned lazily: a lazy DF re-ran the
+      whole k-means stage once per downstream action (round-2 profiling),
+      and search-side collect cost one Spark job per query batch.
 
     Scale shape: one narrow agg for sizes, one join that moves only HOT
     members' vectors (each at most num_tables times), per-bucket k-means
@@ -115,17 +118,25 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     """
     import pandas as pd
 
-    sizes = index.groupBy("table_id", "bucket").agg(F.count("*").alias("sz"))
-    hot = sizes.where(F.col("sz") > bucket_cap)
-    if hot.isEmpty():
+    spark = index.sparkSession
+    # The bucket-size histogram is bounded by the key space
+    # (num_tables * 2^num_planes rows), never by corpus size — collect the
+    # hot list in ONE job. A lazy `hot` DF would re-run the agg in every
+    # downstream action that references it (isEmpty + anti-join + member
+    # join = 3 recomputes), which round-2 profiling measured as ~2 s of
+    # pure job overhead at sf0.1 with zero hot buckets.
+    hot_rows = (index.groupBy("table_id", "bucket")
+                .agg(F.count("*").alias("sz"))
+                .where(F.col("sz") > bucket_cap)
+                .collect())
+    if not hot_rows:
         # nothing to refine (near-uniform corpus): skip the anti-join and
         # the applyInPandas stage entirely — the common fast path
-        spark = index.sparkSession
-        empty_cents = spark.createDataFrame(
-            [], "table_id int, bucket int, sub int, centroid array<double>")
-        return index.withColumn("sub", F.lit(0)), empty_cents
-    cold = (index.join(hot.select("table_id", "bucket"),
-                       ["table_id", "bucket"], "left_anti")
+        return index.withColumn("sub", F.lit(0)), []
+    hot = spark.createDataFrame(
+        [(int(r["table_id"]), int(r["bucket"])) for r in hot_rows],
+        "table_id int, bucket int")
+    cold = (index.join(F.broadcast(hot), ["table_id", "bucket"], "left_anti")
             .withColumn("sub", F.lit(0)))
     members = (index.join(F.broadcast(hot), ["table_id", "bucket"])
                .join(vectors.select(id_col, vec_col), id_col))
@@ -176,14 +187,17 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
         })
         return pd.concat([mem, cen], ignore_index=True)
 
+    # cache the combined output: members and centroids both derive from
+    # the same applyInPandas stage, and without the cache each downstream
+    # action would re-run every in-bucket k-means fit
     refined = members.groupBy("table_id", "bucket").applyInPandas(
-        split, schema=out_schema)
+        split, schema=out_schema).cache()
     hot_members = (refined.where(F.col(id_col).isNotNull())
                    .select(id_col, "table_id", "bucket", "sub"))
-    sub_centroids = (refined.where(F.col(id_col).isNull())
-                     .select("table_id", "bucket", "sub", "centroid"))
+    cent_rows = (refined.where(F.col(id_col).isNull())
+                 .select("table_id", "bucket", "sub", "centroid").collect())
     return cold.select(id_col, "table_id", "bucket", "sub").unionByName(
-        hot_members), sub_centroids
+        hot_members), cent_rows
 
 
 def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
@@ -195,7 +209,8 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
                index: DataFrame | None = None,
                bucket_cap: int | None = 1024,
                nprobe_sub: int = 2,
-               refined: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
+               refined: tuple[DataFrame, "DataFrame | list"] | None = None
+               ) -> DataFrame:
     """Multi-table multiprobe LSH ANN search with hot-bucket refinement.
 
     Candidates = vectors sharing a bucket with the query in ANY table
@@ -210,7 +225,9 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
 
     ``refined`` takes a prebuilt ``lsh_refine_hot_buckets`` result (the
     refinement is an index-build artifact — pass it so repeated searches
-    don't re-fit the sub-quantizers).
+    don't re-fit the sub-quantizers). The centroid half is the builder's
+    pre-collected row list (a DataFrame is also accepted and collected) —
+    rows make a repeated-search loop cost zero extra Spark jobs per call.
     """
     if index is None:
         index = random_hyperplane_lsh(vectors, num_tables, num_planes, seed,
@@ -228,12 +245,18 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
             refined = lsh_refine_hot_buckets(
                 index, vectors, bucket_cap, seed, id_col, vec_col)
         index, sub_centroids = refined
-        for r in sub_centroids.collect():
+        cent_rows = (sub_centroids.collect()
+                     if isinstance(sub_centroids, DataFrame)
+                     else list(sub_centroids or []))
+        for r in cent_rows:
             key = (int(r["table_id"]), int(r["bucket"]))
             sub_meta.setdefault(key, {})[int(r["sub"])] = np.asarray(
                 r["centroid"], dtype=np.float64)
         sub_meta = {key: np.asarray([v[j] for j in sorted(v)])
                     for key, v in sub_meta.items()}
+    # No hot buckets → every sub is 0 and the sub machinery is pure
+    # overhead; probe and join on the raw (table, bucket) keys instead.
+    use_subs = bool(sub_meta)
 
     def probe_subs(qi: int, t: int, bucket: int) -> list[int]:
         cents = sub_meta.get((t, bucket))
@@ -251,13 +274,19 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
             if multiprobe_bits >= 1:
                 cands.extend(base ^ (1 << b) for b in range(num_planes))
             for bk in cands:
-                for sub in probe_subs(qi, t, bk):
-                    probe_rows.append((qid, t, bk, sub))
-    probes = spark.createDataFrame(
-        probe_rows,
-        f"{qid_col} long, table_id int, bucket int, sub int").distinct()
-    join_keys = ["table_id", "bucket"] + (["sub"] if bucket_cap is not None
-                                          else [])
+                if use_subs:
+                    for sub in probe_subs(qi, t, bk):
+                        probe_rows.append((qid, t, bk, sub))
+                else:
+                    probe_rows.append((qid, t, bk))
+    if use_subs:
+        probes = spark.createDataFrame(
+            probe_rows,
+            f"{qid_col} long, table_id int, bucket int, sub int").distinct()
+    else:
+        probes = spark.createDataFrame(
+            probe_rows, f"{qid_col} long, table_id int, bucket int").distinct()
+    join_keys = ["table_id", "bucket"] + (["sub"] if use_subs else [])
     cand = (index.join(F.broadcast(probes), join_keys)
             .select(qid_col, id_col).distinct())
     # Scoring shape: group candidates per vector FIRST — (vec_id, [qids])

@@ -42,13 +42,17 @@ def _kmeans_1d(data: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarr
         # argmin ||x-c||² = argmin(-2xc + ||c||²) — GEMM, no (n,k,d) temp
         assign = np.argmin(
             -2.0 * data @ cents.T + (cents ** 2).sum(-1), axis=1)
-        for j in range(k):
-            pts = data[assign == j]
-            if len(pts):
-                cents[j] = pts.mean(axis=0)
-            else:
-                far = np.argmax(((data - cents[assign]) ** 2).sum(-1))
-                cents[j] = data[far]
+        # vectorized centroid update: per-cluster boolean masks cost
+        # O(k·n) passes (the round-2 bench hot spot at m=16, k=64);
+        # scatter-add + bincount is two passes total
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, data)
+        live = counts > 0
+        cents[live] = sums[live] / counts[live, None]
+        if not live.all():
+            far = np.argmax(((data - cents[assign]) ** 2).sum(-1))
+            cents[~live] = data[far]
     return cents
 
 

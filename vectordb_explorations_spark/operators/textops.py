@@ -362,3 +362,143 @@ SELECT doc_id,
                               '[0-9]+')) - 1 AS n_numbers_masked
 FROM documents ORDER BY doc_id
 """
+
+
+# ---- intra-document repetition (Gopher-style repetition filters) ----
+
+REP_TOP_WORD_MAX = 0.2      # most-frequent-token share above this → repetitive
+REP_DUP_BIGRAM_MAX = 0.5    # duplicate-bigram share above this → repetitive
+
+
+def doc_repetition_stats(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/MassiveText repetition
+    rules): share of the doc taken by its single most frequent token, and
+    the fraction of word bigrams that are duplicates. Boilerplate, keyword
+    stuffing, and decoding loops all spike these; corpus curation drops the
+    flagged docs before training.
+
+    Shape: pure per-row array expressions — no explode, no shuffle, embar-
+    rassingly parallel at any corpus size. The top-token count is
+    O(distinct·n) per row, bounded by document length (the explode +
+    groupBy twin trades that for a doc_id-keyed shuffle; per-row wins for
+    normal-length documents)."""
+    docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    words = F.col("ws")
+    n = F.size(words)
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda u: F.size(F.filter(words, lambda x: x == u))))
+    # guard: sequence(1, 0) DESCENDS ([1, 0]) rather than yielding an empty
+    # array, so a 1-token doc would index element 0 and throw under ANSI
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i),
+                              F.element_at(words, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams).cast("double")
+    dup_bigram_frac = F.when(
+        n >= 2, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi
+    ).otherwise(F.lit(0.0))
+    top_word_frac = top_cnt.cast("double") / n.cast("double")
+    repetitive = ((top_word_frac > REP_TOP_WORD_MAX)
+                  | (dup_bigram_frac > REP_DUP_BIGRAM_MAX)).cast("int")
+    return (docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(dup_bigram_frac, 6).alias("dup_bigram_frac"),
+        repetitive.alias("repetitive"))
+        .orderBy("doc_id"))
+
+
+def doc_repetition_stats_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS n,
+         list_max(list_transform(list_distinct(w),
+                                 u -> len(list_filter(w, x -> x = u)))) AS top_cnt,
+         list_transform(generate_series(1, len(w) - 1),
+                        i -> array_to_string(w[i:i+1], ' ')) AS bg
+  FROM s
+)
+SELECT doc_id, n AS n_tokens,
+       round(top_cnt::DOUBLE / n, 6) AS top_word_frac,
+       round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6) AS dup_bigram_frac,
+       CAST((top_cnt::DOUBLE / n > {REP_TOP_WORD_MAX}
+             OR 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                > {REP_DUP_BIGRAM_MAX}) AS INT) AS repetitive
+FROM m ORDER BY doc_id
+"""
+
+
+# ---- eval-set contamination (n-gram decontamination) ----
+
+CONTAM_NGRAM = 8      # word n-gram size (GPT-3/PaLM decontamination used 8-13)
+CONTAM_EVAL_MOD = 50  # doc_id % MOD == 0 → held-out "eval" doc (deterministic)
+
+
+def contamination_check(docs: DataFrame, k: int = CONTAM_NGRAM,
+                        eval_mod: int = CONTAM_EVAL_MOD) -> DataFrame:
+    """Training-set decontamination: flag training docs sharing any word
+    ``k``-gram with the held-out eval slice (here the deterministic
+    ``doc_id % eval_mod == 0`` subset standing in for a benchmark suite).
+    Output: one row per contaminated training doc with its distinct-k-gram
+    count, how many of those appear anywhere in the eval slice, and the
+    contaminated fraction.
+
+    Scale shape: eval-set k-grams are DISTINCT'd then broadcast (eval
+    suites are tiny next to a 100 TB corpus); training k-grams stream
+    through a map-side broadcast semi-join and a combinable count — no
+    all-pairs comparison, no big-side shuffle. At extreme eval sizes the
+    same plan holds with the broadcast dropped (AQE falls back to a hash
+    join keyed on the gram)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = F.size("ws")
+    # the when-guard makes the expression total: sequence(1, n-k+1) with
+    # n < k DESCENDS to [1, 0] and slice(start=0) throws — the row filter
+    # alone doesn't protect constant-folded plans (LocalRelation inputs)
+    grams = F.when(n >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, k))))
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.where(n >= k).select("doc_id", grams.alias("gs"))
+    eval_grams = (g.where(F.col("doc_id") % eval_mod == 0)
+                  .select(F.explode("gs").alias("gram")).distinct())
+    train = (g.where(F.col("doc_id") % eval_mod != 0)
+             .select("doc_id", F.size("gs").alias("n_grams"),
+                     F.explode("gs").alias("gram")))
+    hits = (train.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return (hits.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_grams").cast("double"),
+                6).alias("contam_frac"))
+        .orderBy("doc_id"))
+
+
+def contamination_check_oracle(k: int = CONTAM_NGRAM,
+                               eval_mod: int = CONTAM_EVAL_MOD) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(w) - {k - 1}),
+             i -> array_to_string(w[i:i+{k - 1}], ' '))) AS gs
+  FROM tok WHERE len(w) >= {k}
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % {eval_mod} = 0
+), tr AS (
+  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+  FROM g WHERE doc_id % {eval_mod} <> 0
+)
+SELECT tr.doc_id, tr.n_grams, count(*) AS n_contaminated,
+       round(count(*)::DOUBLE / tr.n_grams, 6) AS contam_frac
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id, tr.n_grams
+ORDER BY tr.doc_id
+"""

@@ -306,6 +306,10 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_stats": lambda s, d: X.vocab_stats(load_table(s, "documents", d)),
     "doc_length_percentiles": lambda s, d: X.doc_length_percentiles(
         load_table(s, "documents", d)),
+    "doc_repetition_stats": lambda s, d: X.doc_repetition_stats(
+        load_table(s, "documents", d)),
+    "contamination_check": lambda s, d: X.contamination_check(
+        load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -429,6 +433,8 @@ ORACLES: dict[str, str] = {
     "mask_pii": X.mask_pii_oracle(),
     "vocab_stats": X.vocab_stats_oracle(),
     "doc_length_percentiles": X.DOC_LENGTH_PERCENTILES_ORACLE,
+    "doc_repetition_stats": X.doc_repetition_stats_oracle(),
+    "contamination_check": X.contamination_check_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,
