@@ -17,8 +17,14 @@ collect; results never leave the executors).
 
 from __future__ import annotations
 
-import json
 import os
+
+# Must precede numpy's first load (see session.py): threaded BLAS inside 32
+# parallel tasks oversubscribes the box and skews every GEMM-heavy timing.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import json
 import re
 import sys
 import time

@@ -57,3 +57,18 @@ def test_contamination_skips_short_docs(spark):
     # under 8 tokens -> no 8-grams -> excluded from both slices, no crash
     docs = _docs(spark, [(0, "a b c d e f g h i"), (1, "too short doc")])
     assert contamination_check(docs).count() == 0
+
+
+def test_doc_chunks_window_math(spark):
+    from vectordb_explorations_spark.operators.sampling import doc_chunks
+    # 40 tokens, win=32, stride=24 -> chunks at 0 (len 32) and 24 (len 16)
+    text40 = " ".join(f"t{i}" for i in range(40))
+    short = "a b c"   # shorter than the window -> one full-doc chunk
+    docs = _docs(spark, [(1, text40), (2, short)])
+    rows = doc_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["chunk_start"], r["chunk_len"]) for r in c1] == [(0, 32), (24, 16)]
+    assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[2]] == [(0, 3)]

@@ -70,6 +70,15 @@ COMMENTARY = {
     "train_val_split_stats": (
         "Deterministic md5-threshold split audit — pure projection + one "
         "grouped aggregation; no RNG, no shuffle beyond the group-by."),
+    "doc_repetition_stats": (
+        "Gopher-style repetition filter: every metric is a per-row array "
+        "expression over one tokenize — no explode, zero data-dependent "
+        "shuffles (the only exchange is the declared output order)."),
+    "contamination_check": (
+        "Eval-set decontamination: the eval slice's distinct 8-grams "
+        "broadcast; training-doc k-grams stream through a map-side hash "
+        "join and a combinable count — the big side never shuffles raw "
+        "grams to a join exchange."),
 }
 
 

@@ -17,6 +17,11 @@ import os
 import sys
 import time
 
+# Must precede numpy's first load (see session.py): threaded BLAS inside 32
+# parallel tasks oversubscribes the box and skews every GEMM-heavy timing.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
@@ -165,22 +170,34 @@ def main() -> None:
         "their signs too), so buckets over bucket_cap are refined with a "
         "small in-bucket seeded k-means; queries descend into only the "
         "nprobe_sub nearest sub-buckets, bounding candidates per probe at "
-        "~cap. The LSH row above is measured with cap=1024: search went "
-        "~30 s (degenerate, ~60% of corpus scored) → ~12 s (~25%) at the "
-        "recall shown. Still the weakest path here — ann_search routes "
-        "clustered corpora like this one to IVF and reserves LSH for "
-        "near-uniform embeddings.",
+        "~cap. The LSH row above is measured with cap=1024: unbounded, the "
+        "same search degenerated to ~30 s with ~60% of the corpus scored; "
+        "refined it scores ~25% at the recall shown. Still the weakest "
+        "path here — ann_search routes clustered corpora like this one to "
+        "IVF and reserves LSH for near-uniform embeddings.",
+        "- **IVF fits driver-side on a hash-ordered bounded sample "
+        "(best-of-3 k-means++ restarts) and replicates each vector into "
+        "its 2 nearest lists** (spill-style multi-assignment): boundary "
+        "vectors stop costing recall (+0.05-0.15 at fixed nprobe) for a "
+        "2x index footprint, and the build is one GEMM assignment pass — "
+        "no per-iteration cluster jobs.",
         "- **PQ needs subspaces finer than the cluster radius**: m=8 gave "
         "recall 0.33 on this corpus (within-cluster codes collide); m=16 "
-        "restores 0.91 at the same storage order.",
+        "restores ~0.9 at the same storage order.",
         "- **Sharded HNSW bulk-builds via blockwise-GEMM exact-kNN layer "
         "wiring** (HnswGraph._bulk_build) instead of sequential inserts: "
-        "the 200k build dropped ~30 s → ~5.5 s (round-1 VERDICT item 3) "
-        "and recall rose (exact, not search-approximated, layer-0 "
-        "neighborhoods). Per-shard build is O(n_shard^2) BLAS flops, so "
+        "the 200k build dropped from ~30 s sequential to the table's "
+        "figure (round-1 VERDICT item 3) and recall rose (exact, not "
+        "search-approximated, layer-0 neighborhoods; ef_search=128). "
+        "Per-shard build is O(n_shard^2) BLAS flops, so "
         "shard size — not corpus size — is the knob: keep shards ~10k and "
         "scale shard count with executors. Recall still dips slightly "
         "with shard count (each shard walks an independent graph).",
+        "- **BLAS is pinned to 1 thread per process** (session.py): with "
+        "32 concurrent tasks each calling NumPy GEMMs, a threaded BLAS "
+        "oversubscribes the box cores² and timings swing 3-6x; "
+        "parallelism belongs to the task scheduler. On a cluster the "
+        "same setting ships as spark.executorEnv.*.",
         "- All paths keep the documented scale shapes: narrow index "
         "shuffles, broadcast probe lists, candidates grouped per vector "
         "before the join, partition-local top-k before the global merge.",

@@ -219,3 +219,60 @@ FROM a
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---- context-window chunking (sliding window with overlap) ----
+
+CHUNK_WIN = 32     # tokens per training chunk
+CHUNK_STRIDE = 24  # window stride (CHUNK_WIN - CHUNK_STRIDE tokens overlap)
+
+
+def doc_chunks(docs: DataFrame, win: int = CHUNK_WIN,
+               stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Split each document into overlapping fixed-width token windows —
+    the context-window chunking stage that precedes tokenize-and-pack for
+    long-document training (overlap keeps boundary context learnable).
+    chunk i covers tokens [i*stride, i*stride + win); the last window is
+    allowed short. Declared output carries the chunk's md5 rather than its
+    text, so the transform is hash-pinned without shipping the corpus.
+
+    Scale shape: one explode per document (fan-out bounded by
+    ceil(doc_len/stride)), all expressions codegen — no shuffle except the
+    declared output order; chunking parallelizes per-document at any
+    corpus size."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = F.size("ws")
+    n_chunks = (F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(win)).cast("double") / F.lit(stride)))).cast("int")
+    ck = F.slice("ws", F.col("chunk_id") * stride + 1, win)
+    return (toks
+            .withColumn("chunk_id", F.explode(F.sequence(F.lit(0),
+                                                         n_chunks - 1)))
+            .select("doc_id", "chunk_id",
+                    (F.col("chunk_id") * stride).alias("chunk_start"),
+                    F.size(ck).alias("chunk_len"),
+                    F.md5(F.concat_ws(" ", ck)).alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_id"))
+
+
+def doc_chunks_oracle(win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, w,
+         1 + greatest(0, CAST(ceil((len(w) - {win})::DOUBLE / {stride}) AS INT))
+           AS n_chunks
+  FROM s
+), e AS (
+  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c
+)
+SELECT doc_id, chunk_id, chunk_id * {stride} AS chunk_start,
+       len(w[chunk_id * {stride} + 1 : chunk_id * {stride} + {win}]) AS chunk_len,
+       md5(array_to_string(
+           w[chunk_id * {stride} + 1 : chunk_id * {stride} + {win}], ' '))
+         AS chunk_md5
+FROM e ORDER BY doc_id, chunk_id
+"""

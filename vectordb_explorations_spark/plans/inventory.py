@@ -392,6 +392,7 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "domain_mix_sample": lambda s, d: SP.domain_mix_sample(
         load_table(s, "documents", d)),
+    "doc_chunks": lambda s, d: SP.doc_chunks(load_table(s, "documents", d)),
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
@@ -480,6 +481,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SP.stratified_sample_oracle(),
     "sequence_pack_bins": SP.sequence_pack_bins_oracle(),
     "domain_mix_sample": SP.domain_mix_sample_oracle(),
+    "doc_chunks": SP.doc_chunks_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,

@@ -6,6 +6,16 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS to one thread per process BEFORE any numpy-loading import wins:
+# every Arrow-batched operator (GEMM scoring, k-means fits, PQ encode) runs
+# NumPy inside N parallel Spark tasks, and a threaded BLAS spawning
+# cores-many threads per task oversubscribes the box cores² — profiled at
+# 3-6x wall-time swings on tiny per-batch GEMMs under local[32]. On a real
+# cluster the same setting travels as spark.executorEnv.*; parallelism
+# belongs to Spark's task scheduler, not the math library.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 # Defaults are sized for local[32] on the sf0.001..sf0.1 fixtures; on a real
