@@ -78,15 +78,24 @@ def main() -> None:
         extras[f"index_bytes_{name}"] = total
 
     def bench(name: str, fn, warmup: bool = True) -> None:
-        # Query entries are timed steady-state (one untimed warmup run pays
-        # whole-stage-codegen JIT compilation, which at these fixture scales
-        # dwarfs the actual execution); index builds pass warmup=False —
-        # they are one-shot batch jobs where cold is the honest number.
+        # Query entries are timed steady-state: one untimed warmup run pays
+        # whole-stage-codegen JIT compilation (which at these fixture scales
+        # dwarfs the actual execution), then the MEDIAN of 3 timed runs is
+        # reported — single-run timings on a 32-thread local JVM swing with
+        # GC/compilation noise. Index builds pass warmup=False — they are
+        # one-shot batch jobs where a single cold run is the honest number.
         if warmup:
             fn()
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                runs.append(time.time() - t0)
+            timings[name] = round(sorted(runs)[1], 3)
+        else:
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
 
     # warm the JVM + parquet footer caches with a trivial action
     for t in ("embeddings", "documents", "lineitem", "events"):

@@ -400,6 +400,7 @@ QUERIES: dict[str, QueryFn] = {
     # summarized deterministically — round-1 VERDICT item 10)
     "streaming_dedup_stats": SE.streaming_dedup_stats,
     "streaming_index_refresh": SE.streaming_index_refresh_stats,
+    "streaming_join_stats": SE.streaming_join_stats,
 }
 
 # Declared queries with no DuckDB twin (the driver's correctness gate
@@ -485,4 +486,5 @@ ORACLES: dict[str, str] = {
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
+    "streaming_join_stats": SE.STREAMING_JOIN_STATS_ORACLE,
 }

@@ -288,3 +288,38 @@ def purchase_click_stream_join(events: DataFrame,
                     "click_id",
                     F.unix_micros("p_ts").alias("purchase_us"),
                     F.unix_micros("click_ts").alias("click_us")))
+
+
+def streaming_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the stream-stream interval join: drain
+    ``purchase_click_stream_join`` with availableNow into a uniquely-named
+    memory sink, then aggregate the joined pairs per user. The oracle runs
+    the same interval join in SQL over the batch table, so the driver
+    hash-checks watermarked stream-stream join semantics end to end."""
+    import uuid
+
+    name = f"sjoin_{uuid.uuid4().hex[:12]}"
+    stream = read_events_stream(spark, sf_dir)
+    q = run_to_memory(purchase_click_stream_join(stream), name, "append")
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.count_distinct("click_id").alias("n_clicks"),
+                 F.count_distinct("purchase_id").alias("n_purchases"))
+            .orderBy("user_id"))
+
+
+STREAMING_JOIN_STATS_ORACLE = """
+SELECT p.user_id AS user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT c.event_id) AS n_clicks,
+       count(DISTINCT p.event_id) AS n_purchases
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY p.user_id
+ORDER BY user_id
+"""
