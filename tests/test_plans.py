@@ -15,9 +15,10 @@ import __spark_entry__ as entry_mod  # noqa: E402
 QUERIES = entry_mod.queries()
 
 # The only declared queries allowed to run Python (deliberate Arrow-batched
-# paths: blockwise k-NN and the multimodal byte-payload stages).
+# paths: blockwise k-NN, the multimodal byte-payload stages, and the
+# grouped-agg pandas UDAF that IS the custom-aggregate surface demo).
 PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
-                  "multimodal_frames"}
+                  "multimodal_frames", "lang_geomean_chars"}
 
 
 def _plan(spark, sf_dir, name):

@@ -6,6 +6,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from vectordb_explorations_spark.operators import skew as SK  # noqa: E402
 from vectordb_explorations_spark.plans import sql_api as Q  # noqa: E402
 from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
@@ -41,3 +43,26 @@ def test_salted_spreads_hot_keys(spark, sf_dir):
         "salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(16)))
         .groupBy("event_type", "salt").count().count())
     assert partial_groups > n_keys
+
+
+def test_chunk_ranges_udtf_matches_doc_chunks(spark, sf_dir):
+    """The row-at-a-time UDTF surface emits the same window math as the
+    declared codegen twin (sampling.doc_chunks) — lateral-join it against
+    real token counts and compare (doc_id, chunk_id, start, len) sets."""
+    from vectordb_explorations_spark.operators.sampling import doc_chunks
+    from vectordb_explorations_spark.plans.sql_api import (
+        register_chunk_ranges_udtf)
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    register_chunk_ranges_udtf(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.select("doc_id", F.size(F.split("text", " ")).alias("n")) \
+        .createOrReplaceTempView("doc_tokens")
+    via_udtf = spark.sql("""
+        SELECT t.doc_id, c.chunk_id, c.chunk_start, c.chunk_len
+        FROM doc_tokens t, LATERAL chunk_ranges(t.n, 32, 24) c
+    """)
+    expected = doc_chunks(docs).select(
+        "doc_id", "chunk_id", "chunk_start", "chunk_len")
+    assert sorted(map(tuple, via_udtf.collect())) == \
+        sorted(map(tuple, expected.collect()))

@@ -9,6 +9,8 @@ engine and RE2.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 # Tiny per-language marker lists over the synthetic vocabulary. The point is
@@ -501,4 +503,48 @@ SELECT tr.doc_id, tr.n_grams, count(*) AS n_contaminated,
 FROM tr JOIN ev USING (gram)
 GROUP BY tr.doc_id, tr.n_grams
 ORDER BY tr.doc_id
+"""
+
+
+# ---- UDAF surface: pandas GROUPED_AGG aggregate ----
+
+
+def lang_geomean_chars(docs: DataFrame) -> DataFrame:
+    """True UDAF surface: a pandas GROUPED_AGG UDF computing the geometric
+    mean of document length per language — an aggregate neither Spark nor
+    DuckDB ships natively, so it exercises the custom-aggregate extension
+    point (SURVEY §2.2 UDF/UDAF/UDTF row) rather than re-wrapping a
+    built-in. Arrow moves each group's column once; the aggregate itself
+    is one NumPy reduction per group.
+
+    Rounded to 4dp (not the usual 6): exp amplifies last-bit differences
+    in the log-mean between engines by the magnitude of the result.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: pandas_udf infers GROUPED_AGG from the Series -> scalar type
+    # hints, and resolves the (string) annotations against the function's
+    # MODULE globals — hence the module-level pandas import.
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg() — the count rides the same Arrow batch.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    return (docs.groupBy("lang")
+            .agg(n_rows("doc_id").alias("n_docs"),
+                 F.round(geomean("n_chars"), 4).alias("geomean_chars"))
+            .orderBy("lang"))
+
+
+LANG_GEOMEAN_CHARS_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(exp(avg(ln(n_chars))), 4) AS geomean_chars
+FROM documents GROUP BY lang ORDER BY lang
 """

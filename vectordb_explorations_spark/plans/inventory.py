@@ -310,6 +310,8 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "contamination_check": lambda s, d: X.contamination_check(
         load_table(s, "documents", d)),
+    "lang_geomean_chars": lambda s, d: X.lang_geomean_chars(
+        load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -437,6 +439,7 @@ ORACLES: dict[str, str] = {
     "doc_length_percentiles": X.DOC_LENGTH_PERCENTILES_ORACLE,
     "doc_repetition_stats": X.doc_repetition_stats_oracle(),
     "contamination_check": X.contamination_check_oracle(),
+    "lang_geomean_chars": X.LANG_GEOMEAN_CHARS_ORACLE,
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,

@@ -139,3 +139,32 @@ def sql_knn(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
       ORDER BY d ASC, vec_id ASC
       LIMIT {k}
     """, knn_query=q)
+
+
+def register_chunk_ranges_udtf(spark: SparkSession) -> None:
+    """Register a real Python UDTF (Spark 4 ``udtf`` API) — the
+    table-function extension point itself, distinct from the Arrow
+    grouped-map surface (`applyInPandas`) the engine uses on hot paths.
+
+    ``chunk_ranges(n, win, stride)`` emits one row per sliding training
+    window over an n-token document — the same window math as
+    operators/sampling.doc_chunks, which is the declared, codegen,
+    oracle-checked twin. The UDTF form exists to prove the surface: it
+    evaluates row-at-a-time in Python and belongs in ad-hoc SQL (lateral
+    joins), never in a 100 TB hot path.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk_start int, chunk_len int")
+    class ChunkRanges:
+        def eval(self, n: int, win: int, stride: int):
+            if n is None or n <= 0:
+                return
+            cid, start = 0, 0
+            while True:
+                yield cid, start, min(win, n - start)
+                if start + win >= n:
+                    break
+                cid, start = cid + 1, start + stride
+
+    spark.udtf.register("chunk_ranges", ChunkRanges)
