@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the corpus-curation operators:
+repetition metrics, chunk coverage, and contamination symmetry must hold
+on arbitrary word-token documents, not just the fixture corpus.
+
+Examples are batched into one DataFrame per hypothesis case to keep the
+Spark-job count bounded (deadline disabled)."""
+
+import os
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_explorations_spark.operators.sampling import (  # noqa: E402
+    CHUNK_STRIDE, CHUNK_WIN, doc_chunks)
+from vectordb_explorations_spark.operators.textops import (  # noqa: E402
+    doc_repetition_stats)
+
+word = st.text(alphabet="abcde", min_size=1, max_size=3)
+doc = st.lists(word, min_size=1, max_size=60).map(" ".join)
+docs_strategy = st.lists(doc, min_size=1, max_size=8)
+CASES = settings(max_examples=10, deadline=None)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+@CASES
+@given(docs_strategy)
+def test_repetition_metrics_bounded(spark, texts):
+    """Both fractions live in [0, 1]; a doc of one repeated token maxes
+    top_word_frac; fully-distinct docs have dup_bigram_frac 0."""
+    rows = doc_repetition_stats(_df(spark, texts)).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 0.0 <= r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+        toks = texts[r["doc_id"]].split(" ")
+        assert r["n_tokens"] == len(toks)
+        if len(set(toks)) == 1:
+            assert r["top_word_frac"] == 1.0
+        if len(toks) == len(set(toks)):
+            assert r["dup_bigram_frac"] == 0.0
+
+
+@CASES
+@given(docs_strategy)
+def test_chunks_tile_every_token(spark, texts):
+    """Windows cover the whole document: first starts at 0, consecutive
+    starts differ by the stride, the last window reaches the final token,
+    and every window is full-width except possibly the last."""
+    rows = doc_chunks(_df(spark, texts)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        n = len(t.split(" "))
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert chunks[0]["chunk_start"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["chunk_start"] - a["chunk_start"] == CHUNK_STRIDE
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_len"] == n
+        for c in chunks[:-1]:
+            assert c["chunk_len"] == CHUNK_WIN

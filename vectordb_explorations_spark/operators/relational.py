@@ -718,3 +718,50 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name
 """
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01") -> DataFrame:
+    """TPC-H Q3 (shipping priority): top unshipped-revenue orders for one
+    market segment — orders placed before the cutoff with lineitems shipped
+    after it. Adapted to the fixture schema (o_orderpriority stands in for
+    o_shippriority).
+
+    Plan shape: the segment filter prunes customer BEFORE its join (the
+    filter + both date predicates push to the parquet scans), revenue
+    partially aggregates map-side on l_orderkey, and the top-10 plans as
+    TakeOrderedAndProject — no global sort of the aggregate."""
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (customer.where(F.col("c_mktsegment") == segment)
+            .join(orders.where(F.col("o_orderdate") < cutoff),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .join(lineitem.where(F.col("l_shipdate") > cutoff),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(revenue.alias("rev_raw"))
+            .orderBy(F.col("rev_raw").desc(), F.col("o_orderdate").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10)
+            .select("l_orderkey", F.round("rev_raw", 4).alias("revenue"),
+                    "o_orderdate", "o_orderpriority"))
+
+
+def shipping_priority_oracle(segment: str = "BUILDING",
+                             cutoff: str = "1998-06-01") -> str:
+    return f"""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+         o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""

@@ -332,6 +332,9 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": lambda s, d: R.pricing_summary(load_table(s, "lineitem", d)),
     "top_orders": lambda s, d: R.top_unshipped_orders(
         load_table(s, "customer", d), load_table(s, "orders", d), load_table(s, "lineitem", d)),
+    "shipping_priority": lambda s, d: R.shipping_priority(
+        load_table(s, "customer", d), load_table(s, "orders", d),
+        load_table(s, "lineitem", d)),
     "region_revenue": lambda s, d: R.region_revenue(
         load_table(s, "region", d), load_table(s, "nation", d), load_table(s, "customer", d),
         load_table(s, "orders", d), load_table(s, "lineitem", d)),
@@ -447,6 +450,7 @@ ORACLES: dict[str, str] = {
     "range_join": J.range_join_oracle(),
     "pricing_summary": R.PRICING_SUMMARY_ORACLE,
     "top_orders": R.top_unshipped_orders_oracle(),
+    "shipping_priority": R.shipping_priority_oracle(),
     "region_revenue": R.REGION_REVENUE_ORACLE,
     "top_customers_per_nation": R.top_customers_per_nation_oracle(),
     "running_totals": R.customer_order_running_totals_oracle(),
