@@ -70,6 +70,11 @@ COMMENTARY = {
     "train_val_split_stats": (
         "Deterministic md5-threshold split audit — pure projection + one "
         "grouped aggregation; no RNG, no shuffle beyond the group-by."),
+    "shipping_priority": (
+        "TPC-H Q3 shape: the segment filter and both date predicates push "
+        "into the parquet scans, customer prunes before its join, revenue "
+        "aggregates partially map-side on the order key, and the top-10 "
+        "plans as TakeOrderedAndProject — the aggregate never fully sorts."),
     "doc_repetition_stats": (
         "Gopher-style repetition filter: every metric is a per-row array "
         "expression over one tokenize — no explode, zero data-dependent "
