@@ -548,3 +548,99 @@ SELECT lang,
        round(exp(avg(ln(n_chars))), 4) AS geomean_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# ---- corpus language-model scoring (unigram log-prob) ----
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document unigram log-probability under the corpus's own token
+    distribution — the stand-in for LM-based quality scoring (KenLM-style
+    perplexity filters): unusually improbable documents (garbled text,
+    wrong-language islands) rank lowest on avg log-prob.
+
+    Scale shape: two combinable aggregations (token counts; per-doc sum)
+    around one equi-join keyed on the token. The vocabulary side is
+    zipf-bounded (far smaller than the corpus), so AQE broadcasts it when
+    it fits and falls back to a hash join keyed on the token when it
+    doesn't; the corpus total rides in as a broadcast 1-row crossJoin."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok_counts.agg(F.sum("cnt").cast("double").alias("total"))
+    probs = (tok_counts.crossJoin(F.broadcast(total))
+             .select("tok", F.log(F.col("cnt") / F.col("total")).alias("logp")))
+    return (toks.join(probs, "tok")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("logp"), 4).alias("logprob"),
+                 F.round(F.avg("logp"), 6).alias("avg_logp"))
+            .orderBy("doc_id"))
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+), tot AS (
+  SELECT sum(cnt)::DOUBLE AS total FROM c
+), p AS (
+  SELECT tok, ln(cnt / total) AS logp FROM c, tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(logp), 4) AS logprob,
+       round(avg(logp), 6) AS avg_logp
+FROM t JOIN p USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---- BPE trainer first-merge statistics ----
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_stats(docs: DataFrame, top_n: int = BPE_TOP_PAIRS) -> DataFrame:
+    """Corpus-wide adjacent-character pair frequencies — the counting step
+    behind a BPE tokenizer trainer's first merge decision. Top pairs by
+    count (pair string tie-break) with their corpus share.
+
+    Scale shape: explode to within-word char pairs, one combinable
+    groupBy(pair) count (map-side partial handles the zipf head), total as
+    a broadcast scalar, top-N via TakeOrderedAndProject."""
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.length("w") >= 2))
+    # when-guard: sequence(1, 0) DESCENDS for 1-char words (constant-folded
+    # plans evaluate projections regardless of the row filter)
+    pairs_expr = F.when(
+        F.length("w") >= 2,
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = words.select(F.explode(pairs_expr).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("pair", "cnt",
+                    F.round(F.col("cnt") / F.col("total"), 6).alias("share"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(top_n))
+
+
+def bpe_pair_stats_oracle(top_n: int = BPE_TOP_PAIRS) -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), p AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> w[i:i+1])) AS pair
+  FROM w WHERE length(w) >= 2
+), c AS (
+  SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+), tot AS (
+  SELECT sum(cnt)::DOUBLE AS total FROM c
+)
+SELECT pair, cnt, round(cnt / total, 6) AS share
+FROM c, tot
+ORDER BY cnt DESC, pair ASC
+LIMIT {top_n}
+"""

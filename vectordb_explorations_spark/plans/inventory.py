@@ -312,6 +312,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "lang_geomean_chars": lambda s, d: X.lang_geomean_chars(
         load_table(s, "documents", d)),
+    "unigram_logprob": lambda s, d: X.unigram_logprob(
+        load_table(s, "documents", d)),
+    "bpe_pair_stats": lambda s, d: X.bpe_pair_stats(
+        load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -443,6 +447,8 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": X.doc_repetition_stats_oracle(),
     "contamination_check": X.contamination_check_oracle(),
     "lang_geomean_chars": X.LANG_GEOMEAN_CHARS_ORACLE,
+    "unigram_logprob": X.UNIGRAM_LOGPROB_ORACLE,
+    "bpe_pair_stats": X.bpe_pair_stats_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,
