@@ -63,7 +63,9 @@ def main() -> None:
          .repartition(32)
          .write.mode("overwrite").parquet(OUT))
 
-    emb = spark.read.parquet(OUT)
+    # cache the corpus like bench.py does — every search path re-scans it
+    # otherwise, and parquet re-reads would dominate the small-search rows
+    emb = spark.read.parquet(OUT).cache()
     n = emb.count()
     queries = sample_queries(emb, NQ).cache()
     queries.count()
@@ -72,16 +74,30 @@ def main() -> None:
     recalls: dict[str, float] = {}
 
     def timed(name, fn):
+        # cold single-shot: honest for one-shot index builds
         t0 = time.time()
         out = fn()
         results[name] = round(time.time() - t0, 2)
         return out
 
+    def steady(name, fn):
+        # searches are repeated workloads: one untimed warmup (codegen JIT,
+        # Python-worker spin-up), then median of 3 — bench.py methodology
+        fn()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        results[name] = round(sorted(runs)[1], 2)
+
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
     exact = knn_join_blockwise(emb, queries, K).cache()
-    timed("exact_blockwise_knn_batch100", exact.count)
+    exact.count()
+    steady("exact_blockwise_knn_batch100",
+           lambda: force(knn_join_blockwise(emb, queries, K)))
 
     lsh_state = {}
 
@@ -97,7 +113,7 @@ def main() -> None:
         return lsh_search(emb, queries, K, num_tables=8, num_planes=10,
                           index=lsh_state["idx"], bucket_cap=1024,
                           refined=lsh_state["ref"])
-    timed("lsh_search_batch100", lambda: force(run_lsh()))
+    steady("lsh_search_batch100", lambda: force(run_lsh()))
     recalls["lsh"] = round(recall_at_k(run_lsh(), exact, K), 3)
 
     ivf_state = {}
@@ -107,9 +123,9 @@ def main() -> None:
         a = a.cache(); a.count()
         ivf_state["a"], ivf_state["c"] = a, c
     timed("ivf_index_build", build_ivf)
-    timed("ivf_search_batch100",
-          lambda: force(ivf_search(ivf_state["a"], ivf_state["c"], queries, K,
-                                   nprobe=8)))
+    steady("ivf_search_batch100",
+           lambda: force(ivf_search(ivf_state["a"], ivf_state["c"], queries, K,
+                                    nprobe=8)))
     recalls["ivf"] = round(recall_at_k(
         ivf_search(ivf_state["a"], ivf_state["c"], queries, K, nprobe=8),
         exact, K), 3)
@@ -122,8 +138,8 @@ def main() -> None:
         idx = hnsw_build(emb, num_shards=32).cache(); idx.count()
         hnsw_state["idx"] = idx
     timed("hnsw_index_build", build_hnsw)
-    timed("hnsw_search_batch100",
-          lambda: force(hnsw_search(hnsw_state["idx"], queries, K)))
+    steady("hnsw_search_batch100",
+           lambda: force(hnsw_search(hnsw_state["idx"], queries, K)))
     recalls["hnsw"] = round(recall_at_k(
         hnsw_search(hnsw_state["idx"], queries, K), exact, K), 3)
 
@@ -134,9 +150,9 @@ def main() -> None:
         codes = PQ.pq_encode(emb, books).cache(); codes.count()
         pq_state["b"], pq_state["c"] = books, codes
     timed("pq_index_build", build_pq)
-    timed("pq_refined_search_batch100",
-          lambda: force(PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
-                                     refine_with=emb, refine_factor=30)))
+    steady("pq_refined_search_batch100",
+           lambda: force(PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
+                                      refine_with=emb, refine_factor=30)))
     recalls["pq_refined"] = round(recall_at_k(
         PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
                      refine_with=emb, refine_factor=30), exact, K), 3)
@@ -149,6 +165,11 @@ def main() -> None:
         "Generated distributed (seeded hash floats, no driver materialization). "
         "Regenerate: `python tools/scale_probe.py`.",
         "",
+        "Methodology (matches bench.py): index builds are timed cold "
+        "single-shot (one-shot batch jobs); searches are steady-state — "
+        "one untimed warmup, then the median of 3 runs — over the cached "
+        "corpus.",
+        "",
         "| path | build (s) | batch-100 search (s) | recall@10 |",
         "|---|---|---|---|",
         f"| exact blockwise (baseline) | — | {results['exact_blockwise_knn_batch100']} | 1.0 |",
@@ -159,9 +180,13 @@ def main() -> None:
         "",
         "Findings (honest, data-dependent):",
         "",
-        "- **IVF and PQ+refine beat the exact scan** at this scale and hold "
-        "recall ~0.9; their probe/candidate volumes are controlled by "
-        "nprobe / refine_factor regardless of data shape.",
+        "- **A cached 200k corpus is small enough that exact blockwise GEMM "
+        "wins outright** — it streams N x Q pairs at memory bandwidth. The "
+        "approximate paths' value is the BOUNDED candidate volume: "
+        "nprobe / refine_factor / bucket_cap fix the scored fraction as N "
+        "grows past executor memory, where the exact scan stays linear in "
+        "N per query batch. IVF and PQ hold recall ~0.9 scoring <15% of "
+        "the corpus — the shape that survives the next 100x.",
         "- **Hyperplane LSH on clustered corpora is bounded by hot-bucket "
         "refinement** (lsh_refine_hot_buckets): cluster offsets dominate "
         "projection signs, so whole clusters land in one bucket — round 1 "
