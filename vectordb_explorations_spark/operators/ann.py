@@ -287,18 +287,20 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
         probes = spark.createDataFrame(
             probe_rows, f"{qid_col} long, table_id int, bucket int").distinct()
     join_keys = ["table_id", "bucket"] + (["sub"] if use_subs else [])
-    cand = (index.join(F.broadcast(probes), join_keys)
-            .select(qid_col, id_col).distinct())
+    cand = index.join(F.broadcast(probes), join_keys).select(qid_col, id_col)
     # Scoring shape: group candidates per vector FIRST — (vec_id, [qids])
     # is ~num_candidate_vectors rows instead of num_(query,vector)_pairs,
     # so the join against the vector table shuffles each candidate vector
-    # once, not once per probing query. The Arrow stage scores every
+    # once, not once per probing query. collect_set both dedupes the
+    # (query, vector) pairs AND groups them in ONE keyed shuffle with
+    # map-side partials (a separate .distinct() before the groupBy cost a
+    # second full shuffle of the pair set). The Arrow stage scores every
     # (vector, probing-query) pair via NumPy against the broadcast query
     # matrix and emits only per-batch top-k per query; the global window
     # then ranks <= batches*Q*k narrow rows.
     import pandas as pd
 
-    cand_by_vec = cand.groupBy(id_col).agg(F.collect_list(qid_col).alias("qids"))
+    cand_by_vec = cand.groupBy(id_col).agg(F.collect_set(qid_col).alias("qids"))
     joined = cand_by_vec.join(vectors.select(id_col, vec_col), id_col)
     qindex = {qid: i for i, qid in enumerate(qids)}
     out_schema = T.StructType([
