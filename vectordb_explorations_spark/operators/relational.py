@@ -765,3 +765,42 @@ ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
          o_orderdate ASC, l_orderkey ASC
 LIMIT 10
 """
+
+
+def large_volume_customers(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame,
+                           min_qty: float = 250.0) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line quantity
+    exceeds ``min_qty``, with the customer attached — the aggregate-driven
+    semi-join shape (IN over a grouped HAVING subquery).
+
+    Plan shape: lineitem aggregates FIRST (map-side partial on l_orderkey),
+    the HAVING filter shrinks it to the few qualifying orders, and only
+    then do orders/customer join — a broadcast-ably small right side at
+    any scale because the filter, not the corpus, bounds it."""
+    qualifying = (lineitem.groupBy("l_orderkey")
+                  .agg(F.sum("l_quantity").alias("total_qty"))
+                  .where(F.col("total_qty") > min_qty))
+    return (qualifying
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("total_qty", 2).alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100))
+
+
+def large_volume_customers_oracle(min_qty: float = 250.0) -> str:
+    return f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {min_qty}) q
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""

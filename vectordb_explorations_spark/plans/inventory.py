@@ -339,6 +339,9 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": lambda s, d: R.shipping_priority(
         load_table(s, "customer", d), load_table(s, "orders", d),
         load_table(s, "lineitem", d)),
+    "large_volume_customers": lambda s, d: R.large_volume_customers(
+        load_table(s, "customer", d), load_table(s, "orders", d),
+        load_table(s, "lineitem", d)),
     "region_revenue": lambda s, d: R.region_revenue(
         load_table(s, "region", d), load_table(s, "nation", d), load_table(s, "customer", d),
         load_table(s, "orders", d), load_table(s, "lineitem", d)),
@@ -457,6 +460,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": R.PRICING_SUMMARY_ORACLE,
     "top_orders": R.top_unshipped_orders_oracle(),
     "shipping_priority": R.shipping_priority_oracle(),
+    "large_volume_customers": R.large_volume_customers_oracle(),
     "region_revenue": R.REGION_REVENUE_ORACLE,
     "top_customers_per_nation": R.top_customers_per_nation_oracle(),
     "running_totals": R.customer_order_running_totals_oracle(),
