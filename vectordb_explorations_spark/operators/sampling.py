@@ -276,3 +276,44 @@ SELECT doc_id, chunk_id, chunk_id * {stride} AS chunk_start,
          AS chunk_md5
 FROM e ORDER BY doc_id, chunk_id
 """
+
+
+# ---- deterministic weighted sampling (A-ES exponential keys) ----
+
+WEIGHTED_SAMPLE_N = 100
+
+
+def weighted_sample(docs: DataFrame, n: int = WEIGHTED_SAMPLE_N) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis-Spirakis
+    exponential keys: each doc draws key = u^(1/w) with u uniform in (0,1)
+    and w its weight (n_chars here — the length-proportional draw a
+    quality- or token-weighted corpus sample uses); the global top-n keys
+    ARE the weighted sample. u derives from md5(doc_id), so the sample is
+    deterministic, coordination-free, and stable under any partitioning —
+    no RNG state, no driver pass.
+
+    Scale shape: pure projection + one TakeOrderedAndProject top-n; at
+    100 TB the same two lines sample any corpus in one scan."""
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2 ** 32))
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return (docs.select("doc_id", F.col("n_chars").alias("weight"),
+                        key.alias("key_raw"))
+            .orderBy(F.col("key_raw").desc(), F.col("doc_id").asc())
+            .limit(n)
+            .select("doc_id", "weight",
+                    F.round("key_raw", 6).alias("sample_key")))
+
+
+def weighted_sample_oracle(n: int = WEIGHTED_SAMPLE_N) -> str:
+    return f"""
+WITH k AS (
+  SELECT doc_id, n_chars AS weight,
+         pow((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0,
+             1.0 / n_chars) AS key_raw
+  FROM documents
+)
+SELECT doc_id, weight, round(key_raw, 6) AS sample_key
+FROM k ORDER BY key_raw DESC, doc_id ASC LIMIT {n}
+"""

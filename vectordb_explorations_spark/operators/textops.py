@@ -644,3 +644,38 @@ FROM c, tot
 ORDER BY cnt DESC, pair ASC
 LIMIT {top_n}
 """
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID evaluation: confusion counts of the fixture's labeled
+    language vs the marker-based prediction, with per-cell share of the
+    labeled row — the accuracy surface a pipeline monitors when swapping
+    lang-ID models. One grouped count plus a windowed row total."""
+    from pyspark.sql import Window
+
+    pred = lang_id(docs).select("doc_id", "labeled_lang", "predicted_lang")
+    counts = (pred.groupBy("labeled_lang", "predicted_lang")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    row_total = F.sum("n_docs").over(Window.partitionBy("labeled_lang"))
+    return (counts
+            .select("labeled_lang", "predicted_lang", "n_docs",
+                    F.round(F.col("n_docs") / row_total, 6).alias("row_share"))
+            .orderBy("labeled_lang", "predicted_lang"))
+
+
+def lang_confusion_oracle() -> str:
+    inner = lang_id_oracle().strip().rstrip()
+    # reuse the lang_id oracle as a subquery; strip its ORDER BY tail
+    inner = inner[:inner.rindex("ORDER BY")] + ""
+    return f"""
+WITH pred AS (
+  {inner}
+), c AS (
+  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY labeled_lang, predicted_lang
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY labeled_lang), 6)
+         AS row_share
+FROM c ORDER BY labeled_lang, predicted_lang
+"""

@@ -316,6 +316,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "bpe_pair_stats": lambda s, d: X.bpe_pair_stats(
         load_table(s, "documents", d)),
+    "lang_confusion": lambda s, d: X.lang_confusion(
+        load_table(s, "documents", d)),
+    "weighted_sample": lambda s, d: SP.weighted_sample(
+        load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -452,6 +456,8 @@ ORACLES: dict[str, str] = {
     "lang_geomean_chars": X.LANG_GEOMEAN_CHARS_ORACLE,
     "unigram_logprob": X.UNIGRAM_LOGPROB_ORACLE,
     "bpe_pair_stats": X.bpe_pair_stats_oracle(),
+    "lang_confusion": X.lang_confusion_oracle(),
+    "weighted_sample": SP.weighted_sample_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,
