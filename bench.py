@@ -109,7 +109,7 @@ def main() -> None:
     bench("knn_exact_batch100",
           lambda: _force(knn_join_blockwise(emb, queries, K)))
     bench("knn_exact_batch100_window",
-          lambda: _force(knn_join(emb, queries, K)))
+          lambda: _force(knn_join(emb, queries, K, dim=64)))
 
     lsh_idx = {}
 
@@ -181,7 +181,7 @@ def main() -> None:
                                       queries, K, refine_with=emb,
                                       refine_factor=10)))
 
-    exact = knn_join(emb, queries, K).cache()
+    exact = knn_join(emb, queries, K, dim=64).cache()
     exact.count()
     extras["recall_lsh_at_10"] = round(
         recall_at_k(lsh_search(emb, queries, K, index=lsh_idx["df"],

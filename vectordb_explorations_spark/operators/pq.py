@@ -185,8 +185,11 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
         f"{qid_col} long, {qvec_col} array<double>")
     scored = (cand.join(refine_with.select(id_col, vec_col), id_col)
               .join(F.broadcast(qdf), qid_col)
+              # dim = m*dsub is statically known from the codebooks —
+              # unrolled codegen distance for the exact re-score
               .withColumn("dist", F.round(
-                  l2_distance(F.col(vec_col), F.col(qvec_col)), 6)))
+                  l2_distance(F.col(vec_col), F.col(qvec_col),
+                              dim=m * dsub), 6)))
     w = Window.partitionBy(qid_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))

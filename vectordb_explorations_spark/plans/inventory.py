@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vectordb_explorations_spark.sources.catalog import load_table
 from vectordb_explorations_spark.functions.vectors import (
     compat_distance, l2_distance, l2_norm, masked_get, set_element)
+from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import dedup as D
 from vectordb_explorations_spark.operators import joins as J
@@ -65,7 +66,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN join: per-query ranked neighbors via broadcast + window."""
     emb = load_table(spark, "embeddings", sf_dir)
     qs = K.sample_queries(emb, KNN_BATCH_QUERIES)
-    return K.knn_join(emb, qs, KNN_K).orderBy("query_id", "rank")
+    return K.knn_join(emb, qs, KNN_K, dim=EMBEDDING_DIM).orderBy("query_id", "rank")
 
 
 def q_knn_batch_blockwise(spark: SparkSession, sf_dir: str) -> DataFrame:
