@@ -54,7 +54,14 @@ def l2_distance(a: Column, b: Column, dim: int | None = None) -> Column:
     return F.sqrt(squared_l2(a, b, dim))
 
 
-def dot_product(a: Column, b: Column) -> Column:
+def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is not None:  # unrolled codegen sum — see squared_l2
+        terms: Column | None = None
+        for i in range(1, dim + 1):
+            t = _d(F.element_at(a, i)) * _d(F.element_at(b, i))
+            terms = t if terms is None else terms + t
+        assert terms is not None
+        return terms
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: _d(x) * _d(y)),
         F.lit(0.0).cast("double"),
@@ -62,7 +69,14 @@ def dot_product(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:  # unrolled codegen sum — see squared_l2
+        terms: Column | None = None
+        for i in range(1, dim + 1):
+            t = _d(F.element_at(a, i)) * _d(F.element_at(a, i))
+            terms = t if terms is None else terms + t
+        assert terms is not None
+        return F.sqrt(terms)
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: _d(x) * _d(x)),
         F.lit(0.0).cast("double"),
@@ -70,10 +84,10 @@ def l2_norm(a: Column) -> Column:
     ))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot(a,b) / (|a||b|). Not in the reference (L2 is its only metric,
     SURVEY §1.5); needed by the embedding near-dup path."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot_product(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def compat_distance(left: Column, right: Column) -> Column:

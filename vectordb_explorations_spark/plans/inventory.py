@@ -102,7 +102,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.orderBy("vec_id").first()["embedding"]
     qcol = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
-    sim = cosine_similarity(F.col("embedding"), qcol)
+    sim = cosine_similarity(F.col("embedding"), qcol, dim=EMBEDDING_DIM)
     # order by the RAW similarity (matching the oracle's ORDER BY), round
     # only in the projection — ordering on the rounded value would break
     # near-boundary ties differently than the oracle.
@@ -134,7 +134,7 @@ def q_distance_matrix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(l2_distance(F.col("va"), F.col("vb")), 6).alias("dist"))
+                    F.round(l2_distance(F.col("va"), F.col("vb"), dim=EMBEDDING_DIM), 6).alias("dist"))
             .orderBy("id_a", "id_b"))
 
 
@@ -208,7 +208,7 @@ FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx
 def q_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding norm distribution per label (scalar fold over arrays)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return (emb.select("label", l2_norm(F.col("embedding")).alias("norm"))
+    return (emb.select("label", l2_norm(F.col("embedding"), dim=EMBEDDING_DIM).alias("norm"))
             .groupBy("label")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("norm"), 6).alias("min_norm"),
