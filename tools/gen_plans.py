@@ -49,8 +49,9 @@ COMMENTARY = {
         "keys×salts rows."),
     "sql_knn": (
         "The SQL-text twin of knn_exact through the registered `l2_dist` "
-        "SQL function — inlines to the identical native expression tree "
-        "and the identical TakeOrderedAndProject plan (no Python)."),
+        "SQL function — inlines to a native expression tree with the same "
+        "TakeOrderedAndProject shape (no Python; the DataFrame twin "
+        "additionally unrolls the fixed-dim sum into codegen)."),
     "supplier_nation_volume": (
         "Aggregate-before-join star: lineitem reduces to (suppkey, partial "
         "sum) before any dim join, so the broadcast joins see aggregated "

@@ -122,8 +122,11 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 def sql_knn(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """The flagship k-NN expressed purely in SQL over the registered views
     and the registered `l2_dist` SQL function — proves the vector library
-    composes inside SQL text. Same TakeOrderedAndProject plan as the
-    DataFrame twin (the SQL UDF inlines to the identical expression tree)."""
+    composes inside SQL text. Same TakeOrderedAndProject shape as the
+    DataFrame twin; the SQL UDF inlines to a native higher-order-function
+    tree (no Python), while the DataFrame twin additionally unrolls the
+    fixed-dim sum into whole-stage codegen (functions/vectors.squared_l2)
+    — generic-dim SQL keeps the fold."""
     register_tables(spark, sf_dir)
     register_functions(spark)
     q = (spark.table("embeddings").orderBy("vec_id").limit(1)
