@@ -77,6 +77,20 @@ def main() -> None:
             total += _dir_bytes(path)
         extras[f"index_bytes_{name}"] = total
 
+    def cached_mem_bytes() -> int:
+        # total bytes of materialized cache blocks across the JVM — the
+        # in-memory half of SizeTest's phase-by-phase footprint printout
+        # (hnsw.cc:435-483 prints process memory after each phase; we
+        # record the cache-storage delta across each index build)
+        return sum(info.memSize()
+                   for info in spark._jsc.sc().getRDDStorageInfo())
+
+    def bench_build(name: str, fn) -> None:
+        before = cached_mem_bytes()
+        bench(name, fn, warmup=False)
+        extras[f"index_mem_bytes_{name.replace('index_build_', '')}"] = \
+            cached_mem_bytes() - before
+
     def bench(name: str, fn, warmup: bool = True) -> None:
         # Query entries are timed steady-state: one untimed warmup run pays
         # whole-stage-codegen JIT compilation (which at these fixture scales
@@ -121,7 +135,7 @@ def main() -> None:
         ref_idx = ref_idx.cache(); ref_idx.count()
         lsh_idx["df"], lsh_idx["ref"] = idx, (ref_idx, cent_rows)
 
-    bench("index_build_lsh", build_lsh, warmup=False)
+    bench_build("index_build_lsh", build_lsh)
     cents_df = spark.createDataFrame(
         lsh_idx["ref"][1],
         "table_id int, bucket int, sub int, centroid array<double>") \
@@ -137,7 +151,7 @@ def main() -> None:
         idx.count()
         hnsw_idx["df"] = idx
 
-    bench("index_build_hnsw", build_hnsw, warmup=False)
+    bench_build("index_build_hnsw", build_hnsw)
     persist_bytes("hnsw", hnsw_idx["df"])
     bench("ann_hnsw_batch100",
           lambda: _force(hnsw_search(hnsw_idx["df"], queries, K)))
@@ -155,7 +169,7 @@ def main() -> None:
         assigned.count()
         ivf_state["assigned"], ivf_state["cents"] = assigned, cents
 
-    bench("index_build_ivf", build_ivf, warmup=False)
+    bench_build("index_build_ivf", build_ivf)
     persist_bytes("ivf", ivf_state["assigned"].select("vec_id", "list_id"))
     bench("ann_ivf_batch100",
           lambda: _force(ivf_search(ivf_state["assigned"], ivf_state["cents"],
@@ -174,7 +188,7 @@ def main() -> None:
         codes.count()
         pq_state["books"], pq_state["codes"] = books, codes
 
-    bench("index_build_pq", build_pq, warmup=False)
+    bench_build("index_build_pq", build_pq)
     persist_bytes("pq", pq_state["codes"])
     bench("ann_pq_refined_batch100",
           lambda: _force(PQ.pq_search(pq_state["codes"], pq_state["books"],
