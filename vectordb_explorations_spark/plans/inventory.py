@@ -418,6 +418,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_stats": SE.streaming_dedup_stats,
     "streaming_index_refresh": SE.streaming_index_refresh_stats,
     "streaming_join_stats": SE.streaming_join_stats,
+    "streaming_user_totals": SE.streaming_user_totals,
 }
 
 # Declared queries with no DuckDB twin (the driver's correctness gate
@@ -511,4 +512,5 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
     "streaming_join_stats": SE.STREAMING_JOIN_STATS_ORACLE,
+    "streaming_user_totals": SE.STREAMING_USER_TOTALS_ORACLE,
 }

@@ -323,3 +323,39 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 GROUP BY p.user_id
 ORDER BY user_id
 """
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the arbitrary-stateful operator
+    (``applyInPandasWithState``): drain the update-mode running totals with
+    availableNow, keep each user's FINAL state row (n_events is monotone
+    across micro-batches), and hash-check against the same totals in SQL.
+    This pins cross-batch state maintenance end to end, not just one
+    batch's aggregation."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    name = f"stotals_{uuid.uuid4().hex[:12]}"
+    stream = read_events_stream(spark, sf_dir)
+    q = run_to_memory(user_running_totals_stream(stream), name, "update")
+    q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "n_events",
+                    F.round("sum_value", 2).alias("sum_value"),
+                    F.round("max_value", 2).alias("max_value"))
+            .orderBy("user_id"))
+
+
+STREAMING_USER_TOTALS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
