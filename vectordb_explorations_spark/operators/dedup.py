@@ -154,6 +154,14 @@ def minhash_lsh_pairs(docs: DataFrame,
 
     banding join shuffles only (doc_id, band_idx, 32-char key); shingle sets
     are re-joined solely for the surviving candidate pairs.
+
+    Corpus-scan budget (the number that matters at 100 TB): exactly TWO —
+    one md5-signature pass feeding BOTH sides of the banding self-join
+    (shuffle-hash join on identical children, so Spark plans a
+    ReusedExchange; a broadcast self-join would compute signatures twice
+    AND ship the whole banded corpus to every executor), and one
+    shingle-set pass joined once against the melted candidate pairs (the
+    naive per-side join scanned + re-shingled the corpus twice).
     """
     sig = minhash_signatures(docs, num_hashes)
     n_bands = num_hashes // band_size
@@ -164,18 +172,37 @@ def minhash_lsh_pairs(docs: DataFrame,
         for b in range(n_bands)
     ]
     banded = (sig.select("doc_id", F.posexplode(F.array(*bands)).alias("band_idx", "band_key")))
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
             .distinct())
+    # melt each pair into (pair, side, doc_id) rows so ONE scan of the
+    # shingle sets serves both sides; regroup per pair afterwards (each
+    # pair contributes exactly one non-null value per side, so the
+    # ignorenulls-first is deterministic)
+    melted = (cand.select(
+        "doc_id_a", "doc_id_b",
+        F.explode(F.array(
+            F.struct(F.lit("a").alias("side"), F.col("doc_id_a").alias("doc_id")),
+            F.struct(F.lit("b").alias("side"), F.col("doc_id_b").alias("doc_id")),
+        )).alias("s"))
+        .select("doc_id_a", "doc_id_b", F.col("s.side").alias("side"),
+                F.col("s.doc_id").alias("doc_id")))
+    # no broadcast hint: candidate volume scales with dup density, so AQE
+    # picks broadcast when melted is small and a doc_id-keyed hash join
+    # otherwise — sh is scanned once either way
     sh = _shingle_sets(docs)
-    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    both = (sh.join(melted, "doc_id")
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.first(F.when(F.col("side") == "a", F.col("sh")),
+                         ignorenulls=True).alias("sh_a"),
+                 F.first(F.when(F.col("side") == "b", F.col("sh")),
+                         ignorenulls=True).alias("sh_b")))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
            / F.size(F.array_union("sh_a", "sh_b")))
-    return (cand.join(sa, "doc_id_a").join(sb, "doc_id_b")
+    return (both
             .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .orderBy("doc_id_a", "doc_id_b"))
