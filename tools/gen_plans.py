@@ -60,9 +60,12 @@ COMMENTARY = {
         "Aggregate → broadcast dim join → global top-k: the limit plans as "
         "TakeOrderedAndProject over already-aggregated rows."),
     "dedup_minhash_lsh": (
-        "MinHash+LSH banding: one md5 per shingle + integer mixing, band "
-        "keys self-join on (band_idx, band_key), exact Jaccard re-verifies "
-        "only surviving candidates."),
+        "MinHash+LSH banding: one md5 per shingle + integer mixing; the "
+        "banding self-join is a shuffled hash join on (band_idx, band_key) "
+        "with identical child exchanges (AQE reuses the signature stage at "
+        "runtime — no corpus broadcast); the exact Jaccard verify melts "
+        "candidate pairs to (pair, side, doc) so ONE shingle scan serves "
+        "both sides."),
     "vocab_stats": (
         "Vocabulary heavy-hitters: explode → groupBy(token) aggregates "
         "partially map-side (zipfian head tokens never concentrate raw rows "
