@@ -268,13 +268,6 @@ FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
 
 # ---------- registry ----------
 
-def _tables(*names):
-    def deco(fn):
-        fn._tables = names
-        return fn
-    return deco
-
-
 QUERIES: dict[str, QueryFn] = {
     # vector / k-NN (reference surface)
     "knn_exact": q_knn_exact,
