@@ -146,23 +146,21 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame,
-                      num_hashes: int = NUM_HASHES,
-                      band_size: int = BAND_SIZE,
-                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
+def banding_candidates(docs: DataFrame,
+                       num_hashes: int = NUM_HASHES,
+                       band_size: int = BAND_SIZE) -> DataFrame:
+    """Candidate pairs (doc_id_a < doc_id_b) from MinHash + LSH banding
+    alone — the shared recall stage of every near-dup verifier. Smaller
+    ``band_size`` → more bands → a lower effective Jaccard threshold
+    (collision prob ≈ 1-(1-j^r)^b), so a verifier needing looser candidates
+    (e.g. edit distance, which tolerates more shingle churn) passes
+    ``band_size=2`` instead of re-scanning all pairs.
 
-    banding join shuffles only (doc_id, band_idx, 32-char key); shingle sets
-    are re-joined solely for the surviving candidate pairs.
-
-    Corpus-scan budget (the number that matters at 100 TB): exactly TWO —
-    one md5-signature pass feeding BOTH sides of the banding self-join
-    (shuffle-hash join on identical children, so Spark plans a
-    ReusedExchange; a broadcast self-join would compute signatures twice
-    AND ship the whole banded corpus to every executor), and one
-    shingle-set pass joined once against the melted candidate pairs (the
-    naive per-side join scanned + re-shingled the corpus twice).
-    """
+    The banding self-join shuffles only (doc_id, band_idx, 32-char key);
+    one md5-signature pass feeds BOTH sides (shuffle-hash join on identical
+    children, so Spark plans a ReusedExchange; a broadcast self-join would
+    compute signatures twice AND ship the whole banded corpus to every
+    executor)."""
     sig = minhash_signatures(docs, num_hashes)
     n_bands = num_hashes // band_size
     bands = [
@@ -173,11 +171,25 @@ def minhash_lsh_pairs(docs: DataFrame,
     ]
     banded = (sig.select("doc_id", F.posexplode(F.array(*bands)).alias("band_idx", "band_key")))
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
-    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
             .distinct())
+
+
+def minhash_lsh_pairs(docs: DataFrame,
+                      num_hashes: int = NUM_HASHES,
+                      band_size: int = BAND_SIZE,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
+
+    Corpus-scan budget (the number that matters at 100 TB): exactly TWO —
+    the signature pass inside ``banding_candidates``, and one shingle-set
+    pass joined once against the melted candidate pairs (the naive per-side
+    join scanned + re-shingled the corpus twice).
+    """
+    cand = banding_candidates(docs, num_hashes, band_size)
     # melt each pair into (pair, side, doc_id) rows so ONE scan of the
     # shingle sets serves both sides; regroup per pair afterwards (each
     # pair contributes exactly one non-null value per side, so the
@@ -208,9 +220,10 @@ def minhash_lsh_pairs(docs: DataFrame,
             .orderBy("doc_id_a", "doc_id_b"))
 
 
-def minhash_lsh_pairs_oracle(num_hashes: int = NUM_HASHES,
-                             band_size: int = BAND_SIZE,
-                             threshold: float = JACCARD_THRESHOLD) -> str:
+def _banding_cand_ctes(num_hashes: int = NUM_HASHES,
+                       band_size: int = BAND_SIZE) -> str:
+    """DuckDB CTE chain (sh, sig, banded, cand) mirroring
+    ``banding_candidates`` bit-for-bit — shared by every verifier oracle."""
     mh_exprs = ", ".join(
         f"list_aggregate(list_transform(h32s, h -> ({a} * h + {b}) % {MINHASH_P}),"
         f" 'min') AS mh{j}"
@@ -220,16 +233,22 @@ def minhash_lsh_pairs_oracle(num_hashes: int = NUM_HASHES,
         "SELECT doc_id, {b} AS band_idx, md5(concat_ws('#', {parts})) AS band_key FROM sig".format(
             b=b, parts=", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
         for b in range(n_bands))
-    return f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents),
-shs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
-        FROM sh WHERE len(sh) > 0),
+    return f"""sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents),
 sig AS (SELECT doc_id, {mh_exprs}
         FROM (SELECT doc_id, list_transform(sh, s -> {_H32_DUCK}) AS h32s FROM sh)),
 banded AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          FROM banded a JOIN banded b
-           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+
+def minhash_lsh_pairs_oracle(num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE,
+                             threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+WITH {_banding_cand_ctes(num_hashes, band_size)},
+shs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
+        FROM sh WHERE len(sh) > 0)
 SELECT c.doc_id_a, c.doc_id_b,
        round(len(list_intersect(sa.shh, sb.shh))::DOUBLE
              / len(list_distinct(list_concat(sa.shh, sb.shh))), 6) AS jaccard
@@ -457,28 +476,33 @@ ORDER BY d.doc_id
 """
 
 
+# Edit-distance candidates use narrower bands (2 rows -> 6 bands) than the
+# Jaccard verifier (3 rows -> 4 bands): banding collision prob is
+# 1-(1-j^r)^b, so r=2 admits pairs down to ~0.4 Jaccard — character-level
+# mutations churn more 3-word shingles than token-level copies do, and the
+# looser recall stage keeps them as candidates for the Levenshtein verify.
+EDIT_BAND_SIZE = 2
+
+
 def edit_distance_pairs(docs: DataFrame, prefix_len: int = 40,
                         max_dist: int = 12,
-                        max_doc_id: int = 300) -> DataFrame:
-    """Edit-distance near-dup pairs: Levenshtein over text prefixes within
-    (lang, length-bucket) blocks — the string-similarity dimension of the
-    dedup suite (MinHash catches token overlap; edit distance catches
-    small character-level mutations). Quadratic in block size, hence the
-    blocking key and the bounded id range in the declared query; the
-    unblocked scale path is MinHash banding above."""
-    # No attribute blocking: the fixture's near-dup copies mutate lang and
-    # length, so blocking on either splits true pairs. The bounded id range
-    # caps the quadratic instead; at scale the MinHash banding path above
-    # generates candidates and this verifier runs on its survivors.
-    base = (docs.where(F.col("doc_id") < max_doc_id)
-            .select("doc_id",
-                    F.substring("text", 1, prefix_len).alias("prefix")))
-    a = base.select(F.col("doc_id").alias("doc_id_a"),
-                    F.col("prefix").alias("pa"))
-    b = base.select(F.col("doc_id").alias("doc_id_b"),
-                    F.col("prefix").alias("pb"))
-    return (a.crossJoin(b)
-            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+                        band_size: int = EDIT_BAND_SIZE) -> DataFrame:
+    """Edit-distance near-dup pairs: Levenshtein over text prefixes, run
+    ONLY on MinHash-banding survivors — the string-similarity dimension of
+    the dedup suite (MinHash catches token overlap; edit distance catches
+    small character-level mutations the Jaccard threshold rejects).
+
+    Scale shape: no all-pairs stage anywhere. Candidates come from the
+    relaxed banding self-join (compact band keys, ReusedExchange); the
+    quadratic Levenshtein runs once per *candidate pair*, and prefixes are
+    attached by two compact doc_id-keyed joins (AQE broadcasts the pair
+    side when small). Unbounded by doc_id — this replaces the round-2
+    `doc_id < 300` crossJoin cap."""
+    cand = banding_candidates(docs, band_size=band_size)
+    pre = docs.select("doc_id", F.substring("text", 1, prefix_len).alias("prefix"))
+    a = pre.select(F.col("doc_id").alias("doc_id_a"), F.col("prefix").alias("pa"))
+    b = pre.select(F.col("doc_id").alias("doc_id_b"), F.col("prefix").alias("pb"))
+    return (cand.join(a, "doc_id_a").join(b, "doc_id_b")
             .select("doc_id_a", "doc_id_b",
                     F.levenshtein("pa", "pb").alias("edit_dist"))
             .where(F.col("edit_dist") <= max_dist)
@@ -486,15 +510,15 @@ def edit_distance_pairs(docs: DataFrame, prefix_len: int = 40,
 
 
 def edit_distance_pairs_oracle(prefix_len: int = 40, max_dist: int = 12,
-                               max_doc_id: int = 300) -> str:
+                               band_size: int = EDIT_BAND_SIZE) -> str:
     return f"""
-WITH base AS (
-  SELECT doc_id, substr(text, 1, {prefix_len}) AS prefix
-  FROM documents WHERE doc_id < {max_doc_id}
-)
-SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+WITH {_banding_cand_ctes(band_size=band_size)},
+pre AS (SELECT doc_id, substr(text, 1, {prefix_len}) AS prefix FROM documents)
+SELECT c.doc_id_a, c.doc_id_b,
        levenshtein(a.prefix, b.prefix) AS edit_dist
-FROM base a JOIN base b ON a.doc_id < b.doc_id
+FROM cand c
+JOIN pre a ON a.doc_id = c.doc_id_a
+JOIN pre b ON b.doc_id = c.doc_id_b
 WHERE levenshtein(a.prefix, b.prefix) <= {max_dist}
 ORDER BY doc_id_a, doc_id_b
 """

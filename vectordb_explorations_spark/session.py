@@ -35,8 +35,10 @@ _DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp —
-    # read as long and convert to microseconds in the catalog layer.
+    # Back-compat for TIMESTAMP(NANOS) events fixtures (read as INT64 nanos,
+    # converted in the catalog layer). Inert for the current micros-precision
+    # fixture, which Spark 4.x reads natively as TIMESTAMP_NTZ — the catalog
+    # branches on the loaded dtype either way.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

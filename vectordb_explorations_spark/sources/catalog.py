@@ -51,10 +51,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     ensure_package_on_workers(spark)
     if name == "events":
-        # events.parquet is TIMESTAMP(NANOS): a session without this conf
-        # fails the read outright (PARQUET_TYPE_ILLEGAL). The session
-        # factory sets it, but queries() callables must also work under a
-        # caller-provided vanilla session, so set it defensively here.
+        # Older fixture generations stored ts as TIMESTAMP(NANOS), which is
+        # unreadable without this legacy conf (it makes the column arrive as
+        # INT64 nanos). Harmless when the fixture is micros-precision, as the
+        # current one is; set defensively so queries() callables also work
+        # under a caller-provided vanilla session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if name in ("events", "orders", "lineitem"):
         # Declared outputs render dates/epochs in UTC (the oracle's frame
@@ -63,13 +64,31 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as INT64 nanos (spark.sql.legacy.parquet.nanosAsLong);
-        # truncate to microseconds — the oracle mirrors this exact floor
-        # (epoch_ns(ts) // 1000) so both engines see identical instants.
-        from pyspark.sql import functions as F
-        # Integer `div`, not `/`: double division loses ulps at 1e18 nanos
-        # and floors to the wrong microsecond.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
+    return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a UTC TIMESTAMP regardless of
+    how the fixture stored it. Three shapes exist in the wild:
+
+    - ``bigint``: INT64 nanos (TIMESTAMP(NANOS) fixture read under
+      ``nanosAsLong``) — integer-divide to micros. ``div``, not ``/``:
+      double division loses ulps at 1e18 nanos and floors to the wrong
+      microsecond. The oracle mirrors this floor (epoch_ns(ts) // 1000).
+    - ``timestamp_ntz``: micros-precision TIMESTAMP(isAdjustedToUTC=false)
+      fixture read natively by Spark 4.x — a plain cast under the UTC
+      session zone is lossless (the physical column is already micros, so
+      no truncation can occur) and bit-identical to the oracle's instants.
+    - ``timestamp``: already the target type; pass through.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type.startswith("timestamp_ntz"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -22,16 +22,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vectordb_explorations_spark.schemas import SCHEMAS
 from pyspark.sql import types as T
 
-# Streaming reads the raw parquet (nanos int64) and converts exactly like
-# the batch catalog, so streaming results match the batch twins.
-_EVENTS_RAW = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos via nanosAsLong
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Streaming file sources need an explicit schema; the fixture's physical
+    ts type varies by generation (INT64 nanos under ``nanosAsLong`` vs native
+    TIMESTAMP_NTZ micros under Spark 4.x). Probe the batch read's schema once
+    (footer-only, no data scan) so stream ≡ batch twin invariants hold."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return batch.schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
@@ -41,22 +38,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     transformation graph is source-agnostic."""
     # File streams require a directory source; select the single fixture
     # file with a glob filter.
-    # Same defensive setup as sources/catalog.load_table: the fixture is
-    # TIMESTAMP(NANOS) (unreadable without nanosAsLong), declared outputs
-    # render epochs in UTC, and workers need the package shipped. queries()
+    # Same defensive setup as sources/catalog.load_table: legacy nanos
+    # fixtures are unreadable without nanosAsLong, declared outputs render
+    # epochs in UTC, and workers need the package shipped. queries()
     # callables must work under a caller-provided vanilla session, and this
     # path bypasses the catalog.
     from vectordb_explorations_spark.sources.catalog import (
-        ensure_package_on_workers)
+        _normalize_events_ts, ensure_package_on_workers)
     ensure_package_on_workers(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = (spark.readStream
-          .schema(_EVENTS_RAW)
+          .schema(_events_raw_schema(spark, sf_dir))
           .option("maxFilesPerTrigger", max_files_per_trigger)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Same ts normalization as the batch catalog (dtype-branched), so
+    # streaming results match the batch twins exactly.
+    return _normalize_events_ts(df)
 
 
 def hourly_counts_stream(events: DataFrame,
