@@ -146,6 +146,11 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
     ])
 
     def score(batches):
+        # Accumulate per-BATCH top-n_local and emit one per-PARTITION
+        # top-n_local at close: emitting per batch multiplied the window
+        # prefilter's shuffle input by the batch count (10x at sf0.1 with
+        # 10k-row Arrow batches — the round-4 PQ latency hot spot).
+        acc_i, acc_d = [], []  # per-batch (top, ids) candidate pools
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -156,15 +161,22 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
             for s in range(m):
                 d2 += luts[:, s, :][:, codes[:, s]]
             top = min(n_local, len(codes))
-            part = np.argpartition(d2, top - 1, axis=1)[:, :top]
-            out_q, out_i, out_d = [], [], []
-            for qi in range(len(qids)):
-                sel = part[qi]
-                out_q.extend([qids[qi]] * len(sel))
-                out_i.extend(ids[sel])
-                out_d.extend(np.sqrt(d2[qi, sel]))
-            yield pd.DataFrame({qid_col: out_q, id_col: out_i,
-                                "adc_dist": out_d})
+            part = np.argpartition(d2, top - 1, axis=1)[:, :top]  # (Q, top)
+            acc_i.append(ids[part])
+            acc_d.append(np.take_along_axis(d2, part, axis=1))
+        if not acc_i:
+            return
+        ii = np.concatenate(acc_i, axis=1)  # (Q, sum_tops)
+        dd = np.concatenate(acc_d, axis=1)
+        top = min(n_local, ii.shape[1])
+        part = np.argpartition(dd, top - 1, axis=1)[:, :top]
+        sel_i = np.take_along_axis(ii, part, axis=1)
+        sel_d = np.sqrt(np.take_along_axis(dd, part, axis=1))
+        yield pd.DataFrame({
+            qid_col: np.repeat(qids, top),
+            id_col: sel_i.ravel(),
+            "adc_dist": sel_d.ravel(),
+        })
 
     local = codes_df.mapInPandas(score, schema=schema)
     if refine_with is None:
@@ -183,7 +195,13 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
         f"{qid_col} long, {qvec_col} array<double>")
-    scored = (cand.join(refine_with.select(id_col, vec_col), id_col)
+    # Broadcast the CANDIDATE side (bounded at Q * k * refine_factor rows by
+    # construction) so the vector corpus never shuffles for the re-score —
+    # without the hint this planned as a sort-merge join (2 extra exchanges
+    # + sorts, the round-4 PQ latency gap), and at 100 TB AQE would try to
+    # broadcast the corpus statistics-blind.
+    scored = (refine_with.select(id_col, vec_col)
+              .join(F.broadcast(cand), id_col)
               .join(F.broadcast(qdf), qid_col)
               # dim = m*dsub is statically known from the codebooks —
               # unrolled codegen distance for the exact re-score
