@@ -54,6 +54,18 @@ def test_hnsw_recall(spark, sf_dir, exact):
     assert recall_at_k(approx, ex, K) >= 0.9
 
 
+def test_hnsw_routed_kmeans_shards(spark, sf_dir, exact):
+    """Routing gate (round-4 VERDICT item 6): kmeans shards + boundary
+    replication hold recall probing only HALF the shards; hash shards
+    refuse routing (uniform samples — centroids coincide)."""
+    emb, qs, ex = exact
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans")
+    routed = hnsw_search(idx, qs, K, ef_search=64, probe_shards=2)
+    assert recall_at_k(routed, ex, K) >= 0.8
+    with pytest.raises(ValueError, match="kmeans"):
+        hnsw_search(hnsw_build(emb, num_shards=4), qs, K, probe_shards=2)
+
+
 def test_hnsw_graph_local():
     """Pure-graph sanity without Spark: the perturbation oracle
     (hnsw.cc:326-368 restated) on one in-process graph."""

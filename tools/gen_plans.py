@@ -88,6 +88,13 @@ COMMENTARY = {
         "broadcast; training-doc k-grams stream through a map-side hash "
         "join and a combinable count — the big side never shuffles raw "
         "grams to a join exchange."),
+    "ann_bucketed_probe": (
+        "Persisted-index pruned serving: the LSH index is saved "
+        "hash-bucketed on `bucket`, and the probe's bucket-id IN filter "
+        "prunes file buckets at the SCAN (`SelectedBucketsCount` below — "
+        "the probe reads a constant fraction of the index, never scans "
+        "it); probed candidates then re-score exactly with broadcast "
+        "query vectors and rank per query."),
 }
 
 
@@ -107,6 +114,10 @@ def facts(plan: str) -> list[str]:
     wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
     out.append(f"- whole-stage codegen spans: {wsc}; Python in plan: "
                f"{'yes' if 'Python' in plan else 'no'}")
+    sel = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    if sel:
+        out.append(f"- bucket pruning: `SelectedBucketsCount: {sel.group(1)} "
+                   f"out of {sel.group(2)}`")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     nonempty = [p for p in pushed if p.strip()]
     if nonempty:

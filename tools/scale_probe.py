@@ -143,6 +143,22 @@ def main() -> None:
     recalls["hnsw"] = round(recall_at_k(
         hnsw_search(hnsw_state["idx"], queries, K), exact, K), 3)
 
+    # routed kmeans-sharded HNSW (round-4 VERDICT item 6): spatial shards
+    # + boundary replication; probe only the nearest QUARTER of the shards
+    hnsw_routed = {}
+
+    def build_hnsw_routed():
+        idx = hnsw_build(emb, num_shards=32, shard_by="kmeans").cache()
+        idx.count()
+        hnsw_routed["idx"] = idx
+    timed("hnsw_kmeans_index_build", build_hnsw_routed)
+    steady("hnsw_routed8_search_batch100",
+           lambda: force(hnsw_search(hnsw_routed["idx"], queries, K,
+                                     probe_shards=8)))
+    recalls["hnsw_routed8"] = round(recall_at_k(
+        hnsw_search(hnsw_routed["idx"], queries, K, probe_shards=8),
+        exact, K), 3)
+
     pq_state = {}
 
     def build_pq():
@@ -156,6 +172,51 @@ def main() -> None:
     recalls["pq_refined"] = round(recall_at_k(
         PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
                      refine_with=emb, refine_factor=30), exact, K), 3)
+
+    # ---- dedup at 200k docs (round-4 VERDICT item 7): the one-scan
+    # melted verify (current minhash_lsh_pairs) vs the r01-shaped per-side
+    # join (re-scans + re-shingles the corpus once per pair side) on a
+    # near-dup-rich corpus (~10% of docs are 1-word mutations of their
+    # predecessor). Both cold single-shot: dedup is a one-shot batch job.
+    from vectordb_explorations_spark.operators import dedup as D
+
+    docs_out = "/tmp/scale_probe_documents"
+    if not os.path.exists(docs_out):
+        base = spark.range(N).withColumn(
+            "base_id",
+            F.when(F.col("id") % 10 == 1, F.col("id") - 1).otherwise(F.col("id")))
+        words = ("transform(sequence(0, 39), i -> concat('w', "
+                 "conv(substr(md5(concat(base_id, '_', i)), 1, 6), 16, 10)"
+                 " % 5000))")
+        mut = ("CASE WHEN id % 10 = 1 THEN transform(words, (w, i) -> "
+               "CASE WHEN i = cast(id % 40 AS INT) THEN concat('m', id) "
+               "ELSE w END) ELSE words END")
+        (base.withColumn("words", F.expr(words))
+         .withColumn("words", F.expr(mut))
+         .select(F.col("id").alias("doc_id"),
+                 F.array_join("words", " ").alias("text"))
+         .repartition(32)
+         .write.mode("overwrite").parquet(docs_out))
+    sdocs = spark.read.parquet(docs_out).cache()
+    nd = sdocs.count()
+
+    def naive_pairs():
+        # the round-1 plan: candidates + one shingle-set join PER SIDE
+        cand = D.banding_candidates(sdocs)
+        sh = D._shingle_sets(sdocs)
+        a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+        both = cand.join(a, "doc_id_a").join(b, "doc_id_b")
+        jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+               / F.size(F.array_union("sh_a", "sh_b")))
+        return (both.select("doc_id_a", "doc_id_b",
+                            F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= 0.8))
+
+    timed("dedup_minhash_onescan_200k",
+          lambda: force(D.minhash_lsh_pairs(sdocs)))
+    timed("dedup_minhash_perside_200k", lambda: force(naive_pairs()))
+    n_pairs = D.minhash_lsh_pairs(sdocs).count()
 
     lines = [
         "# SCALE_NOTES — measured behavior at 100x fixture scale",
@@ -175,8 +236,17 @@ def main() -> None:
         f"| exact blockwise (baseline) | — | {results['exact_blockwise_knn_batch100']} | 1.0 |",
         f"| hyperplane LSH (T=8, P=10) | {results['lsh_index_build']} | {results['lsh_search_batch100']} | {recalls['lsh']} |",
         f"| IVF (C=64, nprobe=8) | {results['ivf_index_build']} | {results['ivf_search_batch100']} | {recalls['ivf']} |",
-        f"| sharded HNSW (32 shards, M=8) | {results['hnsw_index_build']} | {results['hnsw_search_batch100']} | {recalls['hnsw']} |",
+        f"| sharded HNSW (32 hash shards, M=8, all-shard fan-out) | {results['hnsw_index_build']} | {results['hnsw_search_batch100']} | {recalls['hnsw']} |",
+        f"| routed HNSW (32 kmeans shards, assign_n=2, probe 8/32) | {results['hnsw_kmeans_index_build']} | {results['hnsw_routed8_search_batch100']} | {recalls['hnsw_routed8']} |",
         f"| PQ + exact refine (m=16, k=64, rf=30) | {results['pq_index_build']} | {results['pq_refined_search_batch100']} | {recalls['pq_refined']} |",
+        "",
+        f"Dedup at {nd:,} docs (~10% near-dup 1-word mutations; "
+        f"{n_pairs:,} verified pairs ≥0.8 Jaccard), cold single-shot:",
+        "",
+        "| plan | wall (s) |",
+        "|---|---|",
+        f"| one-scan melted verify (minhash_lsh_pairs, r02+) | {results['dedup_minhash_onescan_200k']} |",
+        f"| per-side shingle joins (r01 shape) | {results['dedup_minhash_perside_200k']} |",
         "",
         "Findings (honest, data-dependent):",
         "",
@@ -218,6 +288,38 @@ def main() -> None:
         "shard size — not corpus size — is the knob: keep shards ~10k and "
         "scale shard count with executors. Recall still dips slightly "
         "with shard count (each shard walks an independent graph).",
+        "- **Routed HNSW replaces the all-shard fan-out** (round-4 "
+        "VERDICT item 6): kmeans cells + per-shard centroids in the index "
+        "rows, queries probe only their nearest probe_shards cells "
+        "(IVF's probe-selection pattern) with assign_n=2 boundary "
+        "replication covering cell-edge neighborhoods. The table row "
+        "probes a QUARTER of the shards at the recall shown; hash shards "
+        "are uniform samples and cannot be routed (their centroids "
+        "coincide — hnsw_search refuses). Honest caveats at 32 shards: "
+        "the kmeans build costs more than the hash build (2x vectors "
+        "from replication, and k-means cells are unbalanced where "
+        "per-shard wiring is O(n_shard^2)), and at a 100-query batch the "
+        "routed search does NOT beat the fan-out on wall time — the "
+        "routed shard union covers most shards, and replication doubles "
+        "per-shard graph sizes. The structural payoff is per-QUERY "
+        "serving cost going O(probe_shards) instead of O(shards) "
+        "(unrouted shards are pruned at the scan, so a persisted "
+        "shard-partitioned index reads only probed files), which is "
+        "what survives thousands of shards and small query batches.",
+        "- **Dedup verify at 200k docs: the per-side join WINS at this "
+        "scale** (table above) — the candidate-pair set is small enough "
+        "that AQE broadcasts it into both shingle-set joins, so the "
+        "corpus-side shingle stream never shuffles and computing shingle "
+        "sets twice map-side is cheaper than the melt's pair-key "
+        "regroup, which exchanges candidate shingle ARRAYS. The one-scan "
+        "melt's advantage is shuffle-bytes on the BIG side: past the "
+        "broadcast threshold the per-side plan shuffles the corpus' "
+        "shingle sets through two sort-merge joins where the melt "
+        "shuffles them once. At 200k/10%-dup density the crossover has "
+        "not been reached; minhash_lsh_pairs keeps the melt because its "
+        "target operating point (100 TB, candidates >> broadcast "
+        "threshold) is past it, and the banding recall stage — shared by "
+        "both — is unchanged.",
         "- **BLAS is pinned to 1 thread per process** (session.py): with "
         "32 concurrent tasks each calling NumPy GEMMs, a threaded BLAS "
         "oversubscribes the box cores² and timings swing 3-6x; "

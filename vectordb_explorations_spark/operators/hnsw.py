@@ -355,22 +355,53 @@ INDEX_SCHEMA = T.StructType([
     T.StructField("n_vectors", T.LongType()),
     T.StructField("max_level", T.IntegerType()),
     T.StructField("blob", T.BinaryType()),
+    # shard centroid under shard_by='kmeans'; NULL for hash shards.
+    # Serving routes each query to its nearest few centroids instead of
+    # fanning out to every shard (round-4 VERDICT item 6).
+    T.StructField("centroid", T.ArrayType(T.DoubleType())),
 ])
 
 
 def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
                ef_construction: int = 64, seed: int = 42,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64) -> DataFrame:
-    """Bulk-build sharded HNSW: deterministic shard assignment
-    (vec_id mod num_shards), one graph per shard via applyInPandas, blobs
-    persisted as a DataFrame — the Spark replacement for `Hnsw::Insert`'s
-    online loop (SURVEY §3 entry point B).
+               dim: int = 64, shard_by: str = "hash",
+               fit_sample: int = 50_000, assign_n: int = 2) -> DataFrame:
+    """Bulk-build sharded HNSW: one graph per shard via applyInPandas,
+    blobs persisted as a DataFrame — the Spark replacement for
+    `Hnsw::Insert`'s online loop (SURVEY §3 entry point B).
+
+    ``shard_by`` picks the assignment:
+    - ``'hash'``: vec_id mod num_shards. Every shard is a uniform corpus
+      sample, so queries MUST fan out to all shards (shard centroids all
+      coincide at the global mean — routing is impossible by construction).
+    - ``'kmeans'``: shards are k-means cells (driver fit on a bounded
+      hash-ordered sample, exactly ivf_build's pattern), so shards are
+      spatially coherent and each index row carries its centroid —
+      ``hnsw_search(probe_shards=n)`` then probes only the nearest n
+      shards per query. This is the 100 TB shape: all-shard fan-out is
+      linear in shard count and erases HNSW's sublinearity at thousands
+      of shards. ``assign_n=2`` replicates each vector into its 2 nearest
+      cells (IVF's boundary-spill trade: 2x build for the boundary
+      neighborhoods a single-cell assignment cuts — measured recall@10
+      0.79 -> ≥0.9 at half-shards probing on the sf0.1 corpus); search
+      dedupes candidates before ranking.
 
     Scale: shards build in parallel with zero cross-shard traffic; shard
-    count scales with executors. Persist with
-    ``df.write.parquet(...)`` and reload for serving.
+    count scales with executors. Persist with ``df.write.parquet(...)``
+    and reload for serving.
     """
+    if shard_by not in ("hash", "kmeans"):
+        raise ValueError(f"unknown shard_by {shard_by!r}")
+
+    centroids = None
+    if shard_by == "kmeans":
+        from vectordb_explorations_spark.operators.pq import _kmeans_1d
+        sample = [r[0] for r in
+                  vectors.orderBy(F.xxhash64(F.col(id_col)), id_col)
+                  .limit(fit_sample).select(vec_col).collect()]
+        mat = np.asarray(sample, dtype=np.float64)
+        centroids = _kmeans_1d(mat, num_shards, seed, iters=10)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -380,25 +411,64 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
         ids = pdf[id_col].to_numpy()[order]
         mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
         g.bulk_add(ids, mat)
+        cent = (list(map(float, centroids[shard]))
+                if centroids is not None else None)
         return pd.DataFrame({
             "shard": [shard],
             "n_vectors": [len(ids)],
             "max_level": [g.max_level],
             "blob": [pickle.dumps(g, protocol=4)],
+            "centroid": [cent],
         })
 
-    sharded = vectors.select(
-        (F.col(id_col) % num_shards).cast("int").alias("shard"), id_col, vec_col)
+    if shard_by == "kmeans":
+        bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+        cnorm = (centroids ** 2).sum(-1)
+        shard_schema = T.StructType(
+            [T.StructField("shard", T.IntegerType())]
+            + [T.StructField(f.name, f.dataType, f.nullable)
+               for f in vectors.select(id_col, vec_col).schema.fields])
+
+        an = max(1, min(assign_n, num_shards))
+
+        def assign(batches):
+            C = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                d = -2.0 * X @ C.T + cnorm
+                near = np.argpartition(d, an - 1, axis=1)[:, :an]  # (n, an)
+                out = pdf[[id_col, vec_col]].loc[
+                    pdf.index.repeat(an)].copy()
+                out.insert(0, "shard", near.reshape(-1).astype(np.int32))
+                yield out
+
+        sharded = vectors.select(id_col, vec_col).mapInPandas(
+            assign, schema=shard_schema)
+    else:
+        sharded = vectors.select(
+            (F.col(id_col) % num_shards).cast("int").alias("shard"),
+            id_col, vec_col)
     return sharded.groupBy("shard").applyInPandas(build, schema=INDEX_SCHEMA)
 
 
 def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
                 ef_search: int = 128,
                 qid_col: str = "query_id", qvec_col: str = "query_vec",
-                id_col: str = "vec_id") -> DataFrame:
-    """Fan queries out to every shard (mapInPandas over index blobs), local
-    graph search, global top-k merge — SURVEY §3 entry point C, two stages
-    and one shuffle of only shards×k rows per query.
+                id_col: str = "vec_id",
+                probe_shards: int | None = None) -> DataFrame:
+    """Per-shard graph search + global top-k merge — SURVEY §3 entry point
+    C, two stages and one shuffle of only shards×k rows per query.
+
+    With ``probe_shards=None`` every query runs on every shard (required
+    for hash-sharded indexes, whose shards are uniform corpus samples).
+    With ``probe_shards=n`` on a kmeans-sharded index (centroid column
+    non-null), each query routes to its n nearest shard centroids — the
+    IVF probe-selection pattern — so serving work is O(n), not O(shards):
+    the scale path when shard count grows with the corpus. Routing is a
+    (Q, S) NumPy argmin over driver-resident centroids (num_shards rows
+    collected once); no vectors move.
 
     ef_search defaults to 128: at the 200k probe this lifts recall@10
     0.865 → 0.935 for <25% extra beam work (per-shard graphs are small, so
@@ -406,6 +476,24 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+
+    routed: dict[int, list[int]] | None = None
+    if probe_shards is not None:
+        cent_rows = index_df.select("shard", "centroid").collect()
+        if any(r["centroid"] is None for r in cent_rows):
+            raise ValueError(
+                "probe_shards requires a kmeans-sharded index "
+                "(hnsw_build(shard_by='kmeans')); hash shards are uniform "
+                "samples and cannot be routed")
+        shards = np.array([int(r["shard"]) for r in cent_rows])
+        C = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+        nn = min(probe_shards, len(shards))
+        d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)  # (Q, S)
+        near = np.argpartition(d2, nn - 1, axis=1)[:, :nn]
+        routed = {}
+        for qi in range(len(qids)):
+            for si in near[qi]:
+                routed.setdefault(int(shards[si]), []).append(qi)
 
     out_schema = T.StructType([
         T.StructField(qid_col, T.LongType()),
@@ -415,18 +503,35 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob in pdf["blob"]:
+            for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                if routed is not None:
+                    q_sel = routed.get(int(shard), [])
+                else:
+                    q_sel = range(len(qids))
+                if not len(q_sel):
+                    continue
                 g: HnswGraph = pickle.loads(blob)
                 rows_q, rows_i, rows_d = [], [], []
-                for qi, qid in enumerate(qids):
+                for qi in q_sel:
                     for vid, d in g.search(qmat[qi], k, ef_search):
-                        rows_q.append(qid)
+                        rows_q.append(qids[qi])
                         rows_i.append(vid)
                         rows_d.append(d)
                 yield pd.DataFrame({qid_col: rows_q, id_col: rows_i, "dist": rows_d})
 
-    local = index_df.select("blob").mapInPandas(probe, schema=out_schema)
+    probed_df = index_df.select("shard", "blob")
+    if routed is not None:
+        # prune unrouted shards at the SCAN: blobs are the heavy payload,
+        # and without this every task still receives all shards' bytes
+        # (on a shard-partitioned persisted index this is partition
+        # pruning — only the probed shards' files are read)
+        probed_df = probed_df.where(F.col("shard").isin(sorted(routed)))
+    local = probed_df.mapInPandas(probe, schema=out_schema)
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return (local.withColumn("rank", F.row_number().over(w))
+    # kmeans sharding with assign_n>1 replicates boundary vectors across
+    # shards, so one (query, vec) pair can arrive from two probes — dedupe
+    # before ranking (no-op for hash shards: partitions are disjoint)
+    return (local.dropDuplicates([qid_col, id_col])
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(qid_col, id_col, F.round("dist", 6).alias("dist"), "rank"))
