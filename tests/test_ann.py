@@ -66,6 +66,20 @@ def test_hnsw_routed_kmeans_shards(spark, sf_dir, exact):
         hnsw_search(hnsw_build(emb, num_shards=4), qs, K, probe_shards=2)
 
 
+def test_hnsw_shard_cap_balance(spark, sf_dir, exact):
+    """shard_cap splits over-loaded kmeans cells into mixed-hash
+    sub-shards: no shard exceeds ~cap (sampling slack), and routing still
+    probes whole cells (sub-shards share the cell centroid)."""
+    emb, qs, ex = exact
+    cap = 150  # 500 vectors x assign_n=2 across 4 cells forces splits
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans", shard_cap=cap)
+    rows = idx.select("shard", "n_vectors").collect()
+    assert len(rows) > 4  # at least one cell split
+    assert max(int(r["n_vectors"]) for r in rows) <= int(cap * 1.5)
+    routed = hnsw_search(idx, qs, K, ef_search=64, probe_shards=2)
+    assert recall_at_k(routed, ex, K) >= 0.8
+
+
 def test_hnsw_graph_local():
     """Pure-graph sanity without Spark: the perturbation oracle
     (hnsw.cc:326-368 restated) on one in-process graph."""

@@ -148,7 +148,10 @@ def main() -> None:
     hnsw_routed = {}
 
     def build_hnsw_routed():
-        idx = hnsw_build(emb, num_shards=32, shard_by="kmeans").cache()
+        # shard_cap bounds the O(n_shard^2) wiring per shard: unbalanced
+        # k-means cells otherwise straggle the build stage
+        idx = hnsw_build(emb, num_shards=32, shard_by="kmeans",
+                         shard_cap=8192).cache()
         idx.count()
         hnsw_routed["idx"] = idx
     timed("hnsw_kmeans_index_build", build_hnsw_routed)
@@ -237,7 +240,7 @@ def main() -> None:
         f"| hyperplane LSH (T=8, P=10) | {results['lsh_index_build']} | {results['lsh_search_batch100']} | {recalls['lsh']} |",
         f"| IVF (C=64, nprobe=8) | {results['ivf_index_build']} | {results['ivf_search_batch100']} | {recalls['ivf']} |",
         f"| sharded HNSW (32 hash shards, M=8, all-shard fan-out) | {results['hnsw_index_build']} | {results['hnsw_search_batch100']} | {recalls['hnsw']} |",
-        f"| routed HNSW (32 kmeans shards, assign_n=2, probe 8/32) | {results['hnsw_kmeans_index_build']} | {results['hnsw_routed8_search_batch100']} | {recalls['hnsw_routed8']} |",
+        f"| routed HNSW (32 kmeans shards, assign_n=2, shard_cap 8192, probe 8/32) | {results['hnsw_kmeans_index_build']} | {results['hnsw_routed8_search_batch100']} | {recalls['hnsw_routed8']} |",
         f"| PQ + exact refine (m=16, k=64, rf=30) | {results['pq_index_build']} | {results['pq_refined_search_batch100']} | {recalls['pq_refined']} |",
         "",
         f"Dedup at {nd:,} docs (~10% near-dup 1-word mutations; "
@@ -295,10 +298,14 @@ def main() -> None:
         "replication covering cell-edge neighborhoods. The table row "
         "probes a QUARTER of the shards at the recall shown; hash shards "
         "are uniform samples and cannot be routed (their centroids "
-        "coincide — hnsw_search refuses). Honest caveats at 32 shards: "
-        "the kmeans build costs more than the hash build (2x vectors "
-        "from replication, and k-means cells are unbalanced where "
-        "per-shard wiring is O(n_shard^2)), and at a 100-query batch the "
+        "coincide — hnsw_search refuses). shard_cap=8192 splits "
+        "over-loaded cells into mixed-hash sub-shards (sample-estimated "
+        "loads, no extra corpus pass; the id must be MIXED before the "
+        "modulo — ids that encode attributes otherwise put a whole "
+        "cluster in one sub-shard), which halved the kmeans build by "
+        "removing the hot-cell straggler in the O(n_shard^2) wiring "
+        "stage; remaining build premium over hash shards is the 2x "
+        "replication. Honest caveat: at a 100-query batch the "
         "routed search does NOT beat the fan-out on wall time — the "
         "routed shard union covers most shards, and replication doubles "
         "per-shard graph sizes. The structural payoff is per-QUERY "
@@ -306,20 +313,21 @@ def main() -> None:
         "(unrouted shards are pruned at the scan, so a persisted "
         "shard-partitioned index reads only probed files), which is "
         "what survives thousands of shards and small query batches.",
-        "- **Dedup verify at 200k docs: the per-side join WINS at this "
-        "scale** (table above) — the candidate-pair set is small enough "
-        "that AQE broadcasts it into both shingle-set joins, so the "
-        "corpus-side shingle stream never shuffles and computing shingle "
-        "sets twice map-side is cheaper than the melt's pair-key "
-        "regroup, which exchanges candidate shingle ARRAYS. The one-scan "
-        "melt's advantage is shuffle-bytes on the BIG side: past the "
-        "broadcast threshold the per-side plan shuffles the corpus' "
-        "shingle sets through two sort-merge joins where the melt "
-        "shuffles them once. At 200k/10%-dup density the crossover has "
-        "not been reached; minhash_lsh_pairs keeps the melt because its "
-        "target operating point (100 TB, candidates >> broadcast "
-        "threshold) is past it, and the banding recall stage — shared by "
-        "both — is unchanged.",
+        "- **Dedup verify at 200k docs: the two verify plans land within "
+        "run variance of each other at this scale** (table above; "
+        "repeated runs measure 11-20 s each, in either order) — the "
+        "candidate-pair set is small enough that AQE broadcasts it into "
+        "both shingle-set joins, so the per-side plan's corpus-side "
+        "shingle stream never shuffles, and computing shingle sets twice "
+        "map-side costs about what the melt's pair-key regroup (which "
+        "exchanges candidate shingle ARRAYS) costs. The one-scan melt's "
+        "advantage is shuffle-bytes on the BIG side: past the broadcast "
+        "threshold the per-side plan shuffles the corpus' shingle sets "
+        "through two sort-merge joins where the melt shuffles them once. "
+        "At 200k/10%-dup density that crossover has not been reached; "
+        "minhash_lsh_pairs keeps the melt because its target operating "
+        "point (100 TB, candidates >> broadcast threshold) is past it, "
+        "and the banding recall stage — shared by both — is unchanged.",
         "- **BLAS is pinned to 1 thread per process** (session.py): with "
         "32 concurrent tasks each calling NumPy GEMMs, a threaded BLAS "
         "oversubscribes the box cores² and timings swing 3-6x; "

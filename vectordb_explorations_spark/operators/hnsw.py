@@ -366,7 +366,8 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
                ef_construction: int = 64, seed: int = 42,
                id_col: str = "vec_id", vec_col: str = "embedding",
                dim: int = 64, shard_by: str = "hash",
-               fit_sample: int = 50_000, assign_n: int = 2) -> DataFrame:
+               fit_sample: int = 50_000, assign_n: int = 2,
+               shard_cap: int | None = None) -> DataFrame:
     """Bulk-build sharded HNSW: one graph per shard via applyInPandas,
     blobs persisted as a DataFrame — the Spark replacement for
     `Hnsw::Insert`'s online loop (SURVEY §3 entry point B).
@@ -387,6 +388,14 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
       0.79 -> ≥0.9 at half-shards probing on the sf0.1 corpus); search
       dedupes candidates before ranking.
 
+    ``shard_cap`` (kmeans only) bounds per-shard size: cell loads are
+    estimated from the fit sample (no extra corpus pass), and any cell
+    expected to exceed the cap splits into ceil(load/cap) hash sub-shards
+    that share the cell's centroid. Per-shard wiring is O(n_shard²), so
+    one hot cell otherwise straggles the whole build stage; sub-shards
+    restore balance while routing stays cell-level (``hnsw_search`` probes
+    every sub-shard of a routed cell).
+
     Scale: shards build in parallel with zero cross-shard traffic; shard
     count scales with executors. Persist with ``df.write.parquet(...)``
     and reload for serving.
@@ -395,6 +404,7 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
         raise ValueError(f"unknown shard_by {shard_by!r}")
 
     centroids = None
+    shard_cell = None  # final shard id -> cell id, after splitting
     if shard_by == "kmeans":
         from vectordb_explorations_spark.operators.pq import _kmeans_1d
         sample = [r[0] for r in
@@ -402,6 +412,20 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
                   .limit(fit_sample).select(vec_col).collect()]
         mat = np.asarray(sample, dtype=np.float64)
         centroids = _kmeans_1d(mat, num_shards, seed, iters=10)
+        an = max(1, min(assign_n, num_shards))
+        if shard_cap is not None:
+            # per-cell load estimate from the sample (replication-aware):
+            # each vector lands in its an nearest cells
+            n_total = vectors.count()
+            d = -2.0 * mat @ centroids.T + (centroids ** 2).sum(-1)
+            samp_near = np.argpartition(d, an - 1, axis=1)[:, :an]
+            counts = np.bincount(samp_near.ravel(), minlength=num_shards)
+            est = counts / max(1, counts.sum()) * (n_total * an)
+            n_sub = np.maximum(1, np.ceil(est / shard_cap)).astype(np.int64)
+        else:
+            n_sub = np.ones(num_shards, dtype=np.int64)
+        sub_base = np.concatenate([[0], np.cumsum(n_sub)])[:-1]
+        shard_cell = np.repeat(np.arange(num_shards), n_sub)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -411,7 +435,7 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
         ids = pdf[id_col].to_numpy()[order]
         mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
         g.bulk_add(ids, mat)
-        cent = (list(map(float, centroids[shard]))
+        cent = (list(map(float, centroids[shard_cell[shard]]))
                 if centroids is not None else None)
         return pd.DataFrame({
             "shard": [shard],
@@ -429,8 +453,6 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
             + [T.StructField(f.name, f.dataType, f.nullable)
                for f in vectors.select(id_col, vec_col).schema.fields])
 
-        an = max(1, min(assign_n, num_shards))
-
         def assign(batches):
             C = bc.value
             for pdf in batches:
@@ -438,10 +460,21 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
                     continue
                 X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
                 d = -2.0 * X @ C.T + cnorm
-                near = np.argpartition(d, an - 1, axis=1)[:, :an]  # (n, an)
+                near = np.argpartition(d, an - 1, axis=1)[:, :an]  # cells
+                ids = pdf[id_col].to_numpy()
+                # deterministic hash sub-shard within each (possibly
+                # split) cell; n_sub==1 cells collapse to the cell itself.
+                # MIX the id (murmur3 finalizer), don't use it raw: ids
+                # that encode attributes (e.g. label = id mod k) make
+                # raw-modulo sub-shards degenerate to whole clusters
+                h = ids.astype(np.uint64)
+                h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+                h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+                h = (h ^ (h >> np.uint64(33))).astype(np.int64)
+                shards = sub_base[near] + (h[:, None] % n_sub[near])
                 out = pdf[[id_col, vec_col]].loc[
                     pdf.index.repeat(an)].copy()
-                out.insert(0, "shard", near.reshape(-1).astype(np.int32))
+                out.insert(0, "shard", shards.reshape(-1).astype(np.int32))
                 yield out
 
         sharded = vectors.select(id_col, vec_col).mapInPandas(
@@ -464,11 +497,12 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
     With ``probe_shards=None`` every query runs on every shard (required
     for hash-sharded indexes, whose shards are uniform corpus samples).
     With ``probe_shards=n`` on a kmeans-sharded index (centroid column
-    non-null), each query routes to its n nearest shard centroids — the
-    IVF probe-selection pattern — so serving work is O(n), not O(shards):
-    the scale path when shard count grows with the corpus. Routing is a
-    (Q, S) NumPy argmin over driver-resident centroids (num_shards rows
-    collected once); no vectors move.
+    non-null), each query routes to its n nearest CELLS — the IVF
+    probe-selection pattern; a split cell's sub-shards all probe — so
+    serving work is O(n cells), not O(shards): the scale path when shard
+    count grows with the corpus. Routing is a (Q, cells) NumPy argmin
+    over driver-resident centroids (num_shards rows collected once); no
+    vectors move.
 
     ef_search defaults to 128: at the 200k probe this lifts recall@10
     0.865 → 0.935 for <25% extra beam work (per-shard graphs are small, so
@@ -485,15 +519,28 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
                 "probe_shards requires a kmeans-sharded index "
                 "(hnsw_build(shard_by='kmeans')); hash shards are uniform "
                 "samples and cannot be routed")
-        shards = np.array([int(r["shard"]) for r in cent_rows])
-        C = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
-        nn = min(probe_shards, len(shards))
-        d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)  # (Q, S)
+        # group shards by CELL: shard_cap sub-shards share their cell's
+        # centroid, and a routed query must probe the whole cell (its
+        # members hash-scatter across the sub-shards)
+        cell_of: dict[tuple, int] = {}
+        cell_shards: list[list[int]] = []
+        cell_cents: list[list[float]] = []
+        for r in cent_rows:
+            key = tuple(r["centroid"])
+            if key not in cell_of:
+                cell_of[key] = len(cell_shards)
+                cell_shards.append([])
+                cell_cents.append(list(key))
+            cell_shards[cell_of[key]].append(int(r["shard"]))
+        C = np.asarray(cell_cents, dtype=np.float64)
+        nn = min(probe_shards, len(C))
+        d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)  # (Q, cells)
         near = np.argpartition(d2, nn - 1, axis=1)[:, :nn]
         routed = {}
         for qi in range(len(qids)):
-            for si in near[qi]:
-                routed.setdefault(int(shards[si]), []).append(qi)
+            for ci in near[qi]:
+                for s in cell_shards[ci]:
+                    routed.setdefault(s, []).append(qi)
 
     out_schema = T.StructType([
         T.StructField(qid_col, T.LongType()),
