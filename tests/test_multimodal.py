@@ -73,3 +73,82 @@ def test_sample_frames_fanout(spark, sf_dir):
         for r in rows:
             assert r["byte_offset"] == r["frame_idx"] * 64
             assert r["frame_idx"] % 2 == 0
+
+
+# ---- pure-NumPy codecs (no PIL/cv2 in the container: netpbm/BMP/WAV are
+# header+raw formats, decodable with index math alone) ----
+
+def _ppm(w, h, px):
+    return b"P6\n# c\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def test_decode_netpbm_p6_and_p5():
+    import numpy as np
+    img = M.decode_image(_ppm(2, 2, [255, 0, 0,  0, 255, 0,
+                                     0, 0, 255,  9, 9, 9]))
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 1].tolist() == [9, 9, 9]
+    gray = M.decode_image(b"P5\n3 1\n255\n" + bytes([1, 2, 3]))
+    assert gray.shape == (1, 3) and gray.tolist() == [[1, 2, 3]]
+
+
+def test_decode_bmp_bottom_up_with_padding():
+    import numpy as np
+    # 2x2 24-bit BMP: stride 8 (2 px * 3 B -> padded to 8), bottom-up
+    w, h, stride = 2, 2, 8
+    off = 14 + 40
+    top = [(255, 0, 0), (0, 255, 0)]      # logical top row, RGB
+    bot = [(0, 0, 255), (10, 20, 30)]
+    def row(px):
+        b = b"".join(bytes([b_, g, r]) for r, g, b_ in px)  # stored BGR
+        return b + b"\x00" * (stride - len(b))
+    data = row(bot) + row(top)            # bottom-up storage
+    hdr = (b"BM" + (off + len(data)).to_bytes(4, "little") + b"\x00" * 4
+           + off.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + b"\x00" * 20)
+    img = M.decode_image(hdr + data)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]   # top-left red
+    assert img[1, 1].tolist() == [10, 20, 30]
+
+
+def test_decode_wav_pcm16():
+    import numpy as np
+    samples = np.array([[0, 1], [2, 3], [-4, -5]], dtype="<i2")
+    data = samples.tobytes()
+    fmt = ((1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    wav = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+           + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+           + b"data" + len(data).to_bytes(4, "little") + data)
+    arr, rate = M.decode_audio(wav)
+    assert rate == 8000 and arr.shape == (3, 2)
+    assert arr.tolist() == samples.tolist()
+
+
+def test_decode_compressed_raises():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_images_real_decode_path(spark):
+    """A decodable PPM payload goes through the REAL decode + NN resize:
+    the recorded dims are the header's, and the sha matches the kernel
+    applied locally."""
+    import hashlib
+    import numpy as np
+    payload = _ppm(4, 2, range(4 * 2 * 3))
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(payload), {})], schema=M.ASSET_SCHEMA)
+    row = M.resize_images(assets, out_w=2, out_h=2).collect()[0]
+    assert (row["src_w"], row["src_h"]) == (4, 2)
+    expect = np.ascontiguousarray(
+        M.nn_resize(M.decode_image(payload), 2, 2))
+    assert row["resized_sha"] == hashlib.sha256(expect.tobytes()).hexdigest()
