@@ -18,7 +18,8 @@ QUERIES = entry_mod.queries()
 # paths: blockwise k-NN, the multimodal byte-payload stages, and the
 # grouped-agg pandas UDAF that IS the custom-aggregate surface demo).
 PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
-                  "multimodal_frames", "lang_geomean_chars"}
+                  "multimodal_frames", "multimodal_resize",
+                  "lang_geomean_chars"}
 
 
 def _plan(spark, sf_dir, name):

@@ -401,6 +401,47 @@ def resize_images(assets: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
             .mapInPandas(run, schema=RESIZE_SCHEMA))
 
 
+def resize_real_flat(docs: DataFrame, src_w: int = 8, src_h: int = 6,
+                     out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """Driver-checkable REAL-decode resize: each document's first
+    src_w*src_h*3 ASCII bytes become a valid binary-PPM (P6) payload, which
+    :func:`resize_images` then actually decodes (header parse, raster
+    reshape) and nearest-neighbor-resizes — no fake fallback on this path.
+    The oracle recomputes the same resize as substring picks with the NN
+    index arithmetic baked in as literals, so the driver hash-checks the
+    real codec kernel end to end."""
+    n = src_w * src_h * 3
+    payload = F.encode(
+        F.concat(F.lit(f"P6\n{src_w} {src_h}\n255\n"),
+                 F.substring("text", 1, n)), "UTF-8")
+    assets = (docs.where(F.length("text") >= n)
+              .select(F.col("doc_id").alias("asset_id"),
+                      F.lit("image").alias("modality"),
+                      payload.alias("payload"),
+                      F.create_map().cast("map<string,string>").alias("meta")))
+    return (resize_images(assets, out_w=out_w, out_h=out_h)
+            .orderBy("asset_id"))
+
+
+def resize_real_oracle(src_w: int = 8, src_h: int = 6,
+                       out_w: int = 4, out_h: int = 3) -> str:
+    # same index math as nn_resize: yi = y*h//out_h, xi = x*w//out_w
+    yi = [y * src_h // out_h for y in range(out_h)]
+    xi = [x * src_w // out_w for x in range(out_w)]
+    picks = " || ".join(
+        f"substr(text, {y * src_w * 3 + x * 3 + 1}, 3)"
+        for y in yi for x in xi)
+    n = src_w * src_h * 3
+    return f"""
+SELECT doc_id AS asset_id,
+       CAST({src_w} AS INT) AS src_w, CAST({src_h} AS INT) AS src_h,
+       CAST({out_w} AS INT) AS out_w, CAST({out_h} AS INT) AS out_h,
+       sha256({picks}) AS resized_sha
+FROM documents WHERE length(text) >= {n}
+ORDER BY asset_id
+"""
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),

@@ -383,6 +383,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "multimodal_frames": lambda s, d: M.frames_flat(
         load_table(s, "documents", d)),
+    # REAL codec path: P6 payloads built from document bytes, actually
+    # decoded + NN-resized; oracle bakes the resize index math as literals
+    "multimodal_resize": lambda s, d: M.resize_real_flat(
+        load_table(s, "documents", d)),
     # advanced joins (SURVEY §2.2 join-kind coverage)
     "asof_join": lambda s, d: J.asof_join_purchase_click(load_table(s, "events", d)),
     "range_join": lambda s, d: J.range_join_event_pairs(load_table(s, "events", d)),
@@ -504,7 +508,7 @@ _WINDOW_PRIORITY = [
     "dedup_representatives",
     "text_stats", "lang_id", "token_counts", "quality_filter",
     "multimodal_summary", "multimodal_features", "multimodal_frames",
-    "weighted_sample", "events_hourly", "region_revenue",
+    "multimodal_resize", "weighted_sample", "region_revenue",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -554,6 +558,7 @@ ORACLES: dict[str, str] = {
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,
+    "multimodal_resize": M.resize_real_oracle(),
     "asof_join": J.ASOF_JOIN_ORACLE,
     "range_join": J.range_join_oracle(),
     "pricing_summary": R.PRICING_SUMMARY_ORACLE,
