@@ -80,6 +80,20 @@ def test_hnsw_shard_cap_balance(spark, sf_dir, exact):
     assert recall_at_k(routed, ex, K) >= 0.8
 
 
+def test_hnsw_persist_reload_roundtrip(spark, sf_dir, exact, tmp_path):
+    """Serving path: the index DataFrame (blobs + centroids) round-trips
+    through parquet and the reloaded index answers identically — including
+    centroid-routed probes."""
+    emb, qs, ex = exact
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans")
+    p = str(tmp_path / "hnsw_idx")
+    idx.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    a = hnsw_search(idx, qs, K, ef_search=64, probe_shards=2).collect()
+    b = hnsw_search(reloaded, qs, K, ef_search=64, probe_shards=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_hnsw_graph_local():
     """Pure-graph sanity without Spark: the perturbation oracle
     (hnsw.cc:326-368 restated) on one in-process graph."""

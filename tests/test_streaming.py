@@ -113,3 +113,37 @@ def test_sliding_stream_equals_batch_twin(spark, sf_dir, stream):
              .select(F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
                      "n_events", "avg_value"))
     assert got == sorted(tuple(r) for r in batch.collect())
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a checkpointed file-source stream processes ONLY files
+    that arrived since the last drain: the parquet sink ends with exactly
+    old+new rows — the exactly-once recovery contract a production
+    pipeline relies on."""
+    import os
+    import shutil
+
+    from vectordb_explorations_spark.sources.catalog import (
+        _normalize_events_ts)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    fixture = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(fixture, src / "e1.parquet")
+    schema = SE._events_raw_schema(spark, sf_dir)
+
+    def drain():
+        df = _normalize_events_ts(
+            spark.readStream.schema(schema).parquet(str(src)))
+        q = (df.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    n_events = spark.read.parquet(fixture).count()
+    drain()
+    assert spark.read.parquet(out).count() == n_events
+    shutil.copy(fixture, src / "e2.parquet")
+    drain()  # restart from the checkpoint: only e2 is new
+    assert spark.read.parquet(out).count() == 2 * n_events
