@@ -38,6 +38,31 @@ def test_parity(name, spark, sf_dir):
     assert ok, f"{name}: {detail}"
 
 
+# Types DuckDB can emit that Spark cannot: the driver hashes TYPED output,
+# so an oracle column of one of these fails the hash even when every value
+# matches (DuckDB promotes SUM(BIGINT) — including window sums — to HUGEINT).
+# The value-level compare above normalizes via Python ints and provably
+# cannot catch this class; this binding-level guard closes it.
+_DUCK_TYPES_SPARK_CANNOT_EMIT = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                                 "USMALLINT", "UTINYINT", "TIME", "INTERVAL",
+                                 "BIT", "UUID"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_emits_only_spark_types(name, sf_dir):
+    from tests.oracle_utils import duck_connection
+    con = duck_connection(sf_dir)
+    try:
+        rel = con.sql(ORACLES[name])  # lazy bind: types without execution
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t).upper() in _DUCK_TYPES_SPARK_CANNOT_EMIT]
+    finally:
+        con.close()
+    assert not bad, (f"{name}: oracle emits DuckDB-only types {bad}; "
+                     f"CAST them (e.g. AS BIGINT) so the driver's typed "
+                     f"hash can match Spark")
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -376,8 +376,9 @@ WITH e AS (
   FROM e
 ), s AS (
   SELECT user_id, event_id, t_us, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -53,7 +53,7 @@ WITH s AS (
                  ELSE 'test' END AS split
   FROM documents
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM s GROUP BY split, lang ORDER BY split, lang
 """
 
@@ -150,7 +150,7 @@ WITH t AS (
 )
 SELECT lang, CAST(FLOOR(cum_before / {seq_len}.0) AS BIGINT) AS bin_id,
        count(*) AS n_docs,
-       SUM(n_tokens) AS bin_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c
@@ -213,8 +213,8 @@ WITH a AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       SUM(CAST(kept AS BIGINT)) AS n_kept,
-       SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS kept_chars
+       CAST(SUM(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM a
 GROUP BY lang
 ORDER BY lang
