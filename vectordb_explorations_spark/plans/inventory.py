@@ -38,6 +38,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 KNN_K = 10
 KNN_BATCH_QUERIES = 20
 
+# Shared constants for the bucketed-probe query and its oracle: the build
+# and the driver-side probe MUST agree on these (round-5 ADVICE — a drift
+# in random_hyperplane_lsh's defaults would silently collapse recall), and
+# the oracle bakes the same seeded hyperplanes as SQL literals.
+LSH_PROBE_TABLES = 8
+LSH_PROBE_PLANES = 6
+LSH_PROBE_SEED = 42
+LSH_PROBE_QUERIES = 5
+
 
 # ---------- vector / k-NN queries ----------
 
@@ -275,11 +284,15 @@ def q_ann_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB serving path: the probe touches a constant fraction of the
     persisted index instead of scanning it.
 
-    The candidate sets depend on the seeded random hyperplanes, which no
-    SQL engine can reproduce, so this query is declared rows-only
-    (NON_SQL_QUERIES); its recall is gated in tests/test_ann.py."""
+    The hyperplanes are deterministic float64 literals
+    (LSH_PROBE_TABLES × LSH_PROBE_PLANES × EMBEDDING_DIM, seeded), so the
+    oracle recomputes the exact bucket ids in SQL and the re-ranked top-k
+    hash-matches — verified margin: min |dot| ≥ 2e-7 at the fixtures, far
+    above float64 summation-order noise. Recall + SelectedBucketsCount
+    pruning stay gated in tests/test_ann.py."""
+    import hashlib
+    import os
     import tempfile
-    import uuid
 
     import numpy as np
 
@@ -287,14 +300,21 @@ def q_ann_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_explorations_spark.operators import ann as AN
 
     emb = load_table(spark, "embeddings", sf_dir)
-    index = AN.random_hyperplane_lsh(emb)
-    name = f"lsh_idx_{uuid.uuid4().hex[:10]}"
-    path = tempfile.mkdtemp(prefix="lsh_bucketed_")
+    index = AN.random_hyperplane_lsh(
+        emb, num_tables=LSH_PROBE_TABLES, num_planes=LSH_PROBE_PLANES,
+        seed=LSH_PROBE_SEED)
+    # Fixed per-sf_dir table name + path: repeat invocations overwrite the
+    # same artifacts instead of leaking a temp dir + registered table each
+    # call (round-5 ADVICE).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    name = f"lsh_idx_probe_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"lsh_bucketed_probe_{tag}")
     AN.lsh_persist_bucketed(index, name, path)
 
-    qrows = emb.orderBy("vec_id").limit(5).collect()
+    qrows = emb.orderBy("vec_id").limit(LSH_PROBE_QUERIES).collect()
     qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    planes = AN._hyperplanes(8, 6, EMBEDDING_DIM, 42)  # same defaults as build
+    planes = AN._hyperplanes(LSH_PROBE_TABLES, LSH_PROBE_PLANES,
+                             EMBEDDING_DIM, LSH_PROBE_SEED)
     bk = AN._buckets_np(qmat, planes)  # (n_queries, n_tables)
     probes = sorted({(t, int(bk[qi, t]))
                      for qi in range(len(qrows)) for t in range(planes.shape[0])})
@@ -320,6 +340,49 @@ def q_ann_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= KNN_K)
             .select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
             .orderBy("query_id", "rank"))
+
+
+def _oracle_ann_bucketed_probe() -> str:
+    """DuckDB twin of q_ann_bucketed_probe: the seeded hyperplanes baked as
+    SQL literals (repr(float) round-trips float64 exactly), bucket ids
+    recomputed via the same sign-bit math, candidates = corpus vectors
+    sharing any (table, bucket) with a query, exact-L2 re-ranked top-k."""
+    from vectordb_explorations_spark.operators.ann import _hyperplanes
+    planes = _hyperplanes(LSH_PROBE_TABLES, LSH_PROBE_PLANES,
+                          EMBEDDING_DIM, LSH_PROBE_SEED)
+    vals = ",\n".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}])"
+        for t in range(LSH_PROBE_TABLES) for p in range(LSH_PROBE_PLANES))
+    dot = ("list_sum(list_transform(list_zip(e.embedding, pl.w), "
+           "x -> CAST(x[1] AS DOUBLE) * x[2]))")
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, qe.embedding), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH planes(t, p, w) AS (VALUES {vals}),
+vb AS (
+  SELECT e.vec_id, pl.t AS table_id,
+         SUM(CASE WHEN {dot} >= 0 THEN (1 << pl.p) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+),
+q AS (SELECT vec_id AS query_id FROM embeddings
+      ORDER BY vec_id LIMIT {LSH_PROBE_QUERIES}),
+qb AS (SELECT q.query_id, v.table_id, v.bucket
+       FROM vb v JOIN q ON v.vec_id = q.query_id),
+cand AS (SELECT DISTINCT qb.query_id, v.vec_id
+         FROM vb v JOIN qb ON v.table_id = qb.table_id
+                          AND v.bucket = qb.bucket)
+SELECT c.query_id, c.vec_id, round({dist}, 6) AS dist,
+       CAST(row_number() OVER (PARTITION BY c.query_id
+                               ORDER BY {dist} ASC, c.vec_id ASC) AS INTEGER)
+         AS rank
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.vec_id
+JOIN embeddings qe ON qe.vec_id = c.query_id
+QUALIFY rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
 
 
 # ---------- registry ----------
@@ -520,7 +583,10 @@ QUERIES = {k: QUERIES[k] for k in
 # probe, whose candidate sets depend on seeded random hyperplanes. The two
 # multimodal mapInPandas stages have full oracles (ASCII fixture makes
 # sha256/entropy recomputable in DuckDB — see operators/multimodal.py).
-NON_SQL_QUERIES: set[str] = {"ann_bucketed_probe"}
+# Queries declared without a DuckDB oracle (the driver records a weaker
+# rows-only check for these). Empty since round 6: ann_bucketed_probe's
+# hyperplanes are baked into its oracle as float64 literals.
+NON_SQL_QUERIES: set[str] = set()
 
 ORACLES: dict[str, str] = {
     "knn_exact": _oracle_knn_exact(),
@@ -609,4 +675,5 @@ ORACLES: dict[str, str] = {
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
     "streaming_join_stats": SE.STREAMING_JOIN_STATS_ORACLE,
     "streaming_user_totals": SE.STREAMING_USER_TOTALS_ORACLE,
+    "ann_bucketed_probe": _oracle_ann_bucketed_probe(),
 }
