@@ -54,3 +54,31 @@ def test_min_label_propagation_chain(spark):
     got = {r["doc_id"]: r["root"]
            for r in propagate_min_labels(nodes, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_short_docs_never_band_collide(spark):
+    """Docs with fewer words than a shingle must produce NO banding
+    candidates — in Spark (no signature rows) AND in the DuckDB oracle CTEs
+    (round-5 ADVICE: NULL minhashes used to collapse every short doc onto
+    the md5('') band key, pairing them all)."""
+    import duckdb
+
+    rows = [(1, "hi", "en", 2), (2, "yo", "en", 2), (3, "ok then", "en", 7),
+            (4, "the quick brown fox jumps over the lazy dog", "en", 43),
+            (5, "the quick brown fox jumps over the lazy dog", "en", 43)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    spark_pairs = {(r.doc_id_a, r.doc_id_b)
+                   for r in D.banding_candidates(docs).collect()}
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3)
+               for a, b in spark_pairs)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+    duck_pairs = set(map(tuple, con.execute(
+        f"WITH {D._banding_cand_ctes()} SELECT doc_id_a, doc_id_b FROM cand"
+    ).fetchall()))
+    con.close()
+    assert duck_pairs == spark_pairs

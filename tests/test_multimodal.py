@@ -152,3 +152,19 @@ def test_resize_images_real_decode_path(spark):
     expect = np.ascontiguousarray(
         M.nn_resize(M.decode_image(payload), 2, 2))
     assert row["resized_sha"] == hashlib.sha256(expect.tobytes()).hexdigest()
+
+
+def test_resize_real_flat_excludes_multibyte_prefix(spark):
+    """A doc whose prefix contains a multi-byte char must be filtered out
+    (its UTF-8 payload would exceed the raster size and silently take the
+    fake-fallback path while the char-indexed oracle still emitted it —
+    round-5 ADVICE); pure-ASCII docs of sufficient length stay."""
+    n = 8 * 6 * 3
+    rows = [(1, "é" + "a" * n, "en", n + 1),     # multi-byte in prefix: out
+            (2, "a" * n, "en", n),               # exactly n ASCII: in
+            (3, "a" * (n - 1), "en", n - 1),     # too short: out
+            (4, "a" * n + "é", "en", n + 1)]     # multi-byte after prefix: in
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    got = sorted(r.asset_id for r in M.resize_real_flat(docs).collect())
+    assert got == [2, 4]

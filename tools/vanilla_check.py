@@ -41,9 +41,10 @@ def main() -> int:
         try:
             if name not in oracles:
                 # rows-only query (NON_SQL_QUERIES): the driver's weaker
-                # check — runs, yields rows, stable schema
+                # check — must actually yield rows (a broken probe
+                # returning 0 rows is a failure, round-5 ADVICE)
                 n = queries[name](spark, sf_dir).count()
-                ok, detail = n >= 0, f"rows-only: {n} rows"
+                ok, detail = n > 0, f"rows-only: {n} rows"
             else:
                 ok, detail = compare(queries[name](spark, sf_dir),
                                      oracles[name], sf_dir, verbose=False)

@@ -233,9 +233,15 @@ def _banding_cand_ctes(num_hashes: int = NUM_HASHES,
         "SELECT doc_id, {b} AS band_idx, md5(concat_ws('#', {parts})) AS band_key FROM sig".format(
             b=b, parts=", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
         for b in range(n_bands))
+    # len(sh) > 0 mirrors Spark's banding_candidates, which emits no
+    # signature rows for docs with fewer words than a shingle: without the
+    # filter, every empty-shingle doc gets NULL minhashes, concat_ws skips
+    # the NULLs, and they all collide on the md5('') band key (round-5
+    # ADVICE — masked before only by the Jaccard oracle's join to shs).
     return f"""sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents),
 sig AS (SELECT doc_id, {mh_exprs}
-        FROM (SELECT doc_id, list_transform(sh, s -> {_H32_DUCK}) AS h32s FROM sh)),
+        FROM (SELECT doc_id, list_transform(sh, s -> {_H32_DUCK}) AS h32s
+              FROM sh WHERE len(sh) > 0)),
 banded AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          FROM banded a JOIN banded b

@@ -388,8 +388,11 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
       0.79 -> ≥0.9 at half-shards probing on the sf0.1 corpus); search
       dedupes candidates before ranking.
 
-    ``shard_cap`` (kmeans only) bounds per-shard size: cell loads are
-    estimated from the fit sample (no extra corpus pass), and any cell
+    ``shard_cap`` (kmeans only) bounds per-shard size: cell load
+    *fractions* come from the fit sample, scaled by one ``count()`` over
+    the corpus — a cheap narrow scan, but a real Spark job; note also that
+    ``shard_by='kmeans'`` is eager at call time (driver-side sample
+    collect + count), unlike the otherwise-lazy builders. Any cell
     expected to exceed the cap splits into ceil(load/cap) hash sub-shards
     that share the cell's centroid. Per-shard wiring is O(n_shard²), so
     one hot cell otherwise straggles the whole build stage; sub-shards

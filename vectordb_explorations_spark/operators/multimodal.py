@@ -414,7 +414,13 @@ def resize_real_flat(docs: DataFrame, src_w: int = 8, src_h: int = 6,
     payload = F.encode(
         F.concat(F.lit(f"P6\n{src_w} {src_h}\n255\n"),
                  F.substring("text", 1, n)), "UTF-8")
-    assets = (docs.where(F.length("text") >= n)
+    # The n-char prefix must encode to exactly n BYTES (i.e. be pure
+    # ASCII): a multi-byte character would inflate the raster payload and
+    # push the row onto the fake-fallback path while the char-indexed
+    # oracle still emits it (round-5 ADVICE). The oracle applies the same
+    # strlen(substr(...)) = n guard.
+    ascii_prefix = F.length(F.encode(F.substring("text", 1, n), "UTF-8")) == n
+    assets = (docs.where((F.length("text") >= n) & ascii_prefix)
               .select(F.col("doc_id").alias("asset_id"),
                       F.lit("image").alias("modality"),
                       payload.alias("payload"),
@@ -437,7 +443,7 @@ SELECT doc_id AS asset_id,
        CAST({src_w} AS INT) AS src_w, CAST({src_h} AS INT) AS src_h,
        CAST({out_w} AS INT) AS out_w, CAST({out_h} AS INT) AS out_h,
        sha256({picks}) AS resized_sha
-FROM documents WHERE length(text) >= {n}
+FROM documents WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
 ORDER BY asset_id
 """
 
