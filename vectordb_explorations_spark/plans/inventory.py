@@ -535,57 +535,56 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_index_refresh": SE.streaming_index_refresh_stats,
     "streaming_join_stats": SE.streaming_join_stats,
     "streaming_user_totals": SE.streaming_user_totals,
-    # persisted-index pruned serving (rows-only: candidate sets depend on
-    # the seeded hyperplanes; recall + bucket pruning pytest-gated)
+    # persisted-index pruned serving (oracle bakes the seeded hyperplanes
+    # as float64 SQL literals; recall + bucket pruning also pytest-gated)
     "ann_bucketed_probe": q_ann_bucketed_probe,
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Rotate the never-driver-checked
-# queries (streaming, SQL-text, sampling/curation, skew, the events-side
-# relational suite — plus this round's regressed/rewired/new entries) into
-# the window first, then a representative core of every already-green
-# family; the remainder keeps its green rows from r01-r04.
+# dict order IS the evidence schedule. Round-6 rotation (verdict item 4):
+# every query has now been driver-checked at least once, so the window
+# holds the 5 just-fixed never-green rows first, then re-certifies the
+# queries with the OLDEST green evidence (r01, then r04) on current code;
+# the remainder keeps its r05-green rows.
 _WINDOW_PRIORITY = [
-    # never driver-checked (r01-r04) — streaming / SQL / curation / skew
-    "streaming_dedup_stats", "streaming_index_refresh",
-    "streaming_join_stats", "streaming_user_totals",
-    "sql_volume_shipping", "sql_grouping_sets", "sql_knn",
-    "train_val_split_stats", "stratified_sample", "sequence_pack_bins",
-    "domain_mix_sample", "doc_chunks",
-    "salted_event_type_stats",
-    # never driver-checked — events-side relational / window / json
-    "events_sliding_2h", "event_value_percentiles", "events_json_stats",
-    "event_prop_keys", "events_variant_stats", "user_sessions",
-    "events_session_window",
-    # never driver-checked — remaining relational
-    "priority_customer_counts", "top_parts_by_revenue",
-    "nation_customer_lists", "region_nation_rollcall",
-    "supplier_nation_volume", "nation_balance_full_outer",
-    # new / rewired / regressed this round
-    "ann_bucketed_probe", "dedup_edit_distance", "asof_join", "range_join",
-    # representative core per already-green family
-    "knn_exact", "knn_batch_blockwise", "knn_cosine", "compat_distance",
-    "vector_elements",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_representatives",
-    "text_stats", "lang_id", "token_counts", "quality_filter",
-    "multimodal_summary", "multimodal_features", "multimodal_frames",
-    "multimodal_resize", "weighted_sample", "region_revenue",
+    # the 5 rows that have never been green, fixed this round (round-5
+    # verdict items 1-3: four HUGEINT oracle casts + the baked-hyperplane
+    # oracle for the bucketed probe)
+    "train_val_split_stats", "sequence_pack_bins", "domain_mix_sample",
+    "user_sessions", "ann_bucketed_probe",
+    # oldest green evidence first: these 9 were last driver-checked in r01
+    "customer_balance_tiles", "customer_first_orders",
+    "customers_with_open_orders", "event_value_histogram", "events_hourly",
+    "moving_avg_daily_revenue", "order_gaps", "orders_above_customer_avg",
+    "pivot_flag_by_status",
+    # last driver-checked in r04 — re-certify on current code
+    "bpe_pair_stats", "clean_text", "contamination_check",
+    "cube_order_stats", "customers_without_orders",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "distance_matrix_sample", "doc_fingerprints", "doc_length_percentiles",
+    "doc_repetition_stats", "knn_batch", "label_centroids",
+    "lang_confusion", "lang_geomean_chars", "large_volume_customers",
+    "mask_pii", "norm_stats", "part_set_ops", "pricing_summary",
+    "rollup_revenue", "running_totals", "segment_order_stats",
+    "shipping_priority", "top_customers_per_nation", "top_orders",
+    "unigram_logprob", "vocab_stats",
+    # green in r05 but their code or oracles changed this round (shared
+    # banding CTE short-doc filter; resize ASCII-prefix guard)
+    "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
+    "dedup_representatives", "multimodal_resize",
+    # family representatives keeping fresh evidence on the core paths
+    "knn_exact", "asof_join", "streaming_dedup_stats",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in
            _WINDOW_PRIORITY + [k for k in QUERIES if k not in set(_WINDOW_PRIORITY)]}
 
-# Declared queries with no DuckDB twin (the driver's correctness gate
-# records a rows-only check for these): only the pruned bucketed-serving
-# probe, whose candidate sets depend on seeded random hyperplanes. The two
-# multimodal mapInPandas stages have full oracles (ASCII fixture makes
-# sha256/entropy recomputable in DuckDB — see operators/multimodal.py).
 # Queries declared without a DuckDB oracle (the driver records a weaker
-# rows-only check for these). Empty since round 6: ann_bucketed_probe's
-# hyperplanes are baked into its oracle as float64 literals.
+# rows-only check for these). Empty since round 6: ann_bucketed_probe —
+# the last holdout — now bakes its seeded hyperplanes into the oracle as
+# float64 literals, and the multimodal mapInPandas stages were already
+# fully oracle-backed (ASCII fixture makes sha256/entropy recomputable).
 NON_SQL_QUERIES: set[str] = set()
 
 ORACLES: dict[str, str] = {
