@@ -131,8 +131,11 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
                 .collect())
     if not hot_rows:
         # nothing to refine (near-uniform corpus): skip the anti-join and
-        # the applyInPandas stage entirely — the common fast path
-        return index.withColumn("sub", F.lit(0)), []
+        # the applyInPandas stage entirely — the common fast path. Still
+        # id-partitioned (see the hot-path return below) so a cached
+        # refined index feeds lsh_search's per-vector groupBy shuffle-free.
+        return (index.withColumn("sub", F.lit(0))
+                .repartition(F.col(id_col))), []
     hot = spark.createDataFrame(
         [(int(r["table_id"]), int(r["bucket"])) for r in hot_rows],
         "table_id int, bucket int")
@@ -196,8 +199,14 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
                    .select(id_col, "table_id", "bucket", "sub"))
     cent_rows = (refined.where(F.col(id_col).isNull())
                  .select("table_id", "bucket", "sub", "centroid").collect())
-    return cold.select(id_col, "table_id", "bucket", "sub").unionByName(
-        hot_members), cent_rows
+    # Hash-partition the refined index on the vector id at BUILD time (a
+    # one-time shuffle of narrow rows): lsh_search's candidates-per-vector
+    # groupBy clusters on id, so a cached id-partitioned index satisfies
+    # that distribution and the search-side exchange is elided — the
+    # partitioning moves from every probe batch into the index build.
+    return (cold.select(id_col, "table_id", "bucket", "sub")
+            .unionByName(hot_members)
+            .repartition(F.col(id_col))), cent_rows
 
 
 def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
@@ -266,7 +275,10 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
         order = np.lexsort((np.arange(len(d)), d))[:nprobe_sub]
         return [int(j) for j in order]
 
-    probe_rows = []
+    # Dedupe driver-side (a set over the tiny probe list) instead of a
+    # Spark .distinct(): the probe set is O(Q·T·planes·subs) rows, and the
+    # distinct cost a full extra shuffle + stage per search call.
+    probe_rows = set()
     for qi, qid in enumerate(qids):
         for t in range(qb.shape[1]):
             base = int(qb[qi, t])
@@ -276,16 +288,13 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
             for bk in cands:
                 if use_subs:
                     for sub in probe_subs(qi, t, bk):
-                        probe_rows.append((qid, t, bk, sub))
+                        probe_rows.add((qid, t, bk, sub))
                 else:
-                    probe_rows.append((qid, t, bk))
-    if use_subs:
-        probes = spark.createDataFrame(
-            probe_rows,
-            f"{qid_col} long, table_id int, bucket int, sub int").distinct()
-    else:
-        probes = spark.createDataFrame(
-            probe_rows, f"{qid_col} long, table_id int, bucket int").distinct()
+                    probe_rows.add((qid, t, bk))
+    sub_field = ", sub int" if use_subs else ""
+    probes = spark.createDataFrame(
+        sorted(probe_rows),
+        f"{qid_col} long, table_id int, bucket int{sub_field}")
     join_keys = ["table_id", "bucket"] + (["sub"] if use_subs else [])
     cand = index.join(F.broadcast(probes), join_keys).select(qid_col, id_col)
     # Scoring shape: group candidates per vector FIRST — (vec_id, [qids])

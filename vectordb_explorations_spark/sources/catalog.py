@@ -10,12 +10,20 @@ pruning, and partition pruning for free — check ``PushedFilters`` /
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
 from vectordb_explorations_spark.schemas import TABLE_NAMES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# DataFrames are immutable logical plans, so one per (session, table,
+# sf_dir) is safe to hand out repeatedly; re-reading per call paid a
+# footer-read + conf round-trips on every query at fixture scale (round-5
+# verdict item 6). Weak-keyed so a garbage-collected session drops its
+# entries instead of pinning them.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -49,6 +57,11 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cache_key = (name, os.path.abspath(sf_dir))
+    cached = per_session.get(cache_key)
+    if cached is not None:
+        return cached
     ensure_package_on_workers(spark)
     if name == "events":
         # Older fixture generations stored ts as TIMESTAMP(NANOS), which is
@@ -65,6 +78,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events_ts(df)
+    per_session[cache_key] = df
     return df
 
 
