@@ -122,6 +122,39 @@ def test_hnsw_reference_level_mult():
     assert g_can.level_mult == pytest.approx(1.0 / math.log(8))
 
 
+def test_hnsw_reference_walk_compat():
+    """The reference_walk compat mode pins hnsw.cc:247-259's
+    stop-at-local-minimum semantics: deterministic, distances exact and
+    ascending, candidate pool limited to the strictly-improving chain (so
+    it can return fewer than k), while the ef-bounded default always fills
+    k with at least as good a worst-case distance."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((300, 4)) * 10.0
+    g = HnswGraph(dim=4, m=4, ef_construction=16, seed=7)
+    g.bulk_add(np.arange(300), mat)
+    k = 10
+    shorter, worse = 0, 0
+    for qi in range(40):
+        probe = mat[qi] + rng.standard_normal(4) * 0.1
+        walk = g.search(probe, k, reference_walk=True)
+        full = g.search(probe, k, ef_search=64)
+        assert walk == g.search(probe, k, reference_walk=True)  # deterministic
+        assert len(walk) <= k and len(full) == k
+        dists = [d for _, d in walk]
+        assert dists == sorted(dists)
+        for vid, d in walk:  # surfaced distances are true L2 to the probe
+            assert d == pytest.approx(
+                float(np.sqrt(((mat[vid] - probe) ** 2).sum())))
+        shorter += len(walk) < k
+        if walk and len(full) == k:
+            worse += walk[-1][1] > full[len(walk) - 1][1]
+    # The documented deviation must be observable: the walk's chain pool
+    # starves it of results (or gives worse tails) on a meaningful share
+    # of probes, which is exactly why the default is ef-bounded.
+    assert shorter + worse > 0
+
+
 def test_lsh_refined_hot_buckets(spark, sf_dir, exact):
     """A tiny bucket_cap forces every bucket through the in-bucket k-means
     refinement; recall must hold and sub-bucket sizes must be bounded."""

