@@ -134,10 +134,12 @@ def main() -> None:
         # refinement, which r01 lacked — that is what lifted recall_lsh
         # 0.875 -> 0.934 and bounded per-probe candidates on clustered data.
         # No separate idx.count(): the refine's bucket histogram is the
-        # first action on idx and materializes the cache in the same pass
-        # (round-5 verdict item 7 — the second cached pass was pure cost).
-        ref_idx, cent_rows = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
-        ref_idx = ref_idx.cache(); ref_idx.count()
+        # first action on idx and materializes the cache in the same pass;
+        # materialize=True overlaps the refined index's own count with
+        # that histogram job (round-5 verdict item 7 — serialized small
+        # jobs were the build's wall-time floor).
+        ref_idx, cent_rows = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024,
+                                                    materialize=True)
         lsh_idx["df"], lsh_idx["ref"] = idx, (ref_idx, cent_rows)
 
     bench_build("index_build_lsh", build_lsh)

@@ -86,9 +86,17 @@ def random_hyperplane_lsh(vectors: DataFrame, num_tables: int = 8,
 def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
                            bucket_cap: int = 1024, seed: int = 42,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding"
+                           vec_col: str = "embedding",
+                           materialize: bool = False
                            ) -> tuple[DataFrame, DataFrame]:
     """Split oversized LSH buckets with an in-bucket coarse quantizer.
+
+    ``materialize=True`` returns the refined index already cached and
+    counted, overlapping the no-hot-buckets result's materialization with
+    the bucket histogram job (two small jobs whose fixed overhead
+    otherwise serializes — the LSH build's wall-time floor at fixture
+    scale). Opt-in because auto-caching the full index is the CALLER's
+    memory decision at 100 TB; the default stays lazy.
 
     On clustered corpora hyperplane signs are dominated by the cluster
     offset, so whole clusters land in one (table, bucket) and the candidate
@@ -119,6 +127,20 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     import pandas as pd
 
     spark = index.sparkSession
+    # Id-partitioned (see the hot-path return below) so a cached refined
+    # index feeds lsh_search's per-vector groupBy shuffle-free.
+    fast = index.withColumn("sub", F.lit(0)).repartition(F.col(id_col))
+    executor = fast_future = None
+    if materialize:
+        # Speculatively materialize the no-hot-buckets result while the
+        # histogram job runs: the branch needs the histogram, but the fast
+        # path's PLAN doesn't, and no-hot is the common case. On clustered
+        # corpora the wasted count is one narrow cached scan — noise next
+        # to the k-means stage that path pays anyway.
+        from concurrent.futures import ThreadPoolExecutor
+        fast = fast.cache()
+        executor = ThreadPoolExecutor(1)
+        fast_future = executor.submit(fast.count)
     # The bucket-size histogram is bounded by the key space
     # (num_tables * 2^num_planes rows), never by corpus size — collect the
     # hot list in ONE job. A lazy `hot` DF would re-run the agg in every
@@ -129,13 +151,15 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
                 .agg(F.count("*").alias("sz"))
                 .where(F.col("sz") > bucket_cap)
                 .collect())
+    if fast_future is not None:
+        fast_future.result()
+        executor.shutdown()
     if not hot_rows:
         # nothing to refine (near-uniform corpus): skip the anti-join and
-        # the applyInPandas stage entirely — the common fast path. Still
-        # id-partitioned (see the hot-path return below) so a cached
-        # refined index feeds lsh_search's per-vector groupBy shuffle-free.
-        return (index.withColumn("sub", F.lit(0))
-                .repartition(F.col(id_col))), []
+        # the applyInPandas stage entirely — the common fast path
+        return fast, []
+    if materialize:
+        fast.unpersist()
     hot = spark.createDataFrame(
         [(int(r["table_id"]), int(r["bucket"])) for r in hot_rows],
         "table_id int, bucket int")
@@ -204,9 +228,13 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     # groupBy clusters on id, so a cached id-partitioned index satisfies
     # that distribution and the search-side exchange is elided — the
     # partitioning moves from every probe batch into the index build.
-    return (cold.select(id_col, "table_id", "bucket", "sub")
-            .unionByName(hot_members)
-            .repartition(F.col(id_col))), cent_rows
+    out = (cold.select(id_col, "table_id", "bucket", "sub")
+           .unionByName(hot_members)
+           .repartition(F.col(id_col)))
+    if materialize:
+        out = out.cache()
+        out.count()
+    return out, cent_rows
 
 
 def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
