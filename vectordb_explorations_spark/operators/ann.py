@@ -520,8 +520,14 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
                    .groupby(qid_col, sort=False).head(k))
 
     local = joined.mapInPandas(score, schema=out_schema)
+    # One exchange for both the cross-batch dedupe and the ranking window:
+    # hash(qid) clusters rows for the (qid, id) distinct AND for the
+    # window's partitioning, so neither inserts its own shuffle — without
+    # the explicit repartition, dropDuplicates shuffles on (qid, id) and
+    # the window re-shuffles the survivors on qid.
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return (local.dropDuplicates([qid_col, id_col])
+    return (local.repartition(F.col(qid_col))
+            .dropDuplicates([qid_col, id_col])
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(qid_col, id_col, F.round("dist", 6).alias("dist"), "rank"))

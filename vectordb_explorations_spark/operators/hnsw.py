@@ -620,8 +620,12 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
     # kmeans sharding with assign_n>1 replicates boundary vectors across
     # shards, so one (query, vec) pair can arrive from two probes — dedupe
-    # before ranking (no-op for hash shards: partitions are disjoint)
-    return (local.dropDuplicates([qid_col, id_col])
+    # before ranking (no-op for hash shards: partitions are disjoint).
+    # hash(qid) clusters rows for BOTH the (qid, id) distinct and the
+    # window, so the explicit repartition is the plan's only exchange on
+    # the narrow merge rows (same fusion as ivf_search).
+    return (local.repartition(F.col(qid_col))
+            .dropDuplicates([qid_col, id_col])
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(qid_col, id_col, F.round("dist", 6).alias("dist"), "rank"))
