@@ -132,11 +132,15 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     fast = index.withColumn("sub", F.lit(0)).repartition(F.col(id_col))
     executor = fast_future = None
     if materialize:
-        # Speculatively materialize the no-hot-buckets result while the
-        # histogram job runs: the branch needs the histogram, but the fast
-        # path's PLAN doesn't, and no-hot is the common case. On clustered
-        # corpora the wasted count is one narrow cached scan — noise next
-        # to the k-means stage that path pays anyway.
+        # Speculatively materialize the no-hot-buckets result CONCURRENTLY
+        # with the histogram job: the branch needs the histogram's values,
+        # but the fast path's PLAN doesn't, and no-hot is the common case.
+        # Two overlapped 2-stage jobs beat one fused 3-stage job here
+        # (A/B-measured ~0.5s vs ~0.9s at sf0.1 — the fused job serializes
+        # its repartition and agg shuffles; concurrent jobs hide each
+        # other's fixed overhead). On clustered corpora the wasted count
+        # is one narrow cached scan — noise next to the k-means stage that
+        # path pays anyway.
         from concurrent.futures import ThreadPoolExecutor
         fast = fast.cache()
         executor = ThreadPoolExecutor(1)
