@@ -72,3 +72,30 @@ def test_doc_chunks_window_math(spark):
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
     assert [(r["chunk_start"], r["chunk_len"]) for r in c1] == [(0, 32), (24, 16)]
     assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[2]] == [(0, 3)]
+
+
+def test_boilerplate_ngrams_planted(spark):
+    """A phrase recurring in most docs is flagged; a phrase in one doc is
+    not; docs shorter than the gram size contribute nothing; coverage
+    counts docs with zero hot grams in the per-lang average."""
+    from vectordb_explorations_spark.operators.textops import (
+        boilerplate_coverage, boilerplate_ngrams)
+    rows = [(i, f"subscribe to our newsletter unique{i} words here", "en", 1)
+            for i in range(8)]
+    rows += [(8, "totally different content entirely", "en", 1),
+             (9, "short", "en", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    hot = {r.ngram: r.df
+           for r in boilerplate_ngrams(docs, k=2, min_frac=0.5).collect()}
+    assert hot.get("subscribe to") == 8
+    assert hot.get("to our") == 8
+    assert "totally different" not in hot
+    cov = {r.lang: r for r in
+           boilerplate_coverage(docs, k=2, min_frac=0.5).collect()}
+    en = cov["en"]
+    # doc 9 has 1 token < k and drops from the gram universe; doc 8 stays
+    # with coverage 0
+    assert en.n_docs == 9
+    assert en.n_flagged == 8
+    assert 0.0 < en.avg_cov < 1.0

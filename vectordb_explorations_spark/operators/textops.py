@@ -679,3 +679,125 @@ SELECT labeled_lang, predicted_lang, n_docs,
          AS row_share
 FROM c ORDER BY labeled_lang, predicted_lang
 """
+
+
+# ---- cross-document boilerplate n-grams (corpus-level phrase dedup) ----
+
+BOILERPLATE_NGRAM = 2
+BOILERPLATE_MIN_FRAC = 0.08
+BOILERPLATE_TOP_N = 20
+
+
+def boilerplate_ngrams(docs: DataFrame, k: int = BOILERPLATE_NGRAM,
+                       min_frac: float = BOILERPLATE_MIN_FRAC) -> DataFrame:
+    """Corpus-level boilerplate phrases: word ``k``-grams whose DOCUMENT
+    frequency reaches ``min_frac`` of the corpus — the C4/RefinedWeb-style
+    curation step that surfaces headers, footers, cookie banners and
+    licence blurbs recurring across pages (the reference has no text
+    pipeline at all; this extends SURVEY §2.2's north-star set alongside
+    the within-doc ``doc_repetition_stats`` and the eval-side
+    ``contamination_check``).
+
+    Returns (ngram, df) for every phrase at or above the threshold.
+
+    Scale shape: per-doc ``array_distinct`` BEFORE the explode bounds each
+    doc's contribution to its unique grams; groupBy(ngram) count combines
+    map-side, so zipfian head phrases never concentrate raw rows on one
+    reducer; the corpus size joins in as one broadcast scalar (same
+    pattern as vocab_stats — a fraction threshold is the honest
+    boilerplate semantics across corpus sizes, and costs one narrow agg)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = F.size("ws")
+    # when-guard as in contamination_check: sequence(1, n-k+1) DESCENDS for
+    # n < k and slice(start=0) throws; the row filter alone doesn't protect
+    # constant-folded plans (LocalRelation inputs)
+    grams = F.when(n >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, k))))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (toks.where(n >= k)
+          .select("doc_id", F.explode(grams).alias("ngram")))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") >= F.col("n_docs") * min_frac)
+            .select("ngram", "df"))
+
+
+def boilerplate_coverage(docs: DataFrame, k: int = BOILERPLATE_NGRAM,
+                         min_frac: float = BOILERPLATE_MIN_FRAC) -> DataFrame:
+    """Per-language boilerplate footprint: for each doc, the share of its
+    distinct ``k``-grams that are corpus boilerplate; aggregated per lang
+    as (n_docs, n_flagged, avg_cov). The removal decision a pipeline
+    makes (strip/keep/downweight) keys off exactly these numbers.
+
+    Scale shape: the hot set is bounded above by total_grams/(min_frac *
+    n_docs) and broadcast; per-doc hits come from a broadcast semi-join +
+    combinable count (no big-side shuffle); docs with zero hits re-enter
+    via a left join from the narrow per-doc gram counts; the per-lang
+    rollup aggregates a doc-count-sized frame."""
+    toks = docs.select("doc_id", "lang",
+                       F.split(F.col("text"), " ").alias("ws"))
+    n = F.size("ws")
+    grams = F.when(n >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, k))))
+    ).otherwise(F.array().cast("array<string>"))  # when-guard: see above
+    g = (toks.where(n >= k)
+         .select("doc_id", "lang", grams.alias("gs")))
+    hot = boilerplate_ngrams(docs, k, min_frac).select("ngram")
+    hits = (g.select("doc_id", F.explode("gs").alias("ngram"))
+            .join(F.broadcast(hot), "ngram")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hot")))
+    per_doc = (g.select("doc_id", "lang", F.size("gs").alias("n_grams"))
+               .join(hits, "doc_id", "left")
+               .select("lang", "n_grams",
+                       F.coalesce(F.col("n_hot"), F.lit(0)).alias("n_hot")))
+    return (per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_hot") > 0, 1).otherwise(0)).alias("n_flagged"),
+        F.round(F.avg(F.col("n_hot") / F.col("n_grams").cast("double")),
+                6).alias("avg_cov"))
+        .orderBy("lang"))
+
+
+def _boilerplate_ctes(k: int = BOILERPLATE_NGRAM,
+                      min_frac: float = BOILERPLATE_MIN_FRAC) -> str:
+    return f"""tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, lang,
+             list_distinct(list_transform(
+                 generate_series(1, len(w) - {k - 1}),
+                 i -> array_to_string(w[i:i+{k - 1}], ' '))) AS gs
+      FROM tok WHERE len(w) >= {k}),
+ex AS (SELECT doc_id, unnest(gs) AS ngram FROM g),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+hot AS (SELECT ngram, count(*) AS df FROM ex, nd
+        GROUP BY ngram, n_docs HAVING count(*) >= n_docs * {min_frac})"""
+
+
+def boilerplate_ngrams_oracle(k: int = BOILERPLATE_NGRAM,
+                              min_frac: float = BOILERPLATE_MIN_FRAC,
+                              top_n: int = BOILERPLATE_TOP_N) -> str:
+    return f"""
+WITH {_boilerplate_ctes(k, min_frac)}
+SELECT ngram, df FROM hot
+ORDER BY df DESC, ngram
+LIMIT {top_n}
+"""
+
+
+def boilerplate_coverage_oracle(k: int = BOILERPLATE_NGRAM,
+                                min_frac: float = BOILERPLATE_MIN_FRAC) -> str:
+    return f"""
+WITH {_boilerplate_ctes(k, min_frac)},
+hits AS (SELECT e.doc_id, count(*) AS n_hot
+         FROM ex e JOIN hot USING (ngram) GROUP BY e.doc_id),
+per_doc AS (SELECT g.lang, len(g.gs) AS n_grams,
+                   COALESCE(h.n_hot, 0) AS n_hot
+            FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id)
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_hot > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       round(avg(n_hot::DOUBLE / n_grams), 6) AS avg_cov
+FROM per_doc GROUP BY lang ORDER BY lang
+"""

@@ -431,6 +431,11 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "lang_confusion": lambda s, d: X.lang_confusion(
         load_table(s, "documents", d)),
+    "boilerplate_ngrams": lambda s, d: (
+        X.boilerplate_ngrams(load_table(s, "documents", d))
+        .orderBy(F.col("df").desc(), "ngram").limit(X.BOILERPLATE_TOP_N)),
+    "boilerplate_coverage": lambda s, d: X.boilerplate_coverage(
+        load_table(s, "documents", d)),
     "weighted_sample": lambda s, d: SP.weighted_sample(
         load_table(s, "documents", d)),
     # multimodal (north star)
@@ -572,8 +577,10 @@ _WINDOW_PRIORITY = [
     # banding CTE short-doc filter; resize ASCII-prefix guard)
     "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
     "dedup_representatives", "multimodal_resize",
-    # family representatives keeping fresh evidence on the core paths
-    "knn_exact", "asof_join", "streaming_dedup_stats",
+    # new this round — never driver-checked
+    "boilerplate_ngrams", "boilerplate_coverage",
+    # family representative keeping fresh evidence on the flagship path
+    "knn_exact",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -619,6 +626,8 @@ ORACLES: dict[str, str] = {
     "unigram_logprob": X.UNIGRAM_LOGPROB_ORACLE,
     "bpe_pair_stats": X.bpe_pair_stats_oracle(),
     "lang_confusion": X.lang_confusion_oracle(),
+    "boilerplate_ngrams": X.boilerplate_ngrams_oracle(),
+    "boilerplate_coverage": X.boilerplate_coverage_oracle(),
     "weighted_sample": SP.weighted_sample_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
