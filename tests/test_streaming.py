@@ -147,3 +147,62 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     shutil.copy(fixture, src / "e2.parquet")
     drain()  # restart from the checkpoint: only e2 is new
     assert spark.read.parquet(out).count() == 2 * n_events
+
+
+def test_streaming_near_dedup_cross_batch_state(spark, tmp_path):
+    """Arrival order is the dedup semantic: a doc arriving in batch 2 is
+    flagged against batch 1's representative even when its doc_id is
+    SMALLER — the band state must survive across micro-batches."""
+    import os
+    import time
+    import uuid
+
+    from vectordb_explorations_spark.streaming.documents import (
+        near_dup_stream, read_documents_stream)
+    from vectordb_explorations_spark.streaming.events import run_to_memory
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = [(100, text, "en", "web", len(text))]
+    batch2 = [(5, text, "en", "web", len(text)),
+              (200, "completely unrelated words with no shared shingles at all",
+               "en", "web", 55)]
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet"))
+    # the file source processes oldest-modified first; pin the order
+    now = time.time()
+    for i, sub in enumerate(("b1.parquet", "b2.parquet")):
+        for root, _, files in os.walk(d / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d) + "/*.parquet"))
+    name = f"sndd_test_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(near_dup_stream(stream), name, "append")
+    q.awaitTermination(120)
+    rows = {(r.doc_id, r.dup_of) for r in spark.table(name).collect()}
+    # doc 5 arrived after doc 100 → flagged against 100 (in every band);
+    # doc 200 shares nothing → never flagged; doc 100 is the first → clean
+    assert (5, 100) in rows
+    assert all(did != 200 and did != 100 for did, _ in rows)
+
+
+def test_minhash_stateless_matches_batch(spark, sf_dir):
+    """The streaming-safe array-lambda signature formulation must be
+    bit-identical to the batch explode+window path (it feeds the same
+    banding keys)."""
+    from vectordb_explorations_spark.operators.dedup import (
+        minhash_signatures, minhash_signatures_stateless)
+    from vectordb_explorations_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: tuple(r)[1:]
+         for r in minhash_signatures_stateless(docs).collect()}
+    assert a == b

@@ -146,6 +146,57 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_stateless(docs: DataFrame,
+                                 num_hashes: int = NUM_HASHES) -> DataFrame:
+    """``minhash_signatures`` as a pure per-row projection (array lambdas,
+    no explode/window/groupBy): bit-identical output (pinned in
+    tests/test_dedup.py), needed where a shuffle-backed plan cannot run —
+    Structured Streaming forbids non-time windows, so the streaming
+    near-dup path (streaming/documents.py) signs each micro-batch with
+    this. The batch path keeps the explode+window formulation: codegen
+    beats interpreted higher-order functions ~3x at sf0.1 (measured; see
+    _exploded_shingles)."""
+    ws = F.split(F.col("text"), " ")
+    n = F.size("ws")
+    sh = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, 3)))
+    ).otherwise(F.array().cast("array<string>"))
+    shc = (docs.select("doc_id", ws.alias("ws"))
+           .select("doc_id", sh.alias("shs"))
+           .where(F.size("shs") > 0))
+    h32s = F.transform(
+        F.col("shs"),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8),
+                         16, 10).cast("bigint"))
+    hh = shc.select("doc_id", h32s.alias("h32s"))
+    cols = [
+        F.array_min(F.transform(
+            F.col("h32s"),
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return hh.select("doc_id", *cols)
+
+
+def banded_keys(sig: DataFrame, num_hashes: int = NUM_HASHES,
+                band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_idx, band_key) from a signature frame: the LSH
+    banding projection both the batch self-join (banding_candidates) and
+    the streaming first-seen dedup (streaming/documents.py) key on."""
+    n_bands = num_hashes // band_size
+    bands = [
+        F.md5(F.concat_ws("#", *[F.col(f"mh{b * band_size + r}")
+                                 for r in range(band_size)]))
+        .alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return sig.select("doc_id",
+                      F.posexplode(F.array(*bands)).alias("band_idx",
+                                                          "band_key"))
+
+
 def banding_candidates(docs: DataFrame,
                        num_hashes: int = NUM_HASHES,
                        band_size: int = BAND_SIZE) -> DataFrame:
@@ -161,15 +212,8 @@ def banding_candidates(docs: DataFrame,
     children, so Spark plans a ReusedExchange; a broadcast self-join would
     compute signatures twice AND ship the whole banded corpus to every
     executor)."""
-    sig = minhash_signatures(docs, num_hashes)
-    n_bands = num_hashes // band_size
-    bands = [
-        F.md5(F.concat_ws("#", *[F.col(f"mh{b * band_size + r}")
-                                 for r in range(band_size)]))
-        .alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    banded = (sig.select("doc_id", F.posexplode(F.array(*bands)).alias("band_idx", "band_key")))
+    banded = banded_keys(minhash_signatures(docs, num_hashes),
+                         num_hashes, band_size)
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -220,10 +264,11 @@ def minhash_lsh_pairs(docs: DataFrame,
             .orderBy("doc_id_a", "doc_id_b"))
 
 
-def _banding_cand_ctes(num_hashes: int = NUM_HASHES,
+def _banding_base_ctes(num_hashes: int = NUM_HASHES,
                        band_size: int = BAND_SIZE) -> str:
-    """DuckDB CTE chain (sh, sig, banded, cand) mirroring
-    ``banding_candidates`` bit-for-bit — shared by every verifier oracle."""
+    """DuckDB CTE chain (sh, sig, banded) mirroring the Spark signature +
+    banding projection bit-for-bit — shared by the pair verifiers (via
+    _banding_cand_ctes) and the streaming first-seen dedup oracle."""
     mh_exprs = ", ".join(
         f"list_aggregate(list_transform(h32s, h -> ({a} * h + {b}) % {MINHASH_P}),"
         f" 'min') AS mh{j}"
@@ -242,7 +287,14 @@ def _banding_cand_ctes(num_hashes: int = NUM_HASHES,
 sig AS (SELECT doc_id, {mh_exprs}
         FROM (SELECT doc_id, list_transform(sh, s -> {_H32_DUCK}) AS h32s
               FROM sh WHERE len(sh) > 0)),
-banded AS ({band_selects}),
+banded AS ({band_selects})"""
+
+
+def _banding_cand_ctes(num_hashes: int = NUM_HASHES,
+                       band_size: int = BAND_SIZE) -> str:
+    """_banding_base_ctes plus the candidate-pair self-join CTE —
+    mirroring ``banding_candidates``; shared by every verifier oracle."""
+    return f"""{_banding_base_ctes(num_hashes, band_size)},
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          FROM banded a JOIN banded b
            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""

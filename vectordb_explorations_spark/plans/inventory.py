@@ -31,6 +31,7 @@ from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
 from vectordb_explorations_spark.operators import textops as X
 from vectordb_explorations_spark.plans import sql_api as Q
+from vectordb_explorations_spark.streaming import documents as SD
 from vectordb_explorations_spark.streaming import events as SE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -540,6 +541,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_index_refresh": SE.streaming_index_refresh_stats,
     "streaming_join_stats": SE.streaming_join_stats,
     "streaming_user_totals": SE.streaming_user_totals,
+    # stateful streaming near-dup admission (first-seen per MinHash band)
+    "streaming_near_dedup": SD.streaming_near_dedup_stats,
     # persisted-index pruned serving (oracle bakes the seeded hyperplanes
     # as float64 SQL literals; recall + bucket pruning also pytest-gated)
     "ann_bucketed_probe": q_ann_bucketed_probe,
@@ -578,9 +581,7 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
     "dedup_representatives", "multimodal_resize",
     # new this round — never driver-checked
-    "boilerplate_ngrams", "boilerplate_coverage",
-    # family representative keeping fresh evidence on the flagship path
-    "knn_exact",
+    "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -683,5 +684,6 @@ ORACLES: dict[str, str] = {
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
     "streaming_join_stats": SE.STREAMING_JOIN_STATS_ORACLE,
     "streaming_user_totals": SE.STREAMING_USER_TOTALS_ORACLE,
+    "streaming_near_dedup": SD.streaming_near_dedup_oracle(),
     "ann_bucketed_probe": _oracle_ann_bucketed_probe(),
 }

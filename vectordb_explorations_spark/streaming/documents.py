@@ -1,0 +1,128 @@
+"""Streaming near-duplicate detection over a `documents` stream.
+
+The batch dedup suite (operators/dedup.py) answers "which pairs are
+near-dups"; a streaming ingest pipeline asks the ONLINE form: "is this
+arriving doc a near-dup of anything already admitted?" — admit the first
+representative of each MinHash band neighborhood, flag later arrivals.
+The reference has no streaming surface at all (hnsw.cc is single-process
+batch); this extends SURVEY §2.2's streaming category alongside the
+events-side operators in streaming/events.py.
+
+Pipeline: stateless per-batch MinHash banding projection
+(``minhash_signatures_stateless`` — Structured Streaming forbids the
+batch path's non-time window) → ``applyInPandasWithState`` keyed on
+(band_idx, band_key) remembering the FIRST doc admitted per band →
+(doc_id, dup_of) emissions for every later arrival sharing a band.
+
+Scale shape: state is ONE long per occupied band key — bounded by the
+banding key space actually touched, not the corpus (and evictable by
+timeout in a production config); the grouped shuffle carries only
+(doc_id, band_idx, 32-char key) rows, the same narrow width as the batch
+self-join. Emissions are bounded by arrivals × bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from vectordb_explorations_spark.operators.dedup import (
+    NUM_HASHES, BAND_SIZE, banded_keys, minhash_signatures_stateless)
+from vectordb_explorations_spark.schemas import SCHEMAS
+
+NEAR_DUP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("dup_of", T.LongType()),
+])
+
+_BAND_STATE_SCHEMA = T.StructType([
+    T.StructField("first_doc", T.LongType()),
+])
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture documents table (the same
+    pattern as streaming/events.read_events_stream)."""
+    return (spark.readStream.schema(SCHEMAS["documents"])
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def near_dup_stream(docs: DataFrame,
+                    num_hashes: int = NUM_HASHES,
+                    band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, dup_of) per band collision: ``dup_of`` is the band's
+    first-ARRIVED doc (within one micro-batch, the minimum doc_id — the
+    deterministic stand-in for arrival order inside a batch). A doc
+    colliding in several bands emits one row per band; aggregate
+    downstream (min dup_of) for the per-doc verdict. Arrival order is the
+    semantic: a later batch's doc is flagged against an earlier batch's
+    representative even when its id is smaller."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    banded = banded_keys(minhash_signatures_stateless(docs, num_hashes),
+                         num_hashes, band_size)
+
+    def update(key, pdf_iter, state: GroupState):
+        ids: list[int] = []
+        for pdf in pdf_iter:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        if state.exists:
+            first = int(state.get[0])
+            dups = sorted(ids)
+        else:
+            first = min(ids)
+            dups = sorted(x for x in ids if x != first)
+            state.update((first,))
+        if dups:
+            yield pd.DataFrame({"doc_id": dups, "dup_of": first})
+
+    return (banded.groupBy("band_idx", "band_key")
+            .applyInPandasWithState(
+                update,
+                outputStructType=NEAR_DUP_SCHEMA,
+                stateStructType=_BAND_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_near_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the streaming near-dup path: drain the
+    fixture documents (one file → one micro-batch, so first-arrived ==
+    min doc_id and the result is batch-derivable) into a uniquely-named
+    memory sink, then report per flagged doc its representative and how
+    many bands collided. The oracle recomputes the identical banding in
+    SQL via the shared CTEs."""
+    import uuid
+
+    from vectordb_explorations_spark.sources.catalog import (
+        ensure_package_on_workers)
+    from vectordb_explorations_spark.streaming.events import run_to_memory
+
+    ensure_package_on_workers(spark)
+    name = f"sndd_{uuid.uuid4().hex[:12]}"
+    q = run_to_memory(near_dup_stream(read_documents_stream(spark, sf_dir)),
+                      name, "append")
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .groupBy("doc_id")
+            .agg(F.min("dup_of").alias("dup_of"),
+                 F.count(F.lit(1)).alias("n_band_hits"))
+            .orderBy("doc_id"))
+
+
+def streaming_near_dedup_oracle(num_hashes: int = NUM_HASHES,
+                                band_size: int = BAND_SIZE) -> str:
+    from vectordb_explorations_spark.operators.dedup import _banding_base_ctes
+    return f"""
+WITH {_banding_base_ctes(num_hashes, band_size)},
+firsts AS (SELECT band_idx, band_key, min(doc_id) AS first_doc
+           FROM banded GROUP BY band_idx, band_key),
+d AS (SELECT b.doc_id, f.first_doc
+      FROM banded b JOIN firsts f USING (band_idx, band_key)
+      WHERE b.doc_id > f.first_doc)
+SELECT doc_id, min(first_doc) AS dup_of, count(*) AS n_band_hits
+FROM d GROUP BY doc_id ORDER BY doc_id
+"""
