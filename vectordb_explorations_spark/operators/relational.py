@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from vectordb_explorations_spark.functions.rounding import r6, round6
+
 
 # --- Q1-style pricing summary (grouped aggregation, predicate pushdown) ---
 
@@ -296,16 +298,20 @@ def events_hourly(events: DataFrame) -> DataFrame:
     return (events
             .groupBy(hour.alias("hour_epoch"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"),
-                 F.round(F.avg("value"), 6).alias("avg_value"))
+                 round6(F.sum("value")).alias("sum_value"),
+                 round6(F.avg("value")).alias("avg_value"))
             .orderBy("hour_epoch", "event_type"))
 
 
-EVENTS_HOURLY_ORACLE = """
+# r6/round6: both engines hold identical sum/avg doubles here, but their
+# native 6-dp roundings disagree at .XXXXXX5 boundaries (found by the
+# sf0.1 full-corpus sweep) — both sides round in binary instead
+# (functions/rounding.py).
+EVENTS_HOURLY_ORACLE = f"""
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       {r6('sum(value)')} AS sum_value,
+       {r6('avg(value)')} AS avg_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour_epoch, event_type

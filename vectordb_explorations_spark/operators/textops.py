@@ -13,6 +13,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from vectordb_explorations_spark.functions.rounding import r6, round6
+
 # Tiny per-language marker lists over the synthetic vocabulary. The point is
 # a deterministic, oracle-checkable n-gram/stopword heuristic shape — exactly
 # what a real lang-ID (e.g. fastText-style profiles) plugs into.
@@ -53,14 +55,17 @@ def text_stats(docs: DataFrame) -> DataFrame:
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
     quality = 0.5 * uniq_ratio + 0.3 * (F.lit(1.0) - stop_ratio) + 0.2 * F.least(
         mean_len / F.lit(10.0), F.lit(1.0))
+    # round6, not F.round: these ratios of small integers land on exact
+    # .XXXXXX5 boundaries where decimal-repr rounding and the oracle's
+    # binary rounding disagree by one final digit (functions/rounding.py)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_unique.alias("n_unique"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(uniq_ratio, 6).alias("unique_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        round6(mean_len).alias("mean_token_len"),
+        round6(uniq_ratio).alias("unique_ratio"),
+        round6(stop_ratio).alias("stopword_ratio"),
+        round6(quality).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -78,11 +83,10 @@ WITH s AS (
   FROM s
 )
 SELECT doc_id, n_tokens, n_unique,
-       round(mean_len, 6) AS mean_token_len,
-       round(n_unique::DOUBLE / n_tokens, 6) AS unique_ratio,
-       round(stop_ratio, 6) AS stopword_ratio,
-       round(0.5 * (n_unique::DOUBLE / n_tokens) + 0.3 * (1.0 - stop_ratio)
-             + 0.2 * least(mean_len / 10.0, 1.0), 6) AS quality
+       {r6('mean_len')} AS mean_token_len,
+       {r6('n_unique::DOUBLE / n_tokens')} AS unique_ratio,
+       {r6('stop_ratio')} AS stopword_ratio,
+       {r6("0.5 * (n_unique::DOUBLE / n_tokens) + 0.3 * (1.0 - stop_ratio) + 0.2 * least(mean_len / 10.0, 1.0)")} AS quality
 FROM m ORDER BY doc_id
 """
 
