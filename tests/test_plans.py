@@ -58,3 +58,41 @@ def test_cube_uses_single_expand(spark, sf_dir):
     assert plan.count("Expand") >= 1
     # one Expand, not a union of per-grouping-set scans
     assert plan.count("FileScan parquet") == 1
+
+
+def test_boilerplate_coverage_broadcasts_hot_set(spark, sf_dir):
+    """The bounded hot-gram set must broadcast into the coverage join —
+    a shuffled join here would move the corpus-side gram stream."""
+    plan = _plan(spark, sf_dir, "boilerplate_coverage")
+    assert "BroadcastHashJoin" in plan
+    # corpus scalar (n_docs) also arrives via broadcast (nested-loop on
+    # a 1-row side), never a shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_ngrams_partial_agg(spark, sf_dir):
+    """Gram document-frequency counting must combine map-side (zipfian
+    head phrases would otherwise concentrate raw rows on one reducer)."""
+    plan = _plan(spark, sf_dir, "boilerplate_ngrams")
+    assert "partial_count" in plan
+
+
+def test_search_merges_single_exchange(spark, sf_dir):
+    """ivf_search's dedupe + ranking share one repartition-on-query
+    exchange (round-6): no ENSURE_REQUIREMENTS hash exchange may appear
+    on the narrow merge rows above the Arrow scoring stage."""
+    import re
+
+    from vectordb_explorations_spark.operators.ann import ivf_build, ivf_search
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    df = ivf_search(assigned, cents, sample_queries(emb, 5), 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    above_arrow = plan.split("MapInPandas")[0]
+    ensure_hash = re.findall(r"Exchange hashpartitioning.*ENSURE_REQUIREMENTS",
+                             above_arrow)
+    assert not ensure_hash, f"merge re-shuffles: {ensure_hash}"
+    assert "REPARTITION_BY_COL" in above_arrow
