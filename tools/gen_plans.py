@@ -100,6 +100,23 @@ COMMENTARY = {
         "the probe reads a constant fraction of the index, never scans "
         "it); probed candidates then re-score exactly with broadcast "
         "query vectors and rank per query."),
+    "boilerplate_ngrams": (
+        "Corpus boilerplate discovery: per-doc distinct k-grams bound each "
+        "doc's contribution before the explode, document-frequency counts "
+        "combine map-side, the corpus size arrives as one broadcast "
+        "scalar, and only rows over the fraction threshold survive to the "
+        "top-N."),
+    "boilerplate_coverage": (
+        "Per-lang boilerplate footprint: the bounded hot-gram set "
+        "broadcasts into the coverage join (the corpus-side gram stream "
+        "never shuffles); zero-hit docs re-enter via a narrow left join "
+        "before the per-lang rollup."),
+    "streaming_near_dedup": (
+        "Streaming first-seen-per-band admission drained to a memory "
+        "sink: the declared aggregate below scans the sink — the "
+        "streaming micro-batch plan itself is the stateless banding "
+        "projection + applyInPandasWithState keyed on (band_idx, "
+        "band_key), state one long per occupied band."),
 }
 
 
