@@ -154,3 +154,46 @@ def test_synthetic_datasource(spark):
     q = rows[0]
     top = knn_exact(df, q, 3).collect()
     assert top[0]["vec_id"] == 0 and top[0]["dist"] == 0.0
+
+
+def test_overwrite_partitions_backfills_only_written_slice(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite must replace exactly the partitions in
+    the incoming frame: the backfilled day changes, sibling days' files
+    and rows stay byte-identical, and nothing is truncated."""
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.sources import load_table
+    from vectordb_explorations_spark.sources.sinks import (
+        overwrite_partitions, partition_file_counts)
+
+    events = (load_table(spark, "events", sf_dir)
+              .withColumn("day", F.to_date("ts")))
+    path = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").parquet(path)
+    before = partition_file_counts(path)
+    days = sorted(d for d in before if d.startswith("day="))
+    assert len(days) >= 2, "fixture should span multiple days"
+    target = days[0].split("=", 1)[1]
+
+    patch = (events.where(F.col("day") == target)
+             .withColumn("value", F.col("value") * 2))
+    n_patch = patch.count()
+    overwrite_partitions(patch, path, ["day"])
+
+    after_df = spark.read.parquet(path)
+    # untouched sibling day: identical rows
+    sibling = days[1].split("=", 1)[1]
+    orig_sibling = sorted(map(tuple, events.where(F.col("day") == sibling)
+                              .drop("day").collect()))
+    new_sibling = sorted(map(tuple, after_df.where(F.col("day") == sibling)
+                             .drop("day").collect()))
+    assert orig_sibling == new_sibling
+    # backfilled day: doubled values, same row count
+    got = after_df.where(F.col("day") == target)
+    assert got.count() == n_patch
+    orig_sum = events.where(F.col("day") == target).agg(
+        F.sum("value")).first()[0]
+    assert abs(got.agg(F.sum("value")).first()[0] - 2 * orig_sum) < 1e-6
+    # the session conf was restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"

@@ -122,3 +122,32 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
      .repartition(n_files)
      .write.mode("overwrite").parquet(dst))
     return n_files
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_by: list[str]) -> None:
+    """Dynamic partition overwrite — the BACKFILL pattern: replace ONLY
+    the hive partitions present in ``df``, leaving every sibling
+    partition's files untouched. Static overwrite (the default) would
+    truncate the whole root first, so a one-day reprocess would silently
+    delete the other days; pipelines re-running a late or corrected slice
+    need exactly this write shape.
+
+    The ``partitionOverwriteMode=dynamic`` conf is toggled only around
+    this write and then restored — no session-wide side effect (same
+    discipline as lsh_probe_bucketed's scan toggle).
+
+    Scale notes: the write stays task-parallel per partition; at 100 TB
+    the replaced set is bounded by the slice being backfilled, never the
+    table. Readers see partition-atomic replacement (per-partition commit
+    via the staging directory protocol)."""
+    spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (df.write.mode("overwrite")
+         .partitionBy(*partition_by)
+         .parquet(path))
+    finally:
+        spark.conf.set(conf_key, prev)
