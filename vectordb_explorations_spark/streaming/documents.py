@@ -99,13 +99,14 @@ def streaming_near_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectordb_explorations_spark.sources.catalog import (
         ensure_package_on_workers)
-    from vectordb_explorations_spark.streaming.events import run_to_memory
+    from vectordb_explorations_spark.streaming.events import (
+        await_drained, run_to_memory)
 
     ensure_package_on_workers(spark)
     name = f"sndd_{uuid.uuid4().hex[:12]}"
     q = run_to_memory(near_dup_stream(read_documents_stream(spark, sf_dir)),
                       name, "append")
-    q.awaitTermination(300)
+    await_drained(q)
     return (spark.table(name)
             .groupBy("doc_id")
             .agg(F.min("dup_of").alias("dup_of"),

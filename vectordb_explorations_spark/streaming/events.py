@@ -114,6 +114,18 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
             .start())
 
 
+def await_drained(query, timeout_s: int = 300) -> None:
+    """awaitTermination with the timeout CHECKED: a timed-out drain would
+    otherwise leave a partially-filled memory table and the declared query
+    would return plausible-but-wrong rows. Raise loudly instead."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise RuntimeError(
+            f"streaming drain did not finish within {timeout_s}s "
+            f"(query {query.name or query.id}); refusing to read a "
+            f"partial sink")
+
+
 def incremental_index_refresh(spark: SparkSession, sf_dir: str,
                               index_dir: str,
                               num_shards: int = 4) -> "object":
@@ -161,7 +173,7 @@ def streaming_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sdedup_{uuid.uuid4().hex[:12]}"  # no session-global collisions
     stream = read_events_stream(spark, sf_dir)
     q = run_to_memory(streaming_dedup(stream), name, "append")
-    q.awaitTermination(300)
+    await_drained(q)
     return (spark.table(name)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -196,7 +208,7 @@ def streaming_index_refresh_stats(spark: SparkSession,
 
     out = tempfile.mkdtemp(prefix="lsh_refresh_")
     q = incremental_index_refresh(spark, sf_dir, out)
-    q.awaitTermination(300)
+    await_drained(q)
     idx = spark.read.parquet(out)
     return idx.agg(F.count(F.lit(1)).alias("n_rows"),
                    F.count_distinct("table_id").alias("n_tables"),
@@ -300,7 +312,7 @@ def streaming_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sjoin_{uuid.uuid4().hex[:12]}"
     stream = read_events_stream(spark, sf_dir)
     q = run_to_memory(purchase_click_stream_join(stream), name, "append")
-    q.awaitTermination(300)
+    await_drained(q)
     return (spark.table(name)
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_pairs"),
@@ -338,7 +350,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stotals_{uuid.uuid4().hex[:12]}"
     stream = read_events_stream(spark, sf_dir)
     q = run_to_memory(user_running_totals_stream(stream), name, "update")
-    q.awaitTermination(300)
+    await_drained(q)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (spark.table(name)
             .withColumn("rn", F.row_number().over(w))
