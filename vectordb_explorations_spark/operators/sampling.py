@@ -317,3 +317,50 @@ WITH k AS (
 SELECT doc_id, weight, round(key_raw, 6) AS sample_key
 FROM k ORDER BY key_raw DESC, doc_id ASC LIMIT {n}
 """
+
+
+def curation_pipeline_stats(docs: DataFrame, train: float = 0.9,
+                            val: float = 0.05) -> DataFrame:
+    """End-to-end curation composition — the flow a training-data pipeline
+    actually ships: quality-filter the corpus (textops.quality_filter),
+    then assign the ADMITTED docs their deterministic md5-threshold split,
+    and audit counts + char volume per (split, lang). Declared as one
+    query so the driver hash-checks the operators composed, not just in
+    isolation.
+
+    Scale shape: the filter verdict is a narrow (doc_id) frame joined back
+    on the stable id (AQE broadcasts it while it fits, hash-joins at
+    scale); the split adds no shuffle (pure projection); one grouped
+    aggregation ends the pipeline."""
+    from vectordb_explorations_spark.operators.textops import quality_filter
+
+    kept = quality_filter(docs).where(F.col("keep")).select("doc_id")
+    return (docs.join(kept, "doc_id")
+            .withColumn("split", split_column(F.col("doc_id"), train, val))
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("split", "lang"))
+
+
+def curation_pipeline_stats_oracle(train: float = 0.9,
+                                   val: float = 0.05) -> str:
+    from vectordb_explorations_spark.operators.textops import (
+        quality_filter_oracle)
+    qf = quality_filter_oracle().strip()
+    t1, t2 = _hex_threshold(train), _hex_threshold(train + val)
+    return f"""
+WITH qf AS ({qf}),
+k AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '{t1}'
+                THEN 'train'
+              WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '{t2}'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d JOIN qf ON qf.doc_id = d.doc_id AND qf.keep
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM k GROUP BY split, lang ORDER BY split, lang
+"""

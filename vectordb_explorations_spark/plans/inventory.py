@@ -531,6 +531,8 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "domain_mix_sample": lambda s, d: SP.domain_mix_sample(
         load_table(s, "documents", d)),
+    "curation_pipeline": lambda s, d: SP.curation_pipeline_stats(
+        load_table(s, "documents", d)),
     "doc_chunks": lambda s, d: SP.doc_chunks(load_table(s, "documents", d)),
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
@@ -567,7 +569,7 @@ _WINDOW_PRIORITY = [
     "pivot_flag_by_status",
     # last driver-checked in r04 — re-certify on current code
     "bpe_pair_stats", "clean_text", "contamination_check",
-    "cube_order_stats", "customers_without_orders",
+    "cube_order_stats",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "distance_matrix_sample", "doc_fingerprints", "doc_length_percentiles",
     "doc_repetition_stats", "knn_batch", "label_centroids",
@@ -580,8 +582,10 @@ _WINDOW_PRIORITY = [
     # banding CTE short-doc filter; resize ASCII-prefix guard)
     "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
     "dedup_representatives", "multimodal_resize",
-    # new this round — never driver-checked
+    # new this round — never driver-checked (customers_without_orders, a
+    # simple r04-green anti-join, defers to r07 to make room)
     "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
+    "curation_pipeline",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -679,6 +683,7 @@ ORACLES: dict[str, str] = {
     "sequence_pack_bins": SP.sequence_pack_bins_oracle(),
     "domain_mix_sample": SP.domain_mix_sample_oracle(),
     "doc_chunks": SP.doc_chunks_oracle(),
+    "curation_pipeline": SP.curation_pipeline_stats_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
