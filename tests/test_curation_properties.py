@@ -66,3 +66,36 @@ def test_chunks_tile_every_token(spark, texts):
         assert last["chunk_start"] + last["chunk_len"] == n
         for c in chunks[:-1]:
             assert c["chunk_len"] == CHUNK_WIN
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+@settings(max_examples=20, deadline=None)
+def test_round6_matches_oracle_r6_on_arbitrary_doubles(spark, xs):
+    """The binary-rounding pair (functions/rounding.py) must agree between
+    Spark and DuckDB on ARBITRARY doubles — including adversarial
+    .XXXXXX5-boundary values hypothesis shrinks toward — because the whole
+    point of the pair is that both engines perform the identical IEEE
+    ops."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.functions.rounding import r6, round6
+
+    # exercise the exact boundary shape too: k/64-style rationals
+    xs = xs + [x + 1 / 64 for x in xs[:5]]
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)],
+                               "i long, x double")
+    got = {r["i"]: r["y"]
+           for r in df.select("i", round6(F.col("x")).alias("y")).collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(i BIGINT, x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, float(x)) for i, x in enumerate(xs)])
+        want = dict(con.execute(f"SELECT i, {r6('x')} FROM t").fetchall())
+    finally:
+        con.close()
+    assert got == want
