@@ -25,6 +25,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from vectordb_explorations_spark.functions.rounding import r6, round6
 from pyspark.sql import types as T
 
 MODALITIES = ["text", "image", "audio", "video"]
@@ -320,15 +322,15 @@ def multimodal_summary(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
                     l2_norm(F.col("embedding")).alias("norm"))
             .groupBy("lang", "label")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+                 round6(F.avg("n_chars")).alias("avg_chars"),
                  F.round(F.avg("norm"), 6).alias("avg_norm"))
             .orderBy("lang", "label"))
 
 
-MULTIMODAL_SUMMARY_ORACLE = """
+MULTIMODAL_SUMMARY_ORACLE = f"""
 SELECT lang, label,
        count(*) AS n_docs,
-       round(avg(n_chars), 6) AS avg_chars,
+       {r6('avg(n_chars)')} AS avg_chars,
        round(avg(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
 FROM documents JOIN embeddings ON doc_id = vec_id

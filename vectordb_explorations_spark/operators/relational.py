@@ -34,22 +34,22 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
                  .alias("sum_disc_price"),
                  F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                                * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 round6(F.avg("l_quantity")).alias("avg_qty"),
+                 round6(F.avg("l_extendedprice")).alias("avg_price"),
+                 round6(F.avg("l_discount")).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
-PRICING_SUMMARY_ORACLE = """
+PRICING_SUMMARY_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
        round(sum(l_extendedprice), 4) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       {r6('avg(l_quantity)')} AS avg_qty,
+       {r6('avg(l_extendedprice)')} AS avg_price,
+       {r6('avg(l_discount)')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -247,14 +247,14 @@ def segment_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
                                 "left_semi")
     return (with_orders.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_customers_with_orders"),
-                 F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
+                 round6(F.avg("c_acctbal")).alias("avg_acctbal"))
             .orderBy("c_mktsegment"))
 
 
-SEGMENT_ORDER_STATS_ORACLE = """
+SEGMENT_ORDER_STATS_ORACLE = f"""
 SELECT c_mktsegment,
        count(*) AS n_customers_with_orders,
-       round(avg(c_acctbal), 6) AS avg_acctbal
+       {r6('avg(c_acctbal)')} AS avg_acctbal
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment
@@ -328,16 +328,16 @@ def events_json_stats(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_with_k"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k"),
-                 F.round(F.avg("k"), 6).alias("avg_k"))
+                 round6(F.avg("k")).alias("avg_k"))
             .orderBy("event_type"))
 
 
-EVENTS_JSON_STATS_ORACLE = """
+EVENTS_JSON_STATS_ORACLE = f"""
 SELECT event_type,
        count(*) AS n_with_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+       {r6("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))")} AS avg_k
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY event_type
@@ -616,15 +616,15 @@ def events_variant_stats(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k"),
-                 F.round(F.avg("k"), 6).alias("avg_k"))
+                 round6(F.avg("k")).alias("avg_k"))
             .orderBy("event_type"))
 
 
-EVENTS_VARIANT_STATS_ORACLE = """
+EVENTS_VARIANT_STATS_ORACLE = f"""
 SELECT event_type, count(*) AS n_events,
        min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
-       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k
+       {r6("avg(CAST(json_extract(props, '$.k') AS INTEGER))")} AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

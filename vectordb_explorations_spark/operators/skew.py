@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from vectordb_explorations_spark.functions.rounding import r6, round6
+
 
 def salted_event_type_stats(events: DataFrame, num_salts: int = 16) -> DataFrame:
     """Event-type statistics via salted two-phase aggregation.
@@ -40,17 +42,17 @@ def salted_event_type_stats(events: DataFrame, num_salts: int = 16) -> DataFrame
                  F.round(F.sum("sum_v"), 6).alias("sum_value"),
                  F.round(F.min("min_v"), 6).alias("min_value"),
                  F.round(F.max("max_v"), 6).alias("max_value"),
-                 F.round(F.sum("sum_v") / F.sum("n"), 6).alias("avg_value"))
+                 round6(F.sum("sum_v") / F.sum("n")).alias("avg_value"))
             .orderBy("event_type"))
 
 
-SALTED_EVENT_TYPE_STATS_ORACLE = """
+SALTED_EVENT_TYPE_STATS_ORACLE = f"""
 SELECT event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value,
-       round(sum(value) / count(*), 6) AS avg_value
+       {r6('sum(value) / count(*)')} AS avg_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -318,17 +318,17 @@ def doc_length_percentiles(docs: DataFrame) -> DataFrame:
     pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+                 round6(F.avg("n_chars")).alias("mean_chars"),
                  F.round(F.try_element_at(pct, F.lit(1)), 6).alias("p50_chars"),
                  F.round(F.try_element_at(pct, F.lit(2)), 6).alias("p90_chars"),
                  F.round(F.try_element_at(pct, F.lit(3)), 6).alias("p99_chars"))
             .orderBy("lang"))
 
 
-DOC_LENGTH_PERCENTILES_ORACLE = """
+DOC_LENGTH_PERCENTILES_ORACLE = f"""
 SELECT lang,
        count(*) AS n_docs,
-       round(avg(n_chars), 6) AS mean_chars,
+       {r6('avg(n_chars)')} AS mean_chars,
        round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
        round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
        round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
@@ -760,8 +760,8 @@ def boilerplate_coverage(docs: DataFrame, k: int = BOILERPLATE_NGRAM,
     return (per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("n_hot") > 0, 1).otherwise(0)).alias("n_flagged"),
-        F.round(F.avg(F.col("n_hot") / F.col("n_grams").cast("double")),
-                6).alias("avg_cov"))
+        round6(F.avg(F.col("n_hot") / F.col("n_grams").cast("double"))
+               ).alias("avg_cov"))
         .orderBy("lang"))
 
 
@@ -802,6 +802,6 @@ per_doc AS (SELECT g.lang, len(g.gs) AS n_grams,
 SELECT lang, count(*) AS n_docs,
        CAST(SUM(CASE WHEN n_hot > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_flagged,
-       round(avg(n_hot::DOUBLE / n_grams), 6) AS avg_cov
+       {r6('avg(n_hot::DOUBLE / n_grams)')} AS avg_cov
 FROM per_doc GROUP BY lang ORDER BY lang
 """

@@ -18,6 +18,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from vectordb_explorations_spark.sources.catalog import load_table
+from vectordb_explorations_spark.functions.rounding import r6, round6
 from vectordb_explorations_spark.functions.vectors import (
     compat_distance, l2_distance, l2_norm, masked_get, set_element)
 from vectordb_explorations_spark.schemas import EMBEDDING_DIM
@@ -198,19 +199,19 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return (emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
             .groupBy("label", "dim_idx")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+            .agg(round6(F.avg(F.col("v").cast("double"))).alias("mean_v"))
             .orderBy("label", "dim_idx"))
 
 
 def _oracle_label_centroids() -> str:
-    return """
+    return f"""
 WITH x AS (
   SELECT label,
          CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim_idx,
          unnest(embedding) AS v
   FROM embeddings
 )
-SELECT label, dim_idx, round(avg(CAST(v AS DOUBLE)), 6) AS mean_v
+SELECT label, dim_idx, {r6('avg(CAST(v AS DOUBLE))')} AS mean_v
 FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx
 """
 
