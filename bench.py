@@ -235,6 +235,14 @@ def main() -> None:
     bench("user_sessions", lambda: _force(R.user_sessions(ev)))
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    # Ambient context for the recorded run: this box shows external load
+    # bursts that inflate rows 1.5-3x run-to-run (round-6 measurements:
+    # same code, totals 14.9s-27.5s purely by window). loadavg makes a
+    # noisy record interpretable next to a quiet one.
+    try:
+        extras["loadavg_1m_5m_15m"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
