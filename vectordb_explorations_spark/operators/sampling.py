@@ -319,6 +319,70 @@ FROM k ORDER BY key_raw DESC, doc_id ASC LIMIT {n}
 """
 
 
+# ---- deterministic global shuffle -> training shards ----
+
+TRAINING_SHARDS = 16
+
+
+def global_shuffle(docs: DataFrame, n_shards: int = TRAINING_SHARDS) -> DataFrame:
+    """Deterministic global shuffle for training export: every document gets
+    a ``shuffle_key`` (md5 of its stable id) and a ``shard_id`` (hash-prefix
+    mod ``n_shards``). Writing each shard ordered by shuffle_key IS the
+    epoch-level global shuffle a training run needs — reproducible,
+    resumable, coordination-free, and never a total sort: shards are
+    independent and order only matters within a shard.
+
+    Scale shape: pure projection — zero shuffles here; the downstream
+    writer repartitions on shard_id (one hash exchange) and sorts within
+    partitions, so a 100 TB corpus shuffles exactly once regardless of
+    shard count."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+             % F.lit(n_shards))
+    return docs.withColumn("shuffle_key", h).withColumn("shard_id", shard)
+
+
+def training_shard_manifest(docs: DataFrame,
+                            n_shards: int = TRAINING_SHARDS) -> DataFrame:
+    """Shard manifest for the deterministic global shuffle: per-shard doc
+    count, token volume, language spread, and the head/tail doc in shuffle
+    order — the audit a pipeline runs (and persists next to the shards)
+    before launching training on them.
+
+    Scale shape: one map-side-combinable aggregation keyed on shard_id;
+    min_by/max_by keep the head/tail probe inside the same combiner, so
+    the manifest costs one narrow shuffle of ``n_shards`` groups."""
+    s = global_shuffle(docs, n_shards)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (s.select("shard_id", "shuffle_key", "doc_id", "lang",
+                     n_tokens.alias("n_tokens"))
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("shard_tokens"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.min_by("doc_id", "shuffle_key").alias("head_doc"),
+                 F.max_by("doc_id", "shuffle_key").alias("tail_doc"))
+            .orderBy("shard_id"))
+
+
+def training_shard_manifest_oracle(n_shards: int = TRAINING_SHARDS) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS UBIGINT) % {n_shards} AS BIGINT) AS shard_id
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       count(DISTINCT lang) AS n_langs,
+       arg_min(doc_id, h) AS head_doc,
+       arg_max(doc_id, h) AS tail_doc
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def curation_pipeline_stats(docs: DataFrame, train: float = 0.9,
                             val: float = 0.05) -> DataFrame:
     """End-to-end curation composition — the flow a training-data pipeline

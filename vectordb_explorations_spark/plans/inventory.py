@@ -26,6 +26,7 @@ from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import dedup as D
 from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
+from vectordb_explorations_spark.operators import layout as L
 from vectordb_explorations_spark.operators import multimodal as M
 from vectordb_explorations_spark.operators import relational as R
 from vectordb_explorations_spark.operators import sampling as SP
@@ -535,6 +536,11 @@ QUERIES: dict[str, QueryFn] = {
     "curation_pipeline": lambda s, d: SP.curation_pipeline_stats(
         load_table(s, "documents", d)),
     "doc_chunks": lambda s, d: SP.doc_chunks(load_table(s, "documents", d)),
+    # deterministic global shuffle -> training shards (epoch shuffle audit)
+    "training_shards": lambda s, d: SP.training_shard_manifest(
+        load_table(s, "documents", d)),
+    # z-order multi-column clustering audit (data-layout scan pruning)
+    "zorder_layout": lambda s, d: L.zorder_layout(load_table(s, "orders", d)),
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
@@ -568,14 +574,16 @@ _WINDOW_PRIORITY = [
     "customers_with_open_orders", "event_value_histogram", "events_hourly",
     "moving_avg_daily_revenue", "order_gaps", "orders_above_customer_avg",
     "pivot_flag_by_status",
-    # last driver-checked in r04 — re-certify on current code
-    "bpe_pair_stats", "clean_text", "contamination_check",
+    # last driver-checked in r04 — re-certify on current code (clean_text
+    # and mask_pii, the two most static literal-oracle projections, yield
+    # their slots to the two brand-new queries below and rotate in r07)
+    "bpe_pair_stats", "contamination_check",
     "cube_order_stats",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "distance_matrix_sample", "doc_fingerprints", "doc_length_percentiles",
     "doc_repetition_stats", "knn_batch", "label_centroids",
     "lang_confusion", "lang_geomean_chars", "large_volume_customers",
-    "mask_pii", "norm_stats", "part_set_ops", "pricing_summary",
+    "norm_stats", "part_set_ops", "pricing_summary",
     "rollup_revenue", "running_totals", "segment_order_stats",
     "shipping_priority", "top_customers_per_nation", "top_orders",
     "unigram_logprob", "vocab_stats",
@@ -586,7 +594,7 @@ _WINDOW_PRIORITY = [
     # new this round — never driver-checked (customers_without_orders, a
     # simple r04-green anti-join, defers to r07 to make room)
     "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
-    "curation_pipeline",
+    "curation_pipeline", "training_shards", "zorder_layout",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -685,6 +693,8 @@ ORACLES: dict[str, str] = {
     "domain_mix_sample": SP.domain_mix_sample_oracle(),
     "doc_chunks": SP.doc_chunks_oracle(),
     "curation_pipeline": SP.curation_pipeline_stats_oracle(),
+    "training_shards": SP.training_shard_manifest_oracle(),
+    "zorder_layout": L.zorder_layout_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
