@@ -206,6 +206,26 @@ def main() -> None:
                                       queries, K, refine_with=emb,
                                       refine_factor=10)))
 
+    from vectordb_explorations_spark.operators import sq as SQ2
+
+    sq_state = {}
+
+    def build_sq():
+        # NEW vs BENCH_r05: fifth index family. The "training" is one
+        # combinable min/max agg (no sample, no iterations) and the encode
+        # is a pure codegen projection — the cheapest build of the five.
+        mins, maxs = SQ2.sq_train(emb, 64)
+        codes = SQ2.sq_encode(emb, mins, maxs).cache()
+        codes.count()
+        sq_state["mins"], sq_state["maxs"], sq_state["codes"] = mins, maxs, codes
+
+    bench_build("index_build_sq8", build_sq)
+    persist_bytes("sq8", sq_state["codes"])
+    bench("ann_sq8_batch100",
+          lambda: _force(SQ2.sq_search(sq_state["codes"], sq_state["mins"],
+                                       sq_state["maxs"], queries, K,
+                                       refine_with=emb, refine_factor=3)))
+
     exact = knn_join(emb, queries, K, dim=64).cache()
     exact.count()
     extras["recall_lsh_at_10"] = round(
@@ -216,6 +236,11 @@ def main() -> None:
     extras["recall_ivf_at_10"] = round(
         recall_at_k(ivf_search(ivf_state["assigned"], ivf_state["cents"],
                                queries, K, nprobe=8), exact, K), 4)
+    extras["recall_sq8_at_10"] = round(
+        recall_at_k(SQ2.sq_search(sq_state["codes"], sq_state["mins"],
+                                  sq_state["maxs"], queries, K,
+                                  refine_with=emb, refine_factor=3),
+                    exact, K), 4)
     extras["recall_pq_refined_at_10"] = round(
         recall_at_k(PQ.pq_search(pq_state["codes"], pq_state["books"], queries,
                                  K, refine_with=emb, refine_factor=10),

@@ -1,0 +1,87 @@
+"""SQ8: quantization contract (codes in range, encode is pure codegen),
+reconstruction error bound, and recall gates (raw and exact-refined)
+against the exact k-NN path."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_explorations_spark.operators import sq as SQ  # noqa: E402
+from vectordb_explorations_spark.operators.ann import recall_at_k  # noqa: E402
+from vectordb_explorations_spark.operators.knn import (  # noqa: E402
+    knn_join, sample_queries)
+from vectordb_explorations_spark.schemas import EMBEDDING_DIM  # noqa: E402
+from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def setup(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    mins, maxs = SQ.sq_train(emb, EMBEDDING_DIM)
+    codes = SQ.sq_encode(emb, mins, maxs).cache()
+    codes.count()
+    queries = sample_queries(emb, 30).cache()
+    exact = knn_join(emb, queries, K).cache()
+    exact.count()
+    return emb, mins, maxs, codes, queries, exact
+
+
+def test_codes_shape_and_range(setup):
+    emb, mins, maxs, codes, _, _ = setup
+    assert mins.shape == maxs.shape == (EMBEDDING_DIM,)
+    assert (maxs >= mins).all()
+    rows = codes.limit(50).collect()
+    assert all(len(r["codes"]) == EMBEDDING_DIM for r in rows)
+    assert all(0 <= c <= SQ.SQ_LEVELS for r in rows for c in r["codes"])
+    assert codes.count() == emb.count()
+
+
+def test_encode_is_jvm_only(setup):
+    """The encoder must be a pure codegen projection — no Arrow/Python
+    stage in the plan (that is SQ8's edge over PQ's argmin GEMM)."""
+    emb, mins, maxs, _, _, _ = setup
+    plan = SQ.sq_encode(emb, mins, maxs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_reconstruction_error_bounded(setup):
+    """|dequant - v| <= scale/2 + eps per dimension, by construction of
+    the half-up rounding; checked exactly on a sample."""
+    emb, mins, maxs, codes, _, _ = setup
+    scales = SQ._scales(mins, maxs)
+    sample = (emb.join(codes, "vec_id").limit(100)
+              .select("embedding", "codes").collect())
+    for r in sample:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        deq = np.asarray(r["codes"], dtype=np.float64) * scales + mins
+        assert (np.abs(deq - v) <= scales / 2 + 1e-9).all()
+
+
+def test_encode_deterministic(setup):
+    emb, mins, maxs, codes, _, _ = setup
+    again = {r["vec_id"]: r["codes"]
+             for r in SQ.sq_encode(emb.repartition(7), mins, maxs).collect()}
+    assert {r["vec_id"]: r["codes"] for r in codes.collect()} == again
+
+
+def test_sq_recall(setup):
+    _, mins, maxs, codes, queries, exact = setup
+    approx = SQ.sq_search(codes, mins, maxs, queries, K)
+    r = recall_at_k(approx, exact, K)
+    # 8-bit/dim keeps distances nearly exact — raw recall is already high
+    assert r >= 0.9, r
+
+
+def test_sq_refined_recall(setup):
+    emb, mins, maxs, codes, queries, exact = setup
+    refined = SQ.sq_search(codes, mins, maxs, queries, K,
+                           refine_with=emb, refine_factor=5)
+    r = recall_at_k(refined, exact, K)
+    assert r >= 0.99, r

@@ -1,0 +1,234 @@
+"""Scalar quantization (SQ8): compress each vector dimension to one uint8
+code against per-dimension global min/max, search on dequantized codes, and
+refine the top candidates exactly.
+
+Not in the reference (HNSW is its only index, hnsw.cc:94-285) — SQ8 is the
+simplest member of the compressed-index family and the usual first step
+before PQ: 64 float32 dims (256 B) become 64 bytes with NO training beyond
+a one-pass min/max, reconstruction error bounded by scale/2 per dimension,
+and the codes stay directly usable for distance math (dequantize + GEMM).
+
+Scale shape: the "codebook" is 2 arrays of ``dim`` doubles computed by ONE
+map-side-combinable aggregation over the corpus (no driver sample, no
+training iterations — exact global extents in a single scan); encoding is a
+pure codegen projection (transform over the array, no Python); search
+mirrors the PQ path — per-partition Arrow GEMM local top-k, window merge,
+broadcast-candidate exact refine. Recall-gated against the exact path, and
+the quantization transform itself is deterministic, so the per-dimension
+error audit IS hash-checked against DuckDB (unlike the trained families).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from vectordb_explorations_spark.functions.rounding import r6, round6
+from vectordb_explorations_spark.functions.vectors import l2_distance
+
+SQ_LEVELS = 255  # codes 0..255
+
+
+def sq_train(vectors: DataFrame, dim: int,
+             vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-dimension (min, max) over the corpus in ONE combinable
+    aggregation: posexplode fans out to (pos, value) and the grouped
+    min/max reduces to ``dim`` rows per partition map-side before the
+    shuffle (a 2*dim-column single-row agg compiles a giant codegen
+    expression instead — measurably slower at fixture scale for the same
+    scan). Unlike the k-means families there is no sample and no seed:
+    the quantizer is a pure function of the corpus extents."""
+    rows = (vectors.select(F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                 F.max(F.col("v").cast("double")).alias("mx"))
+            .collect())
+    assert len(rows) == dim, (len(rows), dim)
+    mins = np.empty(dim, dtype=np.float64)
+    maxs = np.empty(dim, dtype=np.float64)
+    for r in rows:
+        mins[r["pos"]] = r["mn"]
+        maxs[r["pos"]] = r["mx"]
+    return mins, maxs
+
+
+def _scales(mins: np.ndarray, maxs: np.ndarray) -> np.ndarray:
+    span = maxs - mins
+    # degenerate (constant) dimensions quantize to code 0 with scale 0
+    return np.where(span > 0, span / SQ_LEVELS, 0.0)
+
+
+def sq_encode(vectors: DataFrame, mins: np.ndarray, maxs: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Quantize to ARRAY<INT> codes entirely JVM-side: two zip_with passes
+    against literal min/scale arrays — whole-stage codegen, no Python in
+    the encode path (the PQ encoder needs an argmin GEMM; SQ8 does not).
+    zip_with references each literal array once per row; the
+    transform-with-index formulation re-evaluated the 64-literal
+    CreateArray per ELEMENT and compiled 2x slower cold.
+    code = clip(floor((v - min)/scale + 0.5), 0, 255) — the binary
+    half-up round both engines compute identically."""
+    scales = _scales(mins, maxs)
+    mins_lit = F.array(*[F.lit(float(v)) for v in mins])
+    scales_lit = F.array(*[F.lit(float(v)) for v in scales])
+    delta = F.zip_with(F.col(vec_col), mins_lit,
+                       lambda x, mn: x.cast("double") - mn)
+    codes = F.zip_with(
+        delta, scales_lit,
+        lambda d, sc: (F.when(sc > 0,
+                              F.least(F.lit(SQ_LEVELS).cast("long"),
+                                      F.greatest(F.lit(0).cast("long"),
+                                                 F.floor(d / sc + F.lit(0.5)))))
+                       .otherwise(F.lit(0).cast("long")).cast("int")))
+    return vectors.select(id_col, codes.alias("codes"))
+
+
+def sq_search(codes_df: DataFrame, mins: np.ndarray, maxs: np.ndarray,
+              queries: DataFrame, k: int,
+              refine_with: DataFrame | None = None, refine_factor: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """Approximate search on the dequantized codes: per partition, Arrow
+    batches dequantize (codes * scale + min) and score all queries in one
+    GEMM, keeping a per-partition top-n pool; a window merge ranks
+    globally; with ``refine_with`` the top k*refine_factor candidates are
+    re-scored exactly via a broadcast-candidate join (same shape as
+    pq_search — candidates bounded at Q*k*refine_factor, the corpus never
+    shuffles)."""
+    import pandas as pd
+
+    scales = _scales(mins, maxs)
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([int(r[0]) for r in qrows])
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, dim)
+    qsq = (qmat ** 2).sum(-1)  # (Q,)
+
+    n_local = k * refine_factor if refine_with is not None else k
+    schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sq_dist", T.DoubleType()),
+    ])
+
+    def score(batches):
+        acc_i, acc_d = [], []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.float64)  # (N, dim)
+            deq = codes * scales + mins
+            ids = pdf[id_col].to_numpy()
+            # (Q, N) squared distances via ||q||^2 - 2 q.deq + ||deq||^2
+            d2 = qsq[:, None] - 2.0 * qmat @ deq.T + (deq ** 2).sum(-1)
+            top = min(n_local, d2.shape[1])
+            part = np.argpartition(d2, top - 1, axis=1)[:, :top]
+            acc_i.append(ids[part])
+            acc_d.append(np.take_along_axis(d2, part, axis=1))
+        if not acc_i:
+            return
+        ii = np.concatenate(acc_i, axis=1)
+        dd = np.concatenate(acc_d, axis=1)
+        top = min(n_local, ii.shape[1])
+        part = np.argpartition(dd, top - 1, axis=1)[:, :top]
+        sel_i = np.take_along_axis(ii, part, axis=1)
+        sel_d = np.sqrt(np.maximum(np.take_along_axis(dd, part, axis=1), 0.0))
+        yield pd.DataFrame({
+            qid_col: np.repeat(qids, top),
+            id_col: sel_i.ravel(),
+            "sq_dist": sel_d.ravel(),
+        })
+
+    local = codes_df.mapInPandas(score, schema=schema)
+    if refine_with is None:
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("sq_dist").asc(), F.col(id_col).asc())
+        return (local.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(qid_col, id_col,
+                        F.round("sq_dist", 6).alias("dist"), "rank"))
+    wloc = Window.partitionBy(qid_col).orderBy(
+        F.col("sq_dist").asc(), F.col(id_col).asc())
+    cand = (local.withColumn("r", F.row_number().over(wloc))
+            .where(F.col("r") <= k * refine_factor)
+            .select(qid_col, id_col))
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
+        f"{qid_col} long, {qvec_col} array<double>")
+    dim = qmat.shape[1]
+    scored = (refine_with.select(id_col, vec_col)
+              .join(F.broadcast(cand), id_col)
+              .join(F.broadcast(qdf), qid_col)
+              .withColumn("dist", F.round(
+                  l2_distance(F.col(vec_col), F.col(qvec_col), dim=dim), 6)))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "dist", "rank"))
+
+
+def sq_quantization_audit(vectors: DataFrame,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Declared (hash-checked) per-dimension quantization audit: extents,
+    scale, mean code, and mean absolute reconstruction error — the
+    deterministic face of the SQ8 family (recall is gated in pytest; this
+    transform has no randomness so it IS oracle-comparable).
+
+    Scale shape: one explode (fan-out = dim), then a single hash exchange
+    on dim_id shared by the extent window and the final aggregation (AQE
+    reuses the partitioning); everything is codegen — no Python, no
+    driver pass, no second corpus scan."""
+    e = vectors.select(F.posexplode(vec_col).alias("pos", "v0"))
+    e = e.select((F.col("pos") + 1).alias("dim_id"),
+                 F.col("v0").cast("double").alias("v"))
+    w = Window.partitionBy("dim_id")
+    dmin = F.min("v").over(w)
+    dmax = F.max("v").over(w)
+    sc = (dmax - dmin) / F.lit(float(SQ_LEVELS))
+    code = F.least(F.lit(SQ_LEVELS).cast("long"),
+                   F.greatest(F.lit(0).cast("long"),
+                              F.floor((F.col("v") - dmin) / sc + F.lit(0.5))))
+    code = F.when(dmax > dmin, code).otherwise(F.lit(0).cast("long"))
+    err = F.abs(dmin + code.cast("double") * sc - F.col("v"))
+    c = e.select("dim_id", "v", dmin.alias("dmin"), dmax.alias("dmax"),
+                 sc.alias("sc"), code.alias("code"), err.alias("err"))
+    return (c.groupBy("dim_id")
+            .agg(round6(F.min("v")).alias("d_min"),
+                 round6(F.max("v")).alias("d_max"),
+                 round6(F.first("sc")).alias("scale"),
+                 round6(F.avg("code")).alias("avg_code"),
+                 round6(F.avg("err")).alias("avg_abs_err"))
+            .orderBy("dim_id"))
+
+
+def sq_quantization_audit_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) AS dim_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), s AS (
+  SELECT dim_id, v,
+         min(v) OVER (PARTITION BY dim_id) AS dmin,
+         max(v) OVER (PARTITION BY dim_id) AS dmax
+  FROM e
+), c AS (
+  SELECT dim_id, v, dmin, dmax,
+         (dmax - dmin) / {SQ_LEVELS}.0 AS sc,
+         CASE WHEN dmax > dmin
+              THEN least({SQ_LEVELS}, greatest(0,
+                   CAST(floor((v - dmin) / ((dmax - dmin) / {SQ_LEVELS}.0)
+                              + 0.5) AS BIGINT)))
+              ELSE 0 END AS code
+  FROM s
+)
+SELECT CAST(dim_id AS INT) AS dim_id,
+       {r6('min(v)')} AS d_min,
+       {r6('max(v)')} AS d_max,
+       {r6('any_value(sc)')} AS scale,
+       {r6('avg(code)')} AS avg_code,
+       {r6('avg(abs(dmin + code * sc - v))')} AS avg_abs_err
+FROM c GROUP BY dim_id ORDER BY dim_id
+"""

@@ -31,6 +31,7 @@ from vectordb_explorations_spark.operators import multimodal as M
 from vectordb_explorations_spark.operators import relational as R
 from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
+from vectordb_explorations_spark.operators import sq as SQ
 from vectordb_explorations_spark.operators import textops as X
 from vectordb_explorations_spark.plans import sql_api as Q
 from vectordb_explorations_spark.streaming import documents as SD
@@ -541,6 +542,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     # z-order multi-column clustering audit (data-layout scan pruning)
     "zorder_layout": lambda s, d: L.zorder_layout(load_table(s, "orders", d)),
+    # SQ8 per-dimension quantization audit (the deterministic face of the
+    # scalar-quantized index family; recall is pytest-gated in test_sq.py)
+    "sq8_quantization": lambda s, d: SQ.sq_quantization_audit(
+        load_table(s, "embeddings", d)),
     # skew mitigation (salted two-phase aggregation)
     "salted_event_type_stats": lambda s, d: SK.salted_event_type_stats(
         load_table(s, "events", d)),
@@ -574,13 +579,14 @@ _WINDOW_PRIORITY = [
     "customers_with_open_orders", "event_value_histogram", "events_hourly",
     "moving_avg_daily_revenue", "order_gaps", "orders_above_customer_avg",
     "pivot_flag_by_status",
-    # last driver-checked in r04 — re-certify on current code (clean_text
-    # and mask_pii, the two most static literal-oracle projections, yield
-    # their slots to the two brand-new queries below and rotate in r07)
+    # last driver-checked in r04 — re-certify on current code (clean_text,
+    # mask_pii and distance_matrix_sample, the three most static
+    # literal-oracle projections, yield their slots to the three brand-new
+    # queries below and rotate in r07)
     "bpe_pair_stats", "contamination_check",
     "cube_order_stats",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "distance_matrix_sample", "doc_fingerprints", "doc_length_percentiles",
+    "doc_fingerprints", "doc_length_percentiles",
     "doc_repetition_stats", "knn_batch", "label_centroids",
     "lang_confusion", "lang_geomean_chars", "large_volume_customers",
     "norm_stats", "part_set_ops", "pricing_summary",
@@ -595,6 +601,7 @@ _WINDOW_PRIORITY = [
     # simple r04-green anti-join, defers to r07 to make room)
     "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
     "curation_pipeline", "training_shards", "zorder_layout",
+    "sq8_quantization",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -695,6 +702,7 @@ ORACLES: dict[str, str] = {
     "curation_pipeline": SP.curation_pipeline_stats_oracle(),
     "training_shards": SP.training_shard_manifest_oracle(),
     "zorder_layout": L.zorder_layout_oracle(),
+    "sq8_quantization": SQ.sq_quantization_audit_oracle(),
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
