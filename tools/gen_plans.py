@@ -111,6 +111,24 @@ COMMENTARY = {
         "broadcasts into the coverage join (the corpus-side gram stream "
         "never shuffles); zero-hit docs re-enter via a narrow left join "
         "before the per-lang rollup."),
+    "zorder_layout": (
+        "Z-order layout audit: the 1-row extent aggregate broadcasts into "
+        "the quantize projection (BroadcastNestedLoop on a single row), "
+        "the Morton interleave is pure shift/mask codegen, and the "
+        "per-bucket bounding boxes aggregate map-side — one keyed "
+        "exchange on ~256 buckets ends the plan."),
+    "training_shards": (
+        "Deterministic global-shuffle manifest: shard assignment is a "
+        "pure md5 projection (no exchange to assign), and the manifest is "
+        "one combinable aggregation on n_shards groups — min_by/max_by "
+        "ride the same combiner, so the corpus shuffles only n_shards "
+        "narrow rows per partition."),
+    "sq8_quantization": (
+        "SQ8 per-dimension error audit: posexplode fans out (dim, value), "
+        "then ONE hash exchange on dim_id serves both the extent window "
+        "and the final aggregation (AQE reuses the partitioning); every "
+        "expression — quantize, clip, reconstruct — is codegen, no "
+        "Python anywhere."),
     "streaming_near_dedup": (
         "Streaming first-seen-per-band admission drained to a memory "
         "sink: the declared aggregate below scans the sink — the "
