@@ -557,6 +557,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_user_totals": SE.streaming_user_totals,
     # stateful streaming near-dup admission (first-seen per MinHash band)
     "streaming_near_dedup": SD.streaming_near_dedup_stats,
+    # stream-static broadcast enrichment join (no state, no watermark)
+    "streaming_enrichment": SE.streaming_enrichment_stats,
     # persisted-index pruned serving (oracle bakes the seeded hyperplanes
     # as float64 SQL literals; recall + bucket pruning also pytest-gated)
     "ann_bucketed_probe": q_ann_bucketed_probe,
@@ -580,13 +582,14 @@ _WINDOW_PRIORITY = [
     "moving_avg_daily_revenue", "order_gaps", "orders_above_customer_avg",
     "pivot_flag_by_status",
     # last driver-checked in r04 — re-certify on current code (clean_text,
-    # mask_pii and distance_matrix_sample, the three most static
-    # literal-oracle projections, yield their slots to the three brand-new
-    # queries below and rotate in r07)
+    # mask_pii, distance_matrix_sample and doc_fingerprints — the four
+    # most static literal-oracle projections, all multi-round green —
+    # yield their slots to the four brand-new queries below and rotate
+    # back in r07)
     "bpe_pair_stats", "contamination_check",
     "cube_order_stats",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "doc_fingerprints", "doc_length_percentiles",
+    "doc_length_percentiles",
     "doc_repetition_stats", "knn_batch", "label_centroids",
     "lang_confusion", "lang_geomean_chars", "large_volume_customers",
     "norm_stats", "part_set_ops", "pricing_summary",
@@ -601,7 +604,7 @@ _WINDOW_PRIORITY = [
     # simple r04-green anti-join, defers to r07 to make room)
     "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
     "curation_pipeline", "training_shards", "zorder_layout",
-    "sq8_quantization",
+    "sq8_quantization", "streaming_enrichment",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -709,5 +712,6 @@ ORACLES: dict[str, str] = {
     "streaming_join_stats": SE.STREAMING_JOIN_STATS_ORACLE,
     "streaming_user_totals": SE.STREAMING_USER_TOTALS_ORACLE,
     "streaming_near_dedup": SD.streaming_near_dedup_oracle(),
+    "streaming_enrichment": SE.STREAMING_ENRICHMENT_ORACLE,
     "ann_bucketed_probe": _oracle_ann_bucketed_probe(),
 }

@@ -370,3 +370,52 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def enriched_segment_stream(events: DataFrame,
+                            customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up its
+    user's market segment from the STATIC customer dimension. Spark plans
+    the static side as a broadcast into every micro-batch — no state, no
+    watermark bookkeeping (unlike the stream-stream interval join), and
+    the dimension may be arbitrarily re-read between batches. This is the
+    standard serving-side pattern: a 100 TB event firehose enriched
+    against dimension tables without ever shuffling the stream."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_mktsegment")
+    return events.join(F.broadcast(dim), "user_id")
+
+
+def streaming_enrichment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the stream-static join: drain the
+    enriched stream with availableNow into a memory sink, then aggregate
+    per (segment, event_type). The oracle runs the same join+aggregate in
+    batch SQL, so the driver hash-checks the enrichment semantics end to
+    end."""
+    import uuid
+
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    name = f"senrich_{uuid.uuid4().hex[:12]}"
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    q = run_to_memory(enriched_segment_stream(stream, customer), name,
+                      "append")
+    await_drained(q)
+    return (spark.table(name)
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("c_mktsegment", "event_type"))
+
+
+STREAMING_ENRICHMENT_ORACLE = """
+SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c_mktsegment, event_type
+"""
