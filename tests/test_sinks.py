@@ -62,6 +62,22 @@ def test_json_roundtrip_nested(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    # ORC roundtrip incl. the vector column; a filter on the read-back
+    # frame must reach the ORC scan as a pushed predicate.
+    df = (load_table(spark, "embeddings", sf_dir)
+          .select("vec_id", "label", "embedding"))
+    path = str(tmp_path / "emb_orc")
+    sinks.write_orc(df, path)
+    back = sinks.read_orc(spark, path)
+    a = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    assert a == b
+    plan = (back.where(F.col("vec_id") < 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "vec_id" in plan
+
+
 def test_single_file_export(spark, sf_dir, tmp_path):
     df = _nations(spark, sf_dir)
     path = str(tmp_path / "nation_single")

@@ -71,6 +71,17 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return r.json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative where the surrounding stack
+    (Hive/Trino) prefers ORC stripes to parquet row groups; same
+    pushdown/pruning behavior from Spark's side."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def partition_file_counts(path: str) -> dict[str, int]:
     """Data-file count per hive partition directory (for asserting layout
     in tests): {'' : n} for unpartitioned, {'k=v': n, ...} otherwise."""
