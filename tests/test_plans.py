@@ -96,3 +96,53 @@ def test_search_merges_single_exchange(spark, sf_dir):
                              above_arrow)
     assert not ensure_hash, f"merge re-shuffles: {ensure_hash}"
     assert "REPARTITION_BY_COL" in above_arrow
+
+
+def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the 100 TB scan-reduction
+    feature AQE adds when a selective dimension filters a big-probe SMJ):
+    with the optimizer thresholds admitting the fixture sizes, Catalyst
+    must inject a bloom_filter_agg on the creation side and a
+    might_contain probe on the fact scan side — the fact rows that cannot
+    join are dropped BEFORE the join exchange."""
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = (load_table(spark, "orders", sf_dir)
+                  .where(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan
+        # and the result is unaffected by the filter (no false negatives)
+        rows = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        for k, v in confs.items():
+            spark.conf.set(k, saved[k]) if saved[k] is not None \
+                else spark.conf.unset(k)
+        base = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority").count())
+        assert rows == {r["o_orderpriority"]: r["count"]
+                        for r in base.collect()}
+    finally:
+        for k, v in confs.items():
+            if saved.get(k) is not None:
+                spark.conf.set(k, saved[k])
+            else:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
