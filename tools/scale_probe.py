@@ -176,6 +176,24 @@ def main() -> None:
         PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
                      refine_with=emb, refine_factor=30), exact, K), 3)
 
+    from vectordb_explorations_spark.operators import sq as SQ
+
+    sq_state = {}
+
+    def build_sq():
+        mins, maxs = SQ.sq_train(emb, DIM)
+        codes = SQ.sq_encode(emb, mins, maxs).cache(); codes.count()
+        sq_state["mins"], sq_state["maxs"], sq_state["c"] = mins, maxs, codes
+    timed("sq8_index_build", build_sq)
+    steady("sq8_refined_search_batch100",
+           lambda: force(SQ.sq_search(sq_state["c"], sq_state["mins"],
+                                      sq_state["maxs"], queries, K,
+                                      refine_with=emb, refine_factor=3)))
+    recalls["sq8_refined"] = round(recall_at_k(
+        SQ.sq_search(sq_state["c"], sq_state["mins"], sq_state["maxs"],
+                     queries, K, refine_with=emb, refine_factor=3),
+        exact, K), 3)
+
     # ---- dedup at 200k docs (round-4 VERDICT item 7): the one-scan
     # melted verify (current minhash_lsh_pairs) vs the r01-shaped per-side
     # join (re-scans + re-shingles the corpus once per pair side) on a
@@ -242,6 +260,7 @@ def main() -> None:
         f"| sharded HNSW (32 hash shards, M=8, all-shard fan-out) | {results['hnsw_index_build']} | {results['hnsw_search_batch100']} | {recalls['hnsw']} |",
         f"| routed HNSW (32 kmeans shards, assign_n=2, shard_cap 8192, probe 8/32) | {results['hnsw_kmeans_index_build']} | {results['hnsw_routed8_search_batch100']} | {recalls['hnsw_routed8']} |",
         f"| PQ + exact refine (m=16, k=64, rf=30) | {results['pq_index_build']} | {results['pq_refined_search_batch100']} | {recalls['pq_refined']} |",
+        f"| SQ8 + exact refine (rf=3) | {results['sq8_index_build']} | {results['sq8_refined_search_batch100']} | {recalls['sq8_refined']} |",
         "",
         f"Dedup at {nd:,} docs (~10% near-dup 1-word mutations; "
         f"{n_pairs:,} verified pairs ≥0.8 Jaccard), cold single-shot:",
@@ -339,8 +358,17 @@ def main() -> None:
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALE_NOTES.md")
+    # Preserve hand-written addenda: everything from the first "## Round-"
+    # section heading onward survives a regeneration (the probe owns only
+    # the measured core above it).
+    tail = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        idx = existing.find("\n## Round-")
+        if idx >= 0:
+            tail = existing[idx:]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print("wrote SCALE_NOTES.md")
     print(results, recalls)
 
