@@ -82,3 +82,40 @@ def test_short_docs_never_band_collide(spark):
     ).fetchall()))
     con.close()
     assert duck_pairs == spark_pairs
+
+
+def test_incremental_dedup_rejects_copies_admits_fresh(spark):
+    """Planted semantics: a new doc that near-copies an old doc is
+    rejected with that old doc as its match; a fresh new doc is admitted;
+    old-old duplicates do NOT affect admission (no corpus self-join)."""
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet gray town tonight")
+    fresh = ("completely unrelated content about distributed query engines "
+             "and columnar storage formats with vectorized execution paths")
+    rows = [
+        (0, "en", base),                       # old
+        (1, "en", base + " extra"),            # old near-dup of 0 (ignored)
+        (2, "en", fresh + " indeed"),          # old, unrelated to base
+        # split = floor(2? max=5 -> floor(5/2)+1 = 3) => new: 3,4,5
+        (3, "en", base + " tonight"),          # new near-copy of old 0/1
+        (4, "en", "twelve entirely novel words that appear nowhere else "
+                  "in this tiny corpus of planted admission test docs"),
+        (5, "en", fresh),                      # new near-copy of old 2
+    ]
+    docs = spark.createDataFrame(
+        [(i, lang, t, len(t)) for i, lang, t in rows],
+        "doc_id long, lang string, text string, n_chars int")
+    out = {r["doc_id"]: r for r in D.incremental_dedup(docs).collect()}
+    assert set(out) == {3, 4, 5}
+    assert not out[3]["admitted"] and out[3]["matched_old"] in (0, 1)
+    assert out[4]["admitted"] and out[4]["matched_old"] is None
+    assert not out[5]["admitted"] and out[5]["matched_old"] == 2
+
+
+def test_incremental_dedup_split_covers_new_half(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    out = D.incremental_dedup(docs)
+    assert out.count() == n - (mx // 2 + 1)  # dense ids: one row per new doc
+    assert out.where(F.col("doc_id") <= mx // 2).count() == 0

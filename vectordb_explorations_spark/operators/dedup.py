@@ -612,3 +612,106 @@ FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+
+def incremental_dedup(docs: DataFrame,
+                      num_hashes: int = NUM_HASHES,
+                      band_size: int = BAND_SIZE,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Incremental-ingest dedup: admit a NEW batch against the EXISTING
+    corpus — the daily-crawl stage of a training pipeline (new documents
+    are rejected when they near-duplicate something already ingested;
+    new-vs-new duplicates are a separate intra-batch pass, deliberately
+    out of scope here). The batch is modeled deterministically as
+    doc_id >= floor(max(doc_id)/2)+1 so the same split exists in the
+    oracle.
+
+    Plan shape: both sides band through ONE shared signature pass; the
+    band join is new-side x old-side only (never old x old — the corpus
+    side is scanned, banded narrow, and joined, but no corpus self-join
+    exists anywhere). At 100 TB the new batch's banded keys are orders of
+    magnitude smaller than the corpus and broadcast (AQE picks this up
+    statistics-blind at fixture scale too); candidates are verified with
+    the same melted one-scan exact-Jaccard used by minhash_lsh_pairs,
+    and the best match per new doc is a deterministic window pick
+    (jaccard DESC, old_id ASC). Output: one row per NEW doc with its
+    admission verdict.
+    """
+    from pyspark.sql import Window
+
+    split = int(docs.agg(F.floor(F.max("doc_id") / 2) + 1).first()[0])
+    banded = banded_keys(minhash_signatures(docs, num_hashes),
+                         num_hashes, band_size)
+    new_b = banded.where(F.col("doc_id") >= split).alias("a")
+    old_b = banded.where(F.col("doc_id") < split).hint("shuffle_hash").alias("b")
+    cand = (new_b.join(old_b,
+                       (F.col("a.band_idx") == F.col("b.band_idx"))
+                       & (F.col("a.band_key") == F.col("b.band_key")))
+            .select(F.col("a.doc_id").alias("new_id"),
+                    F.col("b.doc_id").alias("old_id"))
+            .distinct())
+    melted = (cand.select(
+        "new_id", "old_id",
+        F.explode(F.array(
+            F.struct(F.lit("n").alias("side"), F.col("new_id").alias("doc_id")),
+            F.struct(F.lit("o").alias("side"), F.col("old_id").alias("doc_id")),
+        )).alias("s"))
+        .select("new_id", "old_id", F.col("s.side").alias("side"),
+                F.col("s.doc_id").alias("doc_id")))
+    sh = _shingle_sets(docs)
+    both = (sh.join(melted, "doc_id")
+            .groupBy("new_id", "old_id")
+            .agg(F.first(F.when(F.col("side") == "n", F.col("sh")),
+                         ignorenulls=True).alias("sh_n"),
+                 F.first(F.when(F.col("side") == "o", F.col("sh")),
+                         ignorenulls=True).alias("sh_o")))
+    jac = (F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+           / F.size(F.array_union("sh_n", "sh_o")))
+    ver = (both.select("new_id", "old_id", F.round(jac, 6).alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(),
+                                             F.col("old_id").asc())
+    best = (ver.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("matched_old"),
+                    F.col("jaccard").alias("best_jaccard")))
+    new_docs = docs.where(F.col("doc_id") >= split).select("doc_id", "lang")
+    return (new_docs.join(best, new_docs.doc_id == best.new_id, "left")
+            .select("doc_id", "lang",
+                    F.col("matched_old").isNull().alias("admitted"),
+                    "matched_old", "best_jaccard")
+            .orderBy("doc_id"))
+
+
+def incremental_dedup_oracle(num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE,
+                             threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+WITH {_banding_base_ctes(num_hashes, band_size)},
+split AS (SELECT CAST(floor(max(doc_id) / 2) + 1 AS BIGINT) AS s FROM documents),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         CROSS JOIN split
+         WHERE a.doc_id >= split.s AND b.doc_id < split.s),
+shs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
+        FROM sh WHERE len(sh) > 0),
+ver AS (SELECT c.new_id, c.old_id,
+               round(len(list_intersect(sn.shh, so.shh))::DOUBLE
+                     / len(list_distinct(list_concat(sn.shh, so.shh))), 6) AS j
+        FROM cand c JOIN shs sn ON sn.doc_id = c.new_id
+                    JOIN shs so ON so.doc_id = c.old_id),
+best AS (SELECT new_id, old_id, j,
+                row_number() OVER (PARTITION BY new_id
+                                   ORDER BY j DESC, old_id ASC) AS rn
+         FROM ver WHERE j >= {threshold})
+SELECT d.doc_id, d.lang,
+       (b.new_id IS NULL) AS admitted,
+       b.old_id AS matched_old,
+       b.j AS best_jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+CROSS JOIN split
+WHERE d.doc_id >= split.s
+ORDER BY d.doc_id
+"""

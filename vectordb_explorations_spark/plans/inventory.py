@@ -412,6 +412,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_edit_distance": lambda s, d: D.edit_distance_pairs(load_table(s, "documents", d)),
     "dedup_representatives": lambda s, d: D.dedup_representatives(
         load_table(s, "documents", d)),
+    # incremental-ingest admission: new batch deduped against the corpus
+    "dedup_incremental": lambda s, d: D.incremental_dedup(
+        load_table(s, "documents", d)),
     # text analysis (north star)
     "text_stats": lambda s, d: X.text_stats(load_table(s, "documents", d)),
     "lang_id": lambda s, d: X.lang_id(load_table(s, "documents", d)),
@@ -582,15 +585,16 @@ _WINDOW_PRIORITY = [
     "moving_avg_daily_revenue", "order_gaps", "orders_above_customer_avg",
     "pivot_flag_by_status",
     # last driver-checked in r04 — re-certify on current code (clean_text,
-    # mask_pii, distance_matrix_sample and doc_fingerprints — the four
-    # most static literal-oracle projections, all multi-round green —
-    # yield their slots to the four brand-new queries below and rotate
-    # back in r07)
+    # mask_pii, distance_matrix_sample, doc_fingerprints and knn_batch —
+    # the five most static multi-round-green rows; knn_batch's shared
+    # oracle stays evidenced via knn_batch_blockwise's r05 green — yield
+    # their slots to the five brand-new queries below and rotate back in
+    # r07)
     "bpe_pair_stats", "contamination_check",
     "cube_order_stats",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "doc_length_percentiles",
-    "doc_repetition_stats", "knn_batch", "label_centroids",
+    "doc_repetition_stats", "label_centroids",
     "lang_confusion", "lang_geomean_chars", "large_volume_customers",
     "norm_stats", "part_set_ops", "pricing_summary",
     "rollup_revenue", "running_totals", "segment_order_stats",
@@ -604,7 +608,7 @@ _WINDOW_PRIORITY = [
     # simple r04-green anti-join, defers to r07 to make room)
     "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
     "curation_pipeline", "training_shards", "zorder_layout",
-    "sq8_quantization", "streaming_enrichment",
+    "sq8_quantization", "streaming_enrichment", "dedup_incremental",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -635,6 +639,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": D.dedup_clusters_oracle(),
     "dedup_edit_distance": D.edit_distance_pairs_oracle(),
     "dedup_representatives": D.dedup_representatives_oracle(),
+    "dedup_incremental": D.incremental_dedup_oracle(),
     "text_stats": X.text_stats_oracle(),
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),
