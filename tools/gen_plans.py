@@ -111,6 +111,12 @@ COMMENTARY = {
         "broadcasts into the coverage join (the corpus-side gram stream "
         "never shuffles); zero-hit docs re-enter via a narrow left join "
         "before the per-lang rollup."),
+    "dedup_incremental": (
+        "Incremental-ingest admission: one shared signature pass bands "
+        "both sides; the join is new-side x old-side only (no corpus "
+        "self-join exists in the plan), the melted verify scans shingle "
+        "sets once, and the best-match pick is a window over verified "
+        "candidates only."),
     "zorder_layout": (
         "Z-order layout audit: the 1-row extent aggregate broadcasts into "
         "the quantize projection (BroadcastNestedLoop on a single row), "
