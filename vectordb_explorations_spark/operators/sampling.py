@@ -359,7 +359,10 @@ def training_shard_manifest(docs: DataFrame,
             .groupBy("shard_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("shard_tokens"),
-                 F.countDistinct("lang").alias("n_langs"),
+                 # size(collect_set) not countDistinct: lang cardinality is
+                 # tiny and bounded, and the set-agg combines in ONE phase
+                 # (countDistinct plans an Expand + a second exchange)
+                 F.size(F.collect_set("lang")).alias("n_langs"),
                  F.min_by("doc_id", "shuffle_key").alias("head_doc"),
                  F.max_by("doc_id", "shuffle_key").alias("tail_doc"))
             .orderBy("shard_id"))
