@@ -1,0 +1,83 @@
+"""IVF-PQ composite: build contract (codes per assigned row, shared
+codebooks), determinism, and recall gates (ADC-only and refined) against
+the exact path. Also pins that a probe scans only the probed lists."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_explorations_spark.operators import pq as PQ  # noqa: E402
+from vectordb_explorations_spark.operators.ann import recall_at_k  # noqa: E402
+from vectordb_explorations_spark.operators.knn import (  # noqa: E402
+    knn_join, sample_queries)
+from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def setup(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes, cents, books = PQ.ivfpq_build(emb, num_centroids=8,
+                                         m_subspaces=16, k_codes=64)
+    codes = codes.cache()
+    codes.count()
+    queries = sample_queries(emb, 30).cache()
+    exact = knn_join(emb, queries, K).cache()
+    exact.count()
+    return emb, codes, cents, books, queries, exact
+
+
+def test_build_contract(setup):
+    emb, codes, cents, books, _, _ = setup
+    assert books.shape == (16, 64, 4)
+    assert cents.shape[1] == 64
+    rows = codes.limit(50).collect()
+    assert all(len(r["codes"]) == 16 for r in rows)
+    assert all(0 <= c < 64 for r in rows for c in r["codes"])
+    # one code row per (vector, assigned list): assign_n=2 replication
+    n = emb.count()
+    assert n <= codes.count() <= 2 * n
+    assert codes.select("vec_id").distinct().count() == n
+
+
+def test_probe_scans_only_probed_lists(setup):
+    """The ADC stage's input is the broadcast-probe join: rows from
+    unprobed lists must not reach it (that bound is the whole point of
+    the composite at scale)."""
+    _, codes, cents, books, queries, _ = setup
+    one = queries.limit(1)
+    out = PQ.ivfpq_search(codes, cents, books, one, K, nprobe=2)
+    assert out.count() <= K
+    # with nprobe covering all lists the result can only grow
+    full = PQ.ivfpq_search(codes, cents, books, one, K,
+                           nprobe=cents.shape[0])
+    assert full.count() >= out.count()
+
+
+def test_ivfpq_adc_recall(setup):
+    _, codes, cents, books, queries, exact = setup
+    adc = PQ.ivfpq_search(codes, cents, books, queries, K, nprobe=4)
+    r = recall_at_k(adc, exact, K)
+    assert r >= 0.5, r  # residual codes, no refine: coarse but useful
+
+
+def test_ivfpq_refined_recall(setup):
+    emb, codes, cents, books, queries, exact = setup
+    refined = PQ.ivfpq_search(codes, cents, books, queries, K, nprobe=4,
+                              refine_with=emb, refine_factor=10)
+    r = recall_at_k(refined, exact, K)
+    assert r >= 0.85, r
+
+
+def test_encode_deterministic(setup):
+    emb, codes, cents, books, _, _ = setup
+    again, _, _ = PQ.ivfpq_build(emb.repartition(7), num_centroids=8,
+                                 m_subspaces=16, k_codes=64)
+    a = {(r["vec_id"], r["list_id"]): r["codes"] for r in codes.collect()}
+    b = {(r["vec_id"], r["list_id"]): r["codes"] for r in again.collect()}
+    assert a == b

@@ -176,6 +176,25 @@ def main() -> None:
         PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
                      refine_with=emb, refine_factor=30), exact, K), 3)
 
+    ivfpq_state = {}
+
+    def build_ivfpq():
+        codes, cents, books = PQ.ivfpq_build(emb, num_centroids=64,
+                                             m_subspaces=16, k_codes=64)
+        codes = codes.cache(); codes.count()
+        ivfpq_state["c"], ivfpq_state["cent"], ivfpq_state["b"] = \
+            codes, cents, books
+    timed("ivfpq_index_build", build_ivfpq)
+    steady("ivfpq_refined_search_batch100",
+           lambda: force(PQ.ivfpq_search(ivfpq_state["c"], ivfpq_state["cent"],
+                                         ivfpq_state["b"], queries, K,
+                                         nprobe=8, refine_with=emb,
+                                         refine_factor=10)))
+    recalls["ivfpq_refined"] = round(recall_at_k(
+        PQ.ivfpq_search(ivfpq_state["c"], ivfpq_state["cent"],
+                        ivfpq_state["b"], queries, K, nprobe=8,
+                        refine_with=emb, refine_factor=10), exact, K), 3)
+
     from vectordb_explorations_spark.operators import sq as SQ
 
     sq_state = {}
@@ -261,6 +280,7 @@ def main() -> None:
         f"| routed HNSW (32 kmeans shards, assign_n=2, shard_cap 8192, probe 8/32) | {results['hnsw_kmeans_index_build']} | {results['hnsw_routed8_search_batch100']} | {recalls['hnsw_routed8']} |",
         f"| PQ + exact refine (m=16, k=64, rf=30) | {results['pq_index_build']} | {results['pq_refined_search_batch100']} | {recalls['pq_refined']} |",
         f"| SQ8 + exact refine (rf=3) | {results['sq8_index_build']} | {results['sq8_refined_search_batch100']} | {recalls['sq8_refined']} |",
+        f"| IVF-PQ residual codes (C=64, nprobe=8, rf=10) | {results['ivfpq_index_build']} | {results['ivfpq_refined_search_batch100']} | {recalls['ivfpq_refined']} |",
         "",
         f"Dedup at {nd:,} docs (~10% near-dup 1-word mutations; "
         f"{n_pairs:,} verified pairs ≥0.8 Jaccard), cold single-shot:",

@@ -213,3 +213,169 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(qid_col, id_col, "dist", "rank"))
+
+
+# ---------------- IVF-PQ composite (route coarse, ADC-scan residuals) ---
+
+def ivfpq_build(vectors: DataFrame, num_centroids: int = 16,
+                m_subspaces: int = 16, k_codes: int = 64, seed: int = 42,
+                sample_n: int = 4096,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-PQ: the serving-index composite — a coarse k-means router over
+    PQ-compressed RESIDUALS (vec - its list centroid), one shared codebook
+    set across lists (standard FAISS IVFPQ layout). At 100 TB this is the
+    shape that actually serves: a probe touches nprobe lists' codes (a
+    bounded fraction of a 64-byte-per-vector index), never the corpus.
+
+    Build: ivf_build's driver-sample coarse fit + distributed GEMM
+    assignment; residual codebooks train on a bounded hash-ordered driver
+    sample of residuals; encode is one Arrow pass over the assigned rows.
+    Returns (codes_df(vec_id, list_id, codes), centroids, codebooks)."""
+    import pandas as pd
+
+    from vectordb_explorations_spark.operators.ann import ivf_build
+
+    assigned, centroids = ivf_build(vectors, num_centroids, seed=seed,
+                                    vec_col=vec_col, id_col=id_col)
+    # residual fit sample: hash-ordered rows WITH their assignment so the
+    # sample's residuals use the same centroids the encoder will
+    srows = (assigned.select(id_col, vec_col, "list_id")
+             .orderBy(F.xxhash64(F.col(id_col)), id_col, "list_id")
+             .limit(sample_n).collect())
+    smat = np.asarray([r[vec_col] for r in srows], dtype=np.float64)
+    slist = np.asarray([r["list_id"] for r in srows], dtype=np.int64)
+    resid = smat - centroids[slist]
+    dim = resid.shape[1]
+    assert dim % m_subspaces == 0, (dim, m_subspaces)
+    dsub = dim // m_subspaces
+    codebooks = np.stack([
+        _kmeans_1d(resid[:, s * dsub:(s + 1) * dsub], k_codes, seed + s)
+        for s in range(m_subspaces)])
+
+    bc_cent = vectors.sparkSession.sparkContext.broadcast(centroids)
+    bc_books = vectors.sparkSession.sparkContext.broadcast(codebooks)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    def enc(batches):
+        C, B = bc_cent.value, bc_books.value
+        m = B.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            L = pdf["list_id"].to_numpy(dtype=np.int64)
+            R = X - C[L]
+            codes = np.empty((len(R), m), dtype=np.int32)
+            for s in range(m):
+                sub = R[:, s * dsub:(s + 1) * dsub]
+                d = -2.0 * sub @ B[s].T + (B[s] ** 2).sum(-1)
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "list_id": pdf["list_id"],
+                                "codes": list(codes.tolist())})
+
+    codes_df = (assigned.select(id_col, vec_col, "list_id")
+                .mapInPandas(enc, schema=schema))
+    return codes_df, centroids, codebooks
+
+
+def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, queries: DataFrame, k: int,
+                 nprobe: int = 8, refine_with: DataFrame | None = None,
+                 refine_factor: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id",
+                 qvec_col: str = "query_vec") -> DataFrame:
+    """Probe the nprobe nearest lists per query, ADC-score their residual
+    codes against per-(query, list) LUTs built on the residual query
+    (q - centroid), then merge + optional broadcast-candidate exact
+    refine. The LUT block is Q x nprobe x (m, k) doubles — megabytes for a
+    100-query batch — and ships in the UDF closure; probed code rows never
+    carry vectors, so the Arrow stage streams 64-byte codes and emits only
+    per-batch top-n narrow rows."""
+    import pandas as pd
+
+    m, kc, dsub = codebooks.shape
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    cd = (qmat[:, None, :] - centroids[None, :, :])
+    cdist = (cd * cd).sum(-1)  # (Q, C)
+    nn = min(nprobe, centroids.shape[0])
+    probe_rows, luts, key_index = [], [], {}
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((np.arange(centroids.shape[0]), cdist[qi]))[:nn]
+        for li in order:
+            probe_rows.append((qid, int(li)))
+            r = qmat[qi] - centroids[li]  # residual query for this list
+            lut = np.stack([
+                ((r[s * dsub:(s + 1) * dsub][None, :]
+                  - codebooks[s]) ** 2).sum(-1)
+                for s in range(m)])  # (m, kc)
+            key_index[(qid, int(li))] = len(luts)
+            luts.append(lut)
+    luts = np.stack(luts)  # (Q*nprobe, m, kc)
+
+    spark = codes_df.sparkSession
+    # The LUT row index rides ON the probe frame (narrow int through the
+    # broadcast join) so the Arrow stage never reconstructs (qid, list)
+    # keys in Python per batch.
+    probes_ix = spark.createDataFrame(
+        [(qid, li, key_index[(qid, li)]) for qid, li in probe_rows],
+        f"{qid_col} long, list_id int, lut_ix int")
+    joined = (codes_df.join(F.broadcast(probes_ix), "list_id")
+              .select(qid_col, id_col, "codes", "lut_ix"))
+
+    n_local = k * refine_factor if refine_with is not None else k
+    out_schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+
+    def score2(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (N, m)
+            lix = pdf["lut_ix"].to_numpy(dtype=np.int64)
+            # d2[n] = sum_s LUT[lix[n], s, codes[n, s]]
+            d2 = luts[lix[:, None], np.arange(m)[None, :], codes].sum(-1)
+            flat = pd.DataFrame({qid_col: pdf[qid_col].to_numpy(),
+                                 id_col: pdf[id_col].to_numpy(),
+                                 "adc_dist": np.sqrt(np.maximum(d2, 0.0))})
+            # in-batch dedupe (assign_n replication) then local top-n
+            yield (flat.sort_values([qid_col, "adc_dist", id_col])
+                   .drop_duplicates([qid_col, id_col])
+                   .groupby(qid_col, sort=False).head(n_local))
+
+    local = joined.mapInPandas(score2, schema=out_schema)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc())
+    ranked = (local.repartition(F.col(qid_col))
+              .dropDuplicates([qid_col, id_col])
+              .withColumn("rank", F.row_number().over(w)))
+    if refine_with is None:
+        return (ranked.where(F.col("rank") <= k)
+                .select(qid_col, id_col,
+                        F.round("adc_dist", 6).alias("dist"), "rank"))
+    cand = (ranked.where(F.col("rank") <= n_local)
+            .select(qid_col, id_col))
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
+        f"{qid_col} long, {qvec_col} array<double>")
+    scored = (refine_with.select(id_col, vec_col)
+              .join(F.broadcast(cand), id_col)
+              .join(F.broadcast(qdf), qid_col)
+              .withColumn("dist", F.round(
+                  l2_distance(F.col(vec_col), F.col(qvec_col),
+                              dim=m * dsub), 6)))
+    w2 = Window.partitionBy(qid_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "dist", "rank"))
