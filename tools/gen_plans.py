@@ -62,8 +62,10 @@ COMMENTARY = {
     "dedup_minhash_lsh": (
         "MinHash+LSH banding: one md5 per shingle + integer mixing; the "
         "banding self-join is a shuffled hash join on (band_idx, band_key) "
-        "with identical child exchanges (AQE reuses the signature stage at "
-        "runtime — no corpus broadcast); the exact Jaccard verify melts "
+        "— hinted so the banded corpus never broadcasts; Spark 4.1.2 runs "
+        "the signature subtree once per join side (measured: no exchange "
+        "reuse — persist the banded frame to pay it once); the exact "
+        "Jaccard verify melts "
         "candidate pairs to (pair, side, doc) so ONE shingle scan serves "
         "both sides."),
     "vocab_stats": (

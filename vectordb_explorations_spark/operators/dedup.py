@@ -208,10 +208,13 @@ def banding_candidates(docs: DataFrame,
     ``band_size=2`` instead of re-scanning all pairs.
 
     The banding self-join shuffles only (doc_id, band_idx, 32-char key);
-    one md5-signature pass feeds BOTH sides (shuffle-hash join on identical
-    children, so Spark plans a ReusedExchange; a broadcast self-join would
-    compute signatures twice AND ship the whole banded corpus to every
-    executor)."""
+    the shuffle_hash hint keeps AQE from broadcasting the banded corpus
+    (statistics-blind at real scale). Measured caveat (Spark 4.1.2): the
+    join's identical children do NOT plan a ReusedExchange — the
+    signature subtree runs once per side — so the corpus-scan budget is
+    one signature pass per join side; a pipeline that cares (and the
+    incremental_dedup serving design does) persists the banded frame as
+    a maintained table and pays the signature pass once ever."""
     banded = banded_keys(minhash_signatures(docs, num_hashes),
                          num_hashes, band_size)
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
@@ -228,10 +231,12 @@ def minhash_lsh_pairs(docs: DataFrame,
                       threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
 
-    Corpus-scan budget (the number that matters at 100 TB): exactly TWO —
-    the signature pass inside ``banding_candidates``, and one shingle-set
-    pass joined once against the melted candidate pairs (the naive per-side
-    join scanned + re-shingled the corpus twice).
+    Corpus-scan budget (the number that matters at 100 TB): one signature
+    pass per banding-join side (Spark 4.1.2 does not reuse the identical
+    child exchange — measured; persist the banded frame to pay it once)
+    plus ONE shingle-set pass joined once against the melted candidate
+    pairs (the naive per-side verify re-shingled the corpus once per pair
+    side on top of that).
     """
     cand = banding_candidates(docs, num_hashes, band_size)
     # melt each pair into (pair, side, doc_id) rows so ONE scan of the
@@ -551,7 +556,7 @@ def edit_distance_pairs(docs: DataFrame, prefix_len: int = 40,
     small character-level mutations the Jaccard threshold rejects).
 
     Scale shape: no all-pairs stage anywhere. Candidates come from the
-    relaxed banding self-join (compact band keys, ReusedExchange); the
+    relaxed banding self-join (compact band keys); the
     quadratic Levenshtein runs once per *candidate pair*, and prefixes are
     attached by two compact doc_id-keyed joins (AQE broadcasts the pair
     side when small). Unbounded by doc_id — this replaces the round-2
@@ -626,27 +631,39 @@ def incremental_dedup(docs: DataFrame,
     doc_id >= floor(max(doc_id)/2)+1 so the same split exists in the
     oracle.
 
-    Plan shape: both sides band through ONE shared signature pass; the
-    band join is new-side x old-side only (never old x old — the corpus
-    side is scanned, banded narrow, and joined, but no corpus self-join
-    exists anywhere). At 100 TB the new batch's banded keys are orders of
-    magnitude smaller than the corpus and broadcast (AQE picks this up
-    statistics-blind at fixture scale too); candidates are verified with
-    the same melted one-scan exact-Jaccard used by minhash_lsh_pairs,
-    and the best match per new doc is a deterministic window pick
-    (jaccard DESC, old_id ASC). Output: one row per NEW doc with its
-    admission verdict.
+    Plan shape: both sides derive from ONE shared banded frame and the
+    side split is a join predicate (see the in-body comment for the
+    measured Spark 4.1.2 caveat on per-side subtree execution); the band
+    join matches new-side x old-side only (never old x old — no corpus
+    self-join exists anywhere). At 100 TB the old side's banded keys are
+    a persisted incrementally-maintained table and the new batch's are
+    orders of magnitude smaller; candidates are verified with the same
+    melted one-scan exact-Jaccard used by minhash_lsh_pairs, and the
+    best match per new doc is a deterministic window pick (jaccard DESC,
+    old_id ASC). Output: one row per NEW doc with its admission verdict.
     """
     from pyspark.sql import Window
 
     split = int(docs.agg(F.floor(F.max("doc_id") / 2) + 1).first()[0])
-    banded = banded_keys(minhash_signatures(docs, num_hashes),
-                         num_hashes, band_size)
-    new_b = banded.where(F.col("doc_id") >= split).alias("a")
-    old_b = banded.where(F.col("doc_id") < split).hint("shuffle_hash").alias("b")
-    cand = (new_b.join(old_b,
-                       (F.col("a.band_idx") == F.col("b.band_idx"))
-                       & (F.col("a.band_key") == F.col("b.band_key")))
+    # The side split is a JOIN PREDICATE on one shared banded frame, not
+    # two pre-filtered frames — measured at sf0.1: the filter-then-join
+    # form more than doubled wall time (extra per-side pruning work on top
+    # of the per-side signature subtree Spark 4.1.2 runs either way; see
+    # banding_candidates on the absent exchange reuse). At real scale the
+    # old side's banded keys are a PERSISTED, incrementally-maintained
+    # table, so the corpus signature pass is paid once ever, not per run.
+    banded = (banded_keys(minhash_signatures(docs, num_hashes),
+                          num_hashes, band_size)
+              .withColumn("is_new", F.col("doc_id") >= split))
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+    cand = (a.join(b,
+                   (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   # cross-side form (a new, b old): single-side
+                   # predicates would push back down into the children
+                   # and re-split the shared frame into two subtrees
+                   & (F.col("a.is_new").cast("int")
+                      > F.col("b.is_new").cast("int")))
             .select(F.col("a.doc_id").alias("new_id"),
                     F.col("b.doc_id").alias("old_id"))
             .distinct())
