@@ -114,11 +114,14 @@ COMMENTARY = {
         "never shuffles); zero-hit docs re-enter via a narrow left join "
         "before the per-lang rollup."),
     "dedup_incremental": (
-        "Incremental-ingest admission: one shared signature pass bands "
-        "both sides; the join is new-side x old-side only (no corpus "
-        "self-join exists in the plan), the melted verify scans shingle "
-        "sets once, and the best-match pick is a window over verified "
-        "candidates only."),
+        "Incremental-ingest admission: the side split is a join predicate "
+        "on one shared banded frame (Spark 4.1.2 still executes the "
+        "signature subtree per join side — see the dedup_minhash_lsh note; "
+        "at scale the old side is a persisted banded-keys table), the "
+        "join matches new-side x old-side only (no corpus self-join "
+        "exists in the plan), the melted verify scans shingle sets once, "
+        "and the best-match pick is a window over verified candidates "
+        "only."),
     "zorder_layout": (
         "Z-order layout audit: the 1-row extent aggregate broadcasts into "
         "the quantize projection (BroadcastNestedLoop on a single row), "

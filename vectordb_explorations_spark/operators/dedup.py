@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from vectordb_explorations_spark.functions.rounding import r6, round6
 from vectordb_explorations_spark.functions.vectors import cosine_similarity
 
 # 3-word shingles over the space-separated text, de-duplicated per doc.
@@ -239,34 +240,43 @@ def minhash_lsh_pairs(docs: DataFrame,
     side on top of that).
     """
     cand = banding_candidates(docs, num_hashes, band_size)
-    # melt each pair into (pair, side, doc_id) rows so ONE scan of the
-    # shingle sets serves both sides; regroup per pair afterwards (each
-    # pair contributes exactly one non-null value per side, so the
-    # ignorenulls-first is deterministic)
-    melted = (cand.select(
-        "doc_id_a", "doc_id_b",
+    return (_melted_jaccard(docs, cand, "doc_id_a", "doc_id_b")
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def _melted_jaccard(docs: DataFrame, pairs: DataFrame,
+                    col_a: str, col_b: str) -> DataFrame:
+    """One-scan exact-Jaccard verify shared by every pair verifier
+    (minhash_lsh_pairs, incremental_dedup): melt each candidate pair into
+    (pair, side, doc_id) rows so ONE scan of the shingle sets serves both
+    sides, regroup per pair (each pair contributes exactly one non-null
+    value per side, so the ignorenulls-first is deterministic), and emit
+    (col_a, col_b, jaccard) with the binary 6-dp round both engines
+    compute identically (a ratio of small shingle counts is exactly the
+    boundary-prone class functions/rounding.py exists for).
+
+    No broadcast hint: candidate volume scales with dup density, so AQE
+    picks broadcast when the melted frame is small and a doc_id-keyed
+    hash join otherwise — the shingle sets are scanned once either way."""
+    melted = (pairs.select(
+        col_a, col_b,
         F.explode(F.array(
-            F.struct(F.lit("a").alias("side"), F.col("doc_id_a").alias("doc_id")),
-            F.struct(F.lit("b").alias("side"), F.col("doc_id_b").alias("doc_id")),
+            F.struct(F.lit("a").alias("side"), F.col(col_a).alias("doc_id")),
+            F.struct(F.lit("b").alias("side"), F.col(col_b).alias("doc_id")),
         )).alias("s"))
-        .select("doc_id_a", "doc_id_b", F.col("s.side").alias("side"),
+        .select(col_a, col_b, F.col("s.side").alias("side"),
                 F.col("s.doc_id").alias("doc_id")))
-    # no broadcast hint: candidate volume scales with dup density, so AQE
-    # picks broadcast when melted is small and a doc_id-keyed hash join
-    # otherwise — sh is scanned once either way
     sh = _shingle_sets(docs)
     both = (sh.join(melted, "doc_id")
-            .groupBy("doc_id_a", "doc_id_b")
+            .groupBy(col_a, col_b)
             .agg(F.first(F.when(F.col("side") == "a", F.col("sh")),
                          ignorenulls=True).alias("sh_a"),
                  F.first(F.when(F.col("side") == "b", F.col("sh")),
                          ignorenulls=True).alias("sh_b")))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
            / F.size(F.array_union("sh_a", "sh_b")))
-    return (both
-            .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold)
-            .orderBy("doc_id_a", "doc_id_b"))
+    return both.select(col_a, col_b, round6(jac).alias("jaccard"))
 
 
 def _banding_base_ctes(num_hashes: int = NUM_HASHES,
@@ -305,19 +315,32 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
 
 
+# shs CTE (hashed shingle sets) + binary-rounded jaccard expression —
+# shared by every pair-verifier oracle so the verify math cannot drift
+# between them (and matches _melted_jaccard's round6 bit for bit).
+_SHS_CTE = ("shs AS (SELECT doc_id, list_distinct(list_transform(sh, "
+            f"s -> {{shingle_hash}})) AS shh FROM sh WHERE len(sh) > 0)")
+
+
+def _shs_cte() -> str:
+    return _SHS_CTE.format(shingle_hash=_SHINGLE_HASH_DUCK)
+
+
+def _jaccard_duck(a: str, b: str) -> str:
+    return r6(f"len(list_intersect({a}, {b}))::DOUBLE"
+              f" / len(list_distinct(list_concat({a}, {b})))")
+
+
 def minhash_lsh_pairs_oracle(num_hashes: int = NUM_HASHES,
                              band_size: int = BAND_SIZE,
                              threshold: float = JACCARD_THRESHOLD) -> str:
+    jac = _jaccard_duck("sa.shh", "sb.shh")
     return f"""
 WITH {_banding_cand_ctes(num_hashes, band_size)},
-shs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
-        FROM sh WHERE len(sh) > 0)
-SELECT c.doc_id_a, c.doc_id_b,
-       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE
-             / len(list_distinct(list_concat(sa.shh, sb.shh))), 6) AS jaccard
+{_shs_cte()}
+SELECT c.doc_id_a, c.doc_id_b, {jac} AS jaccard
 FROM cand c JOIN shs sa ON sa.doc_id = c.doc_id_a JOIN shs sb ON sb.doc_id = c.doc_id_b
-WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE
-            / len(list_distinct(list_concat(sa.shh, sb.shh))), 6) >= {threshold}
+WHERE {jac} >= {threshold}
 ORDER BY doc_id_a, doc_id_b
 """
 
@@ -382,7 +405,7 @@ def ngram_jaccard_pairs(docs: DataFrame,
                  / F.greatest("na", "nb")) >= threshold)
     return (a.join(b, ["lang", "len_bucket"])
             .where((F.col("doc_id_a") < F.col("doc_id_b")) & ratio_ok)
-            .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+            .select("doc_id_a", "doc_id_b", round6(jac).alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .orderBy("doc_id_a", "doc_id_b"))
 
@@ -394,11 +417,9 @@ s AS (SELECT doc_id, lang, len_bucket,
              list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
       FROM s0 WHERE len(sh) > 0)
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       round(len(list_intersect(a.shh, b.shh))::DOUBLE
-             / len(list_distinct(list_concat(a.shh, b.shh))), 6) AS jaccard
+       {_jaccard_duck("a.shh", "b.shh")} AS jaccard
 FROM s a JOIN s b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shh, b.shh))::DOUBLE
-            / len(list_distinct(list_concat(a.shh, b.shh))), 6) >= {threshold}
+WHERE {_jaccard_duck("a.shh", "b.shh")} >= {threshold}
 ORDER BY doc_id_a, doc_id_b
 """
 
@@ -425,7 +446,7 @@ def embedding_cosine_pairs(embeddings: DataFrame,
            / (F.col("norm_a") * F.col("norm_b")))
     return (a.join(b, "label")
             .where(F.col("vec_id_a") < F.col("vec_id_b"))
-            .select("vec_id_a", "vec_id_b", "label", F.round(cos, 6).alias("cosine"))
+            .select("vec_id_a", "vec_id_b", "label", round6(cos).alias("cosine"))
             .where(F.col("cosine") >= threshold)
             .orderBy("vec_id_a", "vec_id_b"))
 
@@ -437,9 +458,9 @@ def embedding_cosine_pairs_oracle(threshold: float = COSINE_THRESHOLD) -> str:
     nb = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     return f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
-       round({dot} / ({na} * {nb}), 6) AS cosine
+       {r6(f"{dot} / ({na} * {nb})")} AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+WHERE {r6(f"{dot} / ({na} * {nb})")} >= {threshold}
 ORDER BY vec_id_a, vec_id_b
 """
 
@@ -667,24 +688,7 @@ def incremental_dedup(docs: DataFrame,
             .select(F.col("a.doc_id").alias("new_id"),
                     F.col("b.doc_id").alias("old_id"))
             .distinct())
-    melted = (cand.select(
-        "new_id", "old_id",
-        F.explode(F.array(
-            F.struct(F.lit("n").alias("side"), F.col("new_id").alias("doc_id")),
-            F.struct(F.lit("o").alias("side"), F.col("old_id").alias("doc_id")),
-        )).alias("s"))
-        .select("new_id", "old_id", F.col("s.side").alias("side"),
-                F.col("s.doc_id").alias("doc_id")))
-    sh = _shingle_sets(docs)
-    both = (sh.join(melted, "doc_id")
-            .groupBy("new_id", "old_id")
-            .agg(F.first(F.when(F.col("side") == "n", F.col("sh")),
-                         ignorenulls=True).alias("sh_n"),
-                 F.first(F.when(F.col("side") == "o", F.col("sh")),
-                         ignorenulls=True).alias("sh_o")))
-    jac = (F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
-           / F.size(F.array_union("sh_n", "sh_o")))
-    ver = (both.select("new_id", "old_id", F.round(jac, 6).alias("jaccard"))
+    ver = (_melted_jaccard(docs, cand, "new_id", "old_id")
            .where(F.col("jaccard") >= threshold))
     w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(),
                                              F.col("old_id").asc())
@@ -711,11 +715,9 @@ cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          CROSS JOIN split
          WHERE a.doc_id >= split.s AND b.doc_id < split.s),
-shs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_SHINGLE_HASH_DUCK})) AS shh
-        FROM sh WHERE len(sh) > 0),
+{_shs_cte()},
 ver AS (SELECT c.new_id, c.old_id,
-               round(len(list_intersect(sn.shh, so.shh))::DOUBLE
-                     / len(list_distinct(list_concat(sn.shh, so.shh))), 6) AS j
+               {_jaccard_duck("sn.shh", "so.shh")} AS j
         FROM cand c JOIN shs sn ON sn.doc_id = c.new_id
                     JOIN shs so ON so.doc_id = c.old_id),
 best AS (SELECT new_id, old_id, j,

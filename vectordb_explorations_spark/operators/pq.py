@@ -112,6 +112,36 @@ def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
     return vectors.select(id_col, vec_col).mapInPandas(enc, schema=schema)
 
 
+def _exact_refine(cand: DataFrame, qids, qmat: np.ndarray,
+                  refine_with: DataFrame, k: int, dim: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  qid_col: str = "query_id",
+                  qvec_col: str = "query_vec") -> DataFrame:
+    """Shared exact-refine tail for every compressed-index search (PQ,
+    IVF-PQ, SQ8): re-score the bounded candidate set against the original
+    vectors and re-rank. Broadcast the CANDIDATE side (bounded at
+    Q * k * refine_factor rows by construction) so the vector corpus never
+    shuffles for the re-score — without the hint this planned as a
+    sort-merge join (2 extra exchanges + sorts, the round-4 PQ latency
+    gap), and at 100 TB AQE would try to broadcast the corpus
+    statistics-blind. ``dim`` is statically known from the index, so the
+    distance unrolls into codegen."""
+    spark = refine_with.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
+        f"{qid_col} long, {qvec_col} array<double>")
+    scored = (refine_with.select(id_col, vec_col)
+              .join(F.broadcast(cand), id_col)
+              .join(F.broadcast(qdf), qid_col)
+              .withColumn("dist", F.round(
+                  l2_distance(F.col(vec_col), F.col(qvec_col), dim=dim), 6)))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "dist", "rank"))
+
+
 def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
               k: int, refine_with: DataFrame | None = None,
               refine_factor: int = 5,
@@ -191,28 +221,8 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
     cand = (local.withColumn("r", F.row_number().over(wloc))
             .where(F.col("r") <= k * refine_factor)
             .select(qid_col, id_col))
-    spark = codes_df.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
-        f"{qid_col} long, {qvec_col} array<double>")
-    # Broadcast the CANDIDATE side (bounded at Q * k * refine_factor rows by
-    # construction) so the vector corpus never shuffles for the re-score —
-    # without the hint this planned as a sort-merge join (2 extra exchanges
-    # + sorts, the round-4 PQ latency gap), and at 100 TB AQE would try to
-    # broadcast the corpus statistics-blind.
-    scored = (refine_with.select(id_col, vec_col)
-              .join(F.broadcast(cand), id_col)
-              .join(F.broadcast(qdf), qid_col)
-              # dim = m*dsub is statically known from the codebooks —
-              # unrolled codegen distance for the exact re-score
-              .withColumn("dist", F.round(
-                  l2_distance(F.col(vec_col), F.col(qvec_col),
-                              dim=m * dsub), 6)))
-    w = Window.partitionBy(qid_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(qid_col, id_col, "dist", "rank"))
+    return _exact_refine(cand, qids, qmat, refine_with, k, m * dsub,
+                         id_col, vec_col, qid_col, qvec_col)
 
 
 # ---------------- IVF-PQ composite (route coarse, ADC-scan residuals) ---
@@ -295,8 +305,8 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
     (q - centroid), then merge + optional broadcast-candidate exact
     refine. The LUT block is Q x nprobe x (m, k) doubles — megabytes for a
     100-query batch — and ships in the UDF closure; probed code rows never
-    carry vectors, so the Arrow stage streams 64-byte codes and emits only
-    per-batch top-n narrow rows."""
+    carry vectors, so the Arrow stage streams 64-byte codes and emits one
+    per-partition top-n pool of narrow rows."""
     import pandas as pd
 
     m, kc, dsub = codebooks.shape
@@ -338,6 +348,10 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
     ])
 
     def score2(batches):
+        # Accumulate per-PARTITION and emit once (pq_search's pattern —
+        # per-batch emission multiplies the merge shuffle's input by the
+        # batch count, the measured round-4 ADC hot spot).
+        accs = []
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -348,16 +362,32 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
             flat = pd.DataFrame({qid_col: pdf[qid_col].to_numpy(),
                                  id_col: pdf[id_col].to_numpy(),
                                  "adc_dist": np.sqrt(np.maximum(d2, 0.0))})
-            # in-batch dedupe (assign_n replication) then local top-n
-            yield (flat.sort_values([qid_col, "adc_dist", id_col])
-                   .drop_duplicates([qid_col, id_col])
-                   .groupby(qid_col, sort=False).head(n_local))
+            # min-dedupe replicas (assign_n puts a vector in 2 lists with
+            # DIFFERENT residual distances — sorted-ascending keep-first
+            # keeps the closer-list estimate), then bound the pool
+            flat = (flat.sort_values([qid_col, "adc_dist", id_col])
+                    .drop_duplicates([qid_col, id_col])
+                    .groupby(qid_col, sort=False).head(n_local))
+            accs.append(flat)
+        if not accs:
+            return
+        allf = pd.concat(accs)
+        yield (allf.sort_values([qid_col, "adc_dist", id_col])
+               .drop_duplicates([qid_col, id_col])
+               .groupby(qid_col, sort=False).head(n_local))
 
     local = joined.mapInPandas(score2, schema=out_schema)
+    # Cross-partition replica dedupe must keep MIN(adc_dist), not an
+    # arbitrary row: unlike ivf_search (exact dists — replicas tie),
+    # IVF-PQ replicas carry different per-list residual estimates, so a
+    # dropDuplicates pick would be shuffle-order-nondeterministic and
+    # could discard the closer-list estimate. hash(qid) satisfies the
+    # (qid, id) grouped agg AND the window, so one exchange serves both.
     w = Window.partitionBy(qid_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc())
     ranked = (local.repartition(F.col(qid_col))
-              .dropDuplicates([qid_col, id_col])
+              .groupBy(qid_col, id_col)
+              .agg(F.min("adc_dist").alias("adc_dist"))
               .withColumn("rank", F.row_number().over(w)))
     if refine_with is None:
         return (ranked.where(F.col("rank") <= k)
@@ -365,17 +395,5 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
                         F.round("adc_dist", 6).alias("dist"), "rank"))
     cand = (ranked.where(F.col("rank") <= n_local)
             .select(qid_col, id_col))
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
-        f"{qid_col} long, {qvec_col} array<double>")
-    scored = (refine_with.select(id_col, vec_col)
-              .join(F.broadcast(cand), id_col)
-              .join(F.broadcast(qdf), qid_col)
-              .withColumn("dist", F.round(
-                  l2_distance(F.col(vec_col), F.col(qvec_col),
-                              dim=m * dsub), 6)))
-    w2 = Window.partitionBy(qid_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w2))
-            .where(F.col("rank") <= k)
-            .select(qid_col, id_col, "dist", "rank"))
+    return _exact_refine(cand, qids, qmat, refine_with, k, m * dsub,
+                         id_col, vec_col, qid_col, qvec_col)

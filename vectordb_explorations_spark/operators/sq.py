@@ -152,21 +152,9 @@ def sq_search(codes_df: DataFrame, mins: np.ndarray, maxs: np.ndarray,
     cand = (local.withColumn("r", F.row_number().over(wloc))
             .where(F.col("r") <= k * refine_factor)
             .select(qid_col, id_col))
-    spark = codes_df.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
-        f"{qid_col} long, {qvec_col} array<double>")
-    dim = qmat.shape[1]
-    scored = (refine_with.select(id_col, vec_col)
-              .join(F.broadcast(cand), id_col)
-              .join(F.broadcast(qdf), qid_col)
-              .withColumn("dist", F.round(
-                  l2_distance(F.col(vec_col), F.col(qvec_col), dim=dim), 6)))
-    w = Window.partitionBy(qid_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(qid_col, id_col, "dist", "rank"))
+    from vectordb_explorations_spark.operators.pq import _exact_refine
+    return _exact_refine(cand, qids, qmat, refine_with, k, qmat.shape[1],
+                         id_col, vec_col, qid_col, qvec_col)
 
 
 def sq_quantization_audit(vectors: DataFrame,
