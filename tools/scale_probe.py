@@ -352,9 +352,9 @@ def main() -> None:
         "(unrouted shards are pruned at the scan, so a persisted "
         "shard-partitioned index reads only probed files), which is "
         "what survives thousands of shards and small query batches.",
-        "- **Dedup verify at 200k docs: the per-side plan is at or below "
-        "the melt at this scale** (table above; repeated runs have "
-        "measured 6.6-20 s for either plan, in either order) — the "
+        "- **Dedup verify at 200k docs: no stable winner between the two "
+        "verify plans at this scale** (table above is one run; repeated "
+        "runs measure 6.6-23 s for either plan, in either order) — the "
         "candidate-pair set is small enough that AQE broadcasts it into "
         "both shingle-set joins, so the per-side plan's corpus-side "
         "shingle stream never shuffles, and computing shingle sets twice "
