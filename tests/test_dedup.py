@@ -119,3 +119,35 @@ def test_incremental_dedup_split_covers_new_half(spark, sf_dir):
     out = D.incremental_dedup(docs)
     assert out.count() == n - (mx // 2 + 1)  # dense ids: one row per new doc
     assert out.where(F.col("doc_id") <= mx // 2).count() == 0
+
+
+def test_incremental_dedup_rejections_are_sound(spark, sf_dir):
+    """Soundness on the fixture corpus: every rejected doc's recorded
+    match must truly be an old doc with Jaccard >= threshold (recomputed
+    in Python from raw shingle sets), and every verified banding
+    candidate >= threshold must cause a rejection. (Completeness over ALL
+    pairs is deliberately not asserted — banding recall is
+    probabilistic.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    split = docs.agg((F.floor(F.max("doc_id") / 2) + 1)).first()[0]
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = {r["doc_id"]: r for r in D.incremental_dedup(docs).collect()}
+    rejected = {i: r for i, r in out.items() if not r["admitted"]}
+    for i, r in rejected.items():
+        assert r["matched_old"] < split <= i
+        a, b = shingles(texts[i]), shingles(texts[r["matched_old"]])
+        j = len(a & b) / len(a | b)
+        assert j >= D.JACCARD_THRESHOLD - 1e-6, (i, r["matched_old"], j)
+    # any banding candidate pair that truly verifies must be rejected
+    cand = D.banding_candidates(docs).collect()
+    for row in cand:
+        lo, hi = row["doc_id_a"], row["doc_id_b"]
+        if lo < split <= hi:
+            a, b = shingles(texts[hi]), shingles(texts[lo])
+            if len(a | b) and len(a & b) / len(a | b) >= D.JACCARD_THRESHOLD:
+                assert not out[hi]["admitted"], (hi, lo)

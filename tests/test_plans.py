@@ -146,3 +146,32 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir):
                     spark.conf.unset(k)
                 except Exception:
                     pass
+
+
+def test_new_round6_plan_shapes(spark, sf_dir):
+    """Pin the exchange budgets of the round-6 declared queries: the SQ8
+    audit shares ONE dim_id exchange between its extent window and final
+    agg (plus the output sort); training_shards is a single-phase
+    combinable agg (set-agg n_langs — countDistinct would add an Expand
+    exchange); zorder_layout is quantize + one keyed agg exchange."""
+    import re
+
+    from vectordb_explorations_spark.operators.layout import zorder_layout
+    from vectordb_explorations_spark.operators.sampling import (
+        training_shard_manifest)
+    from vectordb_explorations_spark.operators.sq import sq_quantization_audit
+    from vectordb_explorations_spark.sources import load_table
+
+    def shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            plan))
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assert shuffles(sq_quantization_audit(emb)) == 2  # dim_id + output sort
+    docs = load_table(spark, "documents", sf_dir)
+    assert shuffles(training_shard_manifest(docs)) == 2  # agg + output sort
+    orders = load_table(spark, "orders", sf_dir)
+    # extent single-partition agg + bucket agg + output sort
+    assert shuffles(zorder_layout(orders)) <= 3
