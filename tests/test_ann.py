@@ -211,3 +211,32 @@ def test_lsh_bucketed_probe_prunes(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
                    "true")
     spark.sql("DROP TABLE IF EXISTS lsh_idx_bucketed")
+
+
+def test_ivf_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The persisted-IVF serving layout: the probe's scan must show
+    PartitionFilters on list_id (unprobed list directories never read),
+    and its results must equal the in-memory ivf_search bit for bit."""
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_build, ivf_persist_partitioned, ivf_probe_partitioned,
+        ivf_search)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    path = str(tmp_path / "ivf_idx")
+    ivf_persist_partitioned(assigned, path)
+    queries = sample_queries(emb, 5).cache()
+
+    served = ivf_probe_partitioned(spark, path, cents, queries, 5, nprobe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert pf.strip(), plan[:1500]
+
+    mem = ivf_search(assigned, cents, queries, 5, nprobe=2)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, mem.collect()))
+    assert a == b

@@ -649,3 +649,43 @@ def lsh_probe_bucketed(spark, table_name: str,
         return df
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def ivf_persist_partitioned(assigned: DataFrame, path: str,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> None:
+    """Persist the IVF assignment hive-partitioned by list_id — the
+    serving layout: each inverted list is its own directory, so a probe's
+    ``list_id IN (...)`` filter prunes unprobed lists at the FILE LISTING
+    (PartitionFilters in the scan), before any byte is read. At 100 TB
+    the per-probe I/O is nprobe/num_centroids of the index regardless of
+    corpus size."""
+    (assigned.select(id_col, vec_col, "list_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+
+
+def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
+                          queries: DataFrame, k: int, nprobe: int = 8,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          qid_col: str = "query_id",
+                          qvec_col: str = "query_vec") -> DataFrame:
+    """Serve from the partitioned index: select the union of all queries'
+    probed lists driver-side (centroids are driver-resident), apply it as
+    a LITERAL isin filter — this is what partition-prunes the scan — and
+    run the standard ivf_search over the pruned frame (its broadcast
+    probe join then restricts each query to ITS lists within the
+    union)."""
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    cd = (qmat[:, None, :] - centroids[None, :, :])
+    cdist = (cd * cd).sum(-1)
+    nn = min(nprobe, centroids.shape[0])
+    probed = sorted({int(li)
+                     for qi in range(len(qrows))
+                     for li in np.lexsort((np.arange(centroids.shape[0]),
+                                           cdist[qi]))[:nn]})
+    assigned = (spark.read.parquet(path)
+                .where(F.col("list_id").isin(probed)))
+    return ivf_search(assigned, centroids, queries, k, nprobe=nprobe,
+                      id_col=id_col, vec_col=vec_col,
+                      qid_col=qid_col, qvec_col=qvec_col)
