@@ -226,6 +226,32 @@ def main() -> None:
                                        sq_state["maxs"], queries, K,
                                        refine_with=emb, refine_factor=3)))
 
+    from vectordb_explorations_spark.operators import bq as BQ2
+
+    bq_state = {}
+
+    def build_bq():
+        # NEW vs BENCH_r05: sixth index family, 1 bit/dim. Train = the same
+        # one-pass min/max agg as SQ8 (midrange threshold) plus one
+        # conditional-avg pass for the asymmetric two-level reconstruction;
+        # encode = pure codegen zip_with + shift-accumulate pack.
+        thr = BQ2.bq_thresholds(emb, 64)
+        levels = BQ2.bq_levels(emb, thr)
+        codes = BQ2.bq_encode(emb, thr).cache()
+        codes.count()
+        bq_state["thr"], bq_state["levels"], bq_state["codes"] = \
+            thr, levels, codes
+
+    bench_build("index_build_bq1", build_bq)
+    persist_bytes("bq1", bq_state["codes"])
+    # refine_factor=20 with the asymmetric scorer: measured recall@10 0.948
+    # at sf0.1 (symmetric Hamming at the same shortlist: 0.779)
+    bench("ann_bq1_batch100",
+          lambda: _force(BQ2.bq_search(bq_state["codes"], bq_state["thr"],
+                                       queries, K, refine_with=emb,
+                                       refine_factor=20,
+                                       levels=bq_state["levels"])))
+
     exact = knn_join(emb, queries, K, dim=64).cache()
     exact.count()
     extras["recall_lsh_at_10"] = round(
@@ -240,6 +266,11 @@ def main() -> None:
         recall_at_k(SQ2.sq_search(sq_state["codes"], sq_state["mins"],
                                   sq_state["maxs"], queries, K,
                                   refine_with=emb, refine_factor=3),
+                    exact, K), 4)
+    extras["recall_bq1_at_10"] = round(
+        recall_at_k(BQ2.bq_search(bq_state["codes"], bq_state["thr"], queries,
+                                  K, refine_with=emb, refine_factor=20,
+                                  levels=bq_state["levels"]),
                     exact, K), 4)
     extras["recall_pq_refined_at_10"] = round(
         recall_at_k(PQ.pq_search(pq_state["codes"], pq_state["books"], queries,

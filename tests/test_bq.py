@@ -1,0 +1,111 @@
+"""BQ1 (1-bit binary quantization): packing contract (codegen encode, the
+NumPy twin, 32-bit word range), deterministic Hamming top-k self-match, and
+recall gates for the asymmetric-scored, exact-refined search path."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_explorations_spark.operators import bq as BQ  # noqa: E402
+from vectordb_explorations_spark.operators.ann import recall_at_k  # noqa: E402
+from vectordb_explorations_spark.operators.knn import (  # noqa: E402
+    knn_join, sample_queries)
+from vectordb_explorations_spark.schemas import EMBEDDING_DIM  # noqa: E402
+from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def setup(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    thr = BQ.bq_thresholds(emb, EMBEDDING_DIM)
+    levels = BQ.bq_levels(emb, thr)
+    codes = BQ.bq_encode(emb, thr).cache()
+    codes.count()
+    queries = sample_queries(emb, 30).cache()
+    exact = knn_join(emb, queries, K).cache()
+    exact.count()
+    return emb, thr, levels, codes, queries, exact
+
+
+def test_codes_match_numpy_twin(setup):
+    """The Spark shift-accumulate packing and the NumPy query-side encoder
+    must produce bit-identical words (the search XORs one against the
+    other — any layout drift silently zeroes recall)."""
+    emb, thr, _, codes, _, _ = setup
+    rows = emb.orderBy("vec_id").limit(50).collect()
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    expect = BQ._encode_np(mat, thr)
+    got = {r["vec_id"]: list(r["words"]) for r in codes.collect()}
+    for i, r in enumerate(rows):
+        assert got[int(r["vec_id"])] == list(expect[i])
+
+
+def test_words_fit_32_bits(setup):
+    """Packing 32 bits per BIGINT keeps every engine's integer math signed —
+    words must land in [0, 2^32)."""
+    _, _, _, codes, _, _ = setup
+    n_words = (EMBEDDING_DIM + BQ.BQ_WORD_BITS - 1) // BQ.BQ_WORD_BITS
+    for r in codes.limit(100).collect():
+        assert len(r["words"]) == n_words
+        assert all(0 <= w < (1 << 32) for w in r["words"])
+
+
+def test_unpack_inverts_pack(setup):
+    _, thr, _, _, _, _ = setup
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(20, EMBEDDING_DIM))
+    words = BQ._encode_np(mat, thr)
+    bits = BQ._unpack_bits_np(words, EMBEDDING_DIM)
+    assert (bits == (mat > thr).astype(np.float64)).all()
+
+
+def test_encode_is_jvm_only(setup):
+    emb, thr, _, _, _, _ = setup
+    plan = BQ.bq_encode(emb, thr)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_encode_deterministic(setup):
+    emb, thr, _, codes, _, _ = setup
+    again = {r["vec_id"]: r["words"]
+             for r in BQ.bq_encode(emb.repartition(7), thr).collect()}
+    assert {r["vec_id"]: r["words"] for r in codes.collect()} == again
+
+
+def test_hamming_topk_self_match(setup):
+    """Every query is its own rank-1 neighbor at Hamming distance 0 — the
+    RgbTest perturbation oracle's shape (hnsw.cc:326-368) applied to the
+    declared deterministic query."""
+    emb, _, _, _, _, _ = setup
+    df = BQ.bq_hamming_topk(emb, 5, K, EMBEDDING_DIM)
+    top = {r["query_id"]: (r["vec_id"], r["hamming"])
+           for r in df.collect() if r["rank"] == 1}
+    assert top == {q: (q, 0) for q in top}
+
+
+def test_bq_refined_recall(setup):
+    """Asymmetric shortlist + exact refine: measured 0.948 at sf0.1 and
+    higher at sf0.01 (shortlist covers a larger corpus fraction)."""
+    emb, thr, levels, codes, queries, exact = setup
+    refined = BQ.bq_search(codes, thr, queries, K, refine_with=emb,
+                           refine_factor=20, levels=levels)
+    r = recall_at_k(refined, exact, K)
+    assert r >= 0.9, r
+
+
+def test_asymmetric_beats_symmetric(setup):
+    """The reason the asymmetric scorer exists: at the same shortlist size
+    it must not lose to plain Hamming (measured +0.17 recall at sf0.1)."""
+    emb, thr, levels, codes, queries, exact = setup
+    sym = BQ.bq_search(codes, thr, queries, K, refine_with=emb,
+                       refine_factor=10)
+    asym = BQ.bq_search(codes, thr, queries, K, refine_with=emb,
+                        refine_factor=10, levels=levels)
+    assert recall_at_k(asym, exact, K) >= recall_at_k(sym, exact, K)

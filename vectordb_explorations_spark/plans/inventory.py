@@ -23,6 +23,7 @@ from vectordb_explorations_spark.functions.vectors import (
     compat_distance, l2_distance, l2_norm, masked_get, set_element)
 from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 from vectordb_explorations_spark.operators import analytics as A
+from vectordb_explorations_spark.operators import bq as B
 from vectordb_explorations_spark.operators import dedup as D
 from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
@@ -46,6 +47,8 @@ KNN_BATCH_QUERIES = 20
 # and the driver-side probe MUST agree on these (round-5 ADVICE — a drift
 # in random_hyperplane_lsh's defaults would silently collapse recall), and
 # the oracle bakes the same seeded hyperplanes as SQL literals.
+BQ_QUERIES = 10
+
 LSH_PROBE_TABLES = 8
 LSH_PROBE_PLANES = 6
 LSH_PROBE_SEED = 42
@@ -565,6 +568,12 @@ QUERIES: dict[str, QueryFn] = {
     # persisted-index pruned serving (oracle bakes the seeded hyperplanes
     # as float64 SQL literals; recall + bucket pruning also pytest-gated)
     "ann_bucketed_probe": q_ann_bucketed_probe,
+    # 1-bit binary-quantization Hamming ranking — deterministic because the
+    # threshold is the per-dim MIDRANGE (order-independent min/max, unlike
+    # a mean), so DuckDB recomputes bit-identical codes; the asymmetric
+    # search path over the same codes is recall-gated in test_bq.py
+    "bq_hamming_topk": lambda s, d: B.bq_hamming_topk(
+        load_table(s, "embeddings", d), BQ_QUERIES, KNN_K, EMBEDDING_DIM),
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
@@ -719,4 +728,5 @@ ORACLES: dict[str, str] = {
     "streaming_near_dedup": SD.streaming_near_dedup_oracle(),
     "streaming_enrichment": SE.STREAMING_ENRICHMENT_ORACLE,
     "ann_bucketed_probe": _oracle_ann_bucketed_probe(),
+    "bq_hamming_topk": B.bq_hamming_topk_oracle(BQ_QUERIES, KNN_K),
 }
