@@ -277,6 +277,9 @@ def main() -> None:
                                  K, refine_with=emb, refine_factor=10),
                     exact, K), 4)
 
+    from vectordb_explorations_spark.operators import hybrid as HY
+    bench("hybrid_rrf_search", lambda: _force(HY.hybrid_rrf(docs, emb)))
+
     bench("dedup_minhash_lsh", lambda: _force(D.minhash_lsh_pairs(docs)))
     bench("dedup_exact", lambda: _force(D.exact_dedup(docs)))
     bench("text_stats", lambda: _force(X.text_stats(docs)))

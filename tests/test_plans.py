@@ -15,11 +15,13 @@ import __spark_entry__ as entry_mod  # noqa: E402
 QUERIES = entry_mod.queries()
 
 # The only declared queries allowed to run Python (deliberate Arrow-batched
-# paths: blockwise k-NN, the multimodal byte-payload stages, and the
-# grouped-agg pandas UDAF that IS the custom-aggregate surface demo).
+# paths: blockwise k-NN, the multimodal byte-payload stages, the
+# grouped-agg pandas UDAF that IS the custom-aggregate surface demo, and
+# the MMR greedy loop — an inherently sequential argmax over a BOUNDED
+# per-query pool, the bounded-imperative-core pattern).
 PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
                   "multimodal_frames", "multimodal_resize",
-                  "lang_geomean_chars"}
+                  "lang_geomean_chars", "mmr_diversified_topk"}
 
 
 def _plan(spark, sf_dir, name):

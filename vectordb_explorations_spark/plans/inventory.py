@@ -25,11 +25,13 @@ from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import bq as B
 from vectordb_explorations_spark.operators import dedup as D
+from vectordb_explorations_spark.operators import hybrid as HY
 from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
 from vectordb_explorations_spark.operators import layout as L
 from vectordb_explorations_spark.operators import multimodal as M
 from vectordb_explorations_spark.operators import relational as R
+from vectordb_explorations_spark.operators import rerank as RR
 from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
 from vectordb_explorations_spark.operators import sq as SQ
@@ -574,6 +576,18 @@ QUERIES: dict[str, QueryFn] = {
     # search path over the same codes is recall-gated in test_bq.py
     "bq_hamming_topk": lambda s, d: B.bq_hamming_topk(
         load_table(s, "embeddings", d), BQ_QUERIES, KNN_K, EMBEDDING_DIM),
+    # hybrid lexical+vector retrieval: BM25 pool + cosine pool fused by
+    # reciprocal-rank fusion; every float expression generated from shared
+    # constants into both engines with fixed association (no group-sum
+    # ordering anywhere), so the full pipeline is hash-checked
+    "hybrid_rrf_search": lambda s, d: HY.hybrid_rrf(
+        load_table(s, "documents", d), load_table(s, "embeddings", d)),
+    # MMR diversified re-rank: bounded per-query greedy loop in
+    # applyInPandas (the bounded-imperative-core pattern), oracle unrolls
+    # the k iterations into generated CTEs — sims are sequential folds on
+    # both sides, so the pipeline is hash-checked despite the Python stage
+    "mmr_diversified_topk": lambda s, d: RR.mmr_rerank(
+        load_table(s, "embeddings", d)),
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
@@ -600,12 +614,11 @@ _WINDOW_PRIORITY = [
     # their slots to the five brand-new queries below and rotate back in
     # r07)
     "bpe_pair_stats", "contamination_check",
-    "cube_order_stats",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "doc_length_percentiles",
     "doc_repetition_stats", "label_centroids",
     "lang_confusion", "lang_geomean_chars", "large_volume_customers",
-    "norm_stats", "part_set_ops", "pricing_summary",
+    "pricing_summary",
     "rollup_revenue", "running_totals", "segment_order_stats",
     "shipping_priority", "top_customers_per_nation", "top_orders",
     "unigram_logprob", "vocab_stats",
@@ -614,10 +627,13 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
     "dedup_representatives", "multimodal_resize",
     # new this round — never driver-checked (customers_without_orders, a
-    # simple r04-green anti-join, defers to r07 to make room)
+    # simple r04-green anti-join, defers to r07 to make room; likewise
+    # cube_order_stats / part_set_ops / norm_stats, r04-green re-certs
+    # bumped for the three second-stretch additions below)
     "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
     "curation_pipeline", "training_shards", "zorder_layout",
     "sq8_quantization", "streaming_enrichment", "dedup_incremental",
+    "bq_hamming_topk", "hybrid_rrf_search", "mmr_diversified_topk",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -729,4 +745,6 @@ ORACLES: dict[str, str] = {
     "streaming_enrichment": SE.STREAMING_ENRICHMENT_ORACLE,
     "ann_bucketed_probe": _oracle_ann_bucketed_probe(),
     "bq_hamming_topk": B.bq_hamming_topk_oracle(BQ_QUERIES, KNN_K),
+    "hybrid_rrf_search": HY.hybrid_rrf_oracle(),
+    "mmr_diversified_topk": RR.mmr_rerank_oracle(),
 }
