@@ -39,3 +39,41 @@ def test_knn_deterministic_tiebreak(spark):
         "vec_id long, embedding array<float>")
     rows = knn_exact(df, [0.0, 0.0], 3).collect()
     assert [r.vec_id for r in rows] == [2, 5, 9]
+
+
+def test_knn_filtered_stays_in_facet(spark, sf_dir):
+    """Pre-filtered search: every result shares the query's label, and a
+    result never beats the unfiltered ranking (it is a subset search)."""
+    from vectordb_explorations_spark.operators.knn import knn_join_filtered
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = (emb.orderBy("vec_id").limit(5)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec"), "label"))
+    qlabel = {r["query_id"]: r["label"] for r in qs.collect()}
+    rows = knn_join_filtered(emb, qs, 7).collect()
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert r["label"] == qlabel[r["query_id"]]
+        assert labels[r["vec_id"]] == qlabel[r["query_id"]]
+    # the filtered top-k of a query's own label contains the query itself
+    firsts = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert firsts == {q: q for q in firsts}
+
+
+def test_range_search_matches_bruteforce(spark, sf_dir):
+    """Radius semantics: exactly the brute-force neighbors within r."""
+    from vectordb_explorations_spark.operators.knn import range_search
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, 5)
+    r = 1.25
+    got = {(x["query_id"], x["vec_id"]) for x in
+           range_search(emb, qs, r, round_dp=None).collect()}
+    # brute force via the unfiltered join ranked to the full corpus size
+    n = emb.count()
+    expect = {(x["query_id"], x["vec_id"]) for x in
+              knn_join(emb, qs, n, round_dp=None).collect()
+              if x["dist"] <= r}
+    assert got == expect
+    assert all(x["dist"] <= r for x in
+               range_search(emb, qs, r, round_dp=None).collect())

@@ -146,6 +146,32 @@ COMMENTARY = {
         "streaming micro-batch plan itself is the stateless banding "
         "projection + applyInPandasWithState keyed on (band_idx, "
         "band_key), state one long per occupied band."),
+    "bq_hamming_topk": (
+        "1-bit Hamming ranking over packed 32-bit words: encode "
+        "(zip_with + shift-accumulate) and XOR+bit_count scoring are all "
+        "codegen; the 10 probe codes broadcast; ONE hash exchange for the "
+        "per-query window rank."),
+    "hybrid_rrf_search": (
+        "BM25 + cosine + RRF, explode-free on the lexical side: tf/dl "
+        "are per-row array scans of a ONCE-projected token array, corpus "
+        "stats are a 1-row aggregate broadcast back, and every exchange "
+        "after the two channel scans is pool-sized (queries x 50), never "
+        "corpus-sized."),
+    "knn_filtered": (
+        "Faceted (pre-filtered) k-NN: the label facet is the KEY of the "
+        "broadcast query join — non-matching vectors drop before the "
+        "distance evaluates; the scored set is bounded by facet "
+        "selectivity, then one window exchange ranks per query."),
+    "range_search": (
+        "Radius search: broadcast probes, codegen distance, a plain "
+        "filter on the raw double — NO window and NO ordering exchange; "
+        "the matches stream straight out (set semantics, the point of "
+        "range search)."),
+    "mmr_diversified_topk": (
+        "MMR greedy re-rank: the corpus-scale work is the cosine pool "
+        "channel (broadcast probes + one window); the sequential argmax "
+        "runs in applyInPandas over the BOUNDED 25-row per-query pool — "
+        "the only Python stage, and it touches pool-sized data only."),
 }
 
 

@@ -213,6 +213,25 @@ def main() -> None:
                      queries, K, refine_with=emb, refine_factor=3),
         exact, K), 3)
 
+    from vectordb_explorations_spark.operators import bq as BQ
+
+    bq_state = {}
+
+    def build_bq():
+        thr = BQ.bq_thresholds(emb, DIM)
+        levels = BQ.bq_levels(emb, thr)
+        codes = BQ.bq_encode(emb, thr).cache(); codes.count()
+        bq_state["thr"], bq_state["lv"], bq_state["c"] = thr, levels, codes
+    timed("bq1_index_build", build_bq)
+    steady("bq1_asym_search_batch100",
+           lambda: force(BQ.bq_search(bq_state["c"], bq_state["thr"], queries,
+                                      K, refine_with=emb, refine_factor=20,
+                                      levels=bq_state["lv"])))
+    recalls["bq1_asym_rf20"] = round(recall_at_k(
+        BQ.bq_search(bq_state["c"], bq_state["thr"], queries, K,
+                     refine_with=emb, refine_factor=20, levels=bq_state["lv"]),
+        exact, K), 3)
+
     # ---- dedup at 200k docs (round-4 VERDICT item 7): the one-scan
     # melted verify (current minhash_lsh_pairs) vs the r01-shaped per-side
     # join (re-scans + re-shingles the corpus once per pair side) on a

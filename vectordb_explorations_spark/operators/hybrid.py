@@ -86,10 +86,14 @@ def bm25_pool(docs: DataFrame) -> DataFrame:
         # would flip F.filter into its (element, index) form
         return lambda t: t == F.lit(term)
 
-    toks = _tok_array()
-    base = docs.select(
-        "doc_id", F.size(toks).alias("dl"),
-        *[F.size(F.filter(toks, _eq(term))).alias(f"tf_{i}")
+    # project tokens ONCE: interpreted HOFs don't CSE, so referencing the
+    # split expression in dl + every tf column re-tokenized per column
+    # (measured 3.57s -> 3.09s at sf0.1 for the full fused query — the
+    # rest of that row is fixed stage overhead, ~10 pool-sized stages)
+    toked = docs.select("doc_id", _tok_array().alias("toks"))
+    base = toked.select(
+        "doc_id", F.size("toks").alias("dl"),
+        *[F.size(F.filter(F.col("toks"), _eq(term))).alias(f"tf_{i}")
           for i, term in enumerate(_ALL_TERMS)])
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),

@@ -132,6 +132,58 @@ def knn_join_blockwise(vectors: DataFrame, queries: DataFrame, k: int,
     return out.select(F.col(qid_col), F.col(id_col), dist.alias("dist"), F.col("rank"))
 
 
+def knn_join_filtered(vectors: DataFrame, queries: DataFrame, k: int,
+                      filter_col: str = "label",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id", qvec_col: str = "query_vec",
+                      round_dp: int | None = 6,
+                      dim: int | None = None) -> DataFrame:
+    """Filtered (faceted) k-NN: each query carries a metadata value in
+    ``filter_col`` and only vectors matching it are scored — the
+    pre-filtered search every vector store exposes (search within a
+    tenant / language / category).
+
+    Physical shape: the facet becomes the JOIN KEY of the broadcast query
+    join, so non-matching vectors are dropped BEFORE the distance
+    evaluates (and with a partition/bucket layout on the facet, before
+    they are even read — the same pruning the bucketed-probe serving path
+    demonstrates). Selectivity, not corpus size, bounds the scored set."""
+    scored = (vectors.join(F.broadcast(queries), on=filter_col)
+              .withColumn("dist", l2_distance(F.col(vec_col),
+                                              F.col(qvec_col), dim=dim)))
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(),
+                                            F.col(id_col).asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    dist = (F.round(F.col("dist"), round_dp) if round_dp is not None
+            else F.col("dist"))
+    return out.select(F.col(qid_col), F.col(filter_col), F.col(id_col),
+                      dist.alias("dist"), F.col("rank"))
+
+
+def range_search(vectors: DataFrame, queries: DataFrame, radius: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id", qvec_col: str = "query_vec",
+                 round_dp: int | None = 6,
+                 dim: int | None = None) -> DataFrame:
+    """Radius (range) search: ALL vectors within L2 ``radius`` of each
+    query — FAISS's range_search, the set-valued sibling of top-k. The
+    result size is data-dependent (that is the point: 'everything this
+    close', not 'the k closest').
+
+    Physical shape: broadcast queries, codegen distance, a plain filter —
+    no window, no global ordering exchange; at scale the output streams
+    straight to the sink. The boundary compare runs on the RAW double
+    (both engines fold identically), rounding only in the projection."""
+    scored = (vectors.crossJoin(F.broadcast(queries))
+              .withColumn("dist", l2_distance(F.col(vec_col),
+                                              F.col(qvec_col), dim=dim)))
+    out = scored.where(F.col("dist") <= F.lit(float(radius)))
+    dist = (F.round(F.col("dist"), round_dp) if round_dp is not None
+            else F.col("dist"))
+    return out.select(F.col(qid_col), F.col(id_col), dist.alias("dist"))
+
+
 def sample_queries(vectors: DataFrame, num: int,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic query workload: the first ``num`` vectors by id."""

@@ -50,6 +50,8 @@ KNN_BATCH_QUERIES = 20
 # in random_hyperplane_lsh's defaults would silently collapse recall), and
 # the oracle bakes the same seeded hyperplanes as SQL literals.
 BQ_QUERIES = 10
+RANGE_RADIUS = 1.25   # ~5% of the corpus per probe at the fixtures
+FILTERED_QUERIES = 10
 
 LSH_PROBE_TABLES = 8
 LSH_PROBE_PLANES = 6
@@ -141,6 +143,58 @@ SELECT e.vec_id, round({dot} / ({na} * {nb}), 6) AS cos_sim
 FROM embeddings e CROSS JOIN q
 ORDER BY {dot} / ({na} * {nb}) DESC, e.vec_id ASC
 LIMIT {KNN_K}
+"""
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted k-NN: each probe searches only vectors sharing its label —
+    the facet is the broadcast-join KEY, so non-matching vectors drop
+    before the distance evaluates (pre-filtered search)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = (emb.orderBy("vec_id").limit(FILTERED_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec"), "label"))
+    return (K.knn_join_filtered(emb, qs, KNN_K, dim=EMBEDDING_DIM)
+            .orderBy("query_id", "rank"))
+
+
+def _oracle_knn_filtered() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, q.query_vec), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec, label
+           FROM embeddings ORDER BY vec_id LIMIT {FILTERED_QUERIES})
+SELECT q.query_id, e.label, e.vec_id, round({dist}, 6) AS dist,
+       CAST(row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY {dist} ASC, e.vec_id ASC) AS INTEGER)
+         AS rank
+FROM embeddings e JOIN q ON e.label = q.label
+QUALIFY rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (FAISS range_search): every vector within L2 1.25 of
+    each probe — set-valued, no window, no global ordering exchange."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = K.sample_queries(emb, FILTERED_QUERIES)
+    return (K.range_search(emb, qs, RANGE_RADIUS, dim=EMBEDDING_DIM)
+            .orderBy("query_id", "vec_id"))
+
+
+def _oracle_range_search() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, q.query_vec), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+           FROM embeddings ORDER BY vec_id LIMIT {FILTERED_QUERIES})
+SELECT q.query_id, e.vec_id, round({dist}, 6) AS dist
+FROM embeddings e CROSS JOIN q
+WHERE {dist} <= {RANGE_RADIUS!r}
+ORDER BY query_id, vec_id
 """
 
 
@@ -588,6 +642,11 @@ QUERIES: dict[str, QueryFn] = {
     # both sides, so the pipeline is hash-checked despite the Python stage
     "mmr_diversified_topk": lambda s, d: RR.mmr_rerank(
         load_table(s, "embeddings", d)),
+    # pre-filtered (faceted) and radius search — the two remaining
+    # serving-side query kinds of a vector store (filter-then-search and
+    # everything-within-epsilon); both exact, both hash-checked
+    "knn_filtered": q_knn_filtered,
+    "range_search": q_range_search,
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
@@ -747,4 +806,6 @@ ORACLES: dict[str, str] = {
     "bq_hamming_topk": B.bq_hamming_topk_oracle(BQ_QUERIES, KNN_K),
     "hybrid_rrf_search": HY.hybrid_rrf_oracle(),
     "mmr_diversified_topk": RR.mmr_rerank_oracle(),
+    "knn_filtered": _oracle_knn_filtered(),
+    "range_search": _oracle_range_search(),
 }
