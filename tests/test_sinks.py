@@ -213,3 +213,47 @@ def test_overwrite_partitions_backfills_only_written_slice(spark, sf_dir, tmp_pa
     # the session conf was restored
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+
+
+def test_merge_upsert_semantics_and_pruning(spark, sf_dir, tmp_path):
+    """merge_upsert: updated keys replaced, new keys appended, untouched
+    partitions bit-identical, and the anti-join's target scan prunes to
+    the touched partitions only."""
+    from vectordb_explorations_spark.sources.sinks import merge_upsert
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", "lang", "text"))
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    target_lang, sibling = langs[0], langs[1]
+    base = docs.where(F.col("lang") == target_lang)
+    upd_ids = [r["doc_id"] for r in base.limit(3).collect()]
+    new_id = docs.agg(F.max("doc_id")).first()[0] + 1000
+    updates = spark.createDataFrame(
+        [(i, target_lang, "UPDATED") for i in upd_ids]
+        + [(new_id, target_lang, "BRAND NEW")],
+        "doc_id long, lang string, text string")
+
+    merge_upsert(spark, updates, path, ["doc_id"], ["lang"])
+    after = spark.read.parquet(path)
+
+    got = {r["doc_id"]: r["text"]
+           for r in after.where(F.col("lang") == target_lang).collect()}
+    assert all(got[i] == "UPDATED" for i in upd_ids)
+    assert got[new_id] == "BRAND NEW"
+    n_before = base.count()
+    assert len(got) == n_before + 1  # replaced in place, one append
+
+    # untouched partition: identical rows
+    orig = sorted(map(tuple, docs.where(F.col("lang") == sibling).collect()))
+    new = sorted(map(tuple, after.where(F.col("lang") == sibling)
+                     .select(*docs.columns).collect()))
+    assert orig == new
+
+    # the survivors scan prunes to the touched partition (PartitionFilters)
+    touched_scan = (spark.read.parquet(path)
+                    .where(F.col("lang") == target_lang)
+                    ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in touched_scan

@@ -162,3 +162,48 @@ def overwrite_partitions(df: DataFrame, path: str,
          .parquet(path))
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
+                 key_cols: list[str], partition_by: list[str]) -> None:
+    """MERGE/upsert for plain parquet tables (no Delta/Iceberg in this
+    environment — this is the same write shape those formats run under
+    copy-on-write): rows in ``updates`` replace target rows with the same
+    key; new keys append. Composed from primitives the engine already has:
+
+        touched  = partitions present in updates            (tiny, driver)
+        survivors = target ⟕ anti-join updates ON key       (touched only!)
+        overwrite_partitions(survivors ∪ updates)
+
+    Scale notes: the anti-join reads ONLY the hive partitions the update
+    batch touches (partition pruning via the IN filter — assert
+    PartitionFilters in the plan), so a daily upsert costs
+    O(touched partitions + update batch), never a table rewrite. The
+    update side of the anti-join broadcasts when small (AQE decides from
+    its actual size). Requires every key's partition value to be stable
+    across versions (true for hive layouts keyed under the partition
+    column — the CDC convention); rows whose partition value CHANGED
+    would leave a stale copy behind, so callers repartitioning keys must
+    delete-then-insert instead.
+    """
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(path):
+        write_parquet(updates, path, partition_by=partition_by)
+        return
+    touched = [tuple(r) for r in
+               updates.select(*partition_by).distinct().collect()]
+    target = spark.read.parquet(path)
+    in_touched = functools.reduce(operator.or_, [
+        functools.reduce(operator.and_,
+                         [F.col(c) == F.lit(v)
+                          for c, v in zip(partition_by, t)])
+        for t in touched])
+    survivors = (target.where(in_touched)
+                 .join(updates.select(*key_cols).distinct(), key_cols,
+                       "left_anti"))
+    out = survivors.select(*updates.columns).unionByName(updates)
+    overwrite_partitions(out, path, partition_by)
