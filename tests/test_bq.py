@@ -109,3 +109,25 @@ def test_asymmetric_beats_symmetric(setup):
     asym = BQ.bq_search(codes, thr, queries, K, refine_with=emb,
                         refine_factor=10, levels=levels)
     assert recall_at_k(asym, exact, K) >= recall_at_k(sym, exact, K)
+
+
+def test_cascade_recovers_shortlist_ceiling(setup, spark, sf_dir):
+    """BQ1->SQ8->exact cascade: at fixture scale the shortlist covers most
+    of the corpus, so the cascade must match the exact top-k almost
+    perfectly — and must never beat its own stage-1 shortlist ceiling."""
+    from vectordb_explorations_spark.operators import sq as SQ
+    emb, thr, levels, codes, queries, exact = setup
+    mins, maxs = SQ.sq_train(emb, EMBEDDING_DIM)
+    sq_codes = SQ.sq_encode(emb, mins, maxs).cache()
+    sq_codes.count()
+    out = BQ.bq_cascade_search(codes, thr, levels, sq_codes, mins, maxs,
+                               queries, K, refine_with=emb,
+                               shortlist=200, midlist=50)
+    r = recall_at_k(out, exact, K)
+    assert r >= 0.9, r
+    # output contract: k ranked rows per query, exact distances
+    per_q = {}
+    for row in out.collect():
+        per_q.setdefault(row["query_id"], []).append(row["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, K + 1))

@@ -232,6 +232,17 @@ def main() -> None:
                      refine_with=emb, refine_factor=20, levels=bq_state["lv"]),
         exact, K), 3)
 
+    # BQ1 -> SQ8 -> exact cascade: the composition that makes 1-bit codes
+    # a usable FIRST stage at scale (shortlist 1% of corpus, SQ8 rescoring
+    # pays 8-bit cost on the shortlist only)
+    def run_cascade():
+        return BQ.bq_cascade_search(
+            bq_state["c"], bq_state["thr"], bq_state["lv"], sq_state["c"],
+            sq_state["mins"], sq_state["maxs"], queries, K, refine_with=emb,
+            shortlist=2000, midlist=100)
+    steady("bq1_cascade_search_batch100", lambda: force(run_cascade()))
+    recalls["bq1_cascade"] = round(recall_at_k(run_cascade(), exact, K), 3)
+
     # ---- dedup at 200k docs (round-4 VERDICT item 7): the one-scan
     # melted verify (current minhash_lsh_pairs) vs the r01-shaped per-side
     # join (re-scans + re-shingles the corpus once per pair side) on a
@@ -300,6 +311,8 @@ def main() -> None:
         f"| PQ + exact refine (m=16, k=64, rf=30) | {results['pq_index_build']} | {results['pq_refined_search_batch100']} | {recalls['pq_refined']} |",
         f"| SQ8 + exact refine (rf=3) | {results['sq8_index_build']} | {results['sq8_refined_search_batch100']} | {recalls['sq8_refined']} |",
         f"| IVF-PQ residual codes (C=64, nprobe=8, rf=10) | {results['ivfpq_index_build']} | {results['ivfpq_refined_search_batch100']} | {recalls['ivfpq_refined']} |",
+        f"| BQ1 asymmetric + exact refine (rf=20) | {results['bq1_index_build']} | {results['bq1_asym_search_batch100']} | {recalls['bq1_asym_rf20']} |",
+        f"| BQ1 -> SQ8 -> exact cascade (shortlist 2000, midlist 100) | — | {results['bq1_cascade_search_batch100']} | {recalls['bq1_cascade']} |",
         "",
         f"Dedup at {nd:,} docs (~10% near-dup 1-word mutations; "
         f"{n_pairs:,} verified pairs ≥0.8 Jaccard), cold single-shot:",
@@ -331,6 +344,17 @@ def main() -> None:
         "refined it scores ~25% at the recall shown. Still the weakest "
         "path here — ann_search routes clustered corpora like this one to "
         "IVF and reserves LSH for near-uniform embeddings.",
+        "- **64 one-bit codes cannot rank a clustered 200k corpus**: BQ1's "
+        "asymmetric recall saturates with shortlist size (rf=20 -> 0.376; "
+        "1% of the corpus -> 0.70; 2% -> 0.79) because the cluster-offset "
+        "dims pin their sign bits within a cluster, leaving ~2/3 of the "
+        "bits to separate ~6k in-cluster neighbors. The cascade row shows "
+        "the composition is sound — SQ8 recovers EVERYTHING inside the "
+        "1-bit shortlist (cascade recall == shortlist ceiling), so at "
+        "dim 64 the roles are: SQ8/PQ as the ranking stage, BQ1 as a "
+        "cheap pre-filter, and 1-bit-as-ranker is reserved for the "
+        "dim >= 256 embeddings where relative contrast supports it (the "
+        "regime production 1-bit systems target).",
         "- **IVF fits driver-side on a hash-ordered bounded sample "
         "(best-of-3 k-means++ restarts) and replicates each vector into "
         "its 2 nearest lists** (spill-style multi-assignment): boundary "

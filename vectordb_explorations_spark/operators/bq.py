@@ -299,3 +299,120 @@ def bq_search(codes_df: DataFrame, thresholds: np.ndarray, queries: DataFrame,
     from vectordb_explorations_spark.operators.pq import _exact_refine
     return _exact_refine(cand, qids, qmat, refine_with, k, qmat.shape[1],
                          id_col, vec_col, qid_col, qvec_col)
+
+
+def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
+                      levels: tuple[np.ndarray, np.ndarray],
+                      sq_codes: DataFrame, mins: np.ndarray, maxs: np.ndarray,
+                      queries: DataFrame, k: int, refine_with: DataFrame,
+                      shortlist: int = 2000, midlist: int = 100,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id",
+                      qvec_col: str = "query_vec") -> DataFrame:
+    """Three-stage cascade — the shape that makes 1-bit codes useful at
+    scale. Measured at 200k (clustered corpus): single-stage BQ1 recall
+    saturates slowly (rf=20 -> 0.376, shortlist 1% of corpus -> 0.70 —
+    64 bits cannot rank a large clustered corpus), but as a FIRST-stage
+    filter it only needs the true neighbors inside a wide shortlist:
+
+        stage 1: asymmetric 1-bit scan     -> ``shortlist`` per query
+        stage 2: SQ8 rescore, shortlist only -> ``midlist`` * k / 10
+        stage 3: exact re-rank of the midlist
+
+    Stage 2 scores ONLY shortlist rows (broadcast-candidate join against
+    the SQ8 codes — the corpus code table never shuffles), so the 8-bit
+    cost is paid on shortlist/N of the data while the full scan stays at
+    1 bit/dim. Candidate volume is Q*shortlist -> Q*midlist -> Q*k:
+    corpus-independent after stage 1."""
+    import pandas as pd
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([int(r[0]) for r in qrows])
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qvecs = {int(q): v for q, v in zip(qids, qmat)}
+    lo, hi = levels
+    c0 = (qmat - lo[None, :]) ** 2
+    c1 = (qmat - hi[None, :]) ** 2
+    base = c0.sum(-1)
+    delta = c1 - c0
+    dim = len(thresholds)
+    scales = np.where((maxs - mins) > 0, (maxs - mins) / 255.0, 0.0)
+
+    s1_schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("bq_dist", T.DoubleType()),
+    ])
+
+    def stage1(batches):
+        acc_i, acc_d = [], []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            words = np.asarray(list(pdf["words"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            bits = _unpack_bits_np(words, dim)
+            d = base[:, None] + delta @ bits.T
+            top = min(shortlist, d.shape[1])
+            part = np.argpartition(d, top - 1, axis=1)[:, :top]
+            acc_i.append(ids[part])
+            acc_d.append(np.take_along_axis(d, part, axis=1))
+        if not acc_i:
+            return
+        ii = np.concatenate(acc_i, axis=1)
+        dd = np.concatenate(acc_d, axis=1)
+        top = min(shortlist, ii.shape[1])
+        part = np.argpartition(dd, top - 1, axis=1)[:, :top]
+        yield pd.DataFrame({
+            qid_col: np.repeat(qids, top),
+            id_col: np.take_along_axis(ii, part, axis=1).ravel(),
+            "bq_dist": np.take_along_axis(dd, part, axis=1).ravel(),
+        })
+
+    local1 = bq_codes.mapInPandas(stage1, schema=s1_schema)
+    w1 = Window.partitionBy(qid_col).orderBy(
+        F.col("bq_dist").asc(), F.col(id_col).asc())
+    cand1 = (local1.withColumn("r", F.row_number().over(w1))
+             .where(F.col("r") <= shortlist)
+             .select(qid_col, id_col))
+
+    # stage 2: SQ8 rescoring of the shortlist only — broadcast the bounded
+    # candidate side so the corpus code table never shuffles
+    with_codes = (sq_codes.join(F.broadcast(cand1), id_col)
+                  .select(qid_col, id_col, "codes"))
+
+    s2_schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sq_dist", T.DoubleType()),
+    ])
+
+    def stage2(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_i, out_d = [], [], []
+            for q, grp in pdf.groupby(qid_col):
+                deq = (np.asarray(list(grp["codes"]), dtype=np.float64)
+                       * scales + mins)
+                diff = deq - qvecs[int(q)][None, :]
+                d2 = (diff * diff).sum(-1)
+                out_q.append(np.full(len(grp), q, dtype=np.int64))
+                out_i.append(grp[id_col].to_numpy())
+                out_d.append(np.sqrt(np.maximum(d2, 0.0)))
+            yield pd.DataFrame({
+                qid_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "sq_dist": np.concatenate(out_d),
+            })
+
+    rescored = with_codes.mapInPandas(stage2, schema=s2_schema)
+    w2 = Window.partitionBy(qid_col).orderBy(
+        F.col("sq_dist").asc(), F.col(id_col).asc())
+    cand2 = (rescored.withColumn("r", F.row_number().over(w2))
+             .where(F.col("r") <= midlist)
+             .select(qid_col, id_col))
+
+    from vectordb_explorations_spark.operators.pq import _exact_refine
+    return _exact_refine(cand2, qids, qmat, refine_with, k, dim,
+                         id_col, vec_col, qid_col, qvec_col)

@@ -1,0 +1,117 @@
+"""Hashing-trick text featurization: documents -> dense signed-hash
+embeddings (HashingTF with a sign hash, L2-normalized) — the step that
+PRODUCES a vector column from text inside the engine, bridging the
+documents table to everything the vector families (knn/ann/pq/sq/bq)
+consume. The fixture corpus ships pre-computed embeddings; a real pipeline
+computes them, and feature hashing is the classic coordination-free way:
+no vocabulary to build, no model to broadcast, one scan.
+
+    dim(tok)  = md5(tok)[0:8]  as uint32  mod HASH_DIM
+    sign(tok) = md5(tok)[8]    hex digit  even -> +1, odd -> -1
+    w(doc, d) = sum of signs of the doc's tokens hashing to d   (exact int)
+    e(doc)    = w / ||w||_2
+
+Everything before the final normalization is INTEGER math, and the norm is
+sqrt of an integer sum — order-independent on both engines, so the audit
+is hash-checked (no float-summation-order hazard anywhere).
+
+Scale shape: one explode (fan-out = tokens/doc, the same budget as every
+shingling op), one combinable (doc_id, dim) sum, then a doc_id-local
+densify — two hash exchanges that AQE coalesces onto the same key. No
+driver pass, no fitted state, stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vectordb_explorations_spark.functions.rounding import r6, round6
+
+HASH_DIM = 64       # matches the fixture embedding width
+AUDIT_DOCS = 50     # declared audit covers the first 50 docs (sparse rows)
+
+
+def _tokens():
+    """Whitespace tokens of lower(text), empties dropped — the same
+    tokenizer contract as hybrid.bm25 and DuckDB's list_filter twin."""
+    return F.filter(F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != F.lit(""))
+
+
+def _sparse_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, dim_id, w): exact integer signed-hash weights, zero-sum
+    dims dropped (they contribute nothing to the vector)."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    h = F.md5(F.col("tok"))
+    dim_id = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % HASH_DIM).cast("int")
+    sign = (F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+                   F.lit(1)).otherwise(F.lit(-1)).cast("long"))
+    return (toks.select("doc_id", dim_id.alias("dim_id"), sign.alias("sign"))
+            .groupBy("doc_id", "dim_id")
+            .agg(F.sum("sign").alias("w"))
+            .where(F.col("w") != 0))
+
+
+def hashed_embeddings(docs: DataFrame) -> DataFrame:
+    """Pipeline form: (doc_id, embedding ARRAY<DOUBLE> length HASH_DIM,
+    L2-normalized) — densify the sparse weights via map lookup over a
+    static index sequence, then scale by the integer-exact norm."""
+    w = _sparse_weights(docs)
+    dense = (w.groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("dim_id", "w"))).alias("m"),
+                 F.sum(F.col("w") * F.col("w")).alias("ssq")))
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(HASH_DIM - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
+                             F.lit(0).cast("long")).cast("double")
+        / F.sqrt(F.col("ssq").cast("double")))
+    return dense.select("doc_id", arr.alias("embedding"))
+
+
+def hashed_embedding_audit(docs: DataFrame) -> DataFrame:
+    """Declared (hash-checked) audit: the sparse weights of the first
+    AUDIT_DOCS docs with their normalized values — integer weights and a
+    sqrt-of-integer norm, so both engines agree bit-for-bit."""
+    w = _sparse_weights(docs.where(F.col("doc_id") < AUDIT_DOCS))
+    norm = (w.groupBy("doc_id")
+            .agg(F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double"))
+                 .alias("norm")))
+    return (w.join(norm, "doc_id")
+            .select("doc_id", "dim_id", "w",
+                    round6(F.col("w").cast("double") / F.col("norm"))
+                    .alias("w_norm"))
+            .orderBy("doc_id", "dim_id"))
+
+
+def hashed_embedding_audit_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents WHERE doc_id < {AUDIT_DOCS}
+),
+h AS (
+  SELECT doc_id,
+         CAST(CAST(CAST('0x' || substring(md5(tok), 1, 8) AS UBIGINT)
+                   % {HASH_DIM} AS BIGINT) AS INTEGER) AS dim_id,
+         CASE WHEN CAST('0x' || substring(md5(tok), 9, 1) AS UBIGINT) % 2 = 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
+  FROM t
+),
+w AS (
+  SELECT doc_id, dim_id, CAST(SUM(sign) AS BIGINT) AS w
+  FROM h GROUP BY doc_id, dim_id
+  HAVING CAST(SUM(sign) AS BIGINT) <> 0
+),
+n AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
+  FROM w GROUP BY doc_id
+)
+SELECT w.doc_id, w.dim_id, w.w,
+       {r6('CAST(w.w AS DOUBLE) / n.norm')} AS w_norm
+FROM w JOIN n ON w.doc_id = n.doc_id
+ORDER BY w.doc_id, w.dim_id
+"""

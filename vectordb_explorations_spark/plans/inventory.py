@@ -25,11 +25,13 @@ from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import bq as B
 from vectordb_explorations_spark.operators import dedup as D
+from vectordb_explorations_spark.operators import featurize as FZ
 from vectordb_explorations_spark.operators import hybrid as HY
 from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
 from vectordb_explorations_spark.operators import layout as L
 from vectordb_explorations_spark.operators import multimodal as M
+from vectordb_explorations_spark.operators import quality as QA
 from vectordb_explorations_spark.operators import relational as R
 from vectordb_explorations_spark.operators import rerank as RR
 from vectordb_explorations_spark.operators import sampling as SP
@@ -647,6 +649,13 @@ QUERIES: dict[str, QueryFn] = {
     # everything-within-epsilon); both exact, both hash-checked
     "knn_filtered": q_knn_filtered,
     "range_search": q_range_search,
+    # hashing-trick featurization: text -> signed-hash embedding (integer
+    # weights + sqrt-of-integer norm, so the audit hash-matches exactly)
+    "hashed_doc_embeddings": lambda s, d: FZ.hashed_embedding_audit(
+        load_table(s, "documents", d)),
+    # table validation gate: one-scan per-column null/distinct/extent audit
+    "data_quality_audit": lambda s, d: QA.table_quality_audit(
+        load_table(s, "orders", d)),
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
@@ -808,4 +817,6 @@ ORACLES: dict[str, str] = {
     "mmr_diversified_topk": RR.mmr_rerank_oracle(),
     "knn_filtered": _oracle_knn_filtered(),
     "range_search": _oracle_range_search(),
+    "hashed_doc_embeddings": FZ.hashed_embedding_audit_oracle(),
+    "data_quality_audit": QA.table_quality_audit_oracle(),
 }
