@@ -172,6 +172,16 @@ COMMENTARY = {
         "channel (broadcast probes + one window); the sequential argmax "
         "runs in applyInPandas over the BOUNDED 25-row per-query pool — "
         "the only Python stage, and it touches pool-sized data only."),
+    "hashed_doc_embeddings": (
+        "Hashing-trick featurization: one token explode, one combinable "
+        "(doc, dim) integer sum, one doc-local norm join — integer math "
+        "until the final normalization, so the audit hash-matches with "
+        "no float-summation-order hazard."),
+    "data_quality_audit": (
+        "Table validation gate: every per-column metric (count, nulls, "
+        "exact distincts, typed extents) computes in ONE scan / one "
+        "aggregate row, then a literal-sized unpivot — the plan must "
+        "show a single parquet scan however many columns are audited."),
 }
 
 
