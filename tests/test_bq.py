@@ -131,3 +131,23 @@ def test_cascade_recovers_shortlist_ceiling(setup, spark, sf_dir):
         per_q.setdefault(row["query_id"], []).append(row["rank"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, K + 1))
+
+
+def test_partial_word_dims_pack_msb_aligned(spark):
+    """dims not divisible by 32 must stay MSB-aligned in the trailing
+    word so Spark packing, the NumPy twin and the unpack agree (the
+    code-review repro: dim=40 packed LSB-aligned before the fix)."""
+    dim = 40
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(12, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id long, embedding array<float>")
+    thr = np.zeros(dim)
+    got = {r["vec_id"]: list(r["words"])
+           for r in BQ.bq_encode(df, thr).collect()}
+    expect = BQ._encode_np(mat.astype(np.float64), thr)
+    for i in range(len(mat)):
+        assert got[i] == list(expect[i]), i
+    bits = BQ._unpack_bits_np(expect, dim)
+    assert (bits == (mat.astype(np.float64) > thr)).all()

@@ -64,3 +64,14 @@ def test_vectors_are_a_retrieval_signal(spark, docs):
     top1 = {r["query_id"]: r["vec_id"]
             for r in knn_join(emb, qs, 1).collect()}
     assert top1 == {q: q for q in top1}
+
+
+def test_tokenless_docs_keep_their_row_with_null_embedding(spark):
+    docs = spark.createDataFrame(
+        [(1, "scan merge vector"), (2, "   "), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["embedding"]
+            for r in FZ.hashed_embeddings(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None

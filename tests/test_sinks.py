@@ -257,3 +257,35 @@ def test_merge_upsert_semantics_and_pruning(spark, sf_dir, tmp_path):
                     .where(F.col("lang") == target_lang)
                     ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in touched_scan
+
+
+def test_merge_upsert_empty_batch_is_noop(spark, sf_dir, tmp_path):
+    from vectordb_explorations_spark.sources.sinks import merge_upsert
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", "lang", "text").limit(50))
+    path = str(tmp_path / "docs_noop")
+    docs.write.partitionBy("lang").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_upsert(spark, docs.where("doc_id < 0"), path, ["doc_id"], ["lang"])
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
+
+
+def test_merge_upsert_null_partition_keeps_survivors(spark, tmp_path):
+    """An update into the NULL partition must not wipe that partition's
+    non-updated rows (code-review finding: == NULL selects no survivors
+    but dynamic overwrite still replaces the directory)."""
+    from vectordb_explorations_spark.sources.sinks import merge_upsert
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "en", "c")],
+        "k long, part string, v string")
+    path = str(tmp_path / "null_part")
+    base.write.partitionBy("part").parquet(path)
+    upd = spark.createDataFrame([(2, None, "B!")],
+                                "k long, part string, v string")
+    merge_upsert(spark, upd, path, ["k"], ["part"])
+    rows = {r["k"]: (r["part"], r["v"])
+            for r in spark.read.parquet(path).collect()}
+    assert rows[1] == (None, "a")      # survivor kept
+    assert rows[2] == (None, "B!")     # updated in place
+    assert rows[3] == ("en", "c")      # untouched sibling partition

@@ -48,15 +48,21 @@ def bq_thresholds(vectors: DataFrame, dim: int,
 
 def _pack_words(bits_col, dim: int):
     """Shift-accumulate a 0/1 LONG array into ceil(dim/32) packed words,
-    MSB-first within each word (bit for dimension d lands at position
-    31 - ((d-1) % 32) of word (d-1)//32)."""
+    MSB-first within each word: the bit for dimension d lands at position
+    31 - (d % 32) of word d // 32 (0-based d). A trailing PARTIAL word is
+    shifted up so its bits stay MSB-aligned — otherwise the fold leaves
+    them LSB-aligned and every other packer (_encode_np, the unpack, the
+    DuckDB oracle) disagrees for dims not divisible by 32."""
     n_words = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
-    words = [
-        F.aggregate(F.slice(bits_col, w * BQ_WORD_BITS + 1, BQ_WORD_BITS),
-                    F.lit(0).cast("long"),
-                    lambda acc, b: acc * 2 + b)
-        for w in range(n_words)
-    ]
+    words = []
+    for w in range(n_words):
+        count = min(BQ_WORD_BITS, dim - w * BQ_WORD_BITS)
+        folded = F.aggregate(F.slice(bits_col, w * BQ_WORD_BITS + 1, count),
+                             F.lit(0).cast("long"),
+                             lambda acc, b: acc * 2 + b)
+        if count < BQ_WORD_BITS:
+            folded = folded * F.lit(1 << (BQ_WORD_BITS - count)).cast("long")
+        words.append(folded)
     return F.array(*words)
 
 
@@ -130,10 +136,12 @@ bits AS (
   FROM e JOIN thr ON e.pos = thr.pos
 ),
 words AS (
-  SELECT {id_col}, CAST((pos - 1) / {BQ_WORD_BITS} AS INT) AS w,
+  -- (pos-1) // n is DuckDB INTEGER division; a CAST of (pos-1)/n would
+  -- round-to-nearest the float quotient and mis-bucket positions 17..47
+  SELECT {id_col}, CAST((pos - 1) // {BQ_WORD_BITS} AS INT) AS w,
          CAST(SUM(b << ({BQ_WORD_BITS - 1} - ((pos - 1) % {BQ_WORD_BITS})))
               AS BIGINT) AS word
-  FROM bits GROUP BY {id_col}, CAST((pos - 1) / {BQ_WORD_BITS} AS INT)
+  FROM bits GROUP BY {id_col}, CAST((pos - 1) // {BQ_WORD_BITS} AS INT)
 ),
 q AS (SELECT {id_col} AS query_id FROM {table}
       ORDER BY {id_col} LIMIT {n_queries}),
@@ -330,50 +338,14 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
     qids = np.array([int(r[0]) for r in qrows])
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qvecs = {int(q): v for q, v in zip(qids, qmat)}
-    lo, hi = levels
-    c0 = (qmat - lo[None, :]) ** 2
-    c1 = (qmat - hi[None, :]) ** 2
-    base = c0.sum(-1)
-    delta = c1 - c0
     dim = len(thresholds)
     scales = np.where((maxs - mins) > 0, (maxs - mins) / 255.0, 0.0)
 
-    s1_schema = T.StructType([
-        T.StructField(qid_col, T.LongType()),
-        T.StructField(id_col, T.LongType()),
-        T.StructField("bq_dist", T.DoubleType()),
-    ])
-
-    def stage1(batches):
-        acc_i, acc_d = [], []
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            words = np.asarray(list(pdf["words"]), dtype=np.int64)
-            ids = pdf[id_col].to_numpy()
-            bits = _unpack_bits_np(words, dim)
-            d = base[:, None] + delta @ bits.T
-            top = min(shortlist, d.shape[1])
-            part = np.argpartition(d, top - 1, axis=1)[:, :top]
-            acc_i.append(ids[part])
-            acc_d.append(np.take_along_axis(d, part, axis=1))
-        if not acc_i:
-            return
-        ii = np.concatenate(acc_i, axis=1)
-        dd = np.concatenate(acc_d, axis=1)
-        top = min(shortlist, ii.shape[1])
-        part = np.argpartition(dd, top - 1, axis=1)[:, :top]
-        yield pd.DataFrame({
-            qid_col: np.repeat(qids, top),
-            id_col: np.take_along_axis(ii, part, axis=1).ravel(),
-            "bq_dist": np.take_along_axis(dd, part, axis=1).ravel(),
-        })
-
-    local1 = bq_codes.mapInPandas(stage1, schema=s1_schema)
-    w1 = Window.partitionBy(qid_col).orderBy(
-        F.col("bq_dist").asc(), F.col(id_col).asc())
-    cand1 = (local1.withColumn("r", F.row_number().over(w1))
-             .where(F.col("r") <= shortlist)
+    # stage 1 IS bq_search's no-refine asymmetric path with k=shortlist —
+    # one scoring kernel to maintain, not two
+    cand1 = (bq_search(bq_codes, thresholds, queries, shortlist,
+                       levels=levels, id_col=id_col, vec_col=vec_col,
+                       qid_col=qid_col, qvec_col=qvec_col)
              .select(qid_col, id_col))
 
     # stage 2: SQ8 rescoring of the shortlist only — broadcast the bounded

@@ -32,10 +32,10 @@ AUDIT_DOCS = 50     # declared audit covers the first 50 docs (sparse rows)
 
 
 def _tokens():
-    """Whitespace tokens of lower(text), empties dropped — the same
-    tokenizer contract as hybrid.bm25 and DuckDB's list_filter twin."""
-    return F.filter(F.split(F.lower(F.col("text")), " "),
-                    lambda t: t != F.lit(""))
+    """The SHARED tokenizer contract (functions/text.py) — same
+    expression hybrid.bm25 scores with, same DuckDB list_filter twin."""
+    from vectordb_explorations_spark.functions.text import whitespace_tokens
+    return whitespace_tokens("text")
 
 
 def _sparse_weights(docs: DataFrame) -> DataFrame:
@@ -56,7 +56,13 @@ def _sparse_weights(docs: DataFrame) -> DataFrame:
 def hashed_embeddings(docs: DataFrame) -> DataFrame:
     """Pipeline form: (doc_id, embedding ARRAY<DOUBLE> length HASH_DIM,
     L2-normalized) — densify the sparse weights via map lookup over a
-    static index sequence, then scale by the integer-exact norm."""
+    static index sequence, then scale by the integer-exact norm.
+
+    Row contract: EVERY input doc_id appears in the output. A doc with no
+    tokens (or whose signs fully cancel in every dimension) has no
+    direction to normalize — its embedding is NULL, not a dropped row,
+    so downstream joins see the id and can filter explicitly
+    (code-review finding: the inner shape silently lost such docs)."""
     w = _sparse_weights(docs)
     dense = (w.groupBy("doc_id")
              .agg(F.map_from_entries(
@@ -67,7 +73,9 @@ def hashed_embeddings(docs: DataFrame) -> DataFrame:
         lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
                              F.lit(0).cast("long")).cast("double")
         / F.sqrt(F.col("ssq").cast("double")))
-    return dense.select("doc_id", arr.alias("embedding"))
+    return (docs.select("doc_id")
+            .join(dense.select("doc_id", arr.alias("embedding")),
+                  "doc_id", "left"))
 
 
 def hashed_embedding_audit(docs: DataFrame) -> DataFrame:

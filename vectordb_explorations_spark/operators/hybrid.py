@@ -50,10 +50,11 @@ _ALL_TERMS = tuple(sorted({t for _, terms in HYBRID_QUERIES for t in terms}))
 
 
 def _tok_array():
-    """Whitespace tokens of lower(text), empties dropped — identical
-    semantics to DuckDB's list_filter(string_split(...))."""
-    return F.filter(F.split(F.lower(F.col("text")), " "),
-                    lambda t: t != F.lit(""))
+    """Whitespace tokens of lower(text), empties dropped — the SHARED
+    tokenizer contract (functions/text.py), identical semantics to
+    DuckDB's list_filter(string_split(...))."""
+    from vectordb_explorations_spark.functions.text import whitespace_tokens
+    return whitespace_tokens("text")
 
 
 def _bm25_contrib_col(tf, df_, dl, n, avgdl):

@@ -196,10 +196,17 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         return
     touched = [tuple(r) for r in
                updates.select(*partition_by).distinct().collect()]
+    if not touched:
+        # empty update batch: a no-op, not a reduce() crash
+        return
     target = spark.read.parquet(path)
+    # eqNullSafe: a NULL partition value must select the
+    # __HIVE_DEFAULT_PARTITION__ rows as survivors — a plain == yields
+    # NULL there and dynamic overwrite would silently drop every
+    # non-updated row of that partition
     in_touched = functools.reduce(operator.or_, [
         functools.reduce(operator.and_,
-                         [F.col(c) == F.lit(v)
+                         [F.col(c).eqNullSafe(F.lit(v))
                           for c, v in zip(partition_by, t)])
         for t in touched])
     survivors = (target.where(in_touched)
