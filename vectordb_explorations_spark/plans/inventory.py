@@ -38,6 +38,7 @@ from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
 from vectordb_explorations_spark.operators import sq as SQ
 from vectordb_explorations_spark.operators import textops as X
+from vectordb_explorations_spark.operators import timeline as TL
 from vectordb_explorations_spark.plans import sql_api as Q
 from vectordb_explorations_spark.streaming import documents as SD
 from vectordb_explorations_spark.streaming import events as SE
@@ -656,6 +657,12 @@ QUERIES: dict[str, QueryFn] = {
     # table validation gate: one-scan per-column null/distinct/extent audit
     "data_quality_audit": lambda s, d: QA.table_quality_audit(
         load_table(s, "orders", d)),
+    # event-timeline analytics: dense-grid resample with LOCF gap fill,
+    # and ordered signup->engage->purchase funnel conversion
+    "events_gapfill": lambda s, d: TL.events_gapfill(
+        load_table(s, "events", d)),
+    "funnel_conversion": lambda s, d: TL.funnel_conversion(
+        load_table(s, "events", d)),
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
@@ -819,4 +826,6 @@ ORACLES: dict[str, str] = {
     "range_search": _oracle_range_search(),
     "hashed_doc_embeddings": FZ.hashed_embedding_audit_oracle(),
     "data_quality_audit": QA.table_quality_audit_oracle(),
+    "events_gapfill": TL.events_gapfill_oracle(),
+    "funnel_conversion": TL.funnel_conversion_oracle(),
 }
