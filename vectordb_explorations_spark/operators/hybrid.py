@@ -117,8 +117,13 @@ def bm25_pool(docs: DataFrame) -> DataFrame:
             total = total + c
         return total
 
+    # query_id as LONG to match the vector channel's vec_id-derived ids:
+    # an INT here makes the fusion join key `cast(query_id as bigint)`,
+    # which breaks partitioning reuse — the join and the final window
+    # each re-exchange (3 extra shuffles observed at sf0.1)
     per_query = F.array(*[
-        F.struct(F.lit(qid).alias("query_id"), score_col(terms).alias("bm25"))
+        F.struct(F.lit(qid).cast("long").alias("query_id"),
+                 score_col(terms).alias("bm25"))
         for qid, terms in HYBRID_QUERIES])
     scored = (joined.select("doc_id", F.explode(per_query).alias("s"))
               .select("doc_id", "s.query_id", "s.bm25")
