@@ -701,7 +701,7 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
     "dedup_representatives", "multimodal_resize",
     # new this round — never driver-checked. Never-checked evidence
-    # outranks re-certifying 2-round-old greens, so nine r04-green
+    # outranks re-certifying 2-round-old greens, so ten r04-green
     # re-certs (customers_without_orders, cube_order_stats, part_set_ops,
     # norm_stats, large_volume_customers, rollup_revenue, running_totals,
     # segment_order_stats, shipping_priority, top_orders) defer to r07 to
