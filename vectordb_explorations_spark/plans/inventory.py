@@ -24,6 +24,7 @@ from vectordb_explorations_spark.functions.vectors import (
 from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import bq as B
+from vectordb_explorations_spark.operators import cohorts as CO
 from vectordb_explorations_spark.operators import dedup as D
 from vectordb_explorations_spark.operators import featurize as FZ
 from vectordb_explorations_spark.operators import hybrid as HY
@@ -663,6 +664,12 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "events", d)),
     "funnel_conversion": lambda s, d: TL.funnel_conversion(
         load_table(s, "events", d)),
+    # cohort + sequence analytics: signup-week retention triangle and the
+    # first-order event-type transition matrix
+    "cohort_retention": lambda s, d: CO.cohort_retention(
+        load_table(s, "events", d)),
+    "event_transitions": lambda s, d: CO.event_transition_matrix(
+        load_table(s, "events", d)),
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
@@ -831,4 +838,6 @@ ORACLES: dict[str, str] = {
     "data_quality_audit": QA.table_quality_audit_oracle(),
     "events_gapfill": TL.events_gapfill_oracle(),
     "funnel_conversion": TL.funnel_conversion_oracle(),
+    "cohort_retention": CO.cohort_retention_oracle(),
+    "event_transitions": CO.event_transition_matrix_oracle(),
 }
