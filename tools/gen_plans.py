@@ -182,6 +182,25 @@ COMMENTARY = {
         "exact distincts, typed extents) computes in ONE scan / one "
         "aggregate row, then a literal-sized unpivot — the plan must "
         "show a single parquet scan however many columns are audited."),
+    "events_gapfill": (
+        "Gap-filled resample: the dense grid synthesizes from one "
+        "min/max aggregate (grid rows = span/step per series — tiny, "
+        "broadcast into the left join); the events side is one "
+        "combinable groupBy; LOCF is one window over grid-sized rows."),
+    "funnel_conversion": (
+        "Ordered funnel: each stage is a combinable per-user "
+        "min-timestamp aggregate joined on user_id — candidate volume "
+        "shrinks monotonically down the funnel, and no window ever runs "
+        "over the raw event stream."),
+    "cohort_retention": (
+        "Retention triangle: per-user min-week aggregate joined to "
+        "DISTINCT (user, week) activity — the activity side aggregates "
+        "BEFORE the cohort join, so the join carries user-week rows, "
+        "never raw events (the classic cohort self-join trap avoided)."),
+    "event_transitions": (
+        "Transition matrix: ONE per-user lag window (single hash "
+        "exchange on user_id), then a combinable (from, to) count — "
+        "no self-join, no per-user event-list materialization."),
 }
 
 
