@@ -288,6 +288,21 @@ def main() -> None:
     timed("dedup_minhash_perside_200k", lambda: force(naive_pairs()))
     n_pairs = D.minhash_lsh_pairs(sdocs).count()
 
+    # BM25 lexical channel at 200k docs: one corpus scan + a 1-row stats
+    # aggregate + a pool window — query terms drawn from this corpus's
+    # own synthetic vocabulary (the fixture terms don't exist here)
+    from vectordb_explorations_spark.operators import hybrid as HY
+
+    top_toks = [r["tok"] for r in
+                (sdocs.select(F.explode(F.split(F.lower("text"), " "))
+                              .alias("tok"))
+                 .groupBy("tok").count()
+                 .orderBy(F.col("count").desc(), "tok").limit(9).collect())]
+    probe_queries = tuple(
+        (i, tuple(top_toks[i * 3:(i + 1) * 3])) for i in range(3))
+    steady("bm25_pool_200k",
+           lambda: force(HY.bm25_pool(sdocs, queries=probe_queries)))
+
     lines = [
         "# SCALE_NOTES — measured behavior at 100x fixture scale",
         "",
@@ -321,6 +336,7 @@ def main() -> None:
         "|---|---|",
         f"| one-scan melted verify (minhash_lsh_pairs, r02+) | {results['dedup_minhash_onescan_200k']} |",
         f"| per-side shingle joins (r01 shape) | {results['dedup_minhash_perside_200k']} |",
+        f"| BM25 pool, 3 queries x 3 terms (explode-free lexical channel) | {results['bm25_pool_200k']} |",
         "",
         "Findings (honest, data-dependent):",
         "",

@@ -74,7 +74,9 @@ def _bm25_contrib_sql(tf: str, df_: str, dl: str, n: str, avgdl: str) -> str:
             f" * (1.0 - {BM25_B!r} + {BM25_B!r} * {dl} / {avgdl}))")
 
 
-def bm25_pool(docs: DataFrame) -> DataFrame:
+def bm25_pool(docs: DataFrame,
+              queries: tuple[tuple[int, tuple[str, ...]], ...] = HYBRID_QUERIES,
+              pool: int = HYBRID_POOL) -> DataFrame:
     """Per-query BM25 candidate pool: (query_id, doc_id, bm25, bm25_rank).
 
     One corpus scan computes dl and every term's tf as array scans (no
@@ -87,6 +89,8 @@ def bm25_pool(docs: DataFrame) -> DataFrame:
         # would flip F.filter into its (element, index) form
         return lambda t: t == F.lit(term)
 
+    all_terms = tuple(sorted({t for _, terms in queries for t in terms}))
+
     # project tokens ONCE: interpreted HOFs don't CSE, so referencing the
     # split expression in dl + every tf column re-tokenized per column
     # (measured 3.57s -> 3.09s at sf0.1 for the full fused query — the
@@ -95,20 +99,20 @@ def bm25_pool(docs: DataFrame) -> DataFrame:
     base = toked.select(
         "doc_id", F.size("toks").alias("dl"),
         *[F.size(F.filter(F.col("toks"), _eq(term))).alias(f"tf_{i}")
-          for i, term in enumerate(_ALL_TERMS)])
+          for i, term in enumerate(all_terms)])
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double"))
         .alias("avgdl"),
         *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("double")
-          .alias(f"df_{i}") for i in range(len(_ALL_TERMS))])
+          .alias(f"df_{i}") for i in range(len(all_terms))])
     joined = base.crossJoin(F.broadcast(stats))
 
     def score_col(terms):
         cols = [
             _bm25_contrib_col(
-                F.col(f"tf_{_ALL_TERMS.index(t)}").cast("double"),
-                F.col(f"df_{_ALL_TERMS.index(t)}"), F.col("dl").cast("double"),
+                F.col(f"tf_{all_terms.index(t)}").cast("double"),
+                F.col(f"df_{all_terms.index(t)}"), F.col("dl").cast("double"),
                 F.col("n_docs"), F.col("avgdl"))
             for t in terms
         ]
@@ -124,14 +128,14 @@ def bm25_pool(docs: DataFrame) -> DataFrame:
     per_query = F.array(*[
         F.struct(F.lit(qid).cast("long").alias("query_id"),
                  score_col(terms).alias("bm25"))
-        for qid, terms in HYBRID_QUERIES])
+        for qid, terms in queries])
     scored = (joined.select("doc_id", F.explode(per_query).alias("s"))
               .select("doc_id", "s.query_id", "s.bm25")
               .where(F.col("bm25") > 0))
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc())
     return (scored.withColumn("bm25_rank", F.row_number().over(w))
-            .where(F.col("bm25_rank") <= HYBRID_POOL))
+            .where(F.col("bm25_rank") <= pool))
 
 
 def vector_pool(embeddings: DataFrame, pool: int = HYBRID_POOL) -> DataFrame:
