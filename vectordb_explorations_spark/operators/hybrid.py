@@ -157,23 +157,37 @@ def vector_pool(embeddings: DataFrame, pool: int = HYBRID_POOL) -> DataFrame:
 
 def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
                top: int = HYBRID_TOP) -> DataFrame:
-    """Declared (hash-checked) hybrid search: full-outer join of the two
-    pools on (query_id, id), RRF score 1/(K+rank) per present channel
-    summed in written order, top-``top`` per query by (rrf desc, id)."""
-    b = bm25_pool(docs).select("query_id", F.col("doc_id").alias("id"),
-                               "bm25_rank")
-    v = vector_pool(embeddings).select("query_id",
-                                       F.col("vec_id").alias("id"),
-                                       "vec_rank")
-    fused = b.join(v, ["query_id", "id"], "full_outer")
-    rrf = (F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("bm25_rank")),
-                      F.lit(0.0))
-           + F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("vec_rank")),
-                        F.lit(0.0)))
+    """Declared (hash-checked) hybrid search: the two pools UNION into
+    (query_id, id, channel contribution) rows and ONE hash aggregate
+    fuses them — sum of 1/(K+rank) over present channels, with the
+    per-channel ranks recovered by conditional min. A full-outer
+    sort-merge join computes the same thing with two sort exchanges; the
+    union-agg needs one (and IEEE addition of two terms is commutative,
+    so the 2-term sum is exactly deterministic regardless of union
+    order; a single-channel doc's score equals the join form's
+    contrib + 0.0 bit-for-bit). Top-``top`` per query by (rrf desc, id)."""
+    b = (bm25_pool(docs)
+         .select("query_id", F.col("doc_id").alias("id"),
+                 F.col("bm25_rank").alias("rank_in"),
+                 F.lit("b").alias("ch")))
+    v = (vector_pool(embeddings)
+         .select("query_id", F.col("vec_id").alias("id"),
+                 F.col("vec_rank").alias("rank_in"),
+                 F.lit("v").alias("ch")))
+    contrib = F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_in"))
+    fused = (b.unionByName(v)
+             .select("query_id", "id", "ch", "rank_in",
+                     contrib.alias("contrib"))
+             .repartition("query_id")
+             .groupBy("query_id", "id")
+             .agg(F.sum("contrib").alias("_rrf"),
+                  F.min(F.when(F.col("ch") == "b", F.col("rank_in")))
+                  .alias("bm25_rank"),
+                  F.min(F.when(F.col("ch") == "v", F.col("rank_in")))
+                  .alias("vec_rank")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_rrf").desc(), F.col("id").asc())
-    return (fused.withColumn("_rrf", rrf)
-            .withColumn("rank", F.row_number().over(w))
+    return (fused.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top)
             .select("query_id", F.col("id").alias("doc_id"),
                     round6(F.col("_rrf")).alias("rrf_score"),
