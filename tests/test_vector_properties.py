@@ -96,3 +96,24 @@ def test_set_element_rebuild(spark, v, idx, value):
     assert len(got) == len(expected)
     for g, e in zip(got, expected):
         assert math.isclose(g, e, rel_tol=1e-6, abs_tol=1e-9)
+
+
+class TestBqPackingRoundtrip:
+    """Property: for ANY dim (including partial trailing words) the BQ1
+    NumPy packer and unpacker are exact inverses, and packed words always
+    fit 32 unsigned bits — generalizes the dim=40 MSB-alignment
+    regression the code-review caught."""
+
+    @given(st.integers(min_value=1, max_value=80), st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip(self, dim, seed):
+        import numpy as np
+        from vectordb_explorations_spark.operators import bq as BQ
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(8, dim))
+        thr = rng.normal(size=dim)
+        words = BQ._encode_np(mat, thr)
+        assert words.shape == (8, (dim + 31) // 32)
+        assert ((words >= 0) & (words < (1 << 32))).all()
+        bits = BQ._unpack_bits_np(words, dim)
+        assert (bits == (mat > thr).astype(float)).all()
