@@ -10,6 +10,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from vectordb_explorations_spark.operators import rerank as RR  # noqa: E402
 from vectordb_explorations_spark.operators.hybrid import (  # noqa: E402
     HYBRID_QUERIES, vector_pool)
@@ -74,3 +76,50 @@ def test_mmr_diversifies(emb, result):
 def test_partitioning_invariant(emb, result):
     again = RR.mmr_rerank(emb.repartition(13)).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, result))
+
+
+def test_quota_cap_enforced(emb, spark, sf_dir):
+    """No query's results exceed the per-source quota on the fixture."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = RR.quota_capped_topk(emb, docs).collect()
+    per = {}
+    for r in out:
+        per[(r["query_id"], r["source"])] = \
+            per.get((r["query_id"], r["source"]), 0) + 1
+        assert r["src_rank"] <= RR.QUOTA_PER_SOURCE
+    assert max(per.values()) <= RR.QUOTA_PER_SOURCE
+
+
+def test_quota_cap_binds_on_crowded_source(spark):
+    """Synthetic crowding: one source owns every nearest neighbor, so the
+    cap must actually displace results (the fixture's sources are diverse
+    enough that plain top-k can satisfy the cap by luck)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    qids = [qid for qid, _ in HYBRID_QUERIES]
+    n = 40
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(n):
+        # ids 0..2 are the probe vectors; 3..20 hug the probes (source
+        # 'hot'), the rest are far (source 'cold_k')
+        if i <= 20:
+            v = base + rng.normal(scale=0.05, size=64)
+            src = "hot"
+        else:
+            v = rng.normal(size=64)
+            src = f"cold{i % 3}"
+        rows.append((i, [float(x) for x in v], src))
+    emb_s = spark.createDataFrame([(i, v) for i, v, _ in rows],
+                                  "vec_id long, embedding array<float>")
+    docs_s = spark.createDataFrame([(i, s) for i, _, s in rows],
+                                   "doc_id long, source string")
+    out = RR.quota_capped_topk(emb_s, docs_s).collect()
+    for qid in qids:
+        hot = [r for r in out if r["query_id"] == qid and r["source"] == "hot"]
+        assert len(hot) == RR.QUOTA_PER_SOURCE  # crowded source capped
+    per = {}
+    for r in out:
+        per[(r["query_id"], r["source"])] = \
+            per.get((r["query_id"], r["source"]), 0) + 1
+    assert max(per.values()) <= RR.QUOTA_PER_SOURCE

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
@@ -186,5 +186,86 @@ pairs AS MATERIALIZED (
 SELECT query_id, vec_id, {r6('score')} AS mmr_score,
        CAST(rank AS INTEGER) AS rank
 FROM ({all_sel})
+ORDER BY query_id, rank
+"""
+
+
+QUOTA_PER_SOURCE = 2
+QUOTA_TOP = 10
+
+
+def quota_capped_topk(embeddings: DataFrame, documents: DataFrame,
+                      per_source_cap: int = QUOTA_PER_SOURCE,
+                      top: int = QUOTA_TOP) -> DataFrame:
+    """Quota-capped (host-crowding) top-k: at most ``per_source_cap``
+    results per document source in each query's top-``top`` — the other
+    standard diversification rule next to MMR, and unlike MMR it is a
+    pure window composition (rank within (query, source), keep <= cap,
+    re-rank globally), so it stays fully declarative: no Python stage,
+    hash-checked.
+
+    Scale shape: the cosine pool is the corpus-scale work (broadcast
+    probes + one window); the source join hits pool-sized rows via a
+    broadcast of the pool; the two quota windows partition by
+    (query, source) and query — both pool-sized exchanges."""
+    pool = (vector_pool(embeddings)
+            .join(F.broadcast(documents.select(
+                F.col("doc_id").alias("vec_id"), "source")), "vec_id"))
+    w_src = Window.partitionBy("query_id", "source").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc())
+    w_all = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (pool
+            .withColumn("src_rank", F.row_number().over(w_src))
+            .where(F.col("src_rank") <= per_source_cap)
+            .withColumn("rank", F.row_number().over(w_all))
+            .where(F.col("rank") <= top)
+            .select("query_id", F.col("vec_id").alias("doc_id"), "source",
+                    round6(F.col("cos_sim")).alias("cos_sim"),
+                    F.col("src_rank").cast("int").alias("src_rank"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+def quota_capped_topk_oracle(per_source_cap: int = QUOTA_PER_SOURCE,
+                             top: int = QUOTA_TOP) -> str:
+    from vectordb_explorations_spark.operators.hybrid import (
+        HYBRID_POOL, HYBRID_QUERIES)
+    qids = ", ".join(str(qid) for qid, _ in HYBRID_QUERIES)
+    dot = ("list_sum(list_transform(list_zip(e.embedding, q.query_vec), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+    na = ("sqrt(list_sum(list_transform(e.embedding, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    nb = ("sqrt(list_sum(list_transform(q.query_vec, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+           FROM embeddings WHERE vec_id IN ({qids})),
+vpool AS (
+  SELECT query_id, vec_id, cos_sim FROM (
+    SELECT q.query_id, e.vec_id, {dot} / ({na} * {nb}) AS cos_sim,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dot} / ({na} * {nb}) DESC,
+                                       e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rn <= {HYBRID_POOL}
+),
+joined AS (
+  SELECT p.query_id, p.vec_id, p.cos_sim, d.source
+  FROM vpool p JOIN documents d ON p.vec_id = d.doc_id
+),
+capped AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id, source
+                                    ORDER BY cos_sim DESC, vec_id ASC)
+                 AS INTEGER) AS src_rank
+  FROM joined
+  QUALIFY src_rank <= {per_source_cap}
+)
+SELECT query_id, vec_id AS doc_id, source,
+       {r6('cos_sim')} AS cos_sim, src_rank,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER)
+         AS rank
+FROM capped
+QUALIFY rank <= {top}
 ORDER BY query_id, rank
 """

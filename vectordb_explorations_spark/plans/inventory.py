@@ -670,6 +670,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "events", d)),
     "event_transitions": lambda s, d: CO.event_transition_matrix(
         load_table(s, "events", d)),
+    # host-crowding diversification: at most N results per source facet —
+    # MMR's declarative sibling (pure window composition, no Python)
+    "quota_capped_search": lambda s, d: RR.quota_capped_topk(
+        load_table(s, "embeddings", d), load_table(s, "documents", d)),
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
@@ -840,4 +844,5 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": TL.funnel_conversion_oracle(),
     "cohort_retention": CO.cohort_retention_oracle(),
     "event_transitions": CO.event_transition_matrix_oracle(),
+    "quota_capped_search": RR.quota_capped_topk_oracle(),
 }
