@@ -1,0 +1,58 @@
+"""plans.explain: the observability API returns accurate plan facts
+(checked against queries with known shapes) and cache_footprint reflects
+materialized blocks."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_explorations_spark.plans.explain import (  # noqa: E402
+    cache_footprint, plan_summary)
+from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
+
+
+def test_topk_and_pruning_facts(spark, sf_dir):
+    from vectordb_explorations_spark.operators.knn import knn_exact
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.orderBy("vec_id").first()["embedding"]
+    s = plan_summary(knn_exact(emb, q, 5))
+    assert s["take_ordered_topk"]
+    assert not s["python_stages"]
+    assert s["columns_read"] == ["embedding", "vec_id"]
+
+
+def test_join_and_exchange_facts(spark, sf_dir):
+    from vectordb_explorations_spark.operators.relational import region_revenue
+    dfs = [load_table(spark, t, sf_dir)
+           for t in ("region", "nation", "customer", "orders", "lineitem")]
+    s = plan_summary(region_revenue(*dfs))
+    assert "BroadcastHashJoin" in s["join_strategies"]
+    assert s["broadcast_exchanges"] >= 1
+    assert s["shuffle_exchanges"] >= 1
+    # the projection is pruned to the join/aggregate columns
+    assert "l_comment" not in s["columns_read"]
+    assert "l_extendedprice" in s["columns_read"]
+
+    from vectordb_explorations_spark.operators.relational import pricing_summary
+    s2 = plan_summary(pricing_summary(dfs[-1]))
+    assert any("l_shipdate" in f for f in s2["pushed_filters"])
+
+
+def test_python_stage_detected(spark, sf_dir):
+    from vectordb_explorations_spark.operators.knn import (
+        knn_join_blockwise, sample_queries)
+    emb = load_table(spark, "embeddings", sf_dir)
+    s = plan_summary(knn_join_blockwise(emb, sample_queries(emb, 3), 5))
+    assert s["python_stages"]
+
+
+def test_cache_footprint_counts_persisted_blocks(spark, sf_dir):
+    df = load_table(spark, "region", sf_dir).cache()
+    df.count()
+    try:
+        fp = cache_footprint(spark)
+        assert fp["total_bytes"] > 0
+        assert fp["per_rdd"]
+    finally:
+        df.unpersist()

@@ -204,35 +204,32 @@ COMMENTARY = {
 }
 
 
-def facts(plan: str) -> list[str]:
-    out = []
-    shuffles = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
-    bcasts = len(re.findall(r"BroadcastExchange", plan))
-    out.append(f"- shuffle exchanges: **{shuffles}**, broadcast exchanges: **{bcasts}**")
-    joins = sorted(set(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)))
-    if joins:
-        out.append(f"- join strategies: {', '.join(joins)}")
-    if "TakeOrderedAndProject" in plan:
+def facts(df) -> list[str]:
+    # rendered from the library's observability API so PLANS.md and
+    # plans.explain.plan_summary can never diverge
+    from vectordb_explorations_spark.plans.explain import plan_summary
+
+    s = plan_summary(df)
+    out = [f"- shuffle exchanges: **{s['shuffle_exchanges']}**, "
+           f"broadcast exchanges: **{s['broadcast_exchanges']}**"]
+    if s["join_strategies"]:
+        out.append(f"- join strategies: {', '.join(s['join_strategies'])}")
+    if s["take_ordered_topk"]:
         out.append("- top-k: `TakeOrderedAndProject` (no full sort)")
-    if "Expand" in plan:
+    if s["grouping_sets_expand"]:
         out.append("- grouping sets via single `Expand`")
-    # executedPlan().toString() marks codegen stages as "*(n) Operator"
-    wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
-    py = bool(re.search(r"Python|InPandas", plan))  # row-Python OR Arrow stages
-    out.append(f"- whole-stage codegen spans: {wsc}; Python in plan: "
-               f"{'yes (Arrow-batched)' if py else 'no'}")
-    sel = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
-    if sel:
-        out.append(f"- bucket pruning: `SelectedBucketsCount: {sel.group(1)} "
-                   f"out of {sel.group(2)}`")
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    nonempty = [p for p in pushed if p.strip()]
-    if nonempty:
-        out.append(f"- pushed filters: `{'; '.join(sorted(set(nonempty))[:3])}`")
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    if schemas:
-        cols = sorted({s.split(":")[0] for sch in schemas for s in sch.split(",")})
-        out.append(f"- columns read: `{', '.join(cols)}` (pruned)")
+    out.append(f"- whole-stage codegen spans: {s['codegen_spans']}; "
+               f"Python in plan: "
+               f"{'yes (Arrow-batched)' if s['python_stages'] else 'no'}")
+    if s["bucket_pruning"]:
+        sel = s["bucket_pruning"].split("/")
+        out.append(f"- bucket pruning: `SelectedBucketsCount: {sel[0]} "
+                   f"out of {sel[1]}`")
+    if s["pushed_filters"]:
+        out.append(f"- pushed filters: "
+                   f"`{'; '.join(s['pushed_filters'][:3])}`")
+    if s["columns_read"]:
+        out.append(f"- columns read: `{', '.join(s['columns_read'])}` (pruned)")
     return out
 
 
@@ -257,12 +254,11 @@ def main() -> None:
     ]
     for name, note in COMMENTARY.items():
         df = qs[name](spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
         lines.append(f"## {name}")
         lines.append("")
         lines.append(note)
         lines.append("")
-        lines.extend(facts(plan))
+        lines.extend(facts(df))
         lines.append("")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
