@@ -700,8 +700,6 @@ _WINDOW_PRIORITY = [
     # their slots to the five brand-new queries below and rotate back in
     # r07)
     "bpe_pair_stats", "contamination_check",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "doc_length_percentiles",
     "doc_repetition_stats", "label_centroids",
     "lang_confusion", "lang_geomean_chars",
     "pricing_summary",
@@ -712,17 +710,19 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
     "dedup_representatives", "multimodal_resize",
     # new this round — never driver-checked. Never-checked evidence
-    # outranks re-certifying 2-round-old greens, so ten r04-green
+    # outranks re-certifying 2-round-old greens, so thirteen r04-green
     # re-certs (customers_without_orders, cube_order_stats, part_set_ops,
     # norm_stats, large_volume_customers, rollup_revenue, running_totals,
-    # segment_order_stats, shipping_priority, top_orders) defer to r07 to
-    # make room for every round-6 addition
+    # segment_order_stats, shipping_priority, top_orders,
+    # dedup_embedding_cosine, dedup_ngram_jaccard, doc_length_percentiles)
+    # defer to r07 to make room for every round-6 addition
     "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
     "curation_pipeline", "training_shards", "zorder_layout",
     "sq8_quantization", "streaming_enrichment", "dedup_incremental",
     "bq_hamming_topk", "hybrid_rrf_search", "mmr_diversified_topk",
     "knn_filtered", "range_search", "hashed_doc_embeddings",
     "data_quality_audit", "events_gapfill", "funnel_conversion",
+    "cohort_retention", "event_transitions", "quota_capped_search",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
