@@ -39,6 +39,24 @@ def test_join_and_exchange_facts(spark, sf_dir):
     assert any("l_shipdate" in f for f in s2["pushed_filters"])
 
 
+def test_nested_struct_schema_parsed(spark, sf_dir, tmp_path):
+    # ReadSchema with a nested struct and an array type: the bracket-depth
+    # scan must yield only top-level column names, no phantom columns from
+    # the nested fields (the naive regex stopped at the first '>')
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "nested")
+    (load_table(spark, "region", sf_dir)
+     .select("r_regionkey",
+             F.struct(F.struct(F.col("r_name").alias("x")).alias("inner"),
+                      F.col("r_name").alias("y")).alias("meta"),
+             F.array("r_regionkey").alias("keys"))
+     .write.parquet(path))
+    df = spark.read.parquet(path).select("r_regionkey", "meta", "keys")
+    df.collect()
+    s = plan_summary(df)
+    assert s["columns_read"] == ["keys", "meta", "r_regionkey"]
+
+
 def test_python_stage_detected(spark, sf_dir):
     from vectordb_explorations_spark.operators.knn import (
         knn_join_blockwise, sample_queries)

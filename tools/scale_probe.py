@@ -293,9 +293,13 @@ def main() -> None:
     # own synthetic vocabulary (the fixture terms don't exist here)
     from vectordb_explorations_spark.operators import hybrid as HY
 
+    # drop empty tokens so the probe terms match the shared tokenizer
+    # contract (whitespace_tokens filters '' — an empty top token would
+    # always score tf=0 and silently weaken the workload)
     top_toks = [r["tok"] for r in
                 (sdocs.select(F.explode(F.split(F.lower("text"), " "))
                               .alias("tok"))
+                 .where(F.col("tok") != "")
                  .groupBy("tok").count()
                  .orderBy(F.col("count").desc(), "tok").limit(9).collect())]
     probe_queries = tuple(

@@ -16,6 +16,41 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _read_schemas(plan: str) -> list[str]:
+    """Extract every ``ReadSchema: struct<...>`` body with a bracket-depth
+    scan — the naive ``struct<([^>]*)>`` regex stops at the first ``>`` of a
+    nested generic (``struct<a:struct<x:int>>``, ``array<int>``) and emits
+    phantom column names."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "<":
+                depth += 1
+            elif plan[i] == ">":
+                depth -= 1
+            i += 1
+        out.append(plan[m.end():i - 1])
+    return out
+
+
+def _top_level_columns(schema: str) -> list[str]:
+    """Names before the top-level ``:`` of each top-level comma-separated
+    field (nested commas/colons inside <...> are part of the type)."""
+    cols, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = schema[start:i]
+            if field.strip():
+                cols.append(field.split(":")[0].strip())
+            start = i + 1
+    return cols
+
+
 def plan_summary(df: DataFrame) -> dict:
     """Load-bearing facts of the EXECUTED physical plan (AQE-final when
     available): exchange counts, join strategies, top-k operator, codegen
@@ -23,7 +58,7 @@ def plan_summary(df: DataFrame) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
               if p.strip()]
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    schemas = _read_schemas(plan)
     sel = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     return {
         "shuffle_exchanges": len(re.findall(
@@ -39,8 +74,8 @@ def plan_summary(df: DataFrame) -> dict:
         "python_stages": bool(re.search(r"Python|InPandas", plan)),
         "bucket_pruning": (f"{sel.group(1)}/{sel.group(2)}" if sel else None),
         "pushed_filters": sorted(set(pushed)),
-        "columns_read": sorted({s.split(":")[0]
-                                for sch in schemas for s in sch.split(",")}),
+        "columns_read": sorted({c for sch in schemas
+                                for c in _top_level_columns(sch)}),
     }
 
 

@@ -185,6 +185,15 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     column — the CDC convention); rows whose partition value CHANGED
     would leave a stale copy behind, so callers repartitioning keys must
     delete-then-insert instead.
+
+    Durability: the survivors∪updates frame is materialized via
+    ``localCheckpoint`` BEFORE the overwrite, so the write job never lazily
+    re-reads the path it is replacing. The remaining window is the commit
+    itself: dynamic partition overwrite is per-partition atomic (staging
+    dir + rename), not table-atomic — a crash mid-commit can leave SOME
+    touched partitions new and others old, with no recovery copy (plain
+    parquet has no Delta/Iceberg log). Callers needing table-atomic
+    upserts must layer a manifest/log format on top.
     """
     import functools
     import operator
@@ -213,4 +222,13 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
                  .join(updates.select(*key_cols).distinct(), key_cols,
                        "left_anti"))
     out = survivors.select(*updates.columns).unionByName(updates)
-    overwrite_partitions(out, path, partition_by)
+    # materialize BEFORE overwriting: the survivors plan reads `path`
+    # lazily, and writing a plan over its own input is only safe if the
+    # input is fully consumed first. localCheckpoint truncates the
+    # lineage to executor-local blocks, closing the read-after-replace
+    # hazard (the per-partition commit window is documented above).
+    out = out.localCheckpoint(eager=True)
+    try:
+        overwrite_partitions(out, path, partition_by)
+    finally:
+        out.unpersist()
