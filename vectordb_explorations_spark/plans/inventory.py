@@ -677,52 +677,41 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Round-6 rotation (verdict item 4):
-# every query has now been driver-checked at least once, so the window
-# holds the 5 just-fixed never-green rows first, then re-certifies the
-# queries with the OLDEST green evidence (r01, then r04) on current code;
-# the remainder keeps its r05-green rows.
+# dict order IS the evidence schedule. Round-7 rotation (r6 verdict item
+# 1): burn down the re-certification queue — the 18 queries whose latest
+# driver evidence is r04 go first (the 13 deferred in r6 + the 5 static
+# rows that yielded their slots to r6's new queries), then
+# hybrid_rrf_search (its code changes this round — the r6 verdict's
+# perf item 3 requires hash_match held in CORRECTNESS_r07), then 31 of
+# the 40 r05-green rows. The 9 r05 rows deferred to r08 are the most
+# static multi-round greens whose code is untouched this round
+# (knn_batch_blockwise additionally shares its oracle with in-window
+# knn_batch): knn_batch_blockwise, compat_distance, vector_elements,
+# region_nation_rollcall, priority_customer_counts,
+# nation_customer_lists, supplier_nation_volume, top_parts_by_revenue,
+# weighted_sample. After r07 no query's driver evidence is older than
+# two rounds.
 _WINDOW_PRIORITY = [
-    # the 5 rows that have never been green, fixed this round (round-5
-    # verdict items 1-3: four HUGEINT oracle casts + the baked-hyperplane
-    # oracle for the bucketed probe)
-    "train_val_split_stats", "sequence_pack_bins", "domain_mix_sample",
-    "user_sessions", "ann_bucketed_probe",
-    # oldest green evidence first: these 9 were last driver-checked in r01
-    "customer_balance_tiles", "customer_first_orders",
-    "customers_with_open_orders", "event_value_histogram", "events_hourly",
-    "moving_avg_daily_revenue", "order_gaps", "orders_above_customer_avg",
-    "pivot_flag_by_status",
-    # last driver-checked in r04 — re-certify on current code (clean_text,
-    # mask_pii, distance_matrix_sample, doc_fingerprints and knn_batch —
-    # the five most static multi-round-green rows; knn_batch's shared
-    # oracle stays evidenced via knn_batch_blockwise's r05 green — yield
-    # their slots to the five brand-new queries below and rotate back in
-    # r07)
-    "bpe_pair_stats", "contamination_check",
-    "doc_repetition_stats", "label_centroids",
-    "lang_confusion", "lang_geomean_chars",
-    "pricing_summary",
-    "top_customers_per_nation",
-    "unigram_logprob", "vocab_stats",
-    # green in r05 but their code or oracles changed this round (shared
-    # banding CTE short-doc filter; resize ASCII-prefix guard)
-    "dedup_minhash_lsh", "dedup_edit_distance", "dedup_clusters",
-    "dedup_representatives", "multimodal_resize",
-    # new this round — never driver-checked. Never-checked evidence
-    # outranks re-certifying 2-round-old greens, so thirteen r04-green
-    # re-certs (customers_without_orders, cube_order_stats, part_set_ops,
-    # norm_stats, large_volume_customers, rollup_revenue, running_totals,
-    # segment_order_stats, shipping_priority, top_orders,
-    # dedup_embedding_cosine, dedup_ngram_jaccard, doc_length_percentiles)
-    # defer to r07 to make room for every round-6 addition
-    "boilerplate_ngrams", "boilerplate_coverage", "streaming_near_dedup",
-    "curation_pipeline", "training_shards", "zorder_layout",
-    "sq8_quantization", "streaming_enrichment", "dedup_incremental",
-    "bq_hamming_topk", "hybrid_rrf_search", "mmr_diversified_topk",
-    "knn_filtered", "range_search", "hashed_doc_embeddings",
-    "data_quality_audit", "events_gapfill", "funnel_conversion",
-    "cohort_retention", "event_transitions", "quota_capped_search",
+    # --- latest driver evidence r04: the full 18-row re-cert queue ---
+    "clean_text", "cube_order_stats", "customers_without_orders",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "distance_matrix_sample", "doc_fingerprints", "doc_length_percentiles",
+    "knn_batch", "large_volume_customers", "mask_pii", "norm_stats",
+    "part_set_ops", "rollup_revenue", "running_totals",
+    "segment_order_stats", "shipping_priority", "top_orders",
+    # --- code changed this round (r6 verdict perf item 3) ---
+    "hybrid_rrf_search",
+    # --- latest driver evidence r05 (31 of 40) ---
+    "asof_join", "dedup_exact", "dedup_simhash", "doc_chunks",
+    "event_prop_keys", "event_value_percentiles", "events_json_stats",
+    "events_session_window", "events_sliding_2h", "events_variant_stats",
+    "knn_cosine", "knn_exact", "lang_id", "multimodal_features",
+    "multimodal_frames", "multimodal_summary", "nation_balance_full_outer",
+    "quality_filter", "range_join", "region_revenue",
+    "salted_event_type_stats", "sql_grouping_sets", "sql_knn",
+    "sql_volume_shipping", "stratified_sample", "streaming_dedup_stats",
+    "streaming_index_refresh", "streaming_join_stats",
+    "streaming_user_totals", "text_stats", "token_counts",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
