@@ -252,6 +252,36 @@ def main() -> None:
                                        refine_factor=20,
                                        levels=bq_state["levels"])))
 
+    ivfpq_state = {}
+
+    def build_ivfpq():
+        # NEW vs BENCH_r06: the composite serving index (coarse router +
+        # PQ residual codes) gets its own bench row — it was recall-gated
+        # only, so regressions were invisible to BENCH (r6 verdict item 2).
+        codes, cents, books = PQ.ivfpq_build(emb, num_centroids=16,
+                                             m_subspaces=16, k_codes=64)
+        codes = codes.cache()
+        codes.count()
+        ivfpq_state["codes"], ivfpq_state["cents"], ivfpq_state["books"] = \
+            codes, cents, books
+
+    bench_build("index_build_ivfpq", build_ivfpq)
+    persist_bytes("ivfpq", ivfpq_state["codes"])
+    bench("ann_ivfpq_batch100",
+          lambda: _force(PQ.ivfpq_search(ivfpq_state["codes"],
+                                         ivfpq_state["cents"],
+                                         ivfpq_state["books"], queries, K,
+                                         nprobe=8, refine_with=emb,
+                                         refine_factor=10)))
+
+    # BQ1->SQ8->exact cascade: reuses the bq1 and sq8 artifacts built
+    # above (its build cost IS those two rows); only the search is new.
+    bench("ann_bq_cascade_batch100",
+          lambda: _force(BQ2.bq_cascade_search(
+              bq_state["codes"], bq_state["thr"], bq_state["levels"],
+              sq_state["codes"], sq_state["mins"], sq_state["maxs"],
+              queries, K, refine_with=emb)))
+
     exact = knn_join(emb, queries, K, dim=64).cache()
     exact.count()
     extras["recall_lsh_at_10"] = round(
@@ -276,6 +306,17 @@ def main() -> None:
         recall_at_k(PQ.pq_search(pq_state["codes"], pq_state["books"], queries,
                                  K, refine_with=emb, refine_factor=10),
                     exact, K), 4)
+    extras["recall_ivfpq_at_10"] = round(
+        recall_at_k(PQ.ivfpq_search(ivfpq_state["codes"],
+                                    ivfpq_state["cents"],
+                                    ivfpq_state["books"], queries, K,
+                                    nprobe=8, refine_with=emb,
+                                    refine_factor=10), exact, K), 4)
+    extras["recall_bq_cascade_at_10"] = round(
+        recall_at_k(BQ2.bq_cascade_search(
+            bq_state["codes"], bq_state["thr"], bq_state["levels"],
+            sq_state["codes"], sq_state["mins"], sq_state["maxs"],
+            queries, K, refine_with=emb), exact, K), 4)
 
     from vectordb_explorations_spark.operators import hybrid as HY
     bench("hybrid_rrf_search", lambda: _force(HY.hybrid_rrf(docs, emb)))
