@@ -64,3 +64,47 @@ def test_perturbation_oracle(spark, sf_dir):
          for i, v in enumerate(src["embedding"])]
     top = knn_exact(emb, q, 1).first()
     assert top.vec_id == 7
+
+
+def test_sql_twins_bit_identical(spark, sf_dir):
+    """The F.expr-parsed SQL twins (functions/vectors.py) must produce
+    BIT-identical doubles to the Column-built unrolled trees — the SQL
+    path exists only to cut py4j construction cost, never semantics."""
+    from vectordb_explorations_spark.functions.vectors import (
+        array_lit_sql, cosine_similarity_sql, dot_product, l2_distance,
+        l2_distance_sql, l2_norm, squared_l2, squared_l2_sql)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = len(emb.first()["embedding"])
+    q = emb.where(F.col("vec_id") == 3).first()["embedding"]
+    two = (emb.alias("a").crossJoin(
+        emb.where(F.col("vec_id") == 3)
+        .select(F.col("embedding").alias("qv"))))
+    col_side = two.select(
+        F.col("vec_id"),
+        l2_distance(F.col("embedding"), F.col("qv"), dim=dim).alias("l2"),
+        (dot_product(F.col("embedding"), F.col("qv"), dim=dim)
+         / (l2_norm(F.col("embedding"), dim=dim)
+            * l2_norm(F.col("qv"), dim=dim))).alias("cos"),
+        squared_l2(F.col("embedding"), F.col("qv"), dim=dim).alias("sq"))
+    sql_side = two.select(
+        F.col("vec_id"),
+        F.expr(l2_distance_sql("embedding", "qv", dim)).alias("l2"),
+        F.expr(cosine_similarity_sql("embedding", "qv", dim)).alias("cos"),
+        F.expr(squared_l2_sql("embedding", "qv", dim)).alias("sq"))
+    a = sorted(map(tuple, col_side.collect()))
+    b = sorted(map(tuple, sql_side.collect()))
+    assert a == b  # exact float equality, not approx
+
+    # literal-array rendering: the SQL literal twin of F.array(lit...)
+    lit_sql = sorted(map(tuple, emb.select(
+        "vec_id",
+        F.expr(l2_distance_sql("embedding", array_lit_sql(q), dim))
+        .alias("d")).collect()))
+    lit_col = sorted(map(tuple, emb.select(
+        "vec_id",
+        l2_distance(F.col("embedding"),
+                    F.array(*[F.lit(float(x)).cast("float") for x in q]),
+                    dim=dim).alias("d")).collect()))
+    assert lit_sql == lit_col

@@ -23,6 +23,55 @@ def _d(c: Column) -> Column:
     return c.cast("double")
 
 
+# ---------------------------------------------------------------------------
+# SQL-string twins of the unrolled expressions below. Building a 64-term
+# tree Column-by-Column costs thousands of py4j round-trips PER QUERY
+# CONSTRUCTION (measured 4.5 s of driver time for the hybrid query at
+# sf0.1 — more than 3x its actual execution); rendering the identical
+# tree as ONE SQL string and parsing it JVM-side via F.expr is a single
+# round-trip. The generated tree is node-for-node the tree the Column
+# API builds (same element_at indices, same CAST placement, same left
+# association), so results are bit-identical — pinned by
+# tests/test_vectors.py::test_sql_twins_bit_identical. ``a``/``b`` accept
+# any SQL fragment (a column name or a rendered literal array).
+# ---------------------------------------------------------------------------
+
+def _el(a: str, i: int) -> str:
+    return f"CAST(element_at({a}, {i}) AS DOUBLE)"
+
+
+def squared_l2_sql(a: str, b: str, dim: int) -> str:
+    terms = [f"({_el(a, i)} - {_el(b, i)}) * ({_el(a, i)} - {_el(b, i)})"
+             for i in range(1, dim + 1)]
+    return " + ".join(terms)
+
+
+def l2_distance_sql(a: str, b: str, dim: int) -> str:
+    return f"sqrt({squared_l2_sql(a, b, dim)})"
+
+
+def dot_product_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(f"{_el(a, i)} * {_el(b, i)}"
+                      for i in range(1, dim + 1))
+
+
+def l2_norm_sql(a: str, dim: int) -> str:
+    return f"sqrt({dot_product_sql(a, a, dim)})"
+
+
+def cosine_similarity_sql(a: str, b: str, dim: int) -> str:
+    return (f"({dot_product_sql(a, b, dim)})"
+            f" / ({l2_norm_sql(a, dim)} * {l2_norm_sql(b, dim)})")
+
+
+def array_lit_sql(values, element_type: str = "FLOAT") -> str:
+    """Render a Python sequence as a Spark SQL array literal with
+    per-element casts — the SQL twin of
+    ``F.array(*[F.lit(float(x)).cast("float") for x in values])``."""
+    inner = ", ".join(f"CAST({float(x)!r} AS {element_type})" for x in values)
+    return f"array({inner})"
+
+
 def squared_l2(a: Column, b: Column, dim: int | None = None) -> Column:
     """Σ (a_i - b_i)² in double. Mirrors the loop at hnsw.cc:76-81 with
     double accumulation. Requires equal dims (enforced at ingest).

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
-from vectordb_explorations_spark.functions.vectors import cosine_similarity
+from vectordb_explorations_spark.functions.vectors import cosine_similarity_sql
 from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 
 BM25_K1 = 1.2
@@ -57,33 +57,30 @@ def _tok_array():
     return whitespace_tokens("text")
 
 
-def _bm25_contrib_col(tf, df_, dl, n, avgdl):
-    """One term's BM25 contribution, structured IDENTICALLY to
-    :func:`_bm25_contrib_sql` (same association, same literal spellings) so
-    both engines compute bit-identical doubles. tf == 0 contributes 0."""
-    idf = F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
-    return (idf * tf * F.lit(BM25_K1 + 1.0)
-            / (tf + F.lit(BM25_K1)
-               * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * dl / avgdl)))
-
-
 def _bm25_contrib_sql(tf: str, df_: str, dl: str, n: str, avgdl: str) -> str:
+    """One term's BM25 contribution as a SQL fragment — the SINGLE
+    expression source for BOTH engines (Spark parses it via F.expr, the
+    oracle embeds it in DuckDB SQL), so the per-term doubles are
+    bit-identical by construction. tf == 0 contributes 0."""
     idf = f"ln(1.0 + ({n} - {df_} + 0.5) / ({df_} + 0.5))"
     return (f"{idf} * {tf} * {BM25_K1 + 1.0!r}"
             f" / ({tf} + {BM25_K1!r}"
             f" * (1.0 - {BM25_B!r} + {BM25_B!r} * {dl} / {avgdl}))")
 
 
-def bm25_pool(docs: DataFrame,
-              queries: tuple[tuple[int, tuple[str, ...]], ...] = HYBRID_QUERIES,
-              pool: int = HYBRID_POOL) -> DataFrame:
-    """Per-query BM25 candidate pool: (query_id, doc_id, bm25, bm25_rank).
+def _bm25_scored(docs: DataFrame,
+                 queries: tuple[tuple[int, tuple[str, ...]], ...]
+                 = HYBRID_QUERIES) -> DataFrame:
+    """Per-(query, doc) BM25 scores WITHOUT the pool window:
+    (query_id, doc_id, bm25) rows with bm25 > 0 — the shared corpus-scan
+    half of :func:`bm25_pool` and :func:`hybrid_rrf` (the fused query
+    pools both channels under ONE query_id exchange, so it needs the
+    un-pooled scores).
 
     One corpus scan computes dl and every term's tf as array scans (no
     explode); one 1-row aggregate yields N, avgdl and each term's df and
     broadcasts back; scores stack per query through a generated
-    fixed-association sum; a pool window ranks the (query, doc) rows with
-    bm25 > 0."""
+    fixed-association sum."""
     def _eq(term):
         # closure factory, NOT a default arg: a second lambda parameter
         # would flip F.filter into its (element, index) form
@@ -108,76 +105,111 @@ def bm25_pool(docs: DataFrame,
           .alias(f"df_{i}") for i in range(len(all_terms))])
     joined = base.crossJoin(F.broadcast(stats))
 
-    def score_col(terms):
-        cols = [
-            _bm25_contrib_col(
-                F.col(f"tf_{all_terms.index(t)}").cast("double"),
-                F.col(f"df_{all_terms.index(t)}"), F.col("dl").cast("double"),
-                F.col("n_docs"), F.col("avgdl"))
+    def score_sql(terms) -> str:
+        parts = [
+            _bm25_contrib_sql(
+                f"CAST(tf_{all_terms.index(t)} AS DOUBLE)",
+                f"df_{all_terms.index(t)}", "CAST(dl AS DOUBLE)",
+                "n_docs", "avgdl")
             for t in terms
         ]
-        total = cols[0]
-        for c in cols[1:]:
-            total = total + c
-        return total
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"{out} + {p}"
+        return out
 
+    # The per-query score array is rendered as ONE SQL string and parsed
+    # JVM-side: the SAME _bm25_contrib_sql generator feeds the DuckDB
+    # oracle, so the two engines now share the expression source text
+    # (py4j round-trips for the Column-built twin dominated the query's
+    # construction time — see functions/vectors.py SQL twins).
     # query_id as LONG to match the vector channel's vec_id-derived ids:
-    # an INT here makes the fusion join key `cast(query_id as bigint)`,
-    # which breaks partitioning reuse — the join and the final window
-    # each re-exchange (3 extra shuffles observed at sf0.1)
-    per_query = F.array(*[
-        F.struct(F.lit(qid).cast("long").alias("query_id"),
-                 score_col(terms).alias("bm25"))
-        for qid, terms in queries])
-    scored = (joined.select("doc_id", F.explode(per_query).alias("s"))
-              .select("doc_id", "s.query_id", "s.bm25")
-              .where(F.col("bm25") > 0))
+    # an INT here makes the fusion grouping key `cast(query_id as
+    # bigint)`, which breaks partitioning reuse downstream.
+    structs = ", ".join(
+        f"named_struct('query_id', CAST({qid} AS BIGINT),"
+        f" 'bm25', {score_sql(terms)})"
+        for qid, terms in queries)
+    return (joined.select("doc_id",
+                          F.expr(f"explode(array({structs}))").alias("s"))
+            .select("doc_id", "s.query_id", "s.bm25")
+            .where(F.col("bm25") > 0))
+
+
+def bm25_pool(docs: DataFrame,
+              queries: tuple[tuple[int, tuple[str, ...]], ...] = HYBRID_QUERIES,
+              pool: int = HYBRID_POOL) -> DataFrame:
+    """Per-query BM25 candidate pool: (query_id, doc_id, bm25, bm25_rank)
+    — :func:`_bm25_scored` plus one pool window (WindowGroupLimit pushes
+    the rank<=pool cut below the exchange, so only pool-sized groups
+    shuffle)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("bm25_rank", F.row_number().over(w))
+    return (_bm25_scored(docs, queries)
+            .withColumn("bm25_rank", F.row_number().over(w))
             .where(F.col("bm25_rank") <= pool))
+
+
+def _vector_scored(embeddings: DataFrame) -> DataFrame:
+    """Per-(query, vector) cosine scores WITHOUT the pool window:
+    broadcast the 3 query vectors, one codegen projection per corpus
+    row — (query_id, vec_id, cos_sim)."""
+    qids = [qid for qid, _ in HYBRID_QUERIES]
+    qdf = (embeddings.where(F.col("vec_id").isin(qids))
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    sim = F.expr(cosine_similarity_sql("embedding", "query_vec",
+                                       EMBEDDING_DIM))
+    return (embeddings.crossJoin(F.broadcast(qdf))
+            .select("query_id", "vec_id", sim.alias("cos_sim")))
 
 
 def vector_pool(embeddings: DataFrame, pool: int = HYBRID_POOL) -> DataFrame:
     """Per-query cosine candidate pool: (query_id, vec_id, cos_sim,
     vec_rank) — broadcast the 3 query vectors, one window exchange."""
-    qids = [qid for qid, _ in HYBRID_QUERIES]
-    qdf = (embeddings.where(F.col("vec_id").isin(qids))
-           .select(F.col("vec_id").alias("query_id"),
-                   F.col("embedding").alias("query_vec")))
-    sim = cosine_similarity(F.col("embedding"), F.col("query_vec"),
-                            dim=EMBEDDING_DIM)
-    scored = (embeddings.crossJoin(F.broadcast(qdf))
-              .select("query_id", "vec_id", sim.alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (scored.withColumn("vec_rank", F.row_number().over(w))
+    return (_vector_scored(embeddings)
+            .withColumn("vec_rank", F.row_number().over(w))
             .where(F.col("vec_rank") <= pool))
 
 
 def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
                top: int = HYBRID_TOP) -> DataFrame:
-    """Declared (hash-checked) hybrid search: the two pools UNION into
-    (query_id, id, channel contribution) rows and ONE hash aggregate
-    fuses them — sum of 1/(K+rank) over present channels, with the
-    per-channel ranks recovered by conditional min. A full-outer
-    sort-merge join computes the same thing with two sort exchanges; the
-    union-agg needs one (and IEEE addition of two terms is commutative,
-    so the 2-term sum is exactly deterministic regardless of union
-    order; a single-channel doc's score equals the join form's
-    contrib + 0.0 bit-for-bit). Top-``top`` per query by (rrf desc, id)."""
-    b = (bm25_pool(docs)
+    """Declared (hash-checked) hybrid search: both channels' SCORED rows
+    union under ONE hash exchange on query_id that then serves every
+    downstream step — the per-channel pool windows (partitionBy
+    (query_id, ch) is co-partitioned by the query_id exchange), the RRF
+    hash aggregate (grouping (query_id, id) is clustered by it), and the
+    final top-``top`` window. r6 plan: 4 shuffle exchanges + a
+    range-partitioned orderBy (sampling pass + exchange for <=30 rows);
+    this shape: 1 shuffle exchange, and the presentation sort is a
+    coalesce(1).sortWithinPartitions over the <=queries*top output rows
+    (no sampling job, no range exchange — the output is bounded, never
+    corpus-sized).
+
+    Fusion semantics are unchanged from the join form: sum of 1/(K+rank)
+    over present channels with per-channel ranks recovered by
+    conditional min. IEEE addition of two terms is commutative, so the
+    2-term sum is exactly deterministic regardless of union order, and a
+    single-channel doc's score equals the join form's contrib + 0.0
+    bit-for-bit. WindowGroupLimit still cuts each channel to pool-sized
+    groups BELOW the exchange, so the one shuffle moves
+    O(queries * pool * partitions) rows, never corpus-sized traffic."""
+    b = (_bm25_scored(docs)
          .select("query_id", F.col("doc_id").alias("id"),
-                 F.col("bm25_rank").alias("rank_in"),
-                 F.lit("b").alias("ch")))
-    v = (vector_pool(embeddings)
+                 F.col("bm25").alias("score"), F.lit("b").alias("ch")))
+    v = (_vector_scored(embeddings)
          .select("query_id", F.col("vec_id").alias("id"),
-                 F.col("vec_rank").alias("rank_in"),
-                 F.lit("v").alias("ch")))
+                 F.col("cos_sim").alias("score"), F.lit("v").alias("ch")))
+    wch = Window.partitionBy("query_id", "ch").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    pooled = (b.unionByName(v)
+              .withColumn("rank_in", F.row_number().over(wch))
+              .where(F.col("rank_in") <= HYBRID_POOL))
     contrib = F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_in"))
-    fused = (b.unionByName(v)
-             .select("query_id", "id", "ch", "rank_in",
-                     contrib.alias("contrib"))
+    fused = (pooled.select("query_id", "id", "ch", "rank_in",
+                           contrib.alias("contrib"))
              .repartition("query_id")
              .groupBy("query_id", "id")
              .agg(F.sum("contrib").alias("_rrf"),
@@ -192,7 +224,7 @@ def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
             .select("query_id", F.col("id").alias("doc_id"),
                     round6(F.col("_rrf")).alias("rrf_score"),
                     "bm25_rank", "vec_rank", "rank")
-            .orderBy("query_id", "rank"))
+            .coalesce(1).sortWithinPartitions("query_id", "rank"))
 
 
 def hybrid_rrf_oracle(top: int = HYBRID_TOP) -> str:

@@ -27,7 +27,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vectordb_explorations_spark.functions.vectors import l2_distance
+from vectordb_explorations_spark.functions.vectors import (
+    array_lit_sql, l2_distance, l2_distance_sql)
+
+
+def _dist(vec_col: str, qvec_col: str, dim: int | None):
+    """Unrolled codegen distance as one parsed SQL string when the dim is
+    statically known (a Column-built 64-term tree costs thousands of py4j
+    round-trips per query CONSTRUCTION — measured to dominate the batch
+    rows' wall time); the interpreted fold otherwise. Bit-identical
+    (functions/vectors.py SQL twins)."""
+    if dim is not None:
+        return F.expr(l2_distance_sql(vec_col, qvec_col, dim))
+    return l2_distance(F.col(vec_col), F.col(qvec_col))
 
 
 def knn_exact(vectors: DataFrame, query_vec: Sequence[float], k: int,
@@ -39,9 +51,12 @@ def knn_exact(vectors: DataFrame, query_vec: Sequence[float], k: int,
     force is the ideal answer the HNSW graph approximates. ORDER BY
     (dist, id) makes ties stable for the hash oracle.
     """
-    q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
-    # the literal's length is the dim — unrolled codegen distance
-    dist = l2_distance(F.col(vec_col), q, dim=len(query_vec))
+    # the literal's length is the dim — unrolled codegen distance,
+    # rendered as ONE SQL string (a Column-built 64-term tree costs
+    # thousands of py4j round-trips per query construction; the parsed
+    # tree is bit-identical — functions/vectors.py SQL twins)
+    dist = F.expr(l2_distance_sql(
+        vec_col, array_lit_sql(query_vec), len(query_vec)))
     # Order by the RAW distance (id tie-break) and round only in the final
     # projection — rounding before the top-k can flip boundary selections
     # against the oracle, which also orders raw (same hazard knn_cosine
@@ -68,8 +83,7 @@ def knn_join(vectors: DataFrame, queries: DataFrame, k: int,
     when it is statically known to unroll the distance into whole-stage
     codegen (3x on the scoring stage vs the interpreted fold)."""
     scored = (vectors.crossJoin(F.broadcast(queries))
-              .withColumn("dist", l2_distance(F.col(vec_col),
-                                              F.col(qvec_col), dim=dim)))
+              .withColumn("dist", _dist(vec_col, qvec_col, dim)))
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
     out = (scored
            .withColumn("rank", F.row_number().over(w))
@@ -149,8 +163,7 @@ def knn_join_filtered(vectors: DataFrame, queries: DataFrame, k: int,
     they are even read — the same pruning the bucketed-probe serving path
     demonstrates). Selectivity, not corpus size, bounds the scored set."""
     scored = (vectors.join(F.broadcast(queries), on=filter_col)
-              .withColumn("dist", l2_distance(F.col(vec_col),
-                                              F.col(qvec_col), dim=dim)))
+              .withColumn("dist", _dist(vec_col, qvec_col, dim)))
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(),
                                             F.col(id_col).asc())
     out = (scored.withColumn("rank", F.row_number().over(w))
@@ -176,8 +189,7 @@ def range_search(vectors: DataFrame, queries: DataFrame, radius: float,
     straight to the sink. The boundary compare runs on the RAW double
     (both engines fold identically), rounding only in the projection."""
     scored = (vectors.crossJoin(F.broadcast(queries))
-              .withColumn("dist", l2_distance(F.col(vec_col),
-                                              F.col(qvec_col), dim=dim)))
+              .withColumn("dist", _dist(vec_col, qvec_col, dim)))
     out = scored.where(F.col("dist") <= F.lit(float(radius)))
     dist = (F.round(F.col("dist"), round_dp) if round_dp is not None
             else F.col("dist"))
