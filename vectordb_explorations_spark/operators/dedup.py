@@ -432,17 +432,20 @@ def embedding_cosine_pairs(embeddings: DataFrame,
     # Precompute each vector's norm once: the naive per-pair cosine does
     # three interpreted array folds per pair; with norms as columns only
     # the dot product remains pairwise.
-    from vectordb_explorations_spark.functions.vectors import dot_product, l2_norm
+    from vectordb_explorations_spark.functions.vectors import (
+        dot_product_sql, l2_norm_sql)
     from vectordb_explorations_spark.schemas import EMBEDDING_DIM
     with_norm = embeddings.select("vec_id", "label", "embedding",
-                                  l2_norm(F.col("embedding"), dim=EMBEDDING_DIM).alias("nrm"))
+                                  F.expr(l2_norm_sql("embedding",
+                                                     EMBEDDING_DIM))
+                                  .alias("nrm"))
     a = with_norm.select(F.col("vec_id").alias("vec_id_a"), "label",
                          F.col("embedding").alias("emb_a"),
                          F.col("nrm").alias("norm_a"))
     b = with_norm.select(F.col("vec_id").alias("vec_id_b"), "label",
                          F.col("embedding").alias("emb_b"),
                          F.col("nrm").alias("norm_b"))
-    cos = (dot_product(F.col("emb_a"), F.col("emb_b"), dim=EMBEDDING_DIM)
+    cos = (F.expr(dot_product_sql("emb_a", "emb_b", EMBEDDING_DIM))
            / (F.col("norm_a") * F.col("norm_b")))
     return (a.join(b, "label")
             .where(F.col("vec_id_a") < F.col("vec_id_b"))

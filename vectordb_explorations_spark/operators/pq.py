@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-from vectordb_explorations_spark.functions.vectors import l2_distance
+from vectordb_explorations_spark.functions.vectors import l2_distance_sql
 
 
 def _kmeans_1d(data: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
@@ -134,7 +134,7 @@ def _exact_refine(cand: DataFrame, qids, qmat: np.ndarray,
               .join(F.broadcast(cand), id_col)
               .join(F.broadcast(qdf), qid_col)
               .withColumn("dist", F.round(
-                  l2_distance(F.col(vec_col), F.col(qvec_col), dim=dim), 6)))
+                  F.expr(l2_distance_sql(vec_col, qvec_col, dim)), 6)))
     w = Window.partitionBy(qid_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))

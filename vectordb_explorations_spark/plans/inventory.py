@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vectordb_explorations_spark.sources.catalog import load_table
 from vectordb_explorations_spark.functions.rounding import r6, round6
 from vectordb_explorations_spark.functions.vectors import (
-    compat_distance, l2_distance, l2_norm, masked_get, set_element)
+    compat_distance, l2_distance, l2_distance_sql, l2_norm, l2_norm_sql,
+    masked_get, set_element)
 from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 from vectordb_explorations_spark.operators import analytics as A
 from vectordb_explorations_spark.operators import bq as B
@@ -122,11 +123,12 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity top-k (descending) — the metric the reference
     lacks (L2 only, SURVEY §1.5) but embedding retrieval defaults to.
     Same TakeOrderedAndProject shape as q_knn_exact."""
-    from vectordb_explorations_spark.functions.vectors import cosine_similarity
+    from vectordb_explorations_spark.functions.vectors import (
+        array_lit_sql, cosine_similarity_sql)
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.orderBy("vec_id").first()["embedding"]
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
-    sim = cosine_similarity(F.col("embedding"), qcol, dim=EMBEDDING_DIM)
+    sim = F.expr(cosine_similarity_sql("embedding", array_lit_sql(qvec),
+                                       EMBEDDING_DIM))
     # order by the RAW similarity (matching the oracle's ORDER BY), round
     # only in the projection — ordering on the rounded value would break
     # near-boundary ties differently than the oracle.
@@ -210,7 +212,8 @@ def q_distance_matrix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(l2_distance(F.col("va"), F.col("vb"), dim=EMBEDDING_DIM), 6).alias("dist"))
+                    F.round(F.expr(l2_distance_sql("va", "vb", EMBEDDING_DIM)),
+                            6).alias("dist"))
             .orderBy("id_a", "id_b"))
 
 
@@ -284,7 +287,7 @@ FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx
 def q_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding norm distribution per label (scalar fold over arrays)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return (emb.select("label", l2_norm(F.col("embedding"), dim=EMBEDDING_DIM).alias("norm"))
+    return (emb.select("label", F.expr(l2_norm_sql("embedding", EMBEDDING_DIM)).alias("norm"))
             .groupBy("label")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("norm"), 6).alias("min_norm"),
@@ -399,8 +402,8 @@ def q_ann_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, query_vec array<double>")
     scored = (cand.join(emb, "vec_id").join(F.broadcast(qdf), "query_id")
               .select("query_id", "vec_id",
-                      l2_distance(F.col("embedding"), F.col("query_vec"),
-                                  dim=EMBEDDING_DIM).alias("dist")))
+                      F.expr(l2_distance_sql("embedding", "query_vec",
+                                             EMBEDDING_DIM)).alias("dist")))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
                                                F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
