@@ -206,3 +206,65 @@ def test_minhash_stateless_matches_batch(spark, sf_dir):
     b = {r["doc_id"]: tuple(r)[1:]
          for r in minhash_signatures_stateless(docs).collect()}
     assert a == b
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Late-data semantics of the watermark (previously untested): an
+    event arriving BELOW the late-events watermark is dropped; a late
+    event still ABOVE it updates its open window's aggregate. Spark
+    >= 3.4 admits late rows against the PREVIOUS micro-batch's eviction
+    watermark, so the drop manifests two batches after the advance.
+    Four single-file micro-batches (controlled mtimes):
+
+      batch 0: H0 x2, H1 x1, H6 x1   (max H6)
+      batch 1: H9                    eviction wm H4 -> emits H0=2, H1=1
+      batch 2: H1:30 value=100 (win end H2 <= late-wm H4 -> DROPPED),
+               H5:30 (win end H6 > H4 -> accepted)
+                                     eviction wm H7 -> emits H5=1, H6=1
+      batch 3: H12                   then the trailing empty commit
+                                     batch applies eviction wm H10 and
+                                     finalizes H9
+
+    If the beyond-watermark row were wrongly admitted, H1 would re-emit
+    a second append row carrying value 100.
+    """
+    import os as _os
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    H = 3600
+    batches = [
+        [(10, 1.0), (20 * 60, 1.0), (H + 15 * 60, 1.0), (6 * H, 1.0)],
+        [(9 * H, 1.0)],
+        [(H + 30 * 60, 100.0), (5 * H + 30 * 60, 1.0)],
+        [(12 * H, 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        (spark.createDataFrame(
+            [(int(ts), "click", float(v)) for ts, v in rows],
+            "epoch long, event_type string, value double")
+         .selectExpr("timestamp_seconds(epoch) AS ts", "event_type", "value")
+         .coalesce(1).write.parquet(str(stage)))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        dst = src / f"batch_{i}.parquet"
+        part.rename(dst)
+        _os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    from vectordb_explorations_spark.streaming import events as SE2
+    q = SE2.run_to_memory(SE2.hourly_counts_stream(stream), "t_late",
+                          "append")
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    got = {r["hour_epoch"]: (r["n_events"], r["sum_value"]) for r in rows}
+    assert len(rows) == 5, rows          # one append row per finalized window
+    assert got[0 * H] == (2, 2.0)
+    assert got[1 * H] == (1, 1.0), "beyond-watermark late row must be dropped"
+    assert got[5 * H] == (1, 1.0), "in-window late row must be aggregated"
+    assert got[6 * H] == (1, 1.0)
+    assert got[9 * H] == (1, 1.0)        # finalized by the trailing commit
+    assert 12 * H not in got             # never finalized

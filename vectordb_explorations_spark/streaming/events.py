@@ -11,6 +11,17 @@ assert equality with the batch result.
 Scale notes: all aggregations are keyed on (window, event_type) or
 (user_id) — state is bounded by watermark eviction; `foreachBatch` writes
 are idempotent per epoch_id for exactly-once sinks.
+
+Late-data semantics (pinned by tests/test_streaming.py::
+test_watermark_drops_late_event): Spark >= 3.4 tracks TWO watermarks per
+micro-batch — late events are filtered against the PREVIOUS batch's
+eviction watermark, while state eviction/append-emission uses the current
+one. Consequences callers must design for: (a) a row whose window end is
+<= the late-events watermark is silently DROPPED, (b) a late row whose
+window is still open is aggregated normally, and (c) a row that advances
+the max event time only tightens the drop threshold one batch LATER — so
+"reprocess yesterday" backfills must go through the batch twins
+(operators/relational.py), never through a live stream.
 """
 
 from __future__ import annotations
