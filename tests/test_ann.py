@@ -240,3 +240,36 @@ def test_ivf_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, served.collect()))
     b = sorted(map(tuple, mem.collect()))
     assert a == b
+
+
+def test_hnsw_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The persisted-HNSW serving layout (the routed twin of the IVF
+    one): the probe's scan must show PartitionFilters on shard (unrouted
+    shard directories never read), and results must equal the in-memory
+    hnsw_search bit for bit."""
+    import re
+
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_build, hnsw_persist_partitioned, hnsw_probe_partitioned,
+        hnsw_search)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans").cache()
+    idx.count()
+    path = str(tmp_path / "hnsw_idx")
+    hnsw_persist_partitioned(idx, path)
+    queries = sample_queries(emb, 5).cache()
+
+    served = hnsw_probe_partitioned(spark, path, queries, 5, probe_shards=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert pf.strip(), plan[:1500]
+
+    mem = hnsw_search(idx, queries, 5, probe_shards=2)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, mem.collect()))
+    assert a == b and a
+    idx.unpersist()

@@ -77,3 +77,36 @@ def test_range_search_matches_bruteforce(spark, sf_dir):
     assert got == expect
     assert all(x["dist"] <= r for x in
                range_search(emb, qs, r, round_dp=None).collect())
+
+
+def test_knn_filtered_partitioned_prunes_and_matches(spark, sf_dir, tmp_path):
+    """Facet-partitioned layout: the filtered search's scan must show
+    PartitionFilters on label (non-queried facets never read) and return
+    exactly what the in-memory facet join returns."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.knn import (
+        knn_filtered_partitioned, knn_join_filtered)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "emb_by_label")
+    emb.write.partitionBy("label").parquet(path)
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec"),
+                       "label").cache())
+    queries.count()
+
+    served = knn_filtered_partitioned(spark, path, queries, 5, dim=64)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "label" in pf and pf.strip(), plan[:1500]
+
+    mem = knn_join_filtered(emb, queries, 5, dim=64)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, mem.collect()))
+    assert a == b and a

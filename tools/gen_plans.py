@@ -225,6 +225,9 @@ def facts(df) -> list[str]:
         sel = s["bucket_pruning"].split("/")
         out.append(f"- bucket pruning: `SelectedBucketsCount: {sel[0]} "
                    f"out of {sel[1]}`")
+    if s["partition_filters"]:
+        out.append(f"- partition pruning: "
+                   f"`PartitionFilters: [{s['partition_filters'][0][:90]}]`")
     if s["pushed_filters"]:
         out.append(f"- pushed filters: "
                    f"`{'; '.join(s['pushed_filters'][:3])}`")
@@ -260,6 +263,71 @@ def main() -> None:
         lines.append("")
         lines.extend(facts(df))
         lines.append("")
+
+    # --- persisted serving layouts (not declared queries: they write a
+    # temp index first, so they live here, with the partition-pruning
+    # evidence rendered from the same observability API) ---
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_build, ivf_persist_partitioned, ivf_probe_partitioned)
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_build, hnsw_persist_partitioned, hnsw_probe_partitioned)
+    from vectordb_explorations_spark.operators.knn import (
+        knn_filtered_partitioned, sample_queries)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    queries = sample_queries(emb, 5).cache()
+    with tempfile.TemporaryDirectory() as d:
+        assigned, cents = ivf_build(emb, num_centroids=8)
+        ivf_persist_partitioned(assigned, f"{d}/ivf")
+        serving = [
+            ("ivf_probe_partitioned (serving layout)",
+             "Hive-partitioned inverted lists: the probe union's list_id "
+             "IN filter prunes unprobed list directories at the file "
+             "listing; per-probe I/O is nprobe/num_centroids of the "
+             "index regardless of corpus size.",
+             ivf_probe_partitioned(spark, f"{d}/ivf", cents, queries, 5,
+                                   nprobe=2)),
+        ]
+        idx = hnsw_build(emb, num_shards=4, shard_by="kmeans").cache()
+        idx.count()
+        hnsw_persist_partitioned(idx, f"{d}/hnsw")
+        serving.append(
+            ("hnsw_probe_partitioned (serving layout)",
+             "Shard-partitioned HNSW graphs: routed cells become a "
+             "literal shard IN filter — unrouted shards' blob files are "
+             "never read (the file-level completion of 'unrouted shards "
+             "are pruned at the scan'); results are bit-equal to the "
+             "in-memory hnsw_search (tests/test_ann.py).",
+             hnsw_probe_partitioned(spark, f"{d}/hnsw", queries, 5,
+                                    probe_shards=2)))
+        emb.write.partitionBy("label").parquet(f"{d}/facet")
+        fq = (emb.orderBy("vec_id").limit(3)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("query_vec"), "label"))
+        serving.append(
+            ("knn_filtered_partitioned (serving layout)",
+             "Facet-partitioned corpus: the query batch's distinct "
+             "facets prune non-matching label directories before any "
+             "byte is read; the broadcast facet-join then scopes each "
+             "query to its own facet (tests/test_knn.py pins "
+             "bit-equality with the in-memory facet join).",
+             knn_filtered_partitioned(spark, f"{d}/facet", fq, 5, dim=64)))
+        lines.append("## Persisted serving layouts (partition pruning)")
+        lines.append("")
+        for name, note, df in serving:
+            df.collect()
+            lines.append(f"### {name}")
+            lines.append("")
+            lines.append(note)
+            lines.append("")
+            lines.extend(facts(df))
+            lines.append("")
+        idx.unpersist()
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:

@@ -629,3 +629,53 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(qid_col, id_col, F.round("dist", 6).alias("dist"), "rank"))
+
+
+def hnsw_persist_partitioned(index_df: DataFrame, path: str) -> None:
+    """Persist a sharded HNSW index hive-partitioned by shard — the
+    serving layout twin of ``ivf_persist_partitioned`` (ann.py): each
+    shard's graph blob is its own directory, so a routed probe's
+    ``shard IN (...)`` filter prunes unrouted shards at the FILE LISTING
+    (PartitionFilters), before any blob byte is read. At scale the
+    per-probe I/O is O(routed cells), independent of shard count."""
+    index_df.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
+                           ef_search: int = 128, probe_shards: int = 2,
+                           qid_col: str = "query_id",
+                           qvec_col: str = "query_vec",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Serve from the partitioned index: read the (tiny) shard->centroid
+    metadata columns, route every query driver-side, apply the UNION of
+    routed shards as a literal isin filter — that is what partition-prunes
+    the scan — and run the standard ``hnsw_search`` over the pruned frame.
+
+    Routing stability under pruning: each query's ``probe_shards`` nearest
+    cells are in the union by construction, so re-routing inside
+    ``hnsw_search`` over the union's cells selects the same cells per
+    query — bit-equality with the in-memory search is pinned by
+    tests/test_ann.py. Requires a kmeans-sharded index (non-null
+    centroids); hash shards cannot be routed."""
+    full = spark.read.parquet(path)
+    cent_rows = full.select("shard", "centroid").collect()
+    if any(r["centroid"] is None for r in cent_rows):
+        raise ValueError(
+            "hnsw_probe_partitioned requires a kmeans-sharded index "
+            "(hnsw_build(shard_by='kmeans'))")
+    cell_shards: dict[tuple, list[int]] = {}
+    for r in cent_rows:
+        cell_shards.setdefault(tuple(r["centroid"]), []).append(int(r["shard"]))
+    C = np.asarray(list(cell_shards), dtype=np.float64)
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    nn = min(probe_shards, len(C))
+    d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)
+    near = np.argpartition(d2, nn - 1, axis=1)[:, :nn]
+    cells = list(cell_shards.values())
+    routed = sorted({s for qi in range(len(qrows))
+                     for ci in near[qi] for s in cells[ci]})
+    pruned = full.where(F.col("shard").isin(routed))
+    return hnsw_search(pruned, queries, k, ef_search=ef_search,
+                       qid_col=qid_col, qvec_col=qvec_col, id_col=id_col,
+                       probe_shards=probe_shards)

@@ -174,6 +174,31 @@ def knn_join_filtered(vectors: DataFrame, queries: DataFrame, k: int,
                       dist.alias("dist"), F.col("rank"))
 
 
+def knn_filtered_partitioned(spark, path: str, queries: DataFrame, k: int,
+                             filter_col: str = "label",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             qid_col: str = "query_id",
+                             qvec_col: str = "query_vec",
+                             round_dp: int | None = 6,
+                             dim: int | None = None) -> DataFrame:
+    """Filtered k-NN against a facet-partitioned layout — the file-level
+    proof of knn_join_filtered's docstring promise: with the corpus
+    hive-partitioned by ``filter_col``, vectors of non-queried facets are
+    never READ, not merely never scored. The query batch's distinct facet
+    values (bounded by the batch size) become a literal isin filter that
+    prunes at the file listing (PartitionFilters — pinned by
+    tests/test_knn.py); the standard broadcast facet-join then restricts
+    each query to ITS facet within the pruned frame. Same
+    union-then-per-query pattern as ivf/hnsw partitioned probes."""
+    facets = [r[0] for r in queries.select(filter_col).distinct().collect()]
+    pruned = spark.read.parquet(path).where(F.col(filter_col).isin(facets))
+    return knn_join_filtered(pruned, queries, k, filter_col=filter_col,
+                             id_col=id_col, vec_col=vec_col,
+                             qid_col=qid_col, qvec_col=qvec_col,
+                             round_dp=round_dp, dim=dim)
+
+
 def range_search(vectors: DataFrame, queries: DataFrame, radius: float,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id", qvec_col: str = "query_vec",

@@ -73,6 +73,10 @@ def plan_summary(df: DataFrame) -> dict:
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python_stages": bool(re.search(r"Python|InPandas", plan)),
         "bucket_pruning": (f"{sel.group(1)}/{sel.group(2)}" if sel else None),
+        "partition_filters": sorted(
+            {p.strip() for p in
+             re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+             if p.strip()}),
         "pushed_filters": sorted(set(pushed)),
         "columns_read": sorted({c for sch in schemas
                                 for c in _top_level_columns(sch)}),
