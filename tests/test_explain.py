@@ -12,9 +12,20 @@ from vectordb_explorations_spark.plans.explain import (  # noqa: E402
 from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
 
 
-def test_topk_and_pruning_facts(spark, sf_dir):
+def test_topk_and_pruning_facts(spark, sf_dir, tmp_path):
+    import os as _os
+    import shutil
+
     from vectordb_explorations_spark.operators.knn import knn_exact
-    emb = load_table(spark, "embeddings", sf_dir)
+
+    # scan a COPY of the fixture: this test asserts column pruning of a
+    # fresh parquet scan, and Spark substitutes any cached plan matching
+    # the original path (load_table's session cache, materialized by
+    # other modules with the label column — which the fixed ReadSchema
+    # parser now reports honestly; the old truncated regex masked it)
+    dst = str(tmp_path / "emb_copy.parquet")
+    shutil.copyfile(_os.path.join(sf_dir, "embeddings.parquet"), dst)
+    emb = spark.read.parquet(dst)
     q = emb.orderBy("vec_id").first()["embedding"]
     s = plan_summary(knn_exact(emb, q, 5))
     assert s["take_ordered_topk"]

@@ -154,9 +154,14 @@ COMMENTARY = {
     "hybrid_rrf_search": (
         "BM25 + cosine + RRF, explode-free on the lexical side: tf/dl "
         "are per-row array scans of a ONCE-projected token array, corpus "
-        "stats are a 1-row aggregate broadcast back, and every exchange "
-        "after the two channel scans is pool-sized (queries x 50), never "
-        "corpus-sized."),
+        "stats are a 1-row aggregate broadcast back; both channels' "
+        "scored rows union under ONE pool window whose (query_id, ch) "
+        "exchange carries a Partial WindowGroupLimit (pool-sized shuffle "
+        "traffic), a pool-sized repartition serves the fusion aggregate "
+        "and final window, and the <=30-row output sorts in a single "
+        "coalesced partition (no range-partitioning sampling job). The "
+        "heavy scoring expressions parse from ONE SQL string shared with "
+        "the DuckDB oracle — construction cost measured 4.5 s -> 0.5 s."),
     "knn_filtered": (
         "Faceted (pre-filtered) k-NN: the label facet is the KEY of the "
         "broadcast query join — non-matching vectors drop before the "
