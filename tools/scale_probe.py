@@ -94,10 +94,14 @@ def main() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    exact = knn_join_blockwise(emb, queries, K).cache()
-    exact.count()
+    # time the exact scan BEFORE caching its result: Spark substitutes a
+    # cached plan for any identical fresh plan, so timing after .cache()
+    # measures a cache read, not the GEMM scan (round-7 fix — earlier
+    # probes recorded ~0.2 s here for exactly that reason)
     steady("exact_blockwise_knn_batch100",
            lambda: force(knn_join_blockwise(emb, queries, K)))
+    exact = knn_join_blockwise(emb, queries, K).cache()
+    exact.count()
 
     lsh_state = {}
 

@@ -102,9 +102,12 @@ def main() -> None:
         df.write.mode("overwrite").parquet(path)
         ibytes[name] = _dir_bytes(path)
 
+    # time BEFORE caching the result: a cached identical plan would be
+    # substituted and the row would measure a cache read (see
+    # tools/scale_probe.py, round-7 fix)
+    steady("exact_blockwise", lambda: force(knn_join_blockwise(emb, queries, K)))
     exact = knn_join_blockwise(emb, queries, K).cache()
     exact.count()
-    steady("exact_blockwise", lambda: force(knn_join_blockwise(emb, queries, K)))
 
     lsh_state = {}
 
