@@ -349,7 +349,9 @@ def main() -> None:
         "Findings (honest, data-dependent):",
         "",
         "- **A cached 200k corpus is small enough that exact blockwise GEMM "
-        "wins outright** — it streams N x Q pairs at memory bandwidth. The "
+        "wins outright** (measured as an honest un-substituted scan since "
+        "round 7 — earlier probes timed this row against an already-cached "
+        "result plan) — it streams N x Q pairs at memory bandwidth. The "
         "approximate paths' value is the BOUNDED candidate volume: "
         "nprobe / refine_factor / bucket_cap fix the scored fraction as N "
         "grows past executor memory, where the exact scan stays linear in "

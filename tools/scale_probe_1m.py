@@ -219,6 +219,45 @@ def main() -> None:
         f"| {results['bq1_cascade_sl10000']}"
         f" | {recalls['bq1_cascade_sl10000']} | — |",
         "",
+        "Recalls explained (vs the 200k core above):",
+        "",
+        f"- **IVF held** ({recalls['ivf']} at nprobe 8/64): probed lists "
+        "are a constant FRACTION of the corpus, so per-list population "
+        "growth does not move the geometry — the nearest lists still "
+        "contain the nearest neighbors. This is the family whose recall "
+        "is scale-invariant by construction.",
+        f"- **SQ8 held at {recalls['sq8']}**: per-dimension 8-bit "
+        "quantization error is a property of the value RANGE, not the "
+        "corpus size; as long as inter-neighbor distances dwarf the "
+        "quantization step (true for this clustered generator at any N), "
+        "the rf=3 refine recovers everything. The cost moved, not the "
+        "recall: the dequantized-GEMM scan is linear in N "
+        f"({results['sq8_search']} s vs the exact scan's "
+        f"{results['exact_blockwise']} s) — its value is the 4x "
+        "footprint, not wall time on a warm box.",
+        f"- **LSH fell to {recalls['lsh']}** (0.87-0.93 at smaller N): "
+        "hot-bucket refinement caps candidates per probe at bucket_cap, "
+        "so at 5x the corpus each probe inspects a 5x SMALLER fraction. "
+        "Holding recall needs cap or probe count to grow with N — the "
+        "bound that makes it scale is exactly what prices its recall. "
+        f"Its build ({results['lsh_build']} s) is dominated by "
+        "re-clustering the hot buckets a clustered corpus produces.",
+        f"- **The fixed-2000 cascade shortlist collapsed to "
+        f"{recalls['bq1_cascade_sl2000']}** (0.95 at 200k) and even a "
+        f"corpus-proportional 1% holds only "
+        f"{recalls['bq1_cascade_sl10000']}: 64 one-bit codes saturate — "
+        "in-cluster candidates grow with N while the code space stays "
+        "2^64-sparse-in-64-dims, so the true neighbors' Hamming ranks "
+        "drift past any fixed cutoff. Confirms (at 5x) the 200k "
+        "finding: at dim 64, BQ1 is a pre-filter whose shortlist must "
+        "scale super-linearly, and 1-bit-as-ranker belongs to dim>=256 "
+        "embeddings.",
+        f"- **Exact blockwise at {results['exact_blockwise']} s** "
+        "(honest un-substituted scan, round-7 methodology fix) says the "
+        "warm-cache local box is NOT where these indexes pay off: their "
+        "payoff is persisted partitioned serving (probe-pruned I/O) and "
+        "corpora past executor memory.",
+        "",
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALE_NOTES.md")

@@ -5,21 +5,25 @@ vectors only, hnsw.cc:94-285; production retrieval almost always blends a
 lexical channel).
 
 Determinism contract: every floating-point expression is generated ONCE
-from shared Python constants into BOTH engines with identical structure and
-left-to-right association, so the per-term BM25 contributions fold in the
-same order (group-aggregate float sums are order-nondeterministic across
-engines; a written-out `c0 + c1 + c2` is not). Corpus statistics (N, df,
-avgdl) are exact-integer derived, tie-breaks are by doc_id, and the fused
-score is binary-6dp rounded — the full pipeline is hash-checked against
-DuckDB.
+from shared source text into BOTH engines — the BM25 per-term fragment
+(:func:`_bm25_contrib_sql`) is literally the same SQL string Spark parses
+via ``F.expr`` and the DuckDB oracle embeds, so the per-term doubles and
+their left-to-right fold order are bit-identical by construction
+(group-aggregate float sums are order-nondeterministic across engines; a
+written-out `c0 + c1 + c2` is not). Corpus statistics (N, df, avgdl) are
+exact-integer derived, tie-breaks are by doc_id, and the fused score is
+binary-6dp rounded — the full pipeline is hash-checked against DuckDB.
 
 Scale shape: BM25 needs NO explode and NO per-token shuffle — term
 frequencies and document length are per-row array scans in one codegen
 projection; the corpus statistics are ONE tiny combinable aggregate
-broadcast back (crossJoin of a 1-row frame); the only real exchanges are
-the two pool windows (partitionBy query_id) and the pool-sized RRF join —
-both bounded at queries x pool rows, never corpus-sized. The vector channel
-reuses the broadcast-queries + window shape proven by the k-NN family.
+broadcast back (crossJoin of a 1-row frame). The fused query unions both
+channels' SCORED rows under a single pool window whose (query_id, ch)
+exchange carries a Partial WindowGroupLimit — shuffle traffic is
+O(queries x pool x partitions), never corpus-sized — and one pool-sized
+repartition then serves the RRF aggregate and the final ranking window.
+The vector channel reuses the broadcast-queries shape proven by the k-NN
+family.
 """
 
 from __future__ import annotations
