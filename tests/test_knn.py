@@ -110,3 +110,52 @@ def test_knn_filtered_partitioned_prunes_and_matches(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, served.collect()))
     b = sorted(map(tuple, mem.collect()))
     assert a == b and a
+
+
+def test_search_after_pages_tile_the_ranking(spark, sf_dir):
+    """Cursor pagination contract: page1 ∪ page2 (cursor = page1's last
+    raw row) must equal the top-2k of the full ranking, disjointly."""
+    from vectordb_explorations_spark.operators.knn import (
+        knn_exact, search_after)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    k = 7
+    page1_raw = knn_exact(emb, qvec, k, round_dp=None).collect()
+    cursor = (page1_raw[-1]["dist"], page1_raw[-1]["vec_id"])
+    page2 = search_after(emb, qvec, k, cursor).collect()
+    top2k = knn_exact(emb, qvec, 2 * k).collect()
+    got = [r["vec_id"] for r in page1_raw] + [r["vec_id"] for r in page2]
+    want = [r["vec_id"] for r in top2k]
+    assert got == want
+    assert len(set(got)) == 2 * k  # disjoint pages
+
+
+def test_mutual_knn_pairs_are_reciprocal(spark, sf_dir):
+    """Every returned pair must be reciprocal: b in a's k-NN AND a in
+    b's k-NN (checked against a driver-side recompute on the bounded
+    subset), and no non-reciprocal k-NN edge may appear."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.knn import mutual_knn_pairs
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    k, bound = 4, 120
+    got = {(r["id_a"], r["id_b"])
+           for r in mutual_knn_pairs(emb, k, bound).collect()}
+    rows = (emb.where(F.col("vec_id") < bound)
+            .select("vec_id", "embedding").collect())
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d2 = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    order = np.lexsort((ids[None, :].repeat(len(ids), 0), d2), axis=1)
+    knn = {int(ids[i]): {int(ids[j]) for j in order[i, :k]}
+           for i in range(len(ids))}
+    want = {(a, b) for a in knn for b in knn[a]
+            if a < b and a in knn[b]}
+    assert got == want and got

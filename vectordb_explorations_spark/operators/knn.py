@@ -228,3 +228,104 @@ def sample_queries(vectors: DataFrame, num: int,
             .orderBy(F.col(id_col).asc())
             .limit(num)
             .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")))
+
+
+def search_after(vectors: DataFrame, query_vec: Sequence[float], k: int,
+                 cursor: tuple[float, int],
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_dp: int | None = 6) -> DataFrame:
+    """Cursor-paginated exact search (Elasticsearch's ``search_after``):
+    the next ``k`` results strictly AFTER ``cursor = (dist, id)`` in the
+    (dist asc, id asc) total order. The pagination idiom for deep result
+    sets — a rank-window OFFSET re-ranks everything above the page on
+    every request, while the cursor filter lets each page cost one scan +
+    one top-k, independent of page depth.
+
+    The cursor comparison runs on the RAW double (both engines compute
+    the identical distance tree, so `==` on the boundary behaves
+    identically); rounding only in the projection."""
+    dist = F.expr(l2_distance_sql(
+        vec_col, array_lit_sql(query_vec), len(query_vec)))
+    cd, cid = float(cursor[0]), int(cursor[1])
+    scored = vectors.select(F.col(id_col), dist.alias("dist"))
+    after = scored.where(
+        (F.col("dist") > F.lit(cd))
+        | ((F.col("dist") == F.lit(cd)) & (F.col(id_col) > F.lit(cid))))
+    out = (after.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+           .limit(k))
+    if round_dp is not None:
+        out = out.select(F.col(id_col),
+                         F.round("dist", round_dp).alias("dist"))
+    return out
+
+
+def knn_classify(vectors: DataFrame, queries: DataFrame, k: int,
+                 label_col: str = "label",
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id", qvec_col: str = "query_vec",
+                 dim: int | None = None) -> DataFrame:
+    """Majority-vote k-NN classification: each query's predicted label is
+    the most common label among its k nearest vectors (self excluded),
+    ties broken by the smaller label — the classical lazy classifier,
+    here as a composition of the engine's own primitives.
+
+    Physical shape: the broadcast-queries + window rank of knn_join
+    (self dropped BEFORE ranking so every query sees exactly k foreign
+    neighbors), then one combinable (query, label) vote count and a
+    1-row-per-query argmax window — vote traffic is O(queries x k)."""
+    scored = (vectors.crossJoin(F.broadcast(queries))
+              .where(F.col(id_col) != F.col(qid_col))
+              .withColumn("dist", _dist(vec_col, qvec_col, dim)))
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(),
+                                            F.col(id_col).asc())
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    votes = top.groupBy(qid_col, label_col).agg(
+        F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy(qid_col).orderBy(
+        F.col("votes").desc(), F.col(label_col).asc())
+    return (votes.withColumn("_r", F.row_number().over(wv))
+            .where(F.col("_r") == 1)
+            .select(F.col(qid_col),
+                    F.col(label_col).alias("predicted_label"), "votes")
+            .orderBy(qid_col))
+
+
+def mutual_knn_pairs(vectors: DataFrame, k: int, id_bound: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_dp: int | None = 6,
+                     dim: int | None = None) -> DataFrame:
+    """Reciprocal (mutual) nearest-neighbor pairs among vectors with
+    id < ``id_bound``: (a, b) with a < b where b is in a's k-NN AND a is
+    in b's k-NN — the high-precision pairing primitive under
+    deduplication and agglomerative clustering (RNN chains).
+
+    Physical shape: ONE k-NN edge list (broadcast queries + window, self
+    excluded), then a self-join of that edge list on the REVERSED key —
+    the join input is O(n x k) edges, never the O(n²) distance matrix.
+    At scale the same composition runs on any knn_join/ANN output; the
+    id_bound here just bounds the declared query. L2 is symmetric
+    bit-for-bit ((x-y)² == (-(y-x))²), so the reversed edge carries the
+    identical double and the pair survives with one distance value."""
+    sub = vectors.where(F.col(id_col) < id_bound)
+    qs = sub.select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("query_vec"))
+    scored = (sub.crossJoin(F.broadcast(qs))
+              .where(F.col(id_col) != F.col("query_id"))
+              .withColumn("dist", _dist(vec_col, "query_vec", dim)))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col(id_col).asc())
+    edges = (scored.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k)
+             .select(F.col("query_id").alias("src"),
+                     F.col(id_col).alias("dst"), "dist"))
+    fwd = edges.where(F.col("src") < F.col("dst"))
+    rev = (edges.where(F.col("src") > F.col("dst"))
+           .select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = (fwd.join(rev, ["src", "dst"])
+           .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"),
+                   "dist"))
+    dist = (F.round(F.col("dist"), round_dp) if round_dp is not None
+            else F.col("dist"))
+    return (out.select("id_a", "id_b", dist.alias("dist"))
+            .orderBy("id_a", "id_b"))

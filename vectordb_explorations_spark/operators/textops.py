@@ -805,3 +805,60 @@ SELECT lang, count(*) AS n_docs,
        {r6('avg(n_hot::DOUBLE / n_grams)')} AS avg_cov
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+# ---- per-document TF-IDF keyword extraction ----
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_top_terms(docs: DataFrame,
+                    top_n: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """Per-document top-N terms by TF-IDF — keyword extraction, the
+    per-document dual of vocab_stats' corpus-level vocabulary (same
+    smoothed IDF formula, shared spelling with the oracle).
+
+    Scale shape: explode -> combinable (doc, term) tf counts; df derives
+    from the tf frame (one row per (doc, term) — count(*) IS the
+    document frequency, no second distinct pass); the zipf-bounded df
+    side joins keyed on term (AQE broadcasts when it fits); corpus size
+    rides in as a 1-row broadcast; the final per-doc window ranks <=
+    doc-vocabulary rows. Ordering on the RAW score (one ln, one
+    multiply — bit-identical across engines), rounding in the
+    projection."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term", "tf",
+                      (F.col("tf").cast("double") * idf).alias("_s")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("_s").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select("doc_id", "term", "tf",
+                    F.round("_s", 6).alias("tfidf"), "rank")
+            .orderBy("doc_id", "rank"))
+
+
+def tfidf_top_terms_oracle(top_n: int = TFIDF_TOP_TERMS) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, term, tf,
+             CAST(tf AS DOUBLE) * ln((1.0 + n_docs) / (1.0 + df)) AS _s
+      FROM tf JOIN df USING (term), n)
+SELECT doc_id, term, tf, round(_s, 6) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY _s DESC, term ASC) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= {top_n}
+ORDER BY doc_id, rank
+"""

@@ -457,6 +457,115 @@ ORDER BY query_id, rank
 
 # ---------- registry ----------
 
+# ---------- round-7 additions: pagination, classification, RNN pairs,
+# keyword extraction ----------
+
+CLASSIFY_QUERIES = 20
+MUTUAL_BOUND = 200
+MUTUAL_K = 5
+
+_DIST_EQ = ("sqrt(list_sum(list_transform(list_zip(e.embedding, q.qv), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+
+
+def q_knn_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of the exact search via a (dist, id) cursor — the
+    search_after pagination idiom: the cursor is page 1's last RAW row
+    (bounded driver pull), and the page costs one scan + one top-k
+    however deep the cursor sits."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    last = K.knn_exact(emb, qvec, KNN_K, round_dp=None).collect()[-1]
+    return K.search_after(emb, qvec, KNN_K,
+                          (last["dist"], last["vec_id"]))
+
+
+def _oracle_search_after() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+s AS (SELECT e.vec_id, {_DIST_EQ} AS dist FROM embeddings e CROSS JOIN q),
+c AS (SELECT dist, vec_id FROM s ORDER BY dist ASC, vec_id ASC
+      LIMIT 1 OFFSET {KNN_K - 1})
+SELECT s.vec_id, round(s.dist, 6) AS dist
+FROM s, c
+WHERE s.dist > c.dist OR (s.dist = c.dist AND s.vec_id > c.vec_id)
+ORDER BY s.dist ASC, s.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote k-NN label prediction for the first 20 vectors
+    (self excluded) — the engine's primitives composed into the lazy
+    classifier."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = K.sample_queries(emb, CLASSIFY_QUERIES)
+    return K.knn_classify(emb, qs, KNN_K, dim=EMBEDDING_DIM)
+
+
+def _oracle_knn_classify() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, "
+            "q.query_vec), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS "
+            "DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+           FROM embeddings ORDER BY vec_id LIMIT {CLASSIFY_QUERIES}),
+s AS (SELECT q.query_id, e.vec_id, e.label, {dist} AS dist
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+top AS (
+  SELECT query_id, label,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, vec_id ASC) AS INTEGER)
+           AS rank
+  FROM s QUALIFY rank <= {KNN_K}
+),
+v AS (SELECT query_id, label, count(*) AS votes
+      FROM top GROUP BY query_id, label)
+SELECT query_id, label AS predicted_label, votes
+FROM (SELECT query_id, label, votes,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, label ASC)
+                  AS INTEGER) AS _r
+      FROM v)
+WHERE _r = 1
+ORDER BY query_id
+"""
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs among the first 200 vectors —
+    the RNN pairing primitive under dedup/agglomerative clustering,
+    computed from ONE k-NN edge list self-joined on the reversed key."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return K.mutual_knn_pairs(emb, MUTUAL_K, MUTUAL_BOUND,
+                              dim=EMBEDDING_DIM)
+
+
+def _oracle_mutual_knn() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, "
+            "q.embedding), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS "
+            "DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id < {MUTUAL_BOUND}),
+s AS (SELECT q.vec_id AS src, e.vec_id AS dst, {dist} AS dist
+      FROM sub e CROSS JOIN sub q WHERE e.vec_id <> q.vec_id),
+e2 AS (
+  SELECT src, dst, dist,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY dist ASC, dst ASC) AS INTEGER)
+           AS rank
+  FROM s QUALIFY rank <= {MUTUAL_K}
+),
+fwd AS (SELECT src, dst, dist FROM e2 WHERE src < dst),
+rev AS (SELECT dst AS src, src AS dst FROM e2 WHERE src > dst)
+SELECT f.src AS id_a, f.dst AS id_b, round(f.dist, 6) AS dist
+FROM fwd f JOIN rev r USING (src, dst)
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # vector / k-NN (reference surface)
     "knn_exact": q_knn_exact,
@@ -654,6 +763,13 @@ QUERIES: dict[str, QueryFn] = {
     # everything-within-epsilon); both exact, both hash-checked
     "knn_filtered": q_knn_filtered,
     "range_search": q_range_search,
+    # round-7 additions: pagination / classification / RNN pairs /
+    # keyword extraction
+    "knn_search_after": q_knn_search_after,
+    "knn_classify": q_knn_classify,
+    "mutual_knn": q_mutual_knn,
+    "tfidf_top_terms": lambda s, d: X.tfidf_top_terms(
+        load_table(s, "documents", d)),
     # hashing-trick featurization: text -> signed-hash embedding (integer
     # weights + sqrt-of-integer norm, so the audit hash-matches exactly)
     "hashed_doc_embeddings": lambda s, d: FZ.hashed_embedding_audit(
@@ -692,8 +808,12 @@ QUERIES: dict[str, QueryFn] = {
 # knn_batch): knn_batch_blockwise, compat_distance, vector_elements,
 # region_nation_rollcall, priority_customer_counts,
 # nation_customer_lists, supplier_nation_volume, top_parts_by_revenue,
-# weighted_sample. After r07 no query's driver evidence is older than
-# two rounds.
+# weighted_sample — plus 4 more static r05 rows (doc_chunks,
+# event_prop_keys, event_value_percentiles, events_sliding_2h) that
+# yield their slots to the 4 NEVER-checked round-7 queries below
+# (never-checked evidence outranks 2-round-old greens, the r6
+# precedent). After r07 no query's driver evidence is older than two
+# rounds.
 _WINDOW_PRIORITY = [
     # --- latest driver evidence r04: the full 18-row re-cert queue ---
     "clean_text", "cube_order_stats", "customers_without_orders",
@@ -704,10 +824,11 @@ _WINDOW_PRIORITY = [
     "segment_order_stats", "shipping_priority", "top_orders",
     # --- code changed this round (r6 verdict perf item 3) ---
     "hybrid_rrf_search",
-    # --- latest driver evidence r05 (31 of 40) ---
-    "asof_join", "dedup_exact", "dedup_simhash", "doc_chunks",
-    "event_prop_keys", "event_value_percentiles", "events_json_stats",
-    "events_session_window", "events_sliding_2h", "events_variant_stats",
+    # --- new this round, never driver-checked ---
+    "knn_search_after", "knn_classify", "mutual_knn", "tfidf_top_terms",
+    # --- latest driver evidence r05 (27 of 40) ---
+    "asof_join", "dedup_exact", "dedup_simhash", "events_json_stats",
+    "events_session_window", "events_variant_stats",
     "knn_cosine", "knn_exact", "lang_id", "multimodal_features",
     "multimodal_frames", "multimodal_summary", "nation_balance_full_outer",
     "quality_filter", "range_join", "region_revenue",
@@ -830,6 +951,10 @@ ORACLES: dict[str, str] = {
     "mmr_diversified_topk": RR.mmr_rerank_oracle(),
     "knn_filtered": _oracle_knn_filtered(),
     "range_search": _oracle_range_search(),
+    "knn_search_after": _oracle_search_after(),
+    "knn_classify": _oracle_knn_classify(),
+    "mutual_knn": _oracle_mutual_knn(),
+    "tfidf_top_terms": X.tfidf_top_terms_oracle(),
     "hashed_doc_embeddings": FZ.hashed_embedding_audit_oracle(),
     "data_quality_audit": QA.table_quality_audit_oracle(),
     "events_gapfill": TL.events_gapfill_oracle(),
