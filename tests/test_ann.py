@@ -273,3 +273,48 @@ def test_hnsw_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, mem.collect()))
     assert a == b and a
     idx.unpersist()
+
+
+def test_ivf_append_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF ingest: append a new batch against frozen
+    centroids, then (a) probes over the appended layout must equal
+    ivf_search over the logical union, and (b) the append must write
+    files ONLY into the list directories the batch touches."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_append_partitioned, ivf_assign, ivf_build,
+        ivf_persist_partitioned, ivf_probe_partitioned, ivf_search)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    assigned, cents = ivf_build(old, num_centroids=8)
+    path = str(tmp_path / "ivf_inc")
+    ivf_persist_partitioned(assigned, path)
+
+    files_before = {d: len(_os.listdir(_os.path.join(path, d)))
+                    for d in _os.listdir(path) if d.startswith("list_id=")}
+    batch = new.limit(20)
+    ivf_append_partitioned(path, cents, batch)
+    files_after = {d: len(_os.listdir(_os.path.join(path, d)))
+                   for d in _os.listdir(path) if d.startswith("list_id=")}
+    touched = {f"list_id={r['list_id']}" for r in
+               ivf_assign(batch, cents).select("list_id").distinct()
+               .collect()}
+    for d in files_before:
+        if d not in touched:
+            assert files_after[d] == files_before[d], d  # untouched list
+
+    queries = sample_queries(emb, 5).cache()
+    served = ivf_probe_partitioned(spark, path, cents, queries, 5, nprobe=3)
+    union = assigned.unionByName(ivf_assign(batch, cents)
+                                 .select(*assigned.columns))
+    mem = ivf_search(union, cents, queries, 5, nprobe=3)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, mem.collect()))
+    assert a == b and a

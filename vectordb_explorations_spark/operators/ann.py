@@ -435,13 +435,26 @@ def ivf_build(vectors: DataFrame, num_centroids: int = 16, seed: int = 42,
             best, best_inertia = cand, inertia
     centroids = best
 
+    assigned = ivf_assign(vectors, centroids, assign_n=assign_n,
+                          vec_col=vec_col)
+    return assigned, centroids
+
+
+def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
+               assign_n: int = 2,
+               vec_col: str = "embedding") -> DataFrame:
+    """The distributed half of ivf_build, standalone: assign every row to
+    its ``assign_n`` nearest FROZEN centroids — one Arrow-batched GEMM
+    pass, no fit. This is the primitive incremental maintenance reuses:
+    a new ingest batch is assigned against the index's existing
+    centroids, so appends never re-train or re-assign the corpus."""
     out_fields = [T.StructField(f.name, f.dataType, f.nullable)
                   for f in vectors.schema.fields]
     out_schema = T.StructType(out_fields + [T.StructField("list_id",
                                                           T.IntegerType())])
     cnorm = (centroids ** 2).sum(-1)
     bc = vectors.sparkSession.sparkContext.broadcast(centroids)
-    an = max(1, min(assign_n, num_centroids))
+    an = max(1, min(assign_n, centroids.shape[0]))
 
     def assign(batches):
         C = bc.value
@@ -456,8 +469,7 @@ def ivf_build(vectors: DataFrame, num_centroids: int = 16, seed: int = 42,
             out["list_id"] = near.reshape(-1).astype(np.int32)
             yield out
 
-    assigned = vectors.mapInPandas(assign, schema=out_schema)
-    return assigned, centroids
+    return vectors.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
@@ -662,6 +674,28 @@ def ivf_persist_partitioned(assigned: DataFrame, path: str,
     corpus size."""
     (assigned.select(id_col, vec_col, "list_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(path))
+
+
+def ivf_append_partitioned(path: str, centroids: np.ndarray,
+                           new_vectors: DataFrame,
+                           assign_n: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> None:
+    """Incremental IVF maintenance: assign ONLY the new batch against the
+    index's FROZEN centroids and append into the hive layout — a daily
+    ingest costs O(batch), never a rebuild, and the new files land only
+    in the list directories the batch touches (hive append is
+    partition-local). Assignments are bit-identical to what a full
+    rebuild with the same centroids would produce (ivf_assign is the
+    same code path), so probes over the appended layout equal
+    ivf_search over the logical union — pinned by tests/test_ann.py.
+    Centroid drift is handled by periodic re-train + full rewrite (the
+    standard IVF maintenance split; list-size telemetry via a trivial
+    partition count says when)."""
+    (ivf_assign(new_vectors, centroids, assign_n=assign_n,
+                vec_col=vec_col)
+     .select(id_col, vec_col, "list_id")
+     .write.mode("append").partitionBy("list_id").parquet(path))
 
 
 def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
