@@ -318,3 +318,59 @@ def test_ivf_append_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, served.collect()))
     b = sorted(map(tuple, mem.collect()))
     assert a == b and a
+
+
+def test_hnsw_append_rebuilds_only_touched_shards(spark, sf_dir, tmp_path):
+    """Incremental HNSW ingest: after appending a batch, (a) untouched
+    shard directories keep their exact files, (b) every appended vector
+    is found at rank 1 by a routed probe over the layout, (c) shard
+    n_vectors totals equal old + assigned replicas."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_append_partitioned, hnsw_build, hnsw_persist_partitioned,
+        hnsw_probe_partitioned)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 7 != 0)
+    new = emb.where(F.col("vec_id") % 7 == 0).limit(12)
+    idx = hnsw_build(old, num_shards=4, shard_by="kmeans").cache()
+    idx.count()
+    path = str(tmp_path / "hnsw_inc")
+    hnsw_persist_partitioned(idx, path)
+    n_old = sum(r["n_vectors"] for r in
+                spark.read.parquet(path).select("n_vectors").collect())
+
+    def files(p):
+        return {d: sorted(_os.listdir(_os.path.join(p, d)))
+                for d in _os.listdir(p) if d.startswith("shard=")}
+
+    before = files(path)
+    hnsw_append_partitioned(spark, path, new)
+    after = files(path)
+    reread = spark.read.parquet(path)
+    per_shard_after = {int(r["shard"]): r["n_vectors"]
+                       for r in reread.select("shard", "n_vectors").collect()}
+    per_shard_before = {int(r["shard"]): r["n_vectors"]
+                        for r in idx.select("shard", "n_vectors").collect()}
+    touched = {s for s in per_shard_after
+               if per_shard_after[s] != per_shard_before.get(s)}
+    assert touched  # the batch landed somewhere
+    for d, fl in before.items():
+        if int(d.split("=")[1]) not in touched:
+            assert after[d] == fl, f"untouched {d} rewritten"
+
+    added = sum(per_shard_after.values()) - n_old
+    n_new = new.count()
+    assert n_new <= added <= 2 * n_new  # assign_n=2 replication
+
+    # every appended vector is its own nearest neighbor via routed probe
+    qs = new.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"))
+    res = hnsw_probe_partitioned(spark, path, qs, 1, probe_shards=2)
+    top1 = {r["query_id"]: r["vec_id"] for r in res.collect()}
+    assert all(top1[q] == q for q in top1) and len(top1) == n_new
+    idx.unpersist()

@@ -268,3 +268,35 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert got[6 * H] == (1, 1.0)
     assert got[9 * H] == (1, 1.0)        # finalized by the trailing commit
     assert 12 * H not in got             # never finalized
+
+
+def test_incremental_ivf_ingest_matches_batch_assignment(spark, sf_dir,
+                                                         tmp_path):
+    """Streaming IVF ingest: draining the embeddings stream through
+    foreachBatch ivf_append_partitioned must leave the layout equal to
+    the batch assignment with the same frozen centroids, and probes
+    must match ivf_search over that assignment bit for bit."""
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_assign, ivf_build, ivf_probe_partitioned, ivf_search)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+    from vectordb_explorations_spark.streaming.events import (
+        incremental_ivf_ingest)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, cents = ivf_build(emb, num_centroids=8)
+    path = str(tmp_path / "ivf_stream")
+    q = incremental_ivf_ingest(spark, sf_dir, path, cents)
+    q.awaitTermination(300)
+
+    layout = spark.read.parquet(path)
+    batch = ivf_assign(emb, cents)
+    a = sorted(map(tuple, layout.select("vec_id", "list_id").collect()))
+    b = sorted(map(tuple, batch.select("vec_id", "list_id").collect()))
+    assert a == b and a
+
+    queries = sample_queries(emb, 5).cache()
+    served = ivf_probe_partitioned(spark, path, cents, queries, 5, nprobe=3)
+    mem = ivf_search(batch, cents, queries, 5, nprobe=3)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, mem.collect()))

@@ -679,3 +679,100 @@ def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
     return hnsw_search(pruned, queries, k, ef_search=ef_search,
                        qid_col=qid_col, qvec_col=qvec_col, id_col=id_col,
                        probe_shards=probe_shards)
+
+
+def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
+                            assign_n: int = 2, seed: int = 42,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> None:
+    """Incremental HNSW maintenance on the shard-partitioned layout:
+    route the new batch to its ``assign_n`` nearest cells (the SAME
+    mixed-hash sub-shard formula the build uses), rebuild ONLY the
+    touched shards — each rebuild unpickles the shard's graph, merges
+    members with the new rows, and re-runs the deterministic bulk build
+    with the shard's own recorded hyperparameters (dim/m/ef from the
+    blob, seed + shard) — and dynamic-partition-overwrites just those
+    shard directories. Untouched shards' files are never rewritten.
+
+    Cost: O(sum of touched shard sizes squared) BLAS flops + O(batch)
+    I/O — the per-shard graph is the rebuild unit, which is exactly why
+    the index is sharded. ``assign_n`` and ``seed`` must match the
+    build's values (they are not persisted per-row). Requires a
+    kmeans-sharded index. Probe correctness and untouched-file stability
+    are pinned by tests/test_ann.py."""
+    full = spark.read.parquet(path)
+    cent_rows = full.select("shard", "centroid").collect()
+    if any(r["centroid"] is None for r in cent_rows):
+        raise ValueError("hnsw_append_partitioned requires a kmeans-"
+                         "sharded index (hnsw_build(shard_by='kmeans'))")
+    cells: dict[tuple, list[int]] = {}
+    for r in cent_rows:
+        cells.setdefault(tuple(r["centroid"]), []).append(int(r["shard"]))
+    cell_cents = np.asarray(list(cells), dtype=np.float64)
+    cell_shards = [sorted(v) for v in cells.values()]
+    sub_base = np.asarray([s[0] for s in cell_shards])
+    n_sub = np.asarray([len(s) for s in cell_shards])
+
+    # route the batch (bounded ingest: driver-side; the distributed twin
+    # is hnsw_build's mapInPandas assign with the same formula)
+    rows = new_vectors.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    an = max(1, min(assign_n, len(cell_cents)))
+    d = -2.0 * X @ cell_cents.T + (cell_cents ** 2).sum(-1)
+    near = np.argpartition(d, an - 1, axis=1)[:, :an]
+    h = ids.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    h = (h ^ (h >> np.uint64(33))).astype(np.int64)
+    per_shard: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        for ci in near[i]:
+            s = int(sub_base[ci] + h[i] % n_sub[ci])
+            per_shard.setdefault(s, []).append(i)
+    touched = sorted(per_shard)
+    if not touched:
+        return
+
+    new_rows_df = spark.createDataFrame(
+        [(s, int(ids[i]), [float(x) for x in X[i]])
+         for s in touched for i in per_shard[s]],
+        f"shard int, {id_col} long, {vec_col} array<double>")
+    old_blobs = full.where(F.col("shard").isin(touched)) \
+        .select("shard", "blob", "centroid")
+
+    def rebuild(old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        if old_pdf.empty:
+            return pd.DataFrame(columns=["shard", "n_vectors", "max_level",
+                                         "blob", "centroid"])
+        shard = int(old_pdf["shard"].iloc[0])
+        g_old: HnswGraph = pickle.loads(old_pdf["blob"].iloc[0])
+        all_ids = np.concatenate([np.asarray(g_old.ids, dtype=np.int64),
+                                  new_pdf[id_col].to_numpy(np.int64)])
+        all_vecs = np.vstack([g_old.vectors[: g_old.n],
+                              np.asarray(list(new_pdf[vec_col]),
+                                         dtype=np.float64)])
+        order = np.argsort(all_ids, kind="stable")
+        g = HnswGraph(dim=g_old.dim, m=g_old.m,
+                      ef_construction=g_old.ef_construction,
+                      seed=seed + shard)
+        g.bulk_add(all_ids[order], all_vecs[order])
+        return pd.DataFrame({
+            "shard": [shard], "n_vectors": [len(all_ids)],
+            "max_level": [g.max_level],
+            "blob": [pickle.dumps(g, protocol=4)],
+            "centroid": [old_pdf["centroid"].iloc[0]],
+        })
+
+    rebuilt = (old_blobs.groupby("shard")
+               .cogroup(new_rows_df.groupby("shard"))
+               .applyInPandas(rebuild, schema=INDEX_SCHEMA))
+
+    from vectordb_explorations_spark.sources.sinks import overwrite_partitions
+    # localCheckpoint before overwriting the path the plan reads from
+    # (same read-after-replace hazard merge_upsert documents)
+    rebuilt = rebuilt.localCheckpoint(eager=True)
+    try:
+        overwrite_partitions(rebuilt, path, ["shard"])
+    finally:
+        rebuilt.unpersist()

@@ -172,6 +172,45 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
             .start())
 
 
+def incremental_ivf_ingest(spark: SparkSession, sf_dir: str,
+                           index_dir: str, centroids,
+                           assign_n: int = 2) -> "object":
+    """foreachBatch incremental IVF maintenance: each micro-batch of new
+    embeddings is assigned against the index's FROZEN centroids and
+    appended into the hive-partitioned serving layout
+    (ivf_append_partitioned) — the streaming composition of the batch
+    incremental path, so a live ingest keeps the probe-prunable layout
+    current without retraining or corpus re-assignment. Epoch files land
+    only in touched list directories; drift triggers a batch re-train +
+    rewrite, not a streaming concern."""
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_append_partitioned)
+    from vectordb_explorations_spark.sources.catalog import (
+        ensure_package_on_workers)
+
+    ensure_package_on_workers(spark)
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    stream = (spark.readStream.schema(emb_schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_append_partitioned(index_dir, centroids, batch_df,
+                               assign_n=assign_n)
+
+    return (stream.writeStream
+            .foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start())
+
+
 def streaming_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared correctness pin for the stateful-dedup path (round-1
     VERDICT item 10): drain ``streaming_dedup`` with availableNow into a
