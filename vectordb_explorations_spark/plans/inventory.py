@@ -39,6 +39,7 @@ from vectordb_explorations_spark.operators import rerank as RR
 from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
 from vectordb_explorations_spark.operators import sq as SQ
+from vectordb_explorations_spark.operators import projection as _PJ
 from vectordb_explorations_spark.operators import textops as X
 from vectordb_explorations_spark.operators import timeline as TL
 from vectordb_explorations_spark.plans import sql_api as Q
@@ -770,6 +771,8 @@ QUERIES: dict[str, QueryFn] = {
     "mutual_knn": q_mutual_knn,
     "tfidf_top_terms": lambda s, d: X.tfidf_top_terms(
         load_table(s, "documents", d)),
+    "random_projection": lambda s, d: _PJ.random_projection(
+        load_table(s, "embeddings", d)),
     # hashing-trick featurization: text -> signed-hash embedding (integer
     # weights + sqrt-of-integer norm, so the audit hash-matches exactly)
     "hashed_doc_embeddings": lambda s, d: FZ.hashed_embedding_audit(
@@ -808,9 +811,10 @@ QUERIES: dict[str, QueryFn] = {
 # knn_batch): knn_batch_blockwise, compat_distance, vector_elements,
 # region_nation_rollcall, priority_customer_counts,
 # nation_customer_lists, supplier_nation_volume, top_parts_by_revenue,
-# weighted_sample — plus 4 more static r05 rows (doc_chunks,
-# event_prop_keys, event_value_percentiles, events_sliding_2h) that
-# yield their slots to the 4 NEVER-checked round-7 queries below
+# weighted_sample — plus 5 more static r05 rows (doc_chunks,
+# event_prop_keys, event_value_percentiles, events_sliding_2h,
+# events_session_window) that
+# yield their slots to the 5 NEVER-checked round-7 queries below
 # (never-checked evidence outranks 2-round-old greens, the r6
 # precedent). After r07 no query's driver evidence is older than two
 # rounds.
@@ -826,9 +830,10 @@ _WINDOW_PRIORITY = [
     "hybrid_rrf_search",
     # --- new this round, never driver-checked ---
     "knn_search_after", "knn_classify", "mutual_knn", "tfidf_top_terms",
-    # --- latest driver evidence r05 (27 of 40) ---
+    "random_projection",
+    # --- latest driver evidence r05 (26 of 40) ---
     "asof_join", "dedup_exact", "dedup_simhash", "events_json_stats",
-    "events_session_window", "events_variant_stats",
+    "events_variant_stats",
     "knn_cosine", "knn_exact", "lang_id", "multimodal_features",
     "multimodal_frames", "multimodal_summary", "nation_balance_full_outer",
     "quality_filter", "range_join", "region_revenue",
@@ -955,6 +960,7 @@ ORACLES: dict[str, str] = {
     "knn_classify": _oracle_knn_classify(),
     "mutual_knn": _oracle_mutual_knn(),
     "tfidf_top_terms": X.tfidf_top_terms_oracle(),
+    "random_projection": _PJ.random_projection_oracle(),
     "hashed_doc_embeddings": FZ.hashed_embedding_audit_oracle(),
     "data_quality_audit": QA.table_quality_audit_oracle(),
     "events_gapfill": TL.events_gapfill_oracle(),
