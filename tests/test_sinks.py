@@ -289,3 +289,38 @@ def test_merge_upsert_null_partition_keeps_survivors(spark, tmp_path):
     assert rows[1] == (None, "a")      # survivor kept
     assert rows[2] == (None, "B!")     # updated in place
     assert rows[3] == ("en", "c")      # untouched sibling partition
+
+
+def test_compact_table_preserves_content_and_cuts_files(spark, sf_dir,
+                                                        tmp_path):
+    """Compaction: a fragmented table (32 files) compacts to the
+    byte-derived file budget with identical content; a hive-partitioned
+    table keeps its directory layout."""
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.sources import load_table
+    from vectordb_explorations_spark.sources.sinks import compact_table
+
+    li = load_table(spark, "lineitem", sf_dir).limit(2000)
+    flat = str(tmp_path / "flat")
+    li.repartition(32).write.parquet(flat)
+    before = sorted(map(tuple, spark.read.parquet(flat).collect()))
+    stats = compact_table(spark, flat, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 32 and stats["files_after"] == 1
+    after = sorted(map(tuple, spark.read.parquet(flat).collect()))
+    assert after == before
+
+    part = str(tmp_path / "part")
+    (li.withColumn("flag", F.col("l_returnflag"))
+     .repartition(8).write.partitionBy("flag").parquet(part))
+    pbefore = sorted(map(tuple, spark.read.parquet(part).collect()))
+    dirs_before = sorted(d for d in __import__("os").listdir(part)
+                         if d.startswith("flag="))
+    stats = compact_table(spark, part, target_file_bytes=1 << 30,
+                          partition_by=["flag"])
+    assert stats["files_after"] < stats["files_before"]
+    dirs_after = sorted(d for d in __import__("os").listdir(part)
+                        if d.startswith("flag="))
+    assert dirs_after == dirs_before
+    pafter = sorted(map(tuple, spark.read.parquet(part).collect()))
+    assert pafter == pbefore

@@ -232,3 +232,53 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         overwrite_partitions(out, path, partition_by)
     finally:
         out.unpersist()
+
+
+def compact_table(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  partition_by: list[str] | None = None) -> dict:
+    """IN-PLACE small-files compaction, the sibling of
+    :func:`compact_parquet` (which rewrites src -> dst and flattens the
+    layout): this one rewrites a table AT ITS OWN PATH and PRESERVES a
+    hive partition layout — the shape the incremental-append paths
+    (ivf_append_partitioned, streaming ingest epochs, merge_upsert) need
+    periodically, since each batch lands its own files.
+
+    File count = ceil(current_bytes / target) per partition, derived from
+    the actual on-disk footprint (no data pass); the rewrite itself is
+    one read + one coalesced write. Content equality and partition-layout
+    preservation are pinned by tests/test_sinks.py. Same staging rule as
+    merge_upsert: the rewritten frame is localCheckpointed before
+    overwriting the path it reads from. Returns {files_before,
+    files_after, bytes}."""
+    def _stats(p: str) -> tuple[int, int]:
+        files = bytes_ = 0
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files += 1
+                    bytes_ += os.path.getsize(os.path.join(root, n))
+        return files, bytes_
+
+    files_before, total = _stats(path)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if partition_by:
+        # repartition on the partition columns so each output partition
+        # directory is written by few tasks (dynamic overwrite keeps the
+        # hive layout); n_out bounds the global file budget
+        out = df.repartition(int(n_out), *partition_by)
+        out = out.localCheckpoint(eager=True)
+        try:
+            overwrite_partitions(out, path, partition_by)
+        finally:
+            out.unpersist()
+    else:
+        out = df.coalesce(int(n_out)).localCheckpoint(eager=True)
+        try:
+            out.write.mode("overwrite").parquet(path)
+        finally:
+            out.unpersist()
+    files_after, _ = _stats(path)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": total}
