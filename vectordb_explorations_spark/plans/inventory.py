@@ -458,6 +458,62 @@ ORDER BY query_id, rank
 
 # ---------- registry ----------
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation AS A QUERY: per-query recall@k of the
+    bucketed-probe ANN serving path against the exact ranking — the eval
+    harness a retrieval team runs after every index build, here
+    hash-checked end to end because BOTH sides are deterministic (seeded
+    hyperplanes; exact L2). Scale shape: two result sets of
+    O(queries x k) rows joined on (query_id, vec_id) — the heavy work is
+    the underlying searches; the evaluation itself is k-row arithmetic."""
+    ann = q_ann_bucketed_probe(spark, sf_dir).select("query_id", "vec_id")
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = (emb.orderBy("vec_id").limit(LSH_PROBE_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    exact = (K.knn_join(emb, qs, KNN_K, dim=EMBEDDING_DIM)
+             .select("query_id", "vec_id"))
+    hits = (ann.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (qs.select("query_id")
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                    .alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"),
+                                       F.lit(0).cast("long"))
+                            / F.lit(float(KNN_K)), 6).alias("recall"))
+            .orderBy("query_id"))
+
+
+def _oracle_ann_recall_report() -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, "
+            "q.query_vec), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS "
+            "DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH ann AS (SELECT query_id, vec_id FROM ({_oracle_ann_bucketed_probe()})),
+qs AS (SELECT vec_id AS query_id, embedding AS query_vec
+       FROM embeddings ORDER BY vec_id LIMIT {LSH_PROBE_QUERIES}),
+exact AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(row_number() OVER (PARTITION BY q.query_id
+                                 ORDER BY {dist} ASC, e.vec_id ASC)
+              AS INTEGER) AS rank
+  FROM embeddings e CROSS JOIN qs q
+  QUALIFY rank <= {KNN_K}
+),
+hits AS (SELECT a.query_id, count(*) AS n_hits
+         FROM ann a JOIN exact x
+           ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         GROUP BY a.query_id)
+SELECT qs.query_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(KNN_K)!r}, 6) AS recall
+FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id
+ORDER BY qs.query_id
+"""
+
+
 # ---------- round-7 additions: pagination, classification, RNN pairs,
 # keyword extraction ----------
 
@@ -773,6 +829,7 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "random_projection": lambda s, d: _PJ.random_projection(
         load_table(s, "embeddings", d)),
+    "ann_recall_report": q_ann_recall_report,
     # hashing-trick featurization: text -> signed-hash embedding (integer
     # weights + sqrt-of-integer norm, so the audit hash-matches exactly)
     "hashed_doc_embeddings": lambda s, d: FZ.hashed_embedding_audit(
@@ -811,10 +868,11 @@ QUERIES: dict[str, QueryFn] = {
 # knn_batch): knn_batch_blockwise, compat_distance, vector_elements,
 # region_nation_rollcall, priority_customer_counts,
 # nation_customer_lists, supplier_nation_volume, top_parts_by_revenue,
-# weighted_sample — plus 5 more static r05 rows (doc_chunks,
+# weighted_sample — plus 6 more static r05 rows (doc_chunks,
 # event_prop_keys, event_value_percentiles, events_sliding_2h,
-# events_session_window) that
-# yield their slots to the 5 NEVER-checked round-7 queries below
+# events_session_window, multimodal_frames — siblings/cousins of
+# in-window rows) that
+# yield their slots to the 6 NEVER-checked round-7 queries below
 # (never-checked evidence outranks 2-round-old greens, the r6
 # precedent). After r07 no query's driver evidence is older than two
 # rounds.
@@ -830,12 +888,12 @@ _WINDOW_PRIORITY = [
     "hybrid_rrf_search",
     # --- new this round, never driver-checked ---
     "knn_search_after", "knn_classify", "mutual_knn", "tfidf_top_terms",
-    "random_projection",
-    # --- latest driver evidence r05 (26 of 40) ---
+    "random_projection", "ann_recall_report",
+    # --- latest driver evidence r05 (25 of 40) ---
     "asof_join", "dedup_exact", "dedup_simhash", "events_json_stats",
     "events_variant_stats",
     "knn_cosine", "knn_exact", "lang_id", "multimodal_features",
-    "multimodal_frames", "multimodal_summary", "nation_balance_full_outer",
+    "multimodal_summary", "nation_balance_full_outer",
     "quality_filter", "range_join", "region_revenue",
     "salted_event_type_stats", "sql_grouping_sets", "sql_knn",
     "sql_volume_shipping", "stratified_sample", "streaming_dedup_stats",
@@ -961,6 +1019,7 @@ ORACLES: dict[str, str] = {
     "mutual_knn": _oracle_mutual_knn(),
     "tfidf_top_terms": X.tfidf_top_terms_oracle(),
     "random_projection": _PJ.random_projection_oracle(),
+    "ann_recall_report": _oracle_ann_recall_report(),
     "hashed_doc_embeddings": FZ.hashed_embedding_audit_oracle(),
     "data_quality_audit": QA.table_quality_audit_oracle(),
     "events_gapfill": TL.events_gapfill_oracle(),
