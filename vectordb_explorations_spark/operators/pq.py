@@ -247,14 +247,22 @@ def ivfpq_build(vectors: DataFrame, num_centroids: int = 16,
 
     assigned, centroids = ivf_build(vectors, num_centroids, seed=seed,
                                     vec_col=vec_col, id_col=id_col)
-    # residual fit sample: hash-ordered rows WITH their assignment so the
-    # sample's residuals use the same centroids the encoder will
-    srows = (assigned.select(id_col, vec_col, "list_id")
-             .orderBy(F.xxhash64(F.col(id_col)), id_col, "list_id")
-             .limit(sample_n).collect())
-    smat = np.asarray([r[vec_col] for r in srows], dtype=np.float64)
-    slist = np.asarray([r["list_id"] for r in srows], dtype=np.int64)
-    resid = smat - centroids[slist]
+    # residual fit sample: draw hash-ordered RAW vectors (plans as
+    # TakeOrderedAndProject on the narrow scan) and assign the sample
+    # driver-side against the already-fitted centroids — sampling from
+    # `assigned` instead would execute the full-corpus assignment pass
+    # just to keep 4096 rows (measured as most of the build's wall time;
+    # at 100 TB it is a whole extra corpus pass). Both replicas of each
+    # sampled vector contribute a residual, matching ivf_build's
+    # assign_n=2 replication in the encoded population.
+    an = 2  # ivf_build default replication
+    svecs = (vectors.orderBy(F.xxhash64(F.col(id_col)), id_col)
+             .limit(max(1, sample_n // an)).select(vec_col).collect())
+    smat = np.asarray([r[0] for r in svecs], dtype=np.float64)
+    d_s = -2.0 * smat @ centroids.T + (centroids ** 2).sum(-1)
+    near = np.argsort(d_s, axis=1)[:, :an]  # nearest-first, as ivf_assign
+    resid = np.concatenate([smat - centroids[near[:, j]]
+                            for j in range(an)])
     dim = resid.shape[1]
     assert dim % m_subspaces == 0, (dim, m_subspaces)
     dsub = dim // m_subspaces
