@@ -206,6 +206,35 @@ COMMENTARY = {
         "Transition matrix: ONE per-user lag window (single hash "
         "exchange on user_id), then a combinable (from, to) count — "
         "no self-join, no per-user event-list materialization."),
+    "random_projection": (
+        "Seeded JL dimensionality reduction: k generated scalar "
+        "expressions over one scan — pure whole-stage codegen, no Python "
+        "stage, no data-dependent shuffle (the only exchange is the "
+        "declared output order); the oracle bakes the identical seeded "
+        "matrix as repr-float64 literals."),
+    "tfidf_top_terms": (
+        "Per-doc TF-IDF keywords: explode -> combinable (doc, term) tf "
+        "counts; document frequency derives from the tf frame itself "
+        "(count(*) per term — no second distinct pass); the zipf-bounded "
+        "df side joins keyed on term and the per-doc window ranks only "
+        "doc-vocabulary-sized groups."),
+    "knn_classify": (
+        "Majority-vote k-NN classification: broadcast queries + window "
+        "rank with self dropped BEFORE ranking, then a combinable "
+        "(query, label) vote count and a 1-row-per-query argmax window "
+        "— vote traffic is O(queries x k), never corpus-sized."),
+    "mutual_knn": (
+        "Reciprocal nearest neighbors: ONE k-NN edge list (broadcast + "
+        "window), self-joined on the reversed key — the join input is "
+        "O(n x k) edges, the O(n^2) distance matrix never exists in the "
+        "plan."),
+    "ann_recall_report": (
+        "Retrieval evaluation as a query: the bucketed-probe ANN result "
+        "joins the exact ranking on (query_id, vec_id) — two "
+        "O(queries x k) result sets; the heavy work stays in the "
+        "underlying searches, the evaluation is k-row arithmetic, and "
+        "BOTH sides being deterministic makes the eval itself "
+        "hash-checked."),
 }
 
 
