@@ -117,3 +117,36 @@ class TestBqPackingRoundtrip:
         assert ((words >= 0) & (words < (1 << 32))).all()
         bits = BQ._unpack_bits_np(words, dim)
         assert (bits == (mat > thr).astype(float)).all()
+
+
+def test_sql_twins_bit_identical_on_random_vectors(spark):
+    """Property form of the SQL-twin bit-identity pin: across random
+    float32 vectors and dims, the F.expr-parsed twins must equal the
+    Column-built trees EXACTLY (no tolerance) — the twins exist only to
+    cut py4j construction cost."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.functions.vectors import (
+        cosine_similarity_sql, dot_product, l2_distance, l2_distance_sql,
+        l2_norm, squared_l2, squared_l2_sql)
+
+    rng = random.Random(1234)
+    for dim in (1, 2, 3, 7, 16, 33):
+        rows = [([rng.uniform(-50, 50) for _ in range(dim)],
+                 [rng.uniform(-50, 50) for _ in range(dim)])
+                for _ in range(8)]
+        df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+        col_side = df.select(
+            l2_distance(F.col("a"), F.col("b"), dim=dim).alias("l2"),
+            squared_l2(F.col("a"), F.col("b"), dim=dim).alias("sq"),
+            (dot_product(F.col("a"), F.col("b"), dim=dim)
+             / (l2_norm(F.col("a"), dim=dim)
+                * l2_norm(F.col("b"), dim=dim))).alias("cos")).collect()
+        sql_side = df.select(
+            F.expr(l2_distance_sql("a", "b", dim)).alias("l2"),
+            F.expr(squared_l2_sql("a", "b", dim)).alias("sq"),
+            F.expr(cosine_similarity_sql("a", "b", dim)).alias("cos")
+        ).collect()
+        assert [tuple(r) for r in col_side] == [tuple(r) for r in sql_side]
