@@ -374,3 +374,34 @@ def test_hnsw_append_rebuilds_only_touched_shards(spark, sf_dir, tmp_path):
     top1 = {r["query_id"]: r["vec_id"] for r in res.collect()}
     assert all(top1[q] == q for q in top1) and len(top1) == n_new
     idx.unpersist()
+
+
+def test_ivf_filtered_search_within_facet(spark, sf_dir):
+    """Filtered ANN by composition (the tenant/facet-scoped search every
+    vector store exposes): because ivf_build's assignment preserves the
+    source columns, scoping the assigned frame to one facet BEFORE
+    ivf_search yields ANN-within-facet with no new operator. Results
+    must stay inside the facet and hold recall against the exact
+    within-facet ranking."""
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_build, ivf_search, recall_at_k)
+    from vectordb_explorations_spark.operators.knn import (
+        knn_join, sample_queries)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    label = emb.orderBy("vec_id").first()["label"]
+    facet = emb.where(F.col("label") == label).cache()
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    queries = sample_queries(facet, 5).cache()
+
+    got = ivf_search(assigned.where(F.col("label") == label), cents,
+                     queries, 5, nprobe=4)
+    ids_in_facet = {r["vec_id"] for r in facet.select("vec_id").collect()}
+    assert {r["vec_id"] for r in got.collect()} <= ids_in_facet
+
+    exact = knn_join(facet, queries, 5, dim=64)
+    assert recall_at_k(got, exact, 5) >= 0.8
+    facet.unpersist()
