@@ -737,3 +737,107 @@ CROSS JOIN split
 WHERE d.doc_id >= split.s
 ORDER BY d.doc_id
 """
+
+
+# ---- unblocked embedding near-dup: hyperplane-LSH buckets + verify ----
+
+EMB_LSH_TABLES = 8
+EMB_LSH_PLANES = 6
+EMB_LSH_SEED = 42
+
+
+def _emb_lsh_planes():
+    from vectordb_explorations_spark.operators.ann import _hyperplanes
+    from vectordb_explorations_spark.schemas import EMBEDDING_DIM
+    return _hyperplanes(EMB_LSH_TABLES, EMB_LSH_PLANES, EMBEDDING_DIM,
+                        EMB_LSH_SEED)
+
+
+def embedding_lsh_pairs(embeddings: DataFrame,
+                        threshold: float = COSINE_THRESHOLD) -> DataFrame:
+    """The UNBLOCKED embedding near-dup path embedding_cosine_pairs'
+    docstring promises: candidates come from seeded hyperplane-LSH
+    buckets (vectors sharing any (table, bucket)), then exact cosine
+    verifies — no label blocking, no all-pairs stage. The same seeded
+    planes as the bucketed-probe serving query, whose verified sign
+    margin (min |dot| >= 2e-7 on the fixtures, far above float64
+    summation noise) makes the bucket ids — and therefore the candidate
+    set — bit-reproducible across engines, so this is a hash-checked
+    query, not a recall-gated one.
+
+    Scale shape: bucketing reuses random_hyperplane_lsh's Arrow GEMM
+    kernel (one batched matmul per partition — all 48 plane dots at
+    once; generating them as scalar SQL expressions was measured to
+    blow up Catalyst on the 3072-term tree); the candidate join is
+    keyed on (table_id, bucket); pairs deduplicate on ids BEFORE the
+    verify joins pull vectors back in, so embeddings never ride through
+    the pair join. Hot buckets on clustered corpora are the documented
+    LSH failure mode — at scale pair this with lsh_refine_hot_buckets'
+    sub-bucket splitting; the fixture corpus stays within bounds."""
+    from vectordb_explorations_spark.functions.vectors import (
+        dot_product_sql, l2_norm_sql)
+    from vectordb_explorations_spark.operators.ann import (
+        random_hyperplane_lsh)
+    from vectordb_explorations_spark.schemas import EMBEDDING_DIM
+
+    tb = random_hyperplane_lsh(embeddings, num_tables=EMB_LSH_TABLES,
+                               num_planes=EMB_LSH_PLANES,
+                               seed=EMB_LSH_SEED)
+    a = tb.select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
+    b = tb.select(F.col("vec_id").alias("vec_id_b"), "table_id", "bucket")
+    cand = (a.join(b, ["table_id", "bucket"])
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b").distinct())
+
+    wn = embeddings.select(
+        "vec_id", "embedding",
+        F.expr(l2_norm_sql("embedding", EMBEDDING_DIM)).alias("nrm"))
+    av = wn.select(F.col("vec_id").alias("vec_id_a"),
+                   F.col("embedding").alias("emb_a"),
+                   F.col("nrm").alias("norm_a"))
+    bv = wn.select(F.col("vec_id").alias("vec_id_b"),
+                   F.col("embedding").alias("emb_b"),
+                   F.col("nrm").alias("norm_b"))
+    cos = (F.expr(dot_product_sql("emb_a", "emb_b", EMBEDDING_DIM))
+           / (F.col("norm_a") * F.col("norm_b")))
+    return (cand.join(av, "vec_id_a").join(bv, "vec_id_b")
+            .select("vec_id_a", "vec_id_b", round6(cos).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .orderBy("vec_id_a", "vec_id_b"))
+
+
+def embedding_lsh_pairs_oracle(threshold: float = COSINE_THRESHOLD) -> str:
+    planes = _emb_lsh_planes()
+    vals = ",\n".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}])"
+        for t in range(EMB_LSH_TABLES) for p in range(EMB_LSH_PLANES))
+    dot_pl = ("list_sum(list_transform(list_zip(e.embedding, pl.w), "
+              "x -> CAST(x[1] AS DOUBLE) * x[2]))")
+    dot = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+    na = ("sqrt(list_sum(list_transform(a.embedding, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    nb = ("sqrt(list_sum(list_transform(b.embedding, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return f"""
+WITH planes(t, p, w) AS (VALUES {vals}),
+vb AS (
+  SELECT e.vec_id, pl.t AS table_id,
+         SUM(CASE WHEN {dot_pl} >= 0 THEN (1 << pl.p) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM vb a JOIN vb b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)
+SELECT c.vec_id_a, c.vec_id_b,
+       {r6(f"{dot} / ({na} * {nb})")} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_id_a
+JOIN embeddings b ON b.vec_id = c.vec_id_b
+WHERE {r6(f"{dot} / ({na} * {nb})")} >= {threshold}
+ORDER BY vec_id_a, vec_id_b
+"""

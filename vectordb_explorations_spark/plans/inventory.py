@@ -830,6 +830,8 @@ QUERIES: dict[str, QueryFn] = {
     "random_projection": lambda s, d: _PJ.random_projection(
         load_table(s, "embeddings", d)),
     "ann_recall_report": q_ann_recall_report,
+    "dedup_embedding_lsh": lambda s, d: D.embedding_lsh_pairs(
+        load_table(s, "embeddings", d)),
     # hashing-trick featurization: text -> signed-hash embedding (integer
     # weights + sqrt-of-integer norm, so the audit hash-matches exactly)
     "hashed_doc_embeddings": lambda s, d: FZ.hashed_embedding_audit(
@@ -868,11 +870,11 @@ QUERIES: dict[str, QueryFn] = {
 # knn_batch): knn_batch_blockwise, compat_distance, vector_elements,
 # region_nation_rollcall, priority_customer_counts,
 # nation_customer_lists, supplier_nation_volume, top_parts_by_revenue,
-# weighted_sample — plus 6 more static r05 rows (doc_chunks,
+# weighted_sample — plus 7 more static r05 rows (doc_chunks,
 # event_prop_keys, event_value_percentiles, events_sliding_2h,
-# events_session_window, multimodal_frames — siblings/cousins of
-# in-window rows) that
-# yield their slots to the 6 NEVER-checked round-7 queries below
+# events_session_window, multimodal_frames, salted_event_type_stats —
+# siblings/cousins of in-window rows) that
+# yield their slots to the 7 NEVER-checked round-7 queries below
 # (never-checked evidence outranks 2-round-old greens, the r6
 # precedent). After r07 no query's driver evidence is older than two
 # rounds.
@@ -888,14 +890,14 @@ _WINDOW_PRIORITY = [
     "hybrid_rrf_search",
     # --- new this round, never driver-checked ---
     "knn_search_after", "knn_classify", "mutual_knn", "tfidf_top_terms",
-    "random_projection", "ann_recall_report",
-    # --- latest driver evidence r05 (25 of 40) ---
+    "random_projection", "ann_recall_report", "dedup_embedding_lsh",
+    # --- latest driver evidence r05 (24 of 40) ---
     "asof_join", "dedup_exact", "dedup_simhash", "events_json_stats",
     "events_variant_stats",
     "knn_cosine", "knn_exact", "lang_id", "multimodal_features",
     "multimodal_summary", "nation_balance_full_outer",
     "quality_filter", "range_join", "region_revenue",
-    "salted_event_type_stats", "sql_grouping_sets", "sql_knn",
+    "sql_grouping_sets", "sql_knn",
     "sql_volume_shipping", "stratified_sample", "streaming_dedup_stats",
     "streaming_index_refresh", "streaming_join_stats",
     "streaming_user_totals", "text_stats", "token_counts",
@@ -1020,6 +1022,7 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": X.tfidf_top_terms_oracle(),
     "random_projection": _PJ.random_projection_oracle(),
     "ann_recall_report": _oracle_ann_recall_report(),
+    "dedup_embedding_lsh": D.embedding_lsh_pairs_oracle(),
     "hashed_doc_embeddings": FZ.hashed_embedding_audit_oracle(),
     "data_quality_audit": QA.table_quality_audit_oracle(),
     "events_gapfill": TL.events_gapfill_oracle(),
