@@ -21,7 +21,12 @@ QUERIES = entry_mod.queries()
 # per-query pool, the bounded-imperative-core pattern).
 PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
                   "multimodal_frames", "multimodal_resize",
-                  "lang_geomean_chars", "mmr_diversified_topk"}
+                  "lang_geomean_chars", "mmr_diversified_topk",
+                  # Arrow GEMM hyperplane bucketing: the 48 plane dots as
+                  # one scalar SQL tree (3072 terms) blew up Catalyst —
+                  # the batched matmul kernel is the deliberate path
+                  # (dedup.embedding_lsh_pairs docstring)
+                  "dedup_embedding_lsh"}
 
 
 def _plan(spark, sf_dir, name):
