@@ -1,0 +1,84 @@
+"""The SURVEY §11 evidence-freshness queue discipline as a checked
+invariant (r7 verdict item 8).
+
+The driver's correctness gate checks the first 50 entries of
+``inventory.QUERIES`` per round.  This test derives every query's
+last-green driver round from the repo's own ``CORRECTNESS_r*.json``
+artifacts (data, not a hand-maintained comment) and asserts that the
+window declared for ``inventory.WINDOW_ROUND``:
+
+  1. contains every query that has never been driver-checked, and
+  2. contains every query whose evidence would otherwise become older
+     than two rounds once ``WINDOW_ROUND`` completes (i.e. last green
+     round <= WINDOW_ROUND - 3),
+
+so the r09 queue derives from data the moment WINDOW_ROUND is bumped.
+No Spark session needed — pure file parsing.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _last_green_rounds() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        rnd = int(m.group(1))
+        for query, row in json.loads(path.read_text()).items():
+            green = row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None)
+            if green:
+                last[query] = max(last.get(query, 0), rnd)
+    return last
+
+
+def test_window_covers_stale_and_never_checked_queries():
+    from vectordb_explorations_spark.plans import inventory
+
+    window = list(inventory.QUERIES)[:50]
+    last = _last_green_rounds()
+    stale_cutoff = inventory.WINDOW_ROUND - 3
+
+    never_checked = [q for q in inventory.QUERIES if q not in last]
+    missing_new = [q for q in never_checked if q not in window]
+    assert not missing_new, (
+        f"never-driver-checked queries must lead the window: {missing_new}")
+
+    stale = [q for q, rnd in last.items()
+             if q in inventory.QUERIES and rnd <= stale_cutoff]
+    missing_stale = [q for q in stale if q not in window]
+    assert not missing_stale, (
+        f"evidence for {missing_stale} would be >2 rounds old after "
+        f"r{inventory.WINDOW_ROUND:02d}; they must be in the window "
+        f"(last green: { {q: last[q] for q in missing_stale} })")
+
+
+def test_window_round_is_current():
+    """WINDOW_ROUND must be bumped past every recorded driver round —
+    a stale constant would silently weaken the freshness assertion."""
+    from vectordb_explorations_spark.plans import inventory
+
+    recorded = [int(re.search(r"r(\d+)", p.name).group(1))
+                for p in REPO.glob("CORRECTNESS_r*.json")]
+    assert recorded, "driver correctness artifacts missing"
+    assert inventory.WINDOW_ROUND == max(recorded) + 1, (
+        f"WINDOW_ROUND={inventory.WINDOW_ROUND} but the latest recorded "
+        f"driver round is r{max(recorded):02d} — bump the rotation")
+
+
+def test_window_priority_well_formed():
+    from vectordb_explorations_spark.plans import inventory
+
+    window = inventory._WINDOW_PRIORITY
+    assert len(window) == 50
+    assert len(set(window)) == 50, "duplicate window entries"
+    assert set(window) <= set(inventory.QUERIES)
+    assert list(inventory.QUERIES)[:50] == window, (
+        "QUERIES dict order must start with _WINDOW_PRIORITY — the "
+        "driver reads dict order, not the list")

@@ -857,50 +857,60 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "embeddings", d), load_table(s, "documents", d)),
 }
 
+# The round the *next* driver correctness check belongs to. Bump this at
+# each rotation; tests/test_window_rotation.py derives every query's
+# last-green round from the CORRECTNESS_r*.json artifacts (data, not
+# prose) and asserts the first-50 window below contains every query whose
+# evidence would otherwise become older than two rounds — the SURVEY §11
+# queue discipline as a checked invariant (r7 verdict item 8).
+WINDOW_ROUND = 8
+
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Round-7 rotation (r6 verdict item
-# 1): burn down the re-certification queue — the 18 queries whose latest
-# driver evidence is r04 go first (the 13 deferred in r6 + the 5 static
-# rows that yielded their slots to r6's new queries), then
-# hybrid_rrf_search (its code changes this round — the r6 verdict's
-# perf item 3 requires hash_match held in CORRECTNESS_r07), then 31 of
-# the 40 r05-green rows. The 9 r05 rows deferred to r08 are the most
-# static multi-round greens whose code is untouched this round
-# (knn_batch_blockwise additionally shares its oracle with in-window
-# knn_batch): knn_batch_blockwise, compat_distance, vector_elements,
-# region_nation_rollcall, priority_customer_counts,
-# nation_customer_lists, supplier_nation_volume, top_parts_by_revenue,
-# weighted_sample — plus 7 more static r05 rows (doc_chunks,
-# event_prop_keys, event_value_percentiles, events_sliding_2h,
-# events_session_window, multimodal_frames, salted_event_type_stats —
-# siblings/cousins of in-window rows) that
-# yield their slots to the 7 NEVER-checked round-7 queries below
-# (never-checked evidence outranks 2-round-old greens, the r6
-# precedent). After r07 no query's driver evidence is older than two
-# rounds.
+# dict order IS the evidence schedule. Round-8 rotation (r7 verdict item
+# 1): the 16 rows whose latest driver evidence is r05 (3 rounds old by
+# r08) go first, then rows whose code changes this round (the
+# scale-adaptive LSH candidate policy touches the bucketed-probe serving
+# path, so ann_recall_report — r07-green but code-adjacent — re-enters),
+# then the oldest r06-green rows. The 15 r06 rows deferred to r09 are
+# static relational/text aggregates whose code is untouched this round
+# and whose operator classes keep in-window siblings (window/agg classes
+# via events_gapfill, funnel_conversion, cohort_retention,
+# event_transitions, events_hourly; text classes via boilerplate_ngrams,
+# bpe_pair_stats, doc_repetition_stats): boilerplate_coverage,
+# customer_balance_tiles, customer_first_orders,
+# customers_with_open_orders, lang_confusion, lang_geomean_chars,
+# moving_avg_daily_revenue, order_gaps, orders_above_customer_avg,
+# pivot_flag_by_status, pricing_summary, top_customers_per_nation,
+# unigram_logprob, user_sessions, vocab_stats — plus
+# train_val_split_stats (sampling class keeps in-window siblings
+# weighted_sample, domain_mix_sample, training_shards,
+# sequence_pack_bins). Any never-checked r08 additions outrank both
+# (r6/r7 precedent).
 _WINDOW_PRIORITY = [
-    # --- latest driver evidence r04: the full 18-row re-cert queue ---
-    "clean_text", "cube_order_stats", "customers_without_orders",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "distance_matrix_sample", "doc_fingerprints", "doc_length_percentiles",
-    "knn_batch", "large_volume_customers", "mask_pii", "norm_stats",
-    "part_set_ops", "rollup_revenue", "running_totals",
-    "segment_order_stats", "shipping_priority", "top_orders",
-    # --- code changed this round (r6 verdict perf item 3) ---
-    "hybrid_rrf_search",
-    # --- new this round, never driver-checked ---
-    "knn_search_after", "knn_classify", "mutual_knn", "tfidf_top_terms",
-    "random_projection", "ann_recall_report", "dedup_embedding_lsh",
-    # --- latest driver evidence r05 (24 of 40) ---
-    "asof_join", "dedup_exact", "dedup_simhash", "events_json_stats",
-    "events_variant_stats",
-    "knn_cosine", "knn_exact", "lang_id", "multimodal_features",
-    "multimodal_summary", "nation_balance_full_outer",
-    "quality_filter", "range_join", "region_revenue",
-    "sql_grouping_sets", "sql_knn",
-    "sql_volume_shipping", "stratified_sample", "streaming_dedup_stats",
-    "streaming_index_refresh", "streaming_join_stats",
-    "streaming_user_totals", "text_stats", "token_counts",
+    # --- latest driver evidence r05: the full 16-row re-cert queue ---
+    "knn_batch_blockwise", "compat_distance", "vector_elements",
+    "region_nation_rollcall", "priority_customer_counts",
+    "nation_customer_lists", "supplier_nation_volume",
+    "top_parts_by_revenue", "weighted_sample", "doc_chunks",
+    "event_prop_keys", "event_value_percentiles", "events_sliding_2h",
+    "events_session_window", "multimodal_frames",
+    "salted_event_type_stats",
+    # --- code changes this round (scale-adaptive LSH probe policy) ---
+    "ann_recall_report",
+    # --- latest driver evidence r06 (34 of 49; code-changed rows
+    #     ann_bucketed_probe / bq_hamming_topk / streaming_near_dedup
+    #     kept in-window ahead of static siblings) ---
+    "ann_bucketed_probe", "bq_hamming_topk", "streaming_near_dedup",
+    "boilerplate_ngrams", "bpe_pair_stats", "cohort_retention",
+    "contamination_check", "curation_pipeline", "data_quality_audit",
+    "dedup_clusters", "dedup_edit_distance", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_representatives", "doc_repetition_stats",
+    "domain_mix_sample", "event_transitions", "event_value_histogram",
+    "events_gapfill", "events_hourly", "funnel_conversion",
+    "hashed_doc_embeddings", "knn_filtered", "label_centroids",
+    "mmr_diversified_topk", "multimodal_resize", "quota_capped_search",
+    "range_search", "sequence_pack_bins", "sq8_quantization",
+    "streaming_enrichment", "training_shards", "zorder_layout",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
