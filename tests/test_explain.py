@@ -85,3 +85,25 @@ def test_cache_footprint_counts_persisted_blocks(spark, sf_dir):
         assert fp["per_rdd"]
     finally:
         df.unpersist()
+
+
+def test_truncated_read_schema_does_not_swallow_plan():
+    """r7 ADVICE: a ReadSchema clipped by spark.sql.maxMetadataStringLength
+    has no closing '>' — the bracket scan must neither swallow later plan
+    lines nor let a later Filter's '>' close it spuriously; the complete
+    leading fields are salvaged, the unterminated tail dropped."""
+    from vectordb_explorations_spark.plans.explain import (
+        _read_schemas, _top_level_columns)
+
+    plan = ("*(1) Project [a#1, b#2]\n"
+            "+- FileScan parquet [a#1,b#2] PushedFilters: [], "
+            "ReadSchema: struct<a:int,b:string,c:struct<x:int,...\n"
+            "+- Filter (d#3 > 3)\n")
+    schemas = _read_schemas(plan)
+    assert len(schemas) == 1
+    cols = _top_level_columns(schemas[0])
+    assert cols == ["a", "b"], cols
+    assert all("Filter" not in s and "\n" not in s for s in schemas)
+
+    intact = "FileScan ReadSchema: struct<a:int,c:struct<x:int,y:int>>\n"
+    assert _top_level_columns(_read_schemas(intact)[0]) == ["a", "c"]

@@ -324,3 +324,49 @@ def test_compact_table_preserves_content_and_cuts_files(spark, sf_dir,
     assert dirs_after == dirs_before
     pafter = sorted(map(tuple, spark.read.parquet(part).collect()))
     assert pafter == pbefore
+
+
+def test_compact_table_splits_oversized_partitions(spark, sf_dir, tmp_path):
+    """r7 ADVICE: a hive partition larger than target_file_bytes must be
+    written by multiple tasks (budget-bounded salt), not funnelled into a
+    single oversized file; small sibling partitions keep ~1 file."""
+    from vectordb_explorations_spark.sources.sinks import compact_table
+
+    li = load_table(spark, "lineitem", sf_dir).limit(4000)
+    # one fat partition ("big": ~all rows) + one thin ("small": 10 rows)
+    df = li.withColumn(
+        "grp", F.when(F.col("l_orderkey") % 400 == 0, "small")
+                .otherwise("big"))
+    part = str(tmp_path / "skewed")
+    df.repartition(8).write.partitionBy("grp").parquet(part)
+    big_dir = os.path.join(part, "grp=big")
+    big_bytes = sum(os.path.getsize(os.path.join(big_dir, n))
+                    for n in os.listdir(big_dir) if n.endswith(".parquet"))
+    target = max(1, big_bytes // 4)   # budget of ~4-5 files for "big"
+    before = sorted(map(tuple, spark.read.parquet(part).collect()))
+    compact_table(spark, part, target_file_bytes=target,
+                  partition_by=["grp"])
+    after = sorted(map(tuple, spark.read.parquet(part).collect()))
+    assert after == before
+    big_files = [n for n in os.listdir(big_dir) if n.endswith(".parquet")]
+    assert len(big_files) > 1, "oversized partition must split"
+    small_files = [n for n in os.listdir(os.path.join(part, "grp=small"))
+                   if n.endswith(".parquet")]
+    assert len(small_files) <= 2
+
+
+def test_compact_table_swap_leaves_no_staging_dirs(spark, sf_dir, tmp_path):
+    """The non-partitioned branch's temp-and-rename swap (r7 ADVICE: the
+    durable copy must survive until the new files commit) cleans up both
+    staging directories on success."""
+    from vectordb_explorations_spark.sources.sinks import compact_table
+
+    li = load_table(spark, "nation", sf_dir)
+    flat = str(tmp_path / "swap")
+    li.repartition(4).write.parquet(flat)
+    before = sorted(map(tuple, spark.read.parquet(flat).collect()))
+    compact_table(spark, flat, target_file_bytes=1 << 30)
+    after = sorted(map(tuple, spark.read.parquet(flat).collect()))
+    assert after == before
+    assert not os.path.exists(flat + "._compact_tmp")
+    assert not os.path.exists(flat + "._compact_old")

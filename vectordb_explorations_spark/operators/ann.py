@@ -383,11 +383,18 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
 
 # ---------------- IVF (inverted-file / coarse k-means) ----------------
 
+# Default boundary replication for IVF assignment. Shared constant (r7
+# ADVICE): ivfpq_build samples its residual-fit population at this same
+# replication so the fitted residuals match the encoded population — a
+# drift between the two would silently skew the codebooks with no error.
+IVF_ASSIGN_N = 2
+
+
 def ivf_build(vectors: DataFrame, num_centroids: int = 16, seed: int = 42,
               vec_col: str = "embedding",
               max_iter: int = 10,
               fit_sample: int = 50_000,
-              assign_n: int = 2,
+              assign_n: int = IVF_ASSIGN_N,
               id_col: str = "vec_id") -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: seeded k-means centroids, each vector assigned
     to its ``assign_n`` nearest centroids' lists. Returns

@@ -187,7 +187,10 @@ def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
     hash aggregate (grouping (query_id, id) is clustered by it), and the
     final top-``top`` window. r6 plan: 4 shuffle exchanges + a
     range-partitioned orderBy (sampling pass + exchange for <=30 rows);
-    this shape: 1 shuffle exchange, and the presentation sort is a
+    this shape (per the rendered PLANS.md evidence): 3 exchanges total —
+    the single POOLING/FUSION exchange described above, the (query_id,
+    ch) window exchange that feeds it, and the 1-row corpus-stats
+    single-partition aggregate — and the presentation sort is a
     coalesce(1).sortWithinPartitions over the <=queries*top output rows
     (no sampling job, no range exchange — the output is bounded, never
     corpus-sized).

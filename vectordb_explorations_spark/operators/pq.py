@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from vectordb_explorations_spark.functions.vectors import l2_distance_sql
+from vectordb_explorations_spark.operators import ann as ANN
 
 
 def _kmeans_1d(data: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
@@ -255,7 +256,7 @@ def ivfpq_build(vectors: DataFrame, num_centroids: int = 16,
     # at 100 TB it is a whole extra corpus pass). Both replicas of each
     # sampled vector contribute a residual, matching ivf_build's
     # assign_n=2 replication in the encoded population.
-    an = 2  # ivf_build default replication
+    an = ANN.IVF_ASSIGN_N  # the replication ivf_build encodes with
     svecs = (vectors.orderBy(F.xxhash64(F.col(id_col)), id_col)
              .limit(max(1, sample_n // an)).select(vec_col).collect())
     smat = np.asarray([r[0] for r in svecs], dtype=np.float64)

@@ -23,14 +23,32 @@ def _read_schemas(plan: str) -> list[str]:
     phantom column names."""
     out = []
     for m in re.finditer(r"ReadSchema: struct<", plan):
-        depth, i = 1, m.end()
-        while i < len(plan) and depth:
-            if plan[i] == "<":
+        # The schema body always lives on ONE explain line — scope the
+        # bracket scan to it, else a schema truncated by
+        # spark.sql.maxMetadataStringLength (the same clipping PLANS.md
+        # shows on long PushedFilters) never closes its '>' and the scan
+        # would swallow later plan lines — or worse, a stray '>' in a
+        # later Filter would close it spuriously (r7 ADVICE).
+        eol = plan.find("\n", m.end())
+        line = plan[m.end():eol if eol != -1 else len(plan)]
+        depth, i = 1, 0
+        while i < len(line) and depth:
+            if line[i] == "<":
                 depth += 1
-            elif plan[i] == ">":
+            elif line[i] == ">":
                 depth -= 1
             i += 1
-        out.append(plan[m.end():i - 1])
+        if depth:
+            # truncated: drop the '...' marker and keep only the complete
+            # top-level fields before the cut. _top_level_columns ignores
+            # an unterminated nested tail by construction (no depth-0
+            # comma ever closes it).
+            body = line.rstrip(". ")
+            body = body[:max(body.rfind(","), 0)]
+            if body:
+                out.append(body)
+            continue
+        out.append(line[:i - 1])
     return out
 
 

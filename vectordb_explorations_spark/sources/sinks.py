@@ -234,6 +234,34 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         out.unpersist()
 
 
+def _partition_file_budgets(path: str, partition_by: list[str],
+                            target_file_bytes: int) -> list[dict]:
+    """Per-hive-partition output-file budgets from the on-disk footprint
+    (no data pass): walk ``path``, parse ``col=value`` directory
+    components, and return one row per partition value combination with
+    ``_n_files = ceil(partition_bytes / target)``.  Hive's
+    ``__HIVE_DEFAULT_PARTITION__`` maps to None (joined null-safely)."""
+    from urllib.parse import unquote
+
+    budgets: dict[tuple, int] = {}
+    for root, _, names in os.walk(path):
+        pq_bytes = sum(os.path.getsize(os.path.join(root, n))
+                       for n in names if n.endswith(".parquet"))
+        if not pq_bytes:
+            continue
+        vals: dict[str, str | None] = {}
+        for comp in os.path.relpath(root, path).split(os.sep):
+            if "=" in comp:
+                k, _, v = comp.partition("=")
+                vals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                           else unquote(v))
+        key = tuple(vals.get(c) for c in partition_by)
+        budgets[key] = budgets.get(key, 0) + pq_bytes
+    return [dict(zip(partition_by, key),
+                 _n_files=max(1, -(-b // target_file_bytes)))
+            for key, b in budgets.items()]
+
+
 def compact_table(spark: SparkSession, path: str,
                   target_file_bytes: int = 128 * 1024 * 1024,
                   partition_by: list[str] | None = None) -> dict:
@@ -244,13 +272,27 @@ def compact_table(spark: SparkSession, path: str,
     (ivf_append_partitioned, streaming ingest epochs, merge_upsert) need
     periodically, since each batch lands its own files.
 
-    File count = ceil(current_bytes / target) per partition, derived from
-    the actual on-disk footprint (no data pass); the rewrite itself is
-    one read + one coalesced write. Content equality and partition-layout
-    preservation are pinned by tests/test_sinks.py. Same staging rule as
-    merge_upsert: the rewritten frame is localCheckpointed before
-    overwriting the path it reads from. Returns {files_before,
-    files_after, bytes}."""
+    File budgets come from the actual on-disk footprint (no data pass):
+    per hive partition, ~ceil(partition_bytes / target) files — a salt
+    column bounded by each partition's own budget joins in (broadcast,
+    null-safe on partition values) so oversized partitions SPLIT across
+    tasks instead of funnelling into one writer (r7 ADVICE); hash
+    collisions can merge salt buckets, so the count is a budget, not an
+    exact quota. Content equality and partition-layout preservation are
+    pinned by tests/test_sinks.py.
+
+    Durability: the partitioned branch stages through localCheckpoint and
+    dynamic partition overwrite — the crash-loss window is per-partition,
+    as in merge_upsert. The non-partitioned branch writes to a sibling
+    temp directory and swaps it in with two renames, so the source files
+    survive until the new files are fully committed; the only window is
+    between the renames (table briefly absent, old copy still on disk as
+    ``<path>._compact_old``). Returns {files_before, files_after,
+    bytes}."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
     def _stats(p: str) -> tuple[int, int]:
         files = bytes_ = 0
         for root, _, names in os.walk(p):
@@ -264,21 +306,41 @@ def compact_table(spark: SparkSession, path: str,
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     if partition_by:
-        # repartition on the partition columns so each output partition
-        # directory is written by few tasks (dynamic overwrite keeps the
-        # hive layout); n_out bounds the global file budget
-        out = df.repartition(int(n_out), *partition_by)
+        budgets = _partition_file_budgets(path, partition_by,
+                                          target_file_bytes)
+        bdf = spark.createDataFrame(
+            budgets, ", ".join(f"`{c}` string" for c in partition_by)
+            + ", `_n_files` int")
+        n_out = int(sum(b["_n_files"] for b in budgets))
+        salted = (df.join(F.broadcast(bdf.select(
+                      *[bdf[c].alias(f"_pb_{c}") for c in partition_by],
+                      "_n_files")),
+                      [df[c].cast("string").eqNullSafe(F.col(f"_pb_{c}"))
+                       for c in partition_by], "left")
+                  .withColumn("_salt", F.pmod(
+                      F.xxhash64(*df.columns),
+                      F.coalesce(F.col("_n_files"), F.lit(1))).cast("int")))
+        out = (salted.repartition(n_out, *partition_by, "_salt")
+               .drop("_salt", "_n_files",
+                     *[f"_pb_{c}" for c in partition_by]))
         out = out.localCheckpoint(eager=True)
         try:
             overwrite_partitions(out, path, partition_by)
         finally:
             out.unpersist()
     else:
-        out = df.coalesce(int(n_out)).localCheckpoint(eager=True)
+        tmp = path.rstrip("/") + "._compact_tmp"
+        old = path.rstrip("/") + "._compact_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
         try:
-            out.write.mode("overwrite").parquet(path)
-        finally:
-            out.unpersist()
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(old, path)   # restore the durable copy
+            raise
+        shutil.rmtree(old)
     files_after, _ = _stats(path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": total}
