@@ -713,31 +713,45 @@ def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
     sub_base = np.asarray([s[0] for s in cell_shards])
     n_sub = np.asarray([len(s) for s in cell_shards])
 
-    # route the batch (bounded ingest: driver-side; the distributed twin
-    # is hnsw_build's mapInPandas assign with the same formula)
-    rows = new_vectors.select(id_col, vec_col).collect()
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    # route the batch DISTRIBUTED (r7 verdict item 5): the same
+    # mapInPandas assign kernel hnsw_build uses — only the tiny
+    # (cells × dim) centroid table rides the broadcast; no O(batch)
+    # driver collect, symmetric with ivf_append_partitioned.
     an = max(1, min(assign_n, len(cell_cents)))
-    d = -2.0 * X @ cell_cents.T + (cell_cents ** 2).sum(-1)
-    near = np.argpartition(d, an - 1, axis=1)[:, :an]
-    h = ids.astype(np.uint64)
-    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
-    h = (h ^ (h >> np.uint64(33))).astype(np.int64)
-    per_shard: dict[int, list[int]] = {}
-    for i in range(len(ids)):
-        for ci in near[i]:
-            s = int(sub_base[ci] + h[i] % n_sub[ci])
-            per_shard.setdefault(s, []).append(i)
-    touched = sorted(per_shard)
-    if not touched:
-        return
+    bc = spark.sparkContext.broadcast((cell_cents, sub_base, n_sub))
+    cnorm_route = (cell_cents ** 2).sum(-1)
+    route_schema = T.StructType(
+        [T.StructField("shard", T.IntegerType())]
+        + [T.StructField(f.name, f.dataType, f.nullable)
+           for f in new_vectors.select(id_col, vec_col).schema.fields])
 
-    new_rows_df = spark.createDataFrame(
-        [(s, int(ids[i]), [float(x) for x in X[i]])
-         for s in touched for i in per_shard[s]],
-        f"shard int, {id_col} long, {vec_col} array<double>")
+    def route(batches):
+        C, sb, ns = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            d = -2.0 * X @ C.T + cnorm_route
+            near = np.argpartition(d, an - 1, axis=1)[:, :an]
+            h = ids.astype(np.uint64)
+            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+            h = (h ^ (h >> np.uint64(33))).astype(np.int64)
+            shards = sb[near] + (h[:, None] % ns[near])
+            out = pdf[[id_col, vec_col]].loc[pdf.index.repeat(an)].copy()
+            out.insert(0, "shard", shards.reshape(-1).astype(np.int32))
+            yield out
+
+    new_rows_df = (new_vectors.select(id_col, vec_col)
+                   .mapInPandas(route, schema=route_schema)
+                   .localCheckpoint(eager=True))
+    # touched-shard list is bounded by shard count, not batch size
+    touched = sorted(r["shard"] for r in
+                     new_rows_df.select("shard").distinct().collect())
+    if not touched:
+        new_rows_df.unpersist()
+        return
     old_blobs = full.where(F.col("shard").isin(touched)) \
         .select("shard", "blob", "centroid")
 
@@ -776,3 +790,4 @@ def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
         overwrite_partitions(rebuilt, path, ["shard"])
     finally:
         rebuilt.unpersist()
+        new_rows_df.unpersist()
