@@ -405,3 +405,66 @@ def test_ivf_filtered_search_within_facet(spark, sf_dir):
     exact = knn_join(facet, queries, 5, dim=64)
     assert recall_at_k(got, exact, 5) >= 0.8
     facet.unpersist()
+
+
+def test_adaptive_bucket_cap_policy(spark, sf_dir):
+    """r7 verdict item 3: bucket_cap='auto' scales with corpus size at
+    the calibrated candidate fraction, floors at the default at small N
+    (so fixture-scale hash evidence is unchanged), and a fixed cap below
+    the fraction emits a loud recall-risk warning."""
+    import warnings
+
+    from vectordb_explorations_spark.operators.ann import (
+        LSH_CAP_FRACTION, LSH_DEFAULT_BUCKET_CAP, adaptive_bucket_cap)
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    # policy math
+    assert adaptive_bucket_cap(2_000) == LSH_DEFAULT_BUCKET_CAP
+    assert adaptive_bucket_cap(100_000) == LSH_DEFAULT_BUCKET_CAP
+    assert adaptive_bucket_cap(1_000_000) == int(
+        1_000_000 * LSH_CAP_FRACTION + 0.999999)
+    assert adaptive_bucket_cap(1_000_000) > LSH_DEFAULT_BUCKET_CAP
+
+    # 'auto' at fixture scale resolves to the floor -> identical refined
+    # index to the fixed default (the hash-stability guarantee for
+    # ann_bucketed_probe / ann_recall_report)
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = random_hyperplane_lsh(emb).cache()
+    try:
+        fixed, cf = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024)
+        auto, ca = lsh_refine_hot_buckets(idx, emb, bucket_cap="auto")
+        a = sorted(map(tuple, fixed.collect()))
+        b = sorted(map(tuple, auto.collect()))
+        assert a == b
+        assert [tuple(r) for r in cf] == [tuple(r) for r in ca]
+    finally:
+        idx.unpersist()
+
+    # a fixed cap far below the calibrated fraction warns
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_refine_hot_buckets(idx, emb, bucket_cap=2)
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("recall decays" in m and "auto" in m for m in msgs), msgs
+
+
+def test_adaptive_multiprobe_and_auto_search(spark, sf_dir, exact):
+    """The 'auto' probe policy: depth 1 below the threshold (fixture
+    scale unchanged), 2 past it; lsh_search('auto'...) at fixture scale
+    equals the fixed-default search row for row."""
+    from vectordb_explorations_spark.operators.ann import (
+        LSH_MULTIPROBE_THRESHOLD, adaptive_multiprobe_bits)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    assert adaptive_multiprobe_bits(2_000) == 1
+    assert adaptive_multiprobe_bits(LSH_MULTIPROBE_THRESHOLD) == 2
+    assert adaptive_multiprobe_bits(10_000_000) == 2
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, 5)
+    fixed = lsh_search(emb, qs, 5).collect()
+    auto = lsh_search(emb, qs, 5, multiprobe_bits="auto",
+                      bucket_cap="auto").collect()
+    assert sorted(map(tuple, fixed)) == sorted(map(tuple, auto))

@@ -30,6 +30,56 @@ from vectordb_explorations_spark.functions.vectors import l2_distance
 from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 
 
+# ---------------- scale-adaptive candidate policy (r7 verdict item 3) --
+#
+# The 200k/1M probes (SCALE_NOTES) measured WHY a fixed bucket_cap decays
+# recall: hot-bucket refinement bounds candidates per probe at ~cap, so
+# the inspected corpus FRACTION shrinks as N grows — 0.93 at fixture
+# scale, 0.86 at 200k, 0.796 at 1M, all at cap=1024. Candidate-fraction
+# math: a query probing a hot bucket inspects ~nprobe_sub*cap rows of it;
+# holding the fraction nprobe_sub*cap/N constant holds the geometry the
+# calibration measured. The anchor below is the 200k operating point
+# (cap 1024 ≈ 0.5% of N at recall 0.86; the 1M re-probe with the
+# resolved auto cap is the validation row in SCALE_NOTES).
+LSH_DEFAULT_BUCKET_CAP = 1024
+LSH_CAP_FRACTION = 1024 / 100_000  # ≈1% — cap/N at the calibrated point
+# Past this corpus size, 1-bit multiprobe leaves recall on the table even
+# at the fraction-held cap: the 1M calibration measured 0.889 at
+# cap='auto'/mpb=1 (cap saturates — doubling it bought +0.004) vs 0.988
+# at mpb=2 for ~2x search cost. The misses are neighbors ≥2 hash bits
+# away in every table, which no cap can recover — only probing recovers
+# them (Lv et al. multiprobe).
+LSH_MULTIPROBE_THRESHOLD = 500_000
+
+
+def adaptive_bucket_cap(n: int, floor: int = LSH_DEFAULT_BUCKET_CAP,
+                        fraction: float = LSH_CAP_FRACTION) -> int:
+    """Corpus-size-aware bucket cap: never below the calibrated floor,
+    growing linearly with N past floor/fraction rows so the inspected
+    candidate fraction stays at the recall-validated operating point."""
+    return max(int(floor), int(np.ceil(n * fraction)))
+
+
+def adaptive_multiprobe_bits(n: int) -> int:
+    """Corpus-size-aware multiprobe depth: 1-bit flips suffice below
+    LSH_MULTIPROBE_THRESHOLD (calibrated 0.87-0.93 recall); past it the
+    2-bit ring is what holds recall ≥0.9 (1M: 0.889 → 0.988)."""
+    return 2 if n >= LSH_MULTIPROBE_THRESHOLD else 1
+
+
+def _warn_recall_risk(cap: int, n: int) -> None:
+    import warnings
+    if n > 0 and cap < n * LSH_CAP_FRACTION:
+        warnings.warn(
+            f"lsh bucket_cap={cap} is {cap / n:.2%} of the corpus "
+            f"(N={n:,}) — below the calibrated {LSH_CAP_FRACTION:.2%} "
+            f"candidate fraction; recall decays with N at a fixed cap "
+            f"(measured 0.93→0.80 from 100k→1M in SCALE_NOTES). Pass "
+            f"bucket_cap='auto' (resolves to "
+            f"{adaptive_bucket_cap(n)}) or accept degraded recall.",
+            RuntimeWarning, stacklevel=3)
+
+
 def _hyperplanes(num_tables: int, num_planes: int, dim: int, seed: int) -> np.ndarray:
     """(num_tables, num_planes, dim) deterministic Gaussian hyperplanes."""
     rng = np.random.RandomState(seed)
@@ -84,12 +134,21 @@ def random_hyperplane_lsh(vectors: DataFrame, num_tables: int = 8,
 
 
 def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
-                           bucket_cap: int = 1024, seed: int = 42,
+                           bucket_cap: int | str = LSH_DEFAULT_BUCKET_CAP,
+                           seed: int = 42,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            materialize: bool = False
                            ) -> tuple[DataFrame, DataFrame]:
     """Split oversized LSH buckets with an in-bucket coarse quantizer.
+
+    ``bucket_cap='auto'`` resolves the cap from the corpus size measured
+    by the same histogram job the hot-bucket scan already runs (zero
+    extra jobs): cap = max(floor, N * LSH_CAP_FRACTION), holding the
+    inspected candidate fraction — and therefore recall — constant as N
+    grows (r7 verdict item 3; the 1M probe measured the decay of a fixed
+    cap). A fixed int cap below the calibrated fraction emits a loud
+    RuntimeWarning instead of silently degrading.
 
     ``materialize=True`` returns the refined index already cached and
     counted, overlapping the no-hot-buckets result's materialization with
@@ -151,10 +210,21 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     # downstream action that references it (isEmpty + anti-join + member
     # join = 3 recomputes), which round-2 profiling measured as ~2 s of
     # pure job overhead at sf0.1 with zero hot buckets.
-    hot_rows = (index.groupBy("table_id", "bucket")
-                .agg(F.count("*").alias("sz"))
-                .where(F.col("sz") > bucket_cap)
-                .collect())
+    # Collect the FULL histogram (bounded by the key space, never corpus
+    # size) so the corpus size falls out of the same job: total rows =
+    # N * num_tables. That lets 'auto' resolve the cap with zero extra
+    # Spark jobs, and prices the fixed-cap recall-risk check for free.
+    size_rows = (index.groupBy("table_id", "bucket")
+                 .agg(F.count("*").alias("sz"))
+                 .collect())
+    n_tables = len({r["table_id"] for r in size_rows}) or 1
+    n_corpus = sum(r["sz"] for r in size_rows) // n_tables
+    if bucket_cap == "auto":
+        bucket_cap = adaptive_bucket_cap(n_corpus)
+    else:
+        bucket_cap = int(bucket_cap)
+        _warn_recall_risk(bucket_cap, n_corpus)
+    hot_rows = [r for r in size_rows if r["sz"] > bucket_cap]
     if fast_future is not None:
         fast_future.result()
         executor.shutdown()
@@ -246,9 +316,9 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
                dim: int = EMBEDDING_DIM,
                id_col: str = "vec_id", vec_col: str = "embedding",
                qid_col: str = "query_id", qvec_col: str = "query_vec",
-               multiprobe_bits: int = 1,
+               multiprobe_bits: int | str = 1,
                index: DataFrame | None = None,
-               bucket_cap: int | None = 1024,
+               bucket_cap: int | str | None = LSH_DEFAULT_BUCKET_CAP,
                nprobe_sub: int = 2,
                refined: tuple[DataFrame, "DataFrame | list"] | None = None
                ) -> DataFrame:
@@ -260,7 +330,9 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
     ``lsh_refine_hot_buckets``; a query entering a hot bucket descends into
     only its ``nprobe_sub`` nearest sub-buckets, so per-probe candidates are
     ~bucket_cap even when the corpus is clustered (pass ``bucket_cap=None``
-    to disable and probe raw buckets). Only candidate ids shuffle; full
+    to disable and probe raw buckets; pass ``'auto'`` to scale the cap
+    with corpus size and hold the recall-calibrated candidate fraction —
+    a fixed cap below that fraction warns, see adaptive_bucket_cap). Only candidate ids shuffle; full
     vectors are joined back just for the surviving candidate set, then
     exact-scored and top-k'd.
 
@@ -279,6 +351,10 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qb = _buckets_np(qmat, planes)  # (Q, T)
     spark = vectors.sparkSession
+    if multiprobe_bits == "auto":
+        # parquet/cached counts are metadata-cheap; the probe depth that
+        # holds recall is a function of corpus size (policy block above)
+        multiprobe_bits = adaptive_multiprobe_bits(vectors.count())
 
     sub_meta: dict = {}
     if bucket_cap is not None:
@@ -317,6 +393,13 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
             cands = [base]
             if multiprobe_bits >= 1:
                 cands.extend(base ^ (1 << b) for b in range(num_planes))
+            if multiprobe_bits >= 2:
+                # 2-bit flips: C(P,2) extra probes per table. Most land in
+                # cold buckets, so candidates grow far slower than probes —
+                # the classic multiprobe trade (Lv et al., VLDB'07).
+                cands.extend(base ^ (1 << b1) ^ (1 << b2)
+                             for b1 in range(num_planes)
+                             for b2 in range(b1 + 1, num_planes))
             for bk in cands:
                 if use_subs:
                     for sub in probe_subs(qi, t, bk):
@@ -570,7 +653,8 @@ def lsh_bucket_skew(index: DataFrame, bucket_cap: int = 1024) -> float:
 def ann_search(vectors: DataFrame, queries: DataFrame, k: int,
                method: str = "auto",
                num_tables: int = 8, num_planes: int = 6, seed: int = 42,
-               dim: int = EMBEDDING_DIM, bucket_cap: int = 1024,
+               dim: int = EMBEDDING_DIM,
+               bucket_cap: int | str = LSH_DEFAULT_BUCKET_CAP,
                hot_frac_threshold: float = 0.2,
                num_centroids: int = 64, nprobe: int = 8,
                id_col: str = "vec_id", vec_col: str = "embedding",
@@ -603,7 +687,9 @@ def ann_search(vectors: DataFrame, queries: DataFrame, k: int,
         index = random_hyperplane_lsh(vectors, num_tables, num_planes, seed,
                                       dim, id_col, vec_col)
     if method == "auto":
-        skew = lsh_bucket_skew(index, bucket_cap)
+        skew_cap = (bucket_cap if isinstance(bucket_cap, int)
+                    else LSH_DEFAULT_BUCKET_CAP)
+        skew = lsh_bucket_skew(index, skew_cap)
         method = "ivf" if skew > hot_frac_threshold else "lsh"
     if method == "ivf":
         assigned, centroids = ivf_build(vectors, num_centroids, seed, vec_col,
