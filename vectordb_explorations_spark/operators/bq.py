@@ -35,6 +35,47 @@ from vectordb_explorations_spark.operators.sq import sq_train
 BQ_WORD_BITS = 32  # bits packed per BIGINT word: keeps every engine's
 # integer math in signed-64 range (a 64-bit word would need the sign bit)
 
+# ---- corpus-adaptive cascade shortlist (r7 verdict item 4) ----
+# The 200k/1M probes measured the dim-64 saturation curve directly:
+# at 200k a 1%-of-corpus shortlist (2000) holds cascade recall 0.95; at
+# 1M the same 1% holds only 0.813, 3% gives 0.899 and 5% gives 0.931 —
+# the shortlist must grow SUPER-linearly because in-cluster candidates
+# grow with N while the 64-bit code space stays fixed, so true
+# neighbors' Hamming ranks drift past any fixed fraction. The policy
+# anchors on those measurements: fraction 1% at the 200k anchor, scaled
+# by N/anchor past it (quadratic in N — at 1M that is 5%, the measured
+# >=0.9 operating point). Past ~5M rows the resolved shortlist
+# approaches the corpus itself, which is the honest signal that 1-bit
+# codes at dim 64 stop paying: use SQ8 or IVF there, or bring
+# >=BQ_RANKER_MIN_DIM-bit codes where 1-bit Hamming can actually rank.
+BQ_SHORTLIST_FLOOR = 2000
+BQ_SHORTLIST_ANCHOR_N = 200_000
+BQ_SHORTLIST_FRACTION = BQ_SHORTLIST_FLOOR / BQ_SHORTLIST_ANCHOR_N  # 1%
+BQ_RANKER_MIN_DIM = 256
+
+
+def adaptive_shortlist(n: int) -> int:
+    """Stage-1 shortlist that holds cascade recall >=0.9 as N grows
+    (measured at 200k and 1M, SCALE_NOTES): floor below the anchor,
+    super-linear n * frac * (n/anchor) past it."""
+    return max(BQ_SHORTLIST_FLOOR,
+               int(np.ceil(n * BQ_SHORTLIST_FRACTION
+                           * max(1.0, n / BQ_SHORTLIST_ANCHOR_N))))
+
+
+def _warn_shortlist_risk(shortlist: int, n: int, dim: int) -> None:
+    import warnings
+    need = adaptive_shortlist(n)
+    if shortlist < need:
+        warnings.warn(
+            f"bq cascade shortlist={shortlist} is below the calibrated "
+            f"{need} for N={n:,} at dim {dim} — at dim<"
+            f"{BQ_RANKER_MIN_DIM} the 1-bit code is a PRE-FILTER, not a "
+            f"ranker, and a fixed shortlist collapses recall as N grows "
+            f"(measured 0.95@200k -> 0.618@1M at shortlist 2000). Pass "
+            f"shortlist='auto' or accept degraded recall.",
+            RuntimeWarning, stacklevel=3)
+
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
                       axis=1).sum(1).astype(np.uint8)
 
@@ -313,7 +354,8 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
                       levels: tuple[np.ndarray, np.ndarray],
                       sq_codes: DataFrame, mins: np.ndarray, maxs: np.ndarray,
                       queries: DataFrame, k: int, refine_with: DataFrame,
-                      shortlist: int = 2000, midlist: int = 100,
+                      shortlist: int | str = BQ_SHORTLIST_FLOOR,
+                      midlist: int = 100,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       qid_col: str = "query_id",
                       qvec_col: str = "query_vec") -> DataFrame:
@@ -331,7 +373,15 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
     the SQ8 codes — the corpus code table never shuffles), so the 8-bit
     cost is paid on shortlist/N of the data while the full scan stays at
     1 bit/dim. Candidate volume is Q*shortlist -> Q*midlist -> Q*k:
-    corpus-independent after stage 1."""
+    corpus-independent after stage 1.
+
+    ``shortlist='auto'`` resolves from the corpus size at the measured
+    >=0.9-recall curve (super-linear in N — see adaptive_shortlist; the
+    1M probe: 5% = 50000 holds 0.931 where the fixed 2000 collapsed to
+    0.618). A fixed shortlist below that curve emits a loud
+    RuntimeWarning: at dim<256 the 1-bit code is a pre-filter whose
+    shortlist must track N, enforced by code rather than prose (r7
+    verdict item 4)."""
     import pandas as pd
 
     qrows = queries.select(qid_col, qvec_col).collect()
@@ -339,6 +389,16 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qvecs = {int(q): v for q, v in zip(qids, qmat)}
     dim = len(thresholds)
+    if dim < BQ_RANKER_MIN_DIM:
+        # the pre-filter regime: shortlist adequacy depends on N
+        n_corpus = bq_codes.count()   # metadata-cheap on parquet/cached
+        if shortlist == "auto":
+            shortlist = adaptive_shortlist(n_corpus)
+        else:
+            shortlist = int(shortlist)
+            _warn_shortlist_risk(shortlist, n_corpus, dim)
+    elif shortlist == "auto":
+        shortlist = BQ_SHORTLIST_FLOOR
     scales = np.where((maxs - mins) > 0, (maxs - mins) / 255.0, 0.0)
 
     # stage 1 IS bq_search's no-refine asymmetric path with k=shortlist —
