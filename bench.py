@@ -282,8 +282,47 @@ def main() -> None:
               sq_state["codes"], sq_state["mins"], sq_state["maxs"],
               queries, K, refine_with=emb)))
 
+    # Partitioned serving paths (r7 verdict item 7): the claimed 100 TB
+    # story — probe-pruned I/O at the file listing — now has timed rows,
+    # not just plan assertions. First measurement = binding baseline per
+    # BASELINE.md addendum.
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_persist_partitioned, ivf_probe_partitioned)
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_persist_partitioned, hnsw_probe_partitioned)
+
+    ivf_part_path = "/tmp/bench_ivf_partitioned"
+    ivf_persist_partitioned(ivf_state["assigned"], ivf_part_path)
+    bench("ann_ivf_partitioned_batch100",
+          lambda: _force(ivf_probe_partitioned(
+              spark, ivf_part_path, ivf_state["cents"], queries, K,
+              nprobe=8)))
+
+    hnsw_routed = {}
+
+    def build_hnsw_routed():
+        # the serving-shape build: kmeans cells so probes can route;
+        # shard_cap bounds the O(n_shard^2) wiring straggler
+        idx = hnsw_build(emb,
+                         num_shards=int(os.environ.get("SPARK_GRAFT_CPUS",
+                                                       "32")),
+                         shard_by="kmeans", shard_cap=8192).cache()
+        idx.count()
+        hnsw_routed["df"] = idx
+
+    bench_build("index_build_hnsw_routed", build_hnsw_routed)
+    hnsw_part_path = "/tmp/bench_hnsw_partitioned"
+    hnsw_persist_partitioned(hnsw_routed["df"], hnsw_part_path)
+    extras["index_bytes_hnsw_routed"] = _dir_bytes(hnsw_part_path)
+    bench("ann_hnsw_partitioned_batch100",
+          lambda: _force(hnsw_probe_partitioned(
+              spark, hnsw_part_path, queries, K, probe_shards=8)))
+
     exact = knn_join(emb, queries, K, dim=64).cache()
     exact.count()
+    extras["recall_hnsw_partitioned_at_10"] = round(
+        recall_at_k(hnsw_probe_partitioned(spark, hnsw_part_path, queries,
+                                           K, probe_shards=8), exact, K), 4)
     extras["recall_lsh_at_10"] = round(
         recall_at_k(lsh_search(emb, queries, K, index=lsh_idx["df"],
                                refined=lsh_idx["ref"]), exact, K), 4)
