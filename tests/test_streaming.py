@@ -300,3 +300,84 @@ def test_incremental_ivf_ingest_matches_batch_assignment(spark, sf_dir,
     mem = ivf_search(batch, cents, queries, 5, nprobe=3)
     assert sorted(map(tuple, served.collect())) == \
         sorted(map(tuple, mem.collect()))
+
+
+def test_near_dedup_state_ttl_evicts_idle_bands(spark, tmp_path):
+    """r7 verdict item 6: with state_ttl_ms set, a band idle past the TTL
+    is evicted (ProcessingTimeTimeout) — a later collider is re-admitted
+    as a fresh representative instead of being flagged against state that
+    would otherwise never die. Batch 2 (unrelated doc) is what triggers
+    timeout processing for batch 1's expired keys; batch 3's collider
+    must then arrive clean."""
+    import os
+    import time
+    import uuid
+
+    from vectordb_explorations_spark.streaming.documents import (
+        near_dup_stream)
+    from vectordb_explorations_spark.streaming.events import run_to_memory
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated words with no shared shingles at all"
+    batches = [
+        [(100, text, "en", "web", len(text))],
+        [(200, other, "en", "web", len(other))],
+        [(5, text, "en", "web", len(text))],
+    ]
+    d = tmp_path / "docs_ttl_stream"
+    d.mkdir()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    now = time.time()
+    for i, rows in enumerate(batches):
+        sub = d / f"b{i}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(sub))
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d) + "/*.parquet"))
+    name = f"snddttl_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(near_dup_stream(stream, state_ttl_ms=1), name, "append")
+    q.awaitTermination(120)
+    rows = {(r.doc_id, r.dup_of) for r in spark.table(name).collect()}
+    # doc 100's bands expired (1ms TTL) before batch 3 ran, so doc 5 is a
+    # fresh representative, NOT flagged — the opposite of the NoTimeout
+    # cross-batch test above
+    assert not rows, rows
+
+
+def test_near_dedup_ttl_keeps_live_bands(spark, tmp_path):
+    """The sliding-window half of the TTL semantics: with a generous TTL
+    nothing times out between back-to-back micro-batches, so the flags
+    equal the NoTimeout path."""
+    import os
+    import time
+    import uuid
+
+    from vectordb_explorations_spark.streaming.documents import (
+        near_dup_stream)
+    from vectordb_explorations_spark.streaming.events import run_to_memory
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    d = tmp_path / "docs_ttl_live"
+    d.mkdir()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    now = time.time()
+    for i, rows in enumerate([[(100, text, "en", "web", len(text))],
+                              [(5, text, "en", "web", len(text))]]):
+        sub = d / f"b{i}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(sub))
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d) + "/*.parquet"))
+    name = f"snddlive_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(near_dup_stream(stream, state_ttl_ms=3_600_000),
+                      name, "append")
+    q.awaitTermination(120)
+    rows = {(r.doc_id, r.dup_of) for r in spark.table(name).collect()}
+    assert (5, 100) in rows

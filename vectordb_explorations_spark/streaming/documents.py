@@ -51,14 +51,28 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def near_dup_stream(docs: DataFrame,
                     num_hashes: int = NUM_HASHES,
-                    band_size: int = BAND_SIZE) -> DataFrame:
+                    band_size: int = BAND_SIZE,
+                    state_ttl_ms: int | None = None) -> DataFrame:
     """(doc_id, dup_of) per band collision: ``dup_of`` is the band's
     first-ARRIVED doc (within one micro-batch, the minimum doc_id — the
     deterministic stand-in for arrival order inside a batch). A doc
     colliding in several bands emits one row per band; aggregate
     downstream (min dup_of) for the per-doc verdict. Arrival order is the
     semantic: a later batch's doc is flagged against an earlier batch's
-    representative even when its id is smaller."""
+    representative even when its id is smaller.
+
+    **State growth (r7 verdict item 6)**: with the default
+    ``state_ttl_ms=None`` the store keeps one row per occupied
+    (band_idx, band_key) FOREVER — tools/state_growth_probe.py measured
+    the occupancy curve (≈ num_bands distinct keys per unique
+    neighborhood; SCALE_NOTES has the 100k-1M table), so at daily-crawl
+    scale the store grows with the unique-document count. Pass a TTL to
+    bound it: a band whose representative has seen no arrival for the
+    TTL is evicted (ProcessingTimeTimeout, refreshed on every touch —
+    a SLIDING dedup window, the production crawl semantic: a re-crawl of
+    old content past the window is re-admitted as a fresh representative
+    rather than flagged against state that would otherwise never die).
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -66,6 +80,11 @@ def near_dup_stream(docs: DataFrame,
                          num_hashes, band_size)
 
     def update(key, pdf_iter, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict — the next arrival in this band
+            # re-admits a fresh representative
+            state.remove()
+            return
         ids: list[int] = []
         for pdf in pdf_iter:
             ids.extend(int(x) for x in pdf["doc_id"])
@@ -76,6 +95,9 @@ def near_dup_stream(docs: DataFrame,
             first = min(ids)
             dups = sorted(x for x in ids if x != first)
             state.update((first,))
+        if state_ttl_ms is not None:
+            # sliding window: any arrival keeps the band's state alive
+            state.setTimeoutDuration(state_ttl_ms)
         if dups:
             yield pd.DataFrame({"doc_id": dups, "dup_of": first})
 
@@ -85,7 +107,9 @@ def near_dup_stream(docs: DataFrame,
                 outputStructType=NEAR_DUP_SCHEMA,
                 stateStructType=_BAND_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if state_ttl_ms is not None
+                             else GroupStateTimeout.NoTimeout)))
 
 
 def streaming_near_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
