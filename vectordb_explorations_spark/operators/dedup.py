@@ -841,3 +841,55 @@ JOIN embeddings b ON b.vec_id = c.vec_id_b
 WHERE {r6(f"{dot} / ({na} * {nb})")} >= {threshold}
 ORDER BY vec_id_a, vec_id_b
 """
+
+
+def band_state_budget(docs: DataFrame,
+                      num_hashes: int = NUM_HASHES,
+                      band_size: int = BAND_SIZE) -> DataFrame:
+    """State-store sizing audit for the streaming near-dedup path
+    (declared, hash-checked; new in round 8): per band index, how many
+    distinct band keys are occupied — each occupied key IS one state row
+    in ``streaming/documents.near_dup_stream`` — plus the member
+    distribution (total banded docs, max and 6-dp-average members per
+    key). This is the capacity-planning query behind
+    tools/state_growth_probe.py's SCALE_NOTES table, turned into a
+    declared operator so the sizing math itself is oracle-verified.
+
+    Scale shape: one narrow banding projection (doc_id + 32-char key),
+    two map-side-combinable aggregations; nothing corpus-wide ever sits
+    on the driver. The average is a ratio of small integers — the
+    boundary-prone shape — so it rounds with the binary 6-dp rounder on
+    both engines."""
+    per_key = (banded_keys(
+        minhash_signatures_stateless(docs, num_hashes), num_hashes,
+        band_size)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("members")))
+    return (per_key.groupBy("band_idx")
+            .agg(F.count(F.lit(1)).alias("state_rows"),
+                 F.sum("members").alias("banded_docs"),
+                 F.max("members").alias("max_band_members"),
+                 round6(F.sum("members").cast("double")
+                        / F.count(F.lit(1)).cast("double"))
+                 .alias("avg_band_members"))
+            .orderBy("band_idx"))
+
+
+def band_state_budget_oracle(num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE) -> str:
+    """DuckDB twin of :func:`band_state_budget` over the shared banding
+    CTEs (the same chain the streaming dedup oracle uses)."""
+    ratio = "CAST(SUM(members) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+    return f"""
+WITH {_banding_base_ctes(num_hashes, band_size)},
+per_key AS (
+  SELECT band_idx, band_key, COUNT(*) AS members
+  FROM banded GROUP BY band_idx, band_key
+)
+SELECT band_idx,
+       COUNT(*) AS state_rows,
+       CAST(SUM(members) AS BIGINT) AS banded_docs,
+       MAX(members) AS max_band_members,
+       {r6(ratio)} AS avg_band_members
+FROM per_key GROUP BY band_idx ORDER BY band_idx
+"""

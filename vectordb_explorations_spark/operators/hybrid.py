@@ -154,6 +154,82 @@ def bm25_pool(docs: DataFrame,
             .where(F.col("bm25_rank") <= pool))
 
 
+def bm25_topk(docs: DataFrame,
+              queries: tuple[tuple[int, tuple[str, ...]], ...]
+              = HYBRID_QUERIES,
+              top: int = HYBRID_TOP) -> DataFrame:
+    """Lexical-only BM25 retrieval as a DECLARED (hash-checked) query —
+    the serving kind between exact k-NN (pure vector) and hybrid_rrf
+    (fused): keyword search with no embedding involved. New in round 8.
+
+    Plan shape is bm25_pool's: one tokenize-once corpus scan (tf/dl as
+    array scans, no explode), one broadcast 1-row stats aggregate, one
+    pool window whose rank cut WindowGroupLimit pushes below the
+    exchange. Scores render from the same _bm25_contrib_sql fragments
+    the DuckDB oracle embeds, so the doubles are bit-identical by
+    construction; the binary 6-dp rounder closes the final-digit class."""
+    return (bm25_pool(docs, queries, pool=top)
+            .select("query_id", "doc_id",
+                    round6(F.col("bm25")).alias("bm25_score"),
+                    F.col("bm25_rank").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+def bm25_topk_oracle(top: int = HYBRID_TOP) -> str:
+    """DuckDB twin of :func:`bm25_topk` — the BM25 half of
+    hybrid_rrf_oracle's CTEs, built from the same generators."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
+        for i, term in enumerate(_ALL_TERMS))
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_ALL_TERMS)))
+
+    def score_sql(terms) -> str:
+        parts = [
+            _bm25_contrib_sql(
+                f"CAST(tf_{_ALL_TERMS.index(t)} AS DOUBLE)",
+                f"df_{_ALL_TERMS.index(t)}", "CAST(dl AS DOUBLE)",
+                "n_docs", "avgdl")
+            for t in terms
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"{out} + {p}"
+        return out
+
+    per_query = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {qid} AS query_id, {score_sql(terms)} AS bm25"
+        f" FROM joined"
+        for qid, terms in HYBRID_QUERIES)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM base
+),
+joined AS (SELECT * FROM base CROSS JOIN stats),
+scored AS (
+{per_query}
+)
+SELECT query_id, doc_id, {r6('bm25')} AS bm25_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM scored WHERE bm25 > 0
+QUALIFY rank <= {top}
+ORDER BY query_id, rank
+"""
+
+
 def _vector_scored(embeddings: DataFrame) -> DataFrame:
     """Per-(query, vector) cosine scores WITHOUT the pool window:
     broadcast the 3 query vectors, one codegen projection per corpus

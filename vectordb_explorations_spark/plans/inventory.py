@@ -855,6 +855,14 @@ QUERIES: dict[str, QueryFn] = {
     # MMR's declarative sibling (pure window composition, no Python)
     "quota_capped_search": lambda s, d: RR.quota_capped_topk(
         load_table(s, "embeddings", d), load_table(s, "documents", d)),
+    # round-8 additions: lexical-only BM25 retrieval (the serving kind
+    # between exact k-NN and hybrid fusion — shared expression source
+    # with the oracle) and the streaming-dedup state-store sizing audit
+    # (each occupied band key IS one state row; the capacity math behind
+    # the SCALE_NOTES state-growth table, oracle-verified)
+    "bm25_topk": lambda s, d: HY.bm25_topk(load_table(s, "documents", d)),
+    "band_state_budget": lambda s, d: D.band_state_budget(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -882,11 +890,14 @@ WINDOW_ROUND = 8
 # moving_avg_daily_revenue, order_gaps, orders_above_customer_avg,
 # pivot_flag_by_status, pricing_summary, top_customers_per_nation,
 # unigram_logprob, user_sessions, vocab_stats — plus
-# train_val_split_stats (sampling class keeps in-window siblings
-# weighted_sample, domain_mix_sample, training_shards,
-# sequence_pack_bins). Any never-checked r08 additions outrank both
-# (r6/r7 precedent).
+# train_val_split_stats, training_shards, zorder_layout (sampling/layout
+# classes keep in-window siblings weighted_sample, domain_mix_sample,
+# sequence_pack_bins; the last two yielded their slots to this round's
+# two never-checked additions, which outrank re-certs per the r6/r7
+# precedent).
 _WINDOW_PRIORITY = [
+    # --- new this round, never driver-checked (outrank everything) ---
+    "bm25_topk", "band_state_budget",
     # --- latest driver evidence r05: the full 16-row re-cert queue ---
     "knn_batch_blockwise", "compat_distance", "vector_elements",
     "region_nation_rollcall", "priority_customer_counts",
@@ -910,7 +921,7 @@ _WINDOW_PRIORITY = [
     "hashed_doc_embeddings", "knn_filtered", "label_centroids",
     "mmr_diversified_topk", "multimodal_resize", "quota_capped_search",
     "range_search", "sequence_pack_bins", "sq8_quantization",
-    "streaming_enrichment", "training_shards", "zorder_layout",
+    "streaming_enrichment",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1040,4 +1051,6 @@ ORACLES: dict[str, str] = {
     "cohort_retention": CO.cohort_retention_oracle(),
     "event_transitions": CO.event_transition_matrix_oracle(),
     "quota_capped_search": RR.quota_capped_topk_oracle(),
+    "bm25_topk": HY.bm25_topk_oracle(),
+    "band_state_budget": D.band_state_budget_oracle(),
 }
