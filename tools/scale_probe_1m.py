@@ -209,11 +209,18 @@ def main() -> None:
     timed("pq_build", build_pq)
     persist("pq", pq_state["c"])
 
-    def run_pq():
-        return PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
-                            refine_with=emb, refine_factor=30)
+    import warnings
+
+    def run_pq(rf=30):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return PQ.pq_search(pq_state["c"], pq_state["b"], queries, K,
+                                refine_with=emb, refine_factor=rf)
     steady("pq_search", lambda: force(run_pq()))
     rec("pq_refined", run_pq)
+    pq_auto_rf = PQ.adaptive_refine_factor(n, K, PQ.PQ_REFINE_FRACTION)
+    steady("pq_search_auto", lambda: force(run_pq("auto")))
+    rec("pq_refined_auto", lambda: run_pq("auto"))
     pq_state["c"].unpersist()
 
     # ---- IVF-PQ (new in the r8 matrix) --------------------------------
@@ -229,12 +236,17 @@ def main() -> None:
     timed("ivfpq_build", build_ivfpq)
     persist("ivfpq", ivfpq_state["c"])
 
-    def run_ivfpq():
-        return PQ.ivfpq_search(ivfpq_state["c"], ivfpq_state["cent"],
-                               ivfpq_state["b"], queries, K, nprobe=8,
-                               refine_with=emb, refine_factor=10)
+    def run_ivfpq(rf=10):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return PQ.ivfpq_search(ivfpq_state["c"], ivfpq_state["cent"],
+                                   ivfpq_state["b"], queries, K, nprobe=8,
+                                   refine_with=emb, refine_factor=rf)
     steady("ivfpq_search", lambda: force(run_ivfpq()))
     rec("ivfpq_refined", run_ivfpq)
+    ivfpq_auto_rf = PQ.adaptive_refine_factor(n, K, PQ.IVFPQ_REFINE_FRACTION)
+    steady("ivfpq_search_auto", lambda: force(run_ivfpq("auto")))
+    rec("ivfpq_refined_auto", lambda: run_ivfpq("auto"))
     ivfpq_state["c"].unpersist()
 
     # ---- SQ8 ----------------------------------------------------------
@@ -315,12 +327,18 @@ def main() -> None:
         f"| HNSW kmeans-routed (64 shards, cap 16384, probe 8) | "
         f"{results['hnsw_build']} | {results['hnsw_search']} | "
         f"{recalls['hnsw_routed8']} | {ibytes['hnsw']:,} |",
-        f"| PQ (m=16, k=64, rf=30) | {results['pq_build']}"
+        f"| PQ (m=16, k=64, rf=30 fixed) | {results['pq_build']}"
         f" | {results['pq_search']} | {recalls['pq_refined']}"
         f" | {ibytes['pq']:,} |",
-        f"| IVF-PQ (C=64, m=16, nprobe=8, rf=10) | "
+        f"| **PQ (rf auto={pq_auto_rf} — r8)** | — "
+        f"| {results['pq_search_auto']} | **{recalls['pq_refined_auto']}**"
+        f" | — |",
+        f"| IVF-PQ (C=64, m=16, nprobe=8, rf=10 fixed) | "
         f"{results['ivfpq_build']} | {results['ivfpq_search']} | "
         f"{recalls['ivfpq_refined']} | {ibytes['ivfpq']:,} |",
+        f"| **IVF-PQ (rf auto={ivfpq_auto_rf} — r8)** | — "
+        f"| {results['ivfpq_search_auto']} | "
+        f"**{recalls['ivfpq_refined_auto']}** | — |",
         f"| SQ8 + exact refine (rf=3) | {results['sq8_build']}"
         f" | {results['sq8_search']} | {recalls['sq8']}"
         f" | {ibytes['sq8']:,} |",
@@ -359,11 +377,18 @@ def main() -> None:
         f"{results['hnsw_build']}s (per-shard O(shard^2) wiring, cap "
         "16384 bounding the straggler shard — builds, not searches, "
         "are where scale bites first, as the LSH build already showed).",
-        f"- **PQ {recalls['pq_refined']} / IVF-PQ "
-        f"{recalls['ivfpq_refined']}**: codebook quantization error is "
-        "sample-estimated and range-like, so recall tracks the 200k "
-        "measurements; IVF-PQ pays build cost for the router+residual "
-        "fit but searches probed lists only.",
+        f"- **PQ/IVF-PQ joined the fixed-shortlist decay family — and "
+        f"got the same remedy**: at a fixed refine_factor the exact-"
+        f"refine candidates (rf*k) are a constant COUNT, so their corpus "
+        f"fraction shrinks with N and code collisions push true "
+        f"neighbors past the cutoff (PQ 0.958@200k -> "
+        f"{recalls['pq_refined']}@1M at rf=30; IVF-PQ "
+        f"{recalls['ivfpq_refined']} at rf=10). refine_factor='auto' "
+        f"holds rf*k/N at the 200k anchor: PQ rf={pq_auto_rf} -> "
+        f"**{recalls['pq_refined_auto']}**, IVF-PQ rf={ivfpq_auto_rf} "
+        f"-> **{recalls['ivfpq_refined_auto']}** — at ~flat search cost, "
+        f"because rf scales only the bounded broadcast-candidate refine "
+        f"tail, not the corpus scan.",
         f"- **Cascade fixed-shortlist collapse remediated in code** (r7 "
         f"verdict item 4): fixed 2000 repeats the collapse "
         f"({recalls['bq1_cascade_sl2000']}), 1% holds "

@@ -24,6 +24,45 @@ from vectordb_explorations_spark.functions.vectors import l2_distance_sql
 from vectordb_explorations_spark.operators import ann as ANN
 
 
+# ---- corpus-adaptive exact-refine shortlist (round 8) ----
+# The 1M probe caught PQ's fixed refine_factor in the same decay family
+# as the LSH bucket_cap and the BQ cascade shortlist: rf*k exact-refine
+# candidates are a CONSTANT count, so their corpus fraction shrinks as N
+# grows and code collisions push true neighbors past the cutoff —
+# measured PQ 0.958@200k(rf=30) -> 0.812@1M(rf=30) -> 0.957@1M(rf=100);
+# IVF-PQ 0.878@1M(rf=10) -> 0.961@1M(rf=50). Candidate-fraction math:
+# hold rf*k/N at the 200k-calibrated anchor. refine_factor='auto'
+# resolves from the code-table size; a fixed rf below the fraction
+# warns loudly instead of silently degrading (the LSH/BQ pattern).
+PQ_REFINE_FRACTION = 300 / 200_000     # rf=30 * k=10 at the 200k anchor
+IVFPQ_REFINE_FRACTION = 100 / 200_000  # rf=10 * k=10 (within probed lists)
+
+
+def adaptive_refine_factor(n: int, k: int, fraction: float,
+                           floor: int = 10) -> int:
+    """refine_factor holding rf*k/N at the calibrated fraction."""
+    return max(floor, int(np.ceil(fraction * n / max(1, k))))
+
+
+def _resolve_refine_factor(refine_factor, codes_df: DataFrame, k: int,
+                           fraction: float, family: str) -> int:
+    import warnings
+    n = codes_df.count()  # metadata-cheap on parquet/cached code tables
+    if refine_factor == "auto":
+        return adaptive_refine_factor(n, k, fraction)
+    rf = int(refine_factor)
+    if rf * k < fraction * n:
+        warnings.warn(
+            f"{family} refine_factor={rf} gives {rf * k} exact-refine "
+            f"candidates = {rf * k / n:.3%} of the corpus (N={n:,}) — "
+            f"below the calibrated {fraction:.3%}; recall decays with N "
+            f"at a fixed shortlist (PQ measured 0.958->0.812 from 200k "
+            f"to 1M). Pass refine_factor='auto' (resolves to "
+            f"{adaptive_refine_factor(n, k, fraction)}) or accept "
+            f"degraded recall.", RuntimeWarning, stacklevel=3)
+    return rf
+
+
 def _kmeans_1d(data: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     """Tiny deterministic Lloyd's k-means for one subspace: (n, dsub) → (k, dsub).
     k-means++-style seeding from a seeded RNG; empty clusters respawn on the
@@ -145,7 +184,7 @@ def _exact_refine(cand: DataFrame, qids, qmat: np.ndarray,
 
 def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
               k: int, refine_with: DataFrame | None = None,
-              refine_factor: int = 5,
+              refine_factor: int | str = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
               qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
     """ADC search: per query, the (m, k) lookup table of exact
@@ -155,10 +194,16 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
 
     With ``refine_with`` (the original vectors), the top candidates×
     ``refine_factor`` are re-scored exactly and re-ranked — the standard
-    ADC-then-refine pipeline.
+    ADC-then-refine pipeline. ``refine_factor='auto'`` holds the
+    candidate fraction rf*k/N at the 200k-calibrated anchor (the 1M
+    probe measured the fixed-rf decay: 0.958 -> 0.812 at rf=30); a
+    fixed rf below the fraction warns (see adaptive_refine_factor).
     """
     import pandas as pd
 
+    if refine_with is not None:
+        refine_factor = _resolve_refine_factor(
+            refine_factor, codes_df, k, PQ_REFINE_FRACTION, "pq")
     m, kc, dsub = codebooks.shape
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = np.array([int(r[0]) for r in qrows])
@@ -305,7 +350,7 @@ def ivfpq_build(vectors: DataFrame, num_centroids: int = 16,
 def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
                  codebooks: np.ndarray, queries: DataFrame, k: int,
                  nprobe: int = 8, refine_with: DataFrame | None = None,
-                 refine_factor: int = 10,
+                 refine_factor: int | str = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id",
                  qvec_col: str = "query_vec") -> DataFrame:
@@ -315,9 +360,16 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
     refine. The LUT block is Q x nprobe x (m, k) doubles — megabytes for a
     100-query batch — and ships in the UDF closure; probed code rows never
     carry vectors, so the Arrow stage streams 64-byte codes and emits one
-    per-partition top-n pool of narrow rows."""
+    per-partition top-n pool of narrow rows.
+
+    ``refine_factor='auto'`` / the fixed-rf warning follow pq_search's
+    corpus-adaptive policy (1M probe: 0.878 at rf=10 -> 0.961 at the
+    resolved rf=50)."""
     import pandas as pd
 
+    if refine_with is not None:
+        refine_factor = _resolve_refine_factor(
+            refine_factor, codes_df, k, IVFPQ_REFINE_FRACTION, "ivfpq")
     m, kc, dsub = codebooks.shape
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = [int(r[0]) for r in qrows]
