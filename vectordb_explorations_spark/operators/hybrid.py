@@ -175,9 +175,10 @@ def bm25_topk(docs: DataFrame,
             .orderBy("query_id", "rank"))
 
 
-def bm25_topk_oracle(top: int = HYBRID_TOP) -> str:
-    """DuckDB twin of :func:`bm25_topk` — the BM25 half of
-    hybrid_rrf_oracle's CTEs, built from the same generators."""
+def _bm25_oracle_ctes() -> str:
+    """The shared DuckDB CTE chain (base → stats → joined → scored) that
+    recomputes BM25 from the same _bm25_contrib_sql fragments Spark
+    parses — used by both bm25_topk_oracle and hybrid_rrf_oracle."""
     tf_cols = ",\n         ".join(
         f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
         for i, term in enumerate(_ALL_TERMS))
@@ -202,8 +203,7 @@ def bm25_topk_oracle(top: int = HYBRID_TOP) -> str:
         f"  SELECT doc_id, {qid} AS query_id, {score_sql(terms)} AS bm25"
         f" FROM joined"
         for qid, terms in HYBRID_QUERIES)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, len(toks) AS dl,
          {tf_cols}
   FROM (SELECT doc_id,
@@ -219,7 +219,14 @@ stats AS (
 joined AS (SELECT * FROM base CROSS JOIN stats),
 scored AS (
 {per_query}
-)
+)"""
+
+
+def bm25_topk_oracle(top: int = HYBRID_TOP) -> str:
+    """DuckDB twin of :func:`bm25_topk` — the BM25 half of
+    hybrid_rrf_oracle's CTEs, built from the same generators."""
+    return f"""
+WITH {_bm25_oracle_ctes()}
 SELECT query_id, doc_id, {r6('bm25')} AS bm25_score,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
@@ -313,32 +320,9 @@ def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
 def hybrid_rrf_oracle(top: int = HYBRID_TOP) -> str:
     """DuckDB twin built from the SAME constants and expression generators
     (the zorder-style shared-literal pattern): per-term tf/df as list
-    scans, the identical fixed-association BM25 sum, the identical RRF
-    fold, binary 6-dp round."""
-    tf_cols = ",\n         ".join(
-        f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
-        for i, term in enumerate(_ALL_TERMS))
-    df_cols = ",\n         ".join(
-        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
-        for i in range(len(_ALL_TERMS)))
-
-    def score_sql(terms) -> str:
-        parts = [
-            _bm25_contrib_sql(
-                f"CAST(tf_{_ALL_TERMS.index(t)} AS DOUBLE)",
-                f"df_{_ALL_TERMS.index(t)}", "CAST(dl AS DOUBLE)",
-                "n_docs", "avgdl")
-            for t in terms
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = f"{out} + {p}"
-        return out
-
-    per_query = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {qid} AS query_id, {score_sql(terms)} AS bm25"
-        f" FROM joined"
-        for qid, terms in HYBRID_QUERIES)
+    scans (via the _bm25_oracle_ctes chain bm25_topk_oracle shares), the
+    identical fixed-association BM25 sum, the identical RRF fold, binary
+    6-dp round."""
     qids = ", ".join(str(qid) for qid, _ in HYBRID_QUERIES)
     dot = ("list_sum(list_transform(list_zip(e.embedding, q.query_vec), "
            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
@@ -347,23 +331,7 @@ def hybrid_rrf_oracle(top: int = HYBRID_TOP) -> str:
     nb = ("sqrt(list_sum(list_transform(q.query_vec, "
           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
     return f"""
-WITH base AS (
-  SELECT doc_id, len(toks) AS dl,
-         {tf_cols}
-  FROM (SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
-        FROM documents)
-),
-stats AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
-         {df_cols}
-  FROM base
-),
-joined AS (SELECT * FROM base CROSS JOIN stats),
-scored AS (
-{per_query}
-),
+WITH {_bm25_oracle_ctes()},
 bpool AS (
   SELECT query_id, doc_id AS id,
          CAST(row_number() OVER (PARTITION BY query_id
