@@ -274,6 +274,27 @@ def main() -> None:
                                          nprobe=8, refine_with=emb,
                                          refine_factor=10)))
 
+    ivfsq_state = {}
+
+    def build_ivfsq():
+        # NEW vs BENCH_r08: the last cell of the routing x quantization
+        # matrix (FAISS IVF,SQ8). Build = IVF's sampled k-means + GEMM
+        # assignment plus SQ8's one-agg extents + codegen encode — no
+        # extra corpus pass vs plain IVF.
+        codes, cents, mins, maxs = SQ2.ivfsq_build(emb, num_centroids=16)
+        codes = codes.cache()
+        codes.count()
+        ivfsq_state["codes"], ivfsq_state["cents"] = codes, cents
+        ivfsq_state["mins"], ivfsq_state["maxs"] = mins, maxs
+
+    bench_build("index_build_ivfsq", build_ivfsq)
+    persist_bytes("ivfsq", ivfsq_state["codes"])
+    bench("ann_ivfsq_batch100",
+          lambda: _force(SQ2.ivfsq_search(
+              ivfsq_state["codes"], ivfsq_state["cents"],
+              ivfsq_state["mins"], ivfsq_state["maxs"], queries, K,
+              nprobe=8, refine_with=emb, refine_factor=10)))
+
     # BQ1->SQ8->exact cascade: reuses the bq1 and sq8 artifacts built
     # above (its build cost IS those two rows); only the search is new.
     bench("ann_bq_cascade_batch100",
@@ -351,6 +372,11 @@ def main() -> None:
                                     ivfpq_state["books"], queries, K,
                                     nprobe=8, refine_with=emb,
                                     refine_factor=10), exact, K), 4)
+    extras["recall_ivfsq_at_10"] = round(
+        recall_at_k(SQ2.ivfsq_search(
+            ivfsq_state["codes"], ivfsq_state["cents"],
+            ivfsq_state["mins"], ivfsq_state["maxs"], queries, K,
+            nprobe=8, refine_with=emb, refine_factor=10), exact, K), 4)
     extras["recall_bq_cascade_at_10"] = round(
         recall_at_k(BQ2.bq_cascade_search(
             bq_state["codes"], bq_state["thr"], bq_state["levels"],

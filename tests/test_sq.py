@@ -85,3 +85,68 @@ def test_sq_refined_recall(setup):
                            refine_with=emb, refine_factor=5)
     r = recall_at_k(refined, exact, K)
     assert r >= 0.99, r
+
+# ---- IVF-SQ8 composite ----
+
+@pytest.fixture(scope="module")
+def ivfsq(spark, sf_dir, setup):
+    emb, *_ = setup
+    codes, cents, mins, maxs = SQ.ivfsq_build(emb, num_centroids=8)
+    codes = codes.cache()
+    codes.count()
+    return emb, codes, cents, mins, maxs
+
+
+def test_ivfsq_codes_carry_lists(ivfsq, setup):
+    emb, codes, cents, mins, maxs = ivfsq
+    assert set(codes.columns) == {"vec_id", "list_id", "codes"}
+    # assign_n=2 replication: each vector appears in exactly 2 lists,
+    # carrying IDENTICAL codes (the quantizer is global, not per-list)
+    per = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per] == [2]
+    # global quantizer == flat SQ8 quantizer: codes match the flat encode
+    _, _, _, flat_codes, _, _ = setup
+    j = (codes.dropDuplicates(["vec_id"]).alias("a")
+         .join(flat_codes.alias("b"), "vec_id")
+         .where("a.codes <> b.codes"))
+    assert j.count() == 0
+
+
+def test_ivfsq_recall_refined(ivfsq, setup):
+    emb, codes, cents, mins, maxs = ivfsq
+    _, _, _, _, queries, exact = setup
+    got = SQ.ivfsq_search(codes, cents, mins, maxs, queries, K,
+                          nprobe=4, refine_with=emb, refine_factor=10)
+    r = recall_at_k(got, exact, K)
+    # nprobe=4 of 8 cells with assign_n=2 replication: the routing, not
+    # the 8-bit codes, is the recall limiter — same gate as IVF's
+    assert r >= 0.9, r
+
+
+def test_ivfsq_raw_matches_probed_sq(ivfsq, setup):
+    """With nprobe = ALL cells the routing prunes nothing, so raw IVF-SQ8
+    must equal flat sq_search on the same quantizer (same codes, same
+    distance math, same tie-break) — pins the dequantize-score kernel and
+    the replication dedupe at once."""
+    emb, codes, cents, mins, maxs = ivfsq
+    _, _, _, _, queries, _ = setup
+    got = SQ.ivfsq_search(codes, cents, mins, maxs, queries, K,
+                          nprobe=cents.shape[0])
+    _, _, _, flat_codes, _, _ = setup
+    want = SQ.sq_search(flat_codes, mins, maxs, queries, K)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_ivfsq_fixed_rf_below_fraction_warns(ivfsq, setup):
+    """The shared corpus-adaptive policy: a fixed refine_factor below the
+    calibrated candidate fraction must raise the recall-decay warning
+    (here trivially satisfied at fixture scale, so assert the inverse:
+    no warning at the fixture corpus where rf*k exceeds the fraction)."""
+    import warnings
+    emb, codes, cents, mins, maxs = ivfsq
+    _, _, _, _, queries, _ = setup
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        SQ.ivfsq_search(codes, cents, mins, maxs, queries, K,
+                        nprobe=2, refine_with=emb, refine_factor=10)

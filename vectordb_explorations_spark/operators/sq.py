@@ -60,7 +60,8 @@ def _scales(mins: np.ndarray, maxs: np.ndarray) -> np.ndarray:
 
 
 def sq_encode(vectors: DataFrame, mins: np.ndarray, maxs: np.ndarray,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Quantize to ARRAY<INT> codes entirely JVM-side: two zip_with passes
     against literal min/scale arrays — whole-stage codegen, no Python in
     the encode path (the PQ encoder needs an argmin GEMM; SQ8 does not).
@@ -81,7 +82,7 @@ def sq_encode(vectors: DataFrame, mins: np.ndarray, maxs: np.ndarray,
                                       F.greatest(F.lit(0).cast("long"),
                                                  F.floor(d / sc + F.lit(0.5)))))
                        .otherwise(F.lit(0).cast("long")).cast("int")))
-    return vectors.select(id_col, codes.alias("codes"))
+    return vectors.select(id_col, *keep_cols, codes.alias("codes"))
 
 
 def sq_search(codes_df: DataFrame, mins: np.ndarray, maxs: np.ndarray,
@@ -220,3 +221,133 @@ SELECT CAST(dim_id AS INT) AS dim_id,
        {r6('avg(abs(dmin + code * sc - v))')} AS avg_abs_err
 FROM c GROUP BY dim_id ORDER BY dim_id
 """
+
+# ---- IVF-SQ8: coarse k-means routing over scalar-quantized lists ----
+# The remaining cell of the routing x quantization matrix (IVF-PQ exists,
+# pq.py:276; flat SQ8 exists above): FAISS's IVF<n>,SQ8 composite. Same
+# decay family as every fixed-shortlist search, so refine_factor='auto'
+# reuses pq.py's corpus-adaptive policy with IVF-PQ's within-probed-lists
+# anchor (rf=10 * k=10 at the 200k calibration corpus).
+IVFSQ_REFINE_FRACTION = 100 / 200_000
+
+
+def ivfsq_build(vectors: DataFrame, num_centroids: int = 16, seed: int = 42,
+                dim: int = 64, id_col: str = "vec_id",
+                vec_col: str = "embedding"
+                ) -> tuple[DataFrame, np.ndarray, np.ndarray, np.ndarray]:
+    """IVF routing over SQ8 codes: k-means cells prune which lists a query
+    scans (like HNSW's upper layers route the walk, hnsw.cc:150-156), and
+    within a probed list the scan reads 1-byte codes, not float vectors.
+    Returns (codes_df[id, list_id, codes], centroids, mins, maxs).
+
+    Unlike IVF-PQ there is no residual encoding: SQ8's per-dimension
+    extents are GLOBAL (one combinable min/max agg over the raw table —
+    computing them from the assignment would scan the assign_n-replicated
+    rows for the same answer), so the quantizer is shared across lists and
+    a vector replicated into two lists stores the same codes. Build =
+    ivf_build's sampled k-means + distributed GEMM assignment, one extents
+    agg, one codegen encode projection — no extra corpus pass vs IVF.
+    """
+    from vectordb_explorations_spark.operators.ann import ivf_build
+
+    assigned, centroids = ivf_build(vectors, num_centroids=num_centroids,
+                                    seed=seed, vec_col=vec_col,
+                                    id_col=id_col)
+    mins, maxs = sq_train(vectors, dim, vec_col)
+    codes = sq_encode(assigned, mins, maxs, id_col=id_col, vec_col=vec_col,
+                      keep_cols=("list_id",))
+    return codes, centroids, mins, maxs
+
+
+def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
+                 mins: np.ndarray, maxs: np.ndarray,
+                 queries: DataFrame, k: int, nprobe: int = 8,
+                 refine_with: DataFrame | None = None,
+                 refine_factor: int | str = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id",
+                 qvec_col: str = "query_vec") -> DataFrame:
+    """Probe the ``nprobe`` nearest centroid lists, score DEQUANTIZED codes
+    within them (Arrow GEMM local top-n per batch), merge, exact-refine.
+
+    Scale shape mirrors ivf_search + sq_search: the probe list is a
+    driver-side (Q, C) argmin broadcast into the list_id join, so unprobed
+    lists never leave the scan; scoring + per-batch local top-n happen in
+    one Arrow stage; one qid-hash exchange serves both the cross-batch
+    replication dedupe (ivf assign_n=2 surfaces a vector twice) and the
+    ranking window; the refine join broadcasts the bounded candidate set.
+    ``refine_factor='auto'`` holds rf*k at IVFSQ_REFINE_FRACTION of the
+    corpus; a fixed rf below the fraction warns (the shared decay policy).
+    """
+    import pandas as pd
+
+    from vectordb_explorations_spark.operators.pq import (
+        _exact_refine, _resolve_refine_factor)
+
+    if refine_with is not None:
+        refine_factor = _resolve_refine_factor(
+            refine_factor, codes_df, k, IVFSQ_REFINE_FRACTION, "ivfsq")
+
+    scales = _scales(mins, maxs)
+    spark = codes_df.sparkSession
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qsq = (qmat ** 2).sum(-1)
+    qindex = {qid: i for i, qid in enumerate(qids)}
+
+    cd = (qmat[:, None, :] - centroids[None, :, :])
+    cdist = (cd * cd).sum(-1)
+    nn = min(nprobe, centroids.shape[0])
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((np.arange(centroids.shape[0]), cdist[qi]))[:nn]
+        probe_rows.extend((qid, int(li)) for li in order)
+    probes = spark.createDataFrame(probe_rows, f"{qid_col} long, list_id int")
+    joined = (codes_df.join(F.broadcast(probes), "list_id")
+              .select(qid_col, id_col, "codes"))
+
+    n_local = k * refine_factor if refine_with is not None else k
+    schema = T.StructType([
+        T.StructField(qid_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sq_dist", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.float64)
+            deq = codes * scales + mins
+            qi = pdf[qid_col].map(qindex).to_numpy(dtype=np.int64)
+            # per-row distance against that row's query (probed layout is
+            # (query, candidate) pairs, not a dense (Q, N) block)
+            d2 = qsq[qi] - 2.0 * np.einsum("ij,ij->i", qmat[qi], deq) \
+                + (deq ** 2).sum(-1)
+            flat = pd.DataFrame({
+                qid_col: pdf[qid_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "sq_dist": np.sqrt(np.maximum(d2, 0.0)),
+            })
+            # in-batch replication dedupe before the local head bounds the
+            # merge without duplicates eating top-n slots (ivf_search's
+            # measured 0.96 -> 0.66 recall failure mode)
+            yield (flat.sort_values([qid_col, "sq_dist", id_col])
+                   .drop_duplicates([qid_col, id_col])
+                   .groupby(qid_col, sort=False).head(n_local))
+
+    local = joined.mapInPandas(score, schema=schema)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("sq_dist").asc(), F.col(id_col).asc())
+    merged = (local.repartition(F.col(qid_col))
+              .dropDuplicates([qid_col, id_col])
+              .withColumn("rank", F.row_number().over(w)))
+    if refine_with is None:
+        return (merged.where(F.col("rank") <= k)
+                .select(qid_col, id_col,
+                        F.round("sq_dist", 6).alias("dist"), "rank"))
+    cand = (merged.where(F.col("rank") <= n_local)
+            .select(qid_col, id_col))
+    return _exact_refine(cand, qids, qmat, refine_with, k, qmat.shape[1],
+                         id_col, vec_col, qid_col, qvec_col)
