@@ -151,3 +151,41 @@ def test_incremental_dedup_rejections_are_sound(spark, sf_dir):
             a, b = shingles(texts[hi]), shingles(texts[lo])
             if len(a | b) and len(a & b) / len(a | b) >= D.JACCARD_THRESHOLD:
                 assert not out[hi]["admitted"], (hi, lo)
+
+
+def test_semantic_dedup_verdicts(spark, sf_dir):
+    """SemDeDup shape invariants: one verdict row per document; dup_of is
+    always a smaller id in the SAME cluster; every flagged pair clears the
+    cosine bar; kept representatives are never themselves flagged against
+    an earlier kept doc (min-id rule)."""
+    from vectordb_explorations_spark.operators.dedup import (
+        SEM_COSINE_THRESHOLD, semantic_dedup)
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = semantic_dedup(emb).collect()
+    assert len(out) == emb.count()
+    cluster = {r["vec_id"]: r["cluster_id"] for r in out}
+    flagged = [r for r in out if r["dup_of"] is not None]
+    assert flagged, "threshold should flag at least one pair on fixtures"
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    import numpy as np
+    for r in flagged:
+        assert r["dup_of"] < r["vec_id"]
+        assert cluster[r["dup_of"]] == cluster[r["vec_id"]]
+        a = np.asarray(vecs[r["dup_of"]], dtype=np.float64)
+        b = np.asarray(vecs[r["vec_id"]], dtype=np.float64)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= SEM_COSINE_THRESHOLD - 1e-6, (r, cos)
+
+
+def test_semantic_dedup_plan_python_free(spark, sf_dir):
+    """The C=8 distance trees stay in Catalyst (unlike the 48-plane LSH
+    GEMM): the whole verdict plan must be JVM-only."""
+    from vectordb_explorations_spark.operators.dedup import semantic_dedup
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    plan = (semantic_dedup(load_table(spark, "embeddings", sf_dir))
+            ._jdf.queryExecution().executedPlan().toString())
+    for marker in ("Python", "InPandas"):
+        assert marker not in plan, marker

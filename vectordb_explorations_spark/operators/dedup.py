@@ -893,3 +893,114 @@ SELECT band_idx,
        {r6(ratio)} AS avg_band_members
 FROM per_key GROUP BY band_idx ORDER BY band_idx
 """
+
+
+# ---- semantic dedup: cluster-then-prune over embeddings (SemDeDup) ----
+# The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540 — public):
+# cluster the embedding space, then call a document redundant when it has
+# a high-cosine neighbor WITHIN its cluster, keeping one representative.
+# Clustering bounds the pair search to intra-cluster candidates, the same
+# role the (table, bucket) key plays for embedding_lsh_pairs above.
+SEM_CLUSTERS = 8
+SEM_COSINE_THRESHOLD = COSINE_THRESHOLD  # same bar as the unblocked pair path
+
+
+def semantic_dedup(embeddings: DataFrame,
+                   num_clusters: int = SEM_CLUSTERS,
+                   threshold: float = SEM_COSINE_THRESHOLD) -> DataFrame:
+    """Per-document semantic-dedup verdicts: (vec_id, cluster_id, dup_of)
+    where dup_of is the smallest-id same-cluster neighbor with cosine >=
+    threshold (NULL = kept). One row per document, ordered by vec_id.
+
+    Clustering here is nearest-SEED-exemplar assignment: the exemplars are
+    the ``num_clusters`` smallest-vec_id embeddings, so the partition is a
+    pure function of the data — the hash-checkable stand-in for the
+    k-means fit the recall-gated families use (at scale, plug ivf_build's
+    centroids into the same pair-pruning shape; the verdict rule is
+    unchanged). Ties on the rounded distance break by seed id, so both
+    engines pick the same cell bit-for-bit.
+
+    Scale shape: the seed side is num_clusters rows — broadcast, never
+    shuffled; assignment is one codegen projection + a vec_id-partitioned
+    window (no Python, unlike the GEMM assign: C=8 distance trees stay
+    within Catalyst's comfort zone where the 48-plane LSH tree did not);
+    norms are computed once per document BEFORE the pair join so
+    embeddings ride the intra-cluster join exactly once per side; the
+    pair stage is bounded by the largest cluster — on skewed corpora cap
+    cluster sizes upstream (lsh_refine_hot_buckets' split discipline)."""
+    from vectordb_explorations_spark.functions.vectors import (
+        dot_product_sql, l2_norm_sql, squared_l2_sql)
+    from vectordb_explorations_spark.schemas import EMBEDDING_DIM
+
+    seeds = (embeddings.where(F.col("vec_id") < num_clusters)
+             .select(F.col("vec_id").alias("seed_id"),
+                     F.col("embedding").alias("semb")))
+    dist = round6(F.expr(squared_l2_sql("embedding", "semb", EMBEDDING_DIM)))
+    w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    assigned = (embeddings.join(F.broadcast(seeds))
+                .select("vec_id", "embedding", "seed_id", dist.alias("dist"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("vec_id", F.col("seed_id").alias("cluster_id"),
+                        "embedding"))
+    wn = assigned.select(
+        "vec_id", "cluster_id", "embedding",
+        F.expr(l2_norm_sql("embedding", EMBEDDING_DIM)).alias("nrm"))
+    a = wn.select(F.col("vec_id").alias("vec_id_a"),
+                  F.col("cluster_id").alias("cl_a"),
+                  F.col("embedding").alias("emb_a"),
+                  F.col("nrm").alias("norm_a"))
+    b = wn.select(F.col("vec_id").alias("vec_id_b"),
+                  F.col("cluster_id").alias("cl_b"),
+                  F.col("embedding").alias("emb_b"),
+                  F.col("nrm").alias("norm_b"))
+    cos = round6(F.expr(dot_product_sql("emb_a", "emb_b", EMBEDDING_DIM))
+                 / (F.col("norm_a") * F.col("norm_b")))
+    dup_of = (a.join(b, (F.col("cl_a") == F.col("cl_b"))
+                     & (F.col("vec_id_a") < F.col("vec_id_b")))
+              .where(cos >= threshold)
+              .groupBy(F.col("vec_id_b").alias("vec_id"))
+              .agg(F.min("vec_id_a").alias("dup_of")))
+    return (wn.select("vec_id", "cluster_id")
+            .join(dup_of, "vec_id", "left")
+            .select("vec_id", "cluster_id", "dup_of")
+            .orderBy("vec_id"))
+
+
+def semantic_dedup_oracle(num_clusters: int = SEM_CLUSTERS,
+                          threshold: float = SEM_COSINE_THRESHOLD) -> str:
+    sq = ("list_sum(list_transform(list_zip(e.embedding, s.semb), "
+          "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+          "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))")
+    dot = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+    na = ("sqrt(list_sum(list_transform(a.embedding, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    nb = ("sqrt(list_sum(list_transform(b.embedding, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS semb
+  FROM embeddings WHERE vec_id < {num_clusters}
+),
+asg AS (
+  SELECT vec_id, seed_id AS cluster_id FROM (
+    SELECT e.vec_id, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {r6(sq)}, s.seed_id) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) t WHERE rn = 1
+),
+dup AS (
+  SELECT bb.vec_id, MIN(aa.vec_id) AS dup_of
+  FROM asg aa
+  JOIN asg bb ON aa.cluster_id = bb.cluster_id AND aa.vec_id < bb.vec_id
+  JOIN embeddings a ON a.vec_id = aa.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id
+  WHERE {r6(f"{dot} / ({na} * {nb})")} >= {threshold}
+  GROUP BY bb.vec_id
+)
+SELECT asg.vec_id, asg.cluster_id, dup.dup_of
+FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+ORDER BY asg.vec_id
+"""

@@ -863,6 +863,11 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_topk": lambda s, d: HY.bm25_topk(load_table(s, "documents", d)),
     "band_state_budget": lambda s, d: D.band_state_budget(
         load_table(s, "documents", d)),
+    # SemDeDup-style semantic dedup (arXiv:2303.09540): nearest-seed
+    # clusters bound the pair search; per-doc keep/dup_of verdicts are
+    # hash-checked (deterministic exemplars, r6-rounded cosine)
+    "dedup_semantic": lambda s, d: D.semantic_dedup(
+        load_table(s, "embeddings", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -897,7 +902,7 @@ WINDOW_ROUND = 8
 # precedent).
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
-    "bm25_topk", "band_state_budget",
+    "bm25_topk", "band_state_budget", "dedup_semantic",
     # --- latest driver evidence r05: the full 16-row re-cert queue ---
     "knn_batch_blockwise", "compat_distance", "vector_elements",
     "region_nation_rollcall", "priority_customer_counts",
@@ -921,7 +926,8 @@ _WINDOW_PRIORITY = [
     "hashed_doc_embeddings", "knn_filtered", "label_centroids",
     "mmr_diversified_topk", "multimodal_resize", "quota_capped_search",
     "range_search", "sequence_pack_bins", "sq8_quantization",
-    "streaming_enrichment",
+    # streaming_enrichment (r06-green, class sibling streaming_near_dedup
+    # in-window) yielded its slot to dedup_semantic, joining the r09 queue
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1053,4 +1059,5 @@ ORACLES: dict[str, str] = {
     "quota_capped_search": RR.quota_capped_topk_oracle(),
     "bm25_topk": HY.bm25_topk_oracle(),
     "band_state_budget": D.band_state_budget_oracle(),
+    "dedup_semantic": D.semantic_dedup_oracle(),
 }
