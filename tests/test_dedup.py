@@ -189,3 +189,36 @@ def test_semantic_dedup_plan_python_free(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     for marker in ("Python", "InPandas"):
         assert marker not in plan, marker
+
+
+def test_semantic_dedup_adaptive_clusters(spark, sf_dir):
+    """The shared fixed-knob policy applied to cluster COUNT (the decay
+    here is quadratic pair cost, not recall): 'auto' floors at the
+    fixture default so outputs are bit-equal; a fixed count whose
+    expected cluster size exceeds the calibrated bound warns and names
+    the resolved auto value; 'auto' scales linearly past the floor."""
+    import warnings
+
+    from vectordb_explorations_spark.operators.dedup import (
+        SEM_CLUSTERS, SEM_TARGET_CLUSTER_ROWS, _resolve_sem_clusters,
+        adaptive_sem_clusters, semantic_dedup)
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    assert adaptive_sem_clusters(n) == SEM_CLUSTERS  # fixture floors
+    assert adaptive_sem_clusters(1_000_000) == -(-1_000_000
+                                                 // SEM_TARGET_CLUSTER_ROWS)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # none may fire
+        auto_rows = semantic_dedup(emb, num_clusters="auto").collect()
+    assert auto_rows == semantic_dedup(emb).collect()
+
+    big = spark.range(SEM_CLUSTERS * SEM_TARGET_CLUSTER_ROWS + 1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _resolve_sem_clusters(SEM_CLUSTERS, big) == SEM_CLUSTERS
+    assert any("num_clusters='auto'" in str(w.message) for w in caught)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        assert _resolve_sem_clusters("auto", big) == SEM_CLUSTERS + 1

@@ -903,10 +903,45 @@ FROM per_key GROUP BY band_idx ORDER BY band_idx
 # role the (table, bucket) key plays for embedding_lsh_pairs above.
 SEM_CLUSTERS = 8
 SEM_COSINE_THRESHOLD = COSINE_THRESHOLD  # same bar as the unblocked pair path
+# Expected-cluster-size bound for the 'auto' policy: the intra-cluster
+# pair join materializes ~n_cluster²/2 candidate rows per cluster, so a
+# FIXED cluster count makes total pair work quadratic in N (the same
+# fixed-knob decay class as the LSH cap / refine shortlists — here the
+# decay is cost, not recall). Holding cluster size at this target keeps
+# pairs-per-doc constant (~target/2), i.e. total pair work linear in N.
+SEM_TARGET_CLUSTER_ROWS = 4096
+
+
+def adaptive_sem_clusters(n: int, floor: int = SEM_CLUSTERS,
+                          target: int = SEM_TARGET_CLUSTER_ROWS) -> int:
+    """Corpus-size-aware cluster count: never below the fixture-calibrated
+    floor (so fixture-scale outputs are bit-equal to the fixed default),
+    growing linearly with N past floor*target rows so expected cluster
+    size — and with it the per-cluster pair fan-out — stays bounded."""
+    return max(int(floor), -(-int(n) // int(target)))
+
+
+def _resolve_sem_clusters(num_clusters, embeddings: DataFrame) -> int:
+    import warnings
+    n = embeddings.count()
+    if num_clusters == "auto":
+        return adaptive_sem_clusters(n)
+    c = int(num_clusters)
+    if n > c * SEM_TARGET_CLUSTER_ROWS:
+        warnings.warn(
+            f"semantic_dedup num_clusters={c} gives expected cluster size "
+            f"{n // max(1, c):,} (N={n:,}) — above the calibrated "
+            f"{SEM_TARGET_CLUSTER_ROWS:,}-row bound; the intra-cluster "
+            f"pair join grows ~quadratically in cluster size, so cost "
+            f"blows up with N at a fixed cluster count. Pass "
+            f"num_clusters='auto' (resolves to {adaptive_sem_clusters(n)}) "
+            f"or accept the quadratic pair stage.",
+            RuntimeWarning, stacklevel=3)
+    return c
 
 
 def semantic_dedup(embeddings: DataFrame,
-                   num_clusters: int = SEM_CLUSTERS,
+                   num_clusters: int | str = SEM_CLUSTERS,
                    threshold: float = SEM_COSINE_THRESHOLD) -> DataFrame:
     """Per-document semantic-dedup verdicts: (vec_id, cluster_id, dup_of)
     where dup_of is the smallest-id same-cluster neighbor with cosine >=
@@ -927,11 +962,22 @@ def semantic_dedup(embeddings: DataFrame,
     norms are computed once per document BEFORE the pair join so
     embeddings ride the intra-cluster join exactly once per side; the
     pair stage is bounded by the largest cluster — on skewed corpora cap
-    cluster sizes upstream (lsh_refine_hot_buckets' split discipline)."""
+    cluster sizes upstream (lsh_refine_hot_buckets' split discipline).
+
+    ``num_clusters='auto'`` holds expected cluster size at
+    SEM_TARGET_CLUSTER_ROWS so pair work stays linear in N (a fixed
+    count below that bound warns — the shared fixed-knob policy). Past
+    ~1M rows the resolved C makes the broadcast seed cross-join the new
+    quadratic term (N*C assignment rows); there, route assignment
+    through ann.ivf_assign's Arrow GEMM argmin against the same frozen
+    seed matrix — the primitive exists; it trades the hash-checkable
+    rounded-tie-break regime for the recall-gated one, exactly like the
+    k-means families."""
     from vectordb_explorations_spark.functions.vectors import (
         dot_product_sql, l2_norm_sql, squared_l2_sql)
     from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 
+    num_clusters = _resolve_sem_clusters(num_clusters, embeddings)
     seeds = (embeddings.where(F.col("vec_id") < num_clusters)
              .select(F.col("vec_id").alias("seed_id"),
                      F.col("embedding").alias("semb")))
