@@ -235,6 +235,23 @@ COMMENTARY = {
         "underlying searches, the evaluation is k-row arithmetic, and "
         "BOTH sides being deterministic makes the eval itself "
         "hash-checked."),
+    "bm25_topk": (
+        "Lexical BM25 retrieval: tokenize-once codegen projection, "
+        "1-row corpus-stats broadcast (avgdl/N), df from the per-doc "
+        "distinct term frame, per-query score-and-rank in one window — "
+        "the hybrid_rrf lexical channel standing alone."),
+    "band_state_budget": (
+        "Streaming-dedup state-store sizing as a batch query: the same "
+        "MinHash band projection the stream uses, then one "
+        "distinct-per-band aggregate — the row count IS the state rows "
+        "a first-seen-per-band store would hold (validated against a "
+        "real run's state metrics in SCALE_NOTES)."),
+    "dedup_semantic": (
+        "SemDeDup cluster-then-prune: the num_clusters seed exemplars "
+        "broadcast into a nearest-seed window (C=8 distance trees stay "
+        "in Catalyst — plan pinned Python-free), norms project once per "
+        "side, and the duplicate-verdict pair join is bounded to "
+        "intra-cluster candidates, never all pairs."),
 }
 
 
