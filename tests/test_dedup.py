@@ -217,8 +217,37 @@ def test_semantic_dedup_adaptive_clusters(spark, sf_dir):
     big = spark.range(SEM_CLUSTERS * SEM_TARGET_CLUSTER_ROWS + 1)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        assert _resolve_sem_clusters(SEM_CLUSTERS, big) == SEM_CLUSTERS
+        assert _resolve_sem_clusters(SEM_CLUSTERS, big)[0] == SEM_CLUSTERS
     assert any("num_clusters='auto'" in str(w.message) for w in caught)
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        assert _resolve_sem_clusters("auto", big) == SEM_CLUSTERS + 1
+        assert _resolve_sem_clusters("auto", big)[0] == SEM_CLUSTERS + 1
+
+
+def test_semantic_dedup_arrow_kernel_parity(spark, sf_dir):
+    """The GEMM pair kernel (the scale path past SEM_ARROW_MIN_ROWS) must
+    produce the SAME verdicts as the declared codegen path on fixtures —
+    same discipline as every other Arrow twin in the repo. Also pins that
+    'auto' resolves to codegen at fixture scale (plan stays Python-free)
+    and that the blockwise loop is exercised (block smaller than the
+    largest cluster)."""
+    from vectordb_explorations_spark.operators import dedup as D
+    from vectordb_explorations_spark.operators.dedup import semantic_dedup
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codegen = semantic_dedup(emb, pair_kernel="codegen").collect()
+    arrow = semantic_dedup(emb, pair_kernel="arrow").collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in codegen]
+
+    auto_plan = (semantic_dedup(emb, pair_kernel="auto")
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "InPandas" not in auto_plan  # fixtures stay on codegen
+
+    orig = D.SEM_ARROW_BLOCK
+    D.SEM_ARROW_BLOCK = 16  # force multi-block within each cluster
+    try:
+        small_block = semantic_dedup(emb, pair_kernel="arrow").collect()
+    finally:
+        D.SEM_ARROW_BLOCK = orig
+    assert [tuple(r) for r in small_block] == [tuple(r) for r in codegen]

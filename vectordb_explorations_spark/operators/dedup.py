@@ -18,7 +18,7 @@ group sizes are bounded (lang × length bucket, label).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
 from vectordb_explorations_spark.functions.vectors import cosine_similarity
@@ -921,11 +921,14 @@ def adaptive_sem_clusters(n: int, floor: int = SEM_CLUSTERS,
     return max(int(floor), -(-int(n) // int(target)))
 
 
-def _resolve_sem_clusters(num_clusters, embeddings: DataFrame) -> int:
+def _resolve_sem_clusters(num_clusters,
+                          embeddings: DataFrame) -> tuple[int, int]:
+    """Resolve the cluster count and return (clusters, corpus_rows) — the
+    row count also drives the 'auto' pair-kernel choice."""
     import warnings
     n = embeddings.count()
     if num_clusters == "auto":
-        return adaptive_sem_clusters(n)
+        return adaptive_sem_clusters(n), n
     c = int(num_clusters)
     if n > c * SEM_TARGET_CLUSTER_ROWS:
         warnings.warn(
@@ -937,12 +940,67 @@ def _resolve_sem_clusters(num_clusters, embeddings: DataFrame) -> int:
             f"num_clusters='auto' (resolves to {adaptive_sem_clusters(n)}) "
             f"or accept the quadratic pair stage.",
             RuntimeWarning, stacklevel=3)
-    return c
+    return c, n
+
+
+# Measured crossover (tools/semantic_dedup_probe.py): the codegen pair
+# stage runs ~25k pairs/s (SMJ-condition eval never JITs), the GEMM
+# kernel >2M pairs/s; below this corpus size the whole query is fast
+# either way and codegen keeps the declared plan Python-free.
+SEM_ARROW_MIN_ROWS = 20_000
+SEM_ARROW_BLOCK = 2048
+
+
+def _sem_verdicts_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Per-cluster pairwise verdicts as one blockwise float64 GEMM per
+    group: for each doc j (ids ascending) dup_of = the smallest id i<j in
+    the same cluster with round6(cosine) >= threshold. The (block x
+    earlier) matrix bounds memory at SEM_ARROW_BLOCK * cluster_size
+    doubles; rounding replicates functions.rounding.round6 exactly
+    (floor(x*1e6 + 0.5)/1e6)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = assigned.schema["vec_id"].dataType
+    out_schema = T.StructType([
+        T.StructField("vec_id", id_type),
+        T.StructField("cluster_id", id_type),
+        T.StructField("dup_of", id_type),
+    ])
+
+    def verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.asarray(list(pdf["embedding"].iloc[order]), dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        s = len(ids)
+        dup = np.full(s, -1, dtype=np.int64)
+        for lo in range(1, s, SEM_ARROW_BLOCK):
+            hi = min(lo + SEM_ARROW_BLOCK, s)
+            cos = (X[lo:hi] @ X[:hi].T) / np.outer(nrm[lo:hi], nrm[:hi])
+            cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0  # round6
+            for r in range(hi - lo):
+                j = lo + r
+                cand = np.nonzero(cos[r, :j] >= threshold)[0]
+                if cand.size:
+                    dup[j] = ids[cand[0]]  # ids ascending -> first is min
+        out = pd.DataFrame({
+            "vec_id": ids,
+            "cluster_id": pdf["cluster_id"].iloc[0],
+            "dup_of": dup,
+        })
+        out.loc[out["dup_of"] < 0, "dup_of"] = pd.NA
+        return out
+
+    return (assigned.groupBy("cluster_id")
+            .applyInPandas(verdicts, schema=out_schema)
+            .orderBy("vec_id"))
 
 
 def semantic_dedup(embeddings: DataFrame,
                    num_clusters: int | str = SEM_CLUSTERS,
-                   threshold: float = SEM_COSINE_THRESHOLD) -> DataFrame:
+                   threshold: float = SEM_COSINE_THRESHOLD,
+                   pair_kernel: str = "auto") -> DataFrame:
     """Per-document semantic-dedup verdicts: (vec_id, cluster_id, dup_of)
     where dup_of is the smallest-id same-cluster neighbor with cosine >=
     threshold (NULL = kept). One row per document, ordered by vec_id.
@@ -972,12 +1030,31 @@ def semantic_dedup(embeddings: DataFrame,
     through ann.ivf_assign's Arrow GEMM argmin against the same frozen
     seed matrix — the primitive exists; it trades the hash-checkable
     rounded-tie-break regime for the recall-gated one, exactly like the
-    k-means families."""
+    k-means families.
+
+    ``pair_kernel``: HOW the intra-cluster pairs are scored. 'codegen'
+    is the declared hash-checked path (pure Catalyst — but the unrolled
+    64-term cosine lands in the SortMergeJoin condition, where measured
+    throughput is only ~25k pairs/s: the generated method is too large
+    to JIT, so it evaluates interpreted); 'arrow' scores each cluster
+    as one float64 GEMM in applyInPandas (~100x the pair throughput —
+    the same finding that moved dedup_embedding_lsh's bucketing to a
+    GEMM kernel), blockwise so memory is O(block x cluster), verdicts
+    round6-identical on well-separated corpora (bit-parity caveat: BLAS
+    accumulation order differs from the left-fold SQL sum within one
+    ulp, so a pair EXACTLY on the rounded threshold boundary could flip
+    — the fixture pytest pins empirical equality). 'auto' picks codegen
+    below SEM_ARROW_MIN_ROWS corpus rows (keeps the declared fixture
+    query Python-free) and arrow above."""
     from vectordb_explorations_spark.functions.vectors import (
         dot_product_sql, l2_norm_sql, squared_l2_sql)
     from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 
-    num_clusters = _resolve_sem_clusters(num_clusters, embeddings)
+    num_clusters, corpus_rows = _resolve_sem_clusters(num_clusters,
+                                                      embeddings)
+    if pair_kernel == "auto":
+        pair_kernel = ("arrow" if corpus_rows >= SEM_ARROW_MIN_ROWS
+                       else "codegen")
     seeds = (embeddings.where(F.col("vec_id") < num_clusters)
              .select(F.col("vec_id").alias("seed_id"),
                      F.col("embedding").alias("semb")))
@@ -989,6 +1066,8 @@ def semantic_dedup(embeddings: DataFrame,
                 .where(F.col("rn") == 1)
                 .select("vec_id", F.col("seed_id").alias("cluster_id"),
                         "embedding"))
+    if pair_kernel == "arrow":
+        return _sem_verdicts_arrow(assigned, threshold)
     wn = assigned.select(
         "vec_id", "cluster_id", "embedding",
         F.expr(l2_norm_sql("embedding", EMBEDDING_DIM)).alias("nrm"))
