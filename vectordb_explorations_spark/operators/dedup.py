@@ -944,9 +944,11 @@ def _resolve_sem_clusters(num_clusters,
 
 
 # Measured crossover (tools/semantic_dedup_probe.py): the codegen pair
-# stage runs ~25k pairs/s (SMJ-condition eval never JITs), the GEMM
-# kernel >2M pairs/s; below this corpus size the whole query is fast
-# either way and codegen keeps the declared plan Python-free.
+# stage runs ~25k pairs/s on a vanilla JVM (the SMJ-condition method is
+# >8 KB bytecode, never JIT'd) and ~400k/s with the factory's
+# -XX:-DontCompileHugeMethods; the GEMM kernel >100M pairs/s either
+# way. Below this corpus size the whole query is fast on any JVM and
+# codegen keeps the declared plan Python-free.
 SEM_ARROW_MIN_ROWS = 20_000
 SEM_ARROW_BLOCK = 2048
 
@@ -1034,12 +1036,15 @@ def semantic_dedup(embeddings: DataFrame,
 
     ``pair_kernel``: HOW the intra-cluster pairs are scored. 'codegen'
     is the declared hash-checked path (pure Catalyst — but the unrolled
-    64-term cosine lands in the SortMergeJoin condition, where measured
-    throughput is only ~25k pairs/s: the generated method is too large
-    to JIT, so it evaluates interpreted); 'arrow' scores each cluster
-    as one float64 GEMM in applyInPandas (~100x the pair throughput —
-    the same finding that moved dedup_embedding_lsh's bucketing to a
-    GEMM kernel), blockwise so memory is O(block x cluster), verdicts
+    64-term cosine lands in the SortMergeJoin condition as ONE >8 KB
+    generated method, which HotSpot never JIT-compiles: ~25k pairs/s on
+    a vanilla JVM; the session factory's -XX:-DontCompileHugeMethods
+    recovers ~18x, but vanilla driver sessions and unflagged executors
+    stay on the cliff — proven by flag experiment, SCALE_NOTES);
+    'arrow' scores each cluster as one float64 GEMM in applyInPandas
+    (~100x vanilla / ~6x flagged codegen — the same finding that moved
+    dedup_embedding_lsh's bucketing to a GEMM kernel), blockwise so
+    memory is O(block x cluster), verdicts
     round6-identical on well-separated corpora (bit-parity caveat: BLAS
     accumulation order differs from the left-fold SQL sum within one
     ulp, so a pair EXACTLY on the rounded threshold boundary could flip

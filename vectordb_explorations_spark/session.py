@@ -41,6 +41,15 @@ _DEFAULT_CONF = {
     # branches on the loaded dtype either way.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # HotSpot silently refuses to JIT methods over 8 KB of bytecode, and
+    # the unrolled fixed-dim vector expressions this engine generates can
+    # exceed that inside a single generated method (a SortMergeJoin
+    # condition doesn't get split the way WholeStageCodegen projections
+    # do). Measured on semantic_dedup's pair predicate at N=5k: 143 s
+    # interpreted -> 8 s with the flag (tools/semantic_dedup_probe.py).
+    # On a real cluster set the executor twin too (local mode has none).
+    "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }
