@@ -251,3 +251,21 @@ def test_semantic_dedup_arrow_kernel_parity(spark, sf_dir):
     finally:
         D.SEM_ARROW_BLOCK = orig
     assert [tuple(r) for r in small_block] == [tuple(r) for r in codegen]
+
+
+def test_semantic_dedup_gemm_assign_parity(spark, sf_dir):
+    """The Arrow argmin assignment (the large-N*C scale path) must agree
+    with the broadcast-join assignment on fixtures — clusters, verdicts,
+    and 'auto' staying on the join path below SEM_GEMM_ASSIGN_MIN_CELLS."""
+    from vectordb_explorations_spark.operators.dedup import (
+        SEM_GEMM_ASSIGN_MIN_CELLS, semantic_dedup)
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    join_path = semantic_dedup(emb, assign_kernel="join").collect()
+    gemm_path = semantic_dedup(emb, assign_kernel="gemm").collect()
+    assert [tuple(r) for r in gemm_path] == [tuple(r) for r in join_path]
+    assert emb.count() * 8 < SEM_GEMM_ASSIGN_MIN_CELLS  # fixtures: join
+    auto_plan = (semantic_dedup(emb)  # declared defaults
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "InPandas" not in auto_plan

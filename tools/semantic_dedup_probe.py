@@ -29,7 +29,13 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SIZES = [int(a) for a in sys.argv[1:]] or [50_000, 100_000, 200_000]
+SIZES = [int(a) for a in sys.argv[1:]] or [50_000, 100_000, 200_000,
+                                           1_000_000]
+# Above this size only the auto policy's wall is measured; the fixed-C
+# cell still reports its EXACT pair count (cheap to compute from the
+# assignment) but timing a ~6e10-pair GEMM is the cost the policy
+# exists to prohibit.
+AUTO_ONLY_ABOVE = 200_000
 DIM = 64
 
 
@@ -123,7 +129,10 @@ def main() -> None:
                 (f"fixed C={SEM_CLUSTERS}", SEM_CLUSTERS, SEM_CLUSTERS),
                 (f"auto C={auto_c}", "auto", auto_c)):
             pairs = pair_candidates(n, c_resolved)
-            dt = run(emb, clusters, "arrow")
+            if n > AUTO_ONLY_ABOVE and clusters != "auto":
+                dt = None  # the cost the policy prohibits; count only
+            else:
+                dt = run(emb, clusters, "arrow")
             rows.append((n, label, pairs, dt))
             print(f"[semprobe] N={n:,} {label}: pairs={pairs:,} "
                   f"wall={dt}s", flush=True)
@@ -159,19 +168,25 @@ def main() -> None:
         "bucketing: bulk pairwise similarity belongs in an Arrow GEMM, "
         "not a giant scalar expression tree.",
         "",
-        "**Policy** (arrow kernel throughout): `pairs` is the EXACT "
+        "**Policy** (arrow pair kernel throughout): `pairs` is the EXACT "
         "intra-cluster candidate count sum(s_i*(s_i-1)/2) from the real "
         "assignment — the work the verdict stage must evaluate; wall is "
         "the full query (assignment + per-cluster GEMM + order). auto "
         f"holds expected cluster size at {SEM_TARGET_CLUSTER_ROWS:,} "
-        "rows (floor C=8). Regenerate: "
+        "rows (floor C=8). The 1M auto row additionally exercises "
+        "assign_kernel='auto' -> 'gemm' (N*C crosses "
+        "SEM_GEMM_ASSIGN_MIN_CELLS, so assignment runs as one Arrow "
+        "argmin pass instead of a 245M-row broadcast cross-join); its "
+        "fixed-C wall is deliberately not measured — a ~6e10-pair GEMM "
+        "is the cost the cluster policy exists to prohibit. Regenerate: "
         "`python tools/semantic_dedup_probe.py`.",
         "",
         "| N | policy | candidate pairs | verdict wall (s) |",
         "|---|---|---|---|",
     ]
     for n, label, pairs, dt in rows:
-        lines.append(f"| {n:,} | {label} | {pairs:,} | {dt} |")
+        cell = "— (the prohibited cost)" if dt is None else f"{dt}"
+        lines.append(f"| {n:,} | {label} | {pairs:,} | {cell} |")
     fixed = {n: (p, d) for n, lbl, p, d in rows if lbl.startswith("fixed")}
     auto = {n: (p, d) for n, lbl, p, d in rows if lbl.startswith("auto")}
     n_lo, n_hi = min(SIZES), max(SIZES)

@@ -953,6 +953,42 @@ SEM_ARROW_MIN_ROWS = 20_000
 SEM_ARROW_BLOCK = 2048
 
 
+# The broadcast-join assignment materializes N*C rows through a window;
+# past this many cells the Arrow GEMM argmin (one pass, no N*C blowup)
+# takes over. 1M rows at auto C=245 is ~245M cells -> gemm; every
+# fixture and the 200k probe stay on the hash-checkable join path.
+SEM_GEMM_ASSIGN_MIN_CELLS = 50_000_000
+
+
+def _sem_assign_gemm(embeddings: DataFrame, num_clusters: int) -> DataFrame:
+    """Nearest-seed assignment as one Arrow GEMM argmin pass (reuses
+    ann.ivf_assign with the frozen seed matrix, assign_n=1) — the
+    documented large-C path where the join assignment's N*C cross-join
+    rows become the dominant cost. Seeds are the same pure function of
+    the data as the join path (the num_clusters smallest vec_ids,
+    ascending, so argmin's first-minimum matches the seed_id
+    tie-break); ties differ only when two RAW float64 distances round
+    equal at 6 dp but differ beneath it — the rounded-tie-break
+    hash-checkable regime vs the recall-gated one, as with the k-means
+    families."""
+    import numpy as np
+
+    from vectordb_explorations_spark.operators.ann import ivf_assign
+
+    seed_rows = (embeddings.where(F.col("vec_id") < num_clusters)
+                 .select("vec_id", "embedding")
+                 .orderBy("vec_id").collect())
+    seed_ids = [r["vec_id"] for r in seed_rows]
+    seed_mat = np.asarray([r["embedding"] for r in seed_rows],
+                          dtype=np.float64)
+    id_map = F.array(*[F.lit(s) for s in seed_ids])
+    return (ivf_assign(embeddings, seed_mat, assign_n=1)
+            .select("vec_id",
+                    F.element_at(id_map, F.col("list_id") + 1)
+                    .alias("cluster_id"),
+                    "embedding"))
+
+
 def _sem_verdicts_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
     """Per-cluster pairwise verdicts as one blockwise float64 GEMM per
     group: for each doc j (ids ascending) dup_of = the smallest id i<j in
@@ -1002,7 +1038,8 @@ def _sem_verdicts_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
 def semantic_dedup(embeddings: DataFrame,
                    num_clusters: int | str = SEM_CLUSTERS,
                    threshold: float = SEM_COSINE_THRESHOLD,
-                   pair_kernel: str = "auto") -> DataFrame:
+                   pair_kernel: str = "auto",
+                   assign_kernel: str = "auto") -> DataFrame:
     """Per-document semantic-dedup verdicts: (vec_id, cluster_id, dup_of)
     where dup_of is the smallest-id same-cluster neighbor with cosine >=
     threshold (NULL = kept). One row per document, ordered by vec_id.
@@ -1026,13 +1063,19 @@ def semantic_dedup(embeddings: DataFrame,
 
     ``num_clusters='auto'`` holds expected cluster size at
     SEM_TARGET_CLUSTER_ROWS so pair work stays linear in N (a fixed
-    count below that bound warns — the shared fixed-knob policy). Past
-    ~1M rows the resolved C makes the broadcast seed cross-join the new
-    quadratic term (N*C assignment rows); there, route assignment
-    through ann.ivf_assign's Arrow GEMM argmin against the same frozen
-    seed matrix — the primitive exists; it trades the hash-checkable
-    rounded-tie-break regime for the recall-gated one, exactly like the
-    k-means families.
+    count below that bound warns — the shared fixed-knob policy).
+
+    ``assign_kernel``: HOW documents find their nearest seed. 'join' is
+    the hash-checked broadcast-join + window path, which materializes
+    N*C rows — past ~1M rows at the auto cluster count that cross-join
+    becomes the dominant term; 'gemm' runs one Arrow argmin pass over
+    the frozen seed matrix (_sem_assign_gemm, reusing ann.ivf_assign)
+    with no N*C blowup, diverging from 'join' only when two raw
+    distances round equal at 6 dp but differ beneath it (the
+    rounded-tie-break regime vs the recall-gated one, as with the
+    k-means families; fixture pytest pins empirical equality). 'auto'
+    switches to gemm past SEM_GEMM_ASSIGN_MIN_CELLS N*C cells —
+    fixtures and the 200k probe stay on 'join'.
 
     ``pair_kernel``: HOW the intra-cluster pairs are scored. 'codegen'
     is the declared hash-checked path (pure Catalyst — but the unrolled
@@ -1060,17 +1103,25 @@ def semantic_dedup(embeddings: DataFrame,
     if pair_kernel == "auto":
         pair_kernel = ("arrow" if corpus_rows >= SEM_ARROW_MIN_ROWS
                        else "codegen")
-    seeds = (embeddings.where(F.col("vec_id") < num_clusters)
-             .select(F.col("vec_id").alias("seed_id"),
-                     F.col("embedding").alias("semb")))
-    dist = round6(F.expr(squared_l2_sql("embedding", "semb", EMBEDDING_DIM)))
-    w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
-    assigned = (embeddings.join(F.broadcast(seeds))
-                .select("vec_id", "embedding", "seed_id", dist.alias("dist"))
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("vec_id", F.col("seed_id").alias("cluster_id"),
-                        "embedding"))
+    if assign_kernel == "auto":
+        assign_kernel = ("gemm" if corpus_rows * num_clusters
+                         >= SEM_GEMM_ASSIGN_MIN_CELLS else "join")
+    if assign_kernel == "gemm":
+        assigned = _sem_assign_gemm(embeddings, num_clusters)
+    else:
+        seeds = (embeddings.where(F.col("vec_id") < num_clusters)
+                 .select(F.col("vec_id").alias("seed_id"),
+                         F.col("embedding").alias("semb")))
+        dist = round6(F.expr(squared_l2_sql("embedding", "semb",
+                                            EMBEDDING_DIM)))
+        w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+        assigned = (embeddings.join(F.broadcast(seeds))
+                    .select("vec_id", "embedding", "seed_id",
+                            dist.alias("dist"))
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1)
+                    .select("vec_id", F.col("seed_id").alias("cluster_id"),
+                            "embedding"))
     if pair_kernel == "arrow":
         return _sem_verdicts_arrow(assigned, threshold)
     wn = assigned.select(
