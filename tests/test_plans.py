@@ -182,3 +182,28 @@ def test_new_round6_plan_shapes(spark, sf_dir):
     orders = load_table(spark, "orders", sf_dir)
     # extent single-partition agg + bucket agg + output sort
     assert shuffles(zorder_layout(orders)) <= 3
+
+
+# ---- codegen-fallback tripwire (round 9) ----
+# Plan-SHAPE assertions above cannot see a RUNTIME janino failure: a stage
+# whose generated processNext() exceeds the JVM's hard 64 KB method limit
+# compiles nowhere, Spark logs one ERROR and silently re-executes the stage
+# interpreted row-at-a-time — hash-green at fixture scale, an interpreted
+# full-corpus scan at 100x. knn_search_after shipped exactly that for two
+# rounds (cursor predicate referenced the unrolled 64-term distance tree
+# twice; CollapseProject + filter pushdown substituted the tree into each
+# reference). Running every declared query with codegen fallback DISABLED
+# turns the silent degradation into a hard failure, closing the class.
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_declared_queries_compile_codegen_strict(name, spark, sf_dir):
+    conf = "spark.sql.codegen.fallback"
+    saved = spark.conf.get(conf, None)
+    spark.conf.set(conf, "false")
+    try:
+        (QUERIES[name](spark, sf_dir)
+         .write.format("noop").mode("overwrite").save())
+    finally:
+        if saved is not None:
+            spark.conf.set(conf, saved)
+        else:
+            spark.conf.unset(conf)

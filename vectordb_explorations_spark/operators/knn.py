@@ -243,14 +243,29 @@ def search_after(vectors: DataFrame, query_vec: Sequence[float], k: int,
 
     The cursor comparison runs on the RAW double (both engines compute
     the identical distance tree, so `==` on the boundary behaves
-    identically); rounding only in the projection."""
+    identically); rounding only in the projection.
+
+    Codegen shape (round 9): the cursor predicate is a lexicographic
+    STRUCT comparison ``(dist, id) > (cd, cid)`` — semantically identical
+    to ``dist > cd OR (dist == cd AND id > cid)`` but it binds the
+    unrolled ``dim``-term distance tree ONCE in the predicate. The OR
+    form referenced ``dist`` twice; Catalyst's filter pushdown +
+    CollapseProject substituted the full tree into each reference and
+    the single generated ``processNext()`` blew janino's hard 64 KB
+    method limit ("Code grows beyond 64 KB"), silently dropping the
+    whole stage to interpreted row-at-a-time eval — an interpreted
+    full-corpus scan at cluster scale. With the struct form the stage
+    compiles (two tree copies total: pushed filter + sort projection);
+    tests/test_plans.py's codegen tripwire pins this class shut."""
     dist = F.expr(l2_distance_sql(
         vec_col, array_lit_sql(query_vec), len(query_vec)))
     cd, cid = float(cursor[0]), int(cursor[1])
     scored = vectors.select(F.col(id_col), dist.alias("dist"))
     after = scored.where(
-        (F.col("dist") > F.lit(cd))
-        | ((F.col("dist") == F.lit(cd)) & (F.col(id_col) > F.lit(cid))))
+        F.struct(F.col("dist").alias("d"),
+                 F.col(id_col).cast("long").alias("i"))
+        > F.struct(F.lit(cd).alias("d"),
+                   F.lit(cid).cast("long").alias("i")))
     out = (after.orderBy(F.col("dist").asc(), F.col(id_col).asc())
            .limit(k))
     if round_dp is not None:
