@@ -116,6 +116,10 @@ def main() -> None:
         load_table(spark, t, SF_DIR).count()
 
     emb = load_table(spark, "embeddings", SF_DIR)
+    # Corpus size once, up front: searches take it as index metadata so
+    # adaptive-policy resolution never schedules a count() job inside a
+    # timed serving loop (the r8 ann_pq_refined regression).
+    n_emb = emb.count()
     docs = load_table(spark, "documents", SF_DIR)
     queries = sample_queries(emb, NUM_QUERIES).cache()
     queries.count()
@@ -204,7 +208,7 @@ def main() -> None:
     bench("ann_pq_refined_batch100",
           lambda: _force(PQ.pq_search(pq_state["codes"], pq_state["books"],
                                       queries, K, refine_with=emb,
-                                      refine_factor=10)))
+                                      refine_factor=10, corpus_n=n_emb)))
 
     from vectordb_explorations_spark.operators import sq as SQ2
 
@@ -272,7 +276,7 @@ def main() -> None:
                                          ivfpq_state["cents"],
                                          ivfpq_state["books"], queries, K,
                                          nprobe=8, refine_with=emb,
-                                         refine_factor=10)))
+                                         refine_factor=10, corpus_n=n_emb)))
 
     ivfsq_state = {}
 
@@ -293,7 +297,8 @@ def main() -> None:
           lambda: _force(SQ2.ivfsq_search(
               ivfsq_state["codes"], ivfsq_state["cents"],
               ivfsq_state["mins"], ivfsq_state["maxs"], queries, K,
-              nprobe=8, refine_with=emb, refine_factor=10)))
+              nprobe=8, refine_with=emb, refine_factor=10,
+              corpus_n=n_emb)))
 
     # BQ1->SQ8->exact cascade: reuses the bq1 and sq8 artifacts built
     # above (its build cost IS those two rows); only the search is new.

@@ -38,11 +38,15 @@ from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 # scale, 0.86 at 200k, 0.796 at 1M, all at cap=1024. Candidate-fraction
 # math: a query probing a hot bucket inspects ~nprobe_sub*cap rows of it;
 # holding the fraction nprobe_sub*cap/N constant holds the geometry the
-# calibration measured. The anchor below is the 200k operating point
-# (cap 1024 ≈ 0.5% of N at recall 0.86; the 1M re-probe with the
-# resolved auto cap is the validation row in SCALE_NOTES).
+# calibration measured. The anchor is the 100k operating point — cap
+# 1024 ≈ 1% of N at recall 0.93, the fraction the 1M validation row in
+# SCALE_NOTES was measured AT (auto cap 10240 -> recall 0.988 with the
+# 2-bit probe ring). At 200k the same fixed cap is 0.5% of N and recall
+# has already decayed to 0.86 — that is the decay curve, not the
+# calibration point, so a fixed cap=1024 at 200k correctly warns and
+# 'auto' correctly resolves to 2048 there.
 LSH_DEFAULT_BUCKET_CAP = 1024
-LSH_CAP_FRACTION = 1024 / 100_000  # ≈1% — cap/N at the calibrated point
+LSH_CAP_FRACTION = 1024 / 100_000  # ≈1% — cap/N at the 100k anchor
 # Past this corpus size, 1-bit multiprobe leaves recall on the table even
 # at the fraction-held cap: the 1M calibration measured 0.889 at
 # cap='auto'/mpb=1 (cap saturates — doubling it bought +0.004) vs 0.988
@@ -143,8 +147,9 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     """Split oversized LSH buckets with an in-bucket coarse quantizer.
 
     ``bucket_cap='auto'`` resolves the cap from the corpus size measured
-    by the same histogram job the hot-bucket scan already runs (zero
-    extra jobs): cap = max(floor, N * LSH_CAP_FRACTION), holding the
+    on the same CACHED histogram the hot-bucket scan reads (one stats
+    row + the hot rows — driver transfer bounded by hot buckets, never
+    the key space): cap = max(floor, N * LSH_CAP_FRACTION), holding the
     inspected candidate fraction — and therefore recall — constant as N
     grows (r7 verdict item 3; the 1M probe measured the decay of a fixed
     cap). A fixed int cap below the calibrated fraction emits a loud
@@ -204,27 +209,34 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
         fast = fast.cache()
         executor = ThreadPoolExecutor(1)
         fast_future = executor.submit(fast.count)
-    # The bucket-size histogram is bounded by the key space
-    # (num_tables * 2^num_planes rows), never by corpus size — collect the
-    # hot list in ONE job. A lazy `hot` DF would re-run the agg in every
-    # downstream action that references it (isEmpty + anti-join + member
-    # join = 3 recomputes), which round-2 profiling measured as ~2 s of
-    # pure job overhead at sf0.1 with zero hot buckets.
-    # Collect the FULL histogram (bounded by the key space, never corpus
-    # size) so the corpus size falls out of the same job: total rows =
-    # N * num_tables. That lets 'auto' resolve the cap with zero extra
-    # Spark jobs, and prices the fixed-cap recall-risk check for free.
-    size_rows = (index.groupBy("table_id", "bucket")
-                 .agg(F.count("*").alias("sz"))
-                 .collect())
-    n_tables = len({r["table_id"] for r in size_rows}) or 1
-    n_corpus = sum(r["sz"] for r in size_rows) // n_tables
+    # The driver must see (a) the corpus size — to resolve 'auto' /
+    # price the fixed-cap recall-risk check — and (b) the HOT bucket
+    # list. Collecting the full histogram for both would be driver
+    # transfer bounded only by min(2^num_planes, N) * num_tables rows —
+    # O(N * num_tables) once the plane count outgrows the corpus (the
+    # r8 ADVICE regression vs the old Spark-side sz > cap filter). So:
+    # cache the histogram once, pull ONE stats row for the cap
+    # resolution, then collect only rows the Spark-side `sz > cap`
+    # filter keeps — bounded by hot buckets (≤ N / cap), never by the
+    # key space. A lazy `hot` DF instead of the collect would re-run
+    # the agg in every downstream action (isEmpty + anti-join + member
+    # join = 3 recomputes, ~2 s of job overhead measured in round 2);
+    # the cache keeps it at one histogram computation for both jobs.
+    hist = (index.groupBy("table_id", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .cache())
+    stats = hist.agg(
+        F.sum("sz").alias("rows"),
+        F.countDistinct("table_id").alias("tables")).collect()[0]
+    n_tables = int(stats["tables"] or 1)
+    n_corpus = int(stats["rows"] or 0) // n_tables
     if bucket_cap == "auto":
         bucket_cap = adaptive_bucket_cap(n_corpus)
     else:
         bucket_cap = int(bucket_cap)
         _warn_recall_risk(bucket_cap, n_corpus)
-    hot_rows = [r for r in size_rows if r["sz"] > bucket_cap]
+    hot_rows = hist.where(F.col("sz") > F.lit(int(bucket_cap))).collect()
+    hist.unpersist()
     if fast_future is not None:
         fast_future.result()
         executor.shutdown()
@@ -554,7 +566,11 @@ def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
             X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             # argmin ||x-c||² = argmin(-2xc + ||c||²) — GEMM, no (n,k,d) temp
             d = -2.0 * X @ C.T + cnorm
-            near = np.argsort(d, axis=1)[:, :an]  # (n, an), nearest-first
+            # kind='stable' so exactly-equal distances break toward the
+            # SMALLER centroid index — the (dist, seed_id) tie-break the
+            # join-path twin documents; the default introsort gives no
+            # such guarantee on equal keys (r8 ADVICE).
+            near = np.argsort(d, axis=1, kind="stable")[:, :an]  # (n, an)
             out = pdf.loc[pdf.index.repeat(an)].copy()
             out["list_id"] = near.reshape(-1).astype(np.int32)
             yield out

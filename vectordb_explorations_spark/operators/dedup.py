@@ -922,11 +922,17 @@ def adaptive_sem_clusters(n: int, floor: int = SEM_CLUSTERS,
 
 
 def _resolve_sem_clusters(num_clusters,
-                          embeddings: DataFrame) -> tuple[int, int]:
+                          embeddings: DataFrame,
+                          corpus_n: int | None = None) -> tuple[int, int]:
     """Resolve the cluster count and return (clusters, corpus_rows) — the
-    row count also drives the 'auto' pair-kernel choice."""
+    row count also drives the 'auto' pair-kernel choice. The count is
+    memoized per DataFrame (pq._corpus_rows) and skipped entirely when
+    the caller passes ``corpus_n``, so repeated dedup passes over one
+    cached corpus schedule no redundant count jobs."""
     import warnings
-    n = embeddings.count()
+
+    from vectordb_explorations_spark.operators.pq import _corpus_rows
+    n = corpus_n if corpus_n is not None else _corpus_rows(embeddings, 1)
     if num_clusters == "auto":
         return adaptive_sem_clusters(n), n
     c = int(num_clusters)
@@ -975,9 +981,13 @@ def _sem_assign_gemm(embeddings: DataFrame, num_clusters: int) -> DataFrame:
 
     from vectordb_explorations_spark.operators.ann import ivf_assign
 
-    seed_rows = (embeddings.where(F.col("vec_id") < num_clusters)
-                 .select("vec_id", "embedding")
-                 .orderBy("vec_id").collect())
+    # orderBy+limit, NOT `vec_id < num_clusters`: the documented contract
+    # is "the num_clusters smallest-vec_id embeddings", which the range
+    # predicate only equals for dense 0-based ids — on filtered/appended
+    # corpora it silently under-seeds (r8 ADVICE). Plans as
+    # TakeOrderedAndProject; the collect is num_clusters rows.
+    seed_rows = (embeddings.select("vec_id", "embedding")
+                 .orderBy("vec_id").limit(int(num_clusters)).collect())
     seed_ids = [r["vec_id"] for r in seed_rows]
     seed_mat = np.asarray([r["embedding"] for r in seed_rows],
                           dtype=np.float64)
@@ -1039,7 +1049,8 @@ def semantic_dedup(embeddings: DataFrame,
                    num_clusters: int | str = SEM_CLUSTERS,
                    threshold: float = SEM_COSINE_THRESHOLD,
                    pair_kernel: str = "auto",
-                   assign_kernel: str = "auto") -> DataFrame:
+                   assign_kernel: str = "auto",
+                   corpus_n: int | None = None) -> DataFrame:
     """Per-document semantic-dedup verdicts: (vec_id, cluster_id, dup_of)
     where dup_of is the smallest-id same-cluster neighbor with cosine >=
     threshold (NULL = kept). One row per document, ordered by vec_id.
@@ -1098,8 +1109,8 @@ def semantic_dedup(embeddings: DataFrame,
         dot_product_sql, l2_norm_sql, squared_l2_sql)
     from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 
-    num_clusters, corpus_rows = _resolve_sem_clusters(num_clusters,
-                                                      embeddings)
+    num_clusters, corpus_rows = _resolve_sem_clusters(
+        num_clusters, embeddings, corpus_n=corpus_n)
     if pair_kernel == "auto":
         pair_kernel = ("arrow" if corpus_rows >= SEM_ARROW_MIN_ROWS
                        else "codegen")
@@ -1109,7 +1120,9 @@ def semantic_dedup(embeddings: DataFrame,
     if assign_kernel == "gemm":
         assigned = _sem_assign_gemm(embeddings, num_clusters)
     else:
-        seeds = (embeddings.where(F.col("vec_id") < num_clusters)
+        # orderBy+limit for the same sparse-id correctness as the gemm
+        # kernel's seed collect (see _sem_assign_gemm).
+        seeds = (embeddings.orderBy("vec_id").limit(int(num_clusters))
                  .select(F.col("vec_id").alias("seed_id"),
                          F.col("embedding").alias("semb")))
         dist = round6(F.expr(squared_l2_sql("embedding", "semb",
@@ -1162,7 +1175,7 @@ def semantic_dedup_oracle(num_clusters: int = SEM_CLUSTERS,
     return f"""
 WITH seeds AS (
   SELECT vec_id AS seed_id, embedding AS semb
-  FROM embeddings WHERE vec_id < {num_clusters}
+  FROM embeddings ORDER BY vec_id LIMIT {num_clusters}
 ),
 asg AS (
   SELECT vec_id, seed_id AS cluster_id FROM (

@@ -44,10 +44,41 @@ def adaptive_refine_factor(n: int, k: int, fraction: float,
     return max(floor, int(np.ceil(fraction * n / max(1, k))))
 
 
+# Corpus sizes memoized per code-table DataFrame object: the steady-state
+# serving pattern calls search repeatedly on ONE cached index table, and a
+# count() job per call is a job-scheduling round-trip in the hot path
+# (measured as the r8 bench regression: ann_pq_refined_batch100 0.843 ->
+# 0.995 s). Weak keys so a dropped index frees its entry.
+import weakref
+
+_CORPUS_N_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _corpus_rows(codes_df: DataFrame, replication: int) -> int:
+    """Corpus row count of a code table, ONE count per DataFrame lifetime.
+
+    ``replication`` is the known per-vector row multiplicity (IVF-family
+    code tables carry assign_n rows per vector — counting raw rows would
+    double N, resolving 'auto' to twice the calibrated shortlist and
+    firing the fixed-rf warning spuriously)."""
+    n = _CORPUS_N_CACHE.get(codes_df)
+    if n is None:
+        n = codes_df.count() // max(1, int(replication))
+        _CORPUS_N_CACHE[codes_df] = n
+    return n
+
+
 def _resolve_refine_factor(refine_factor, codes_df: DataFrame, k: int,
-                           fraction: float, family: str) -> int:
+                           fraction: float, family: str,
+                           corpus_n: int | None = None,
+                           replication: int = 1) -> int:
+    """Resolve ``refine_factor`` ('auto' or fixed int) against the corpus
+    size. ``corpus_n`` — when the caller carries it as index metadata —
+    makes resolution job-free; otherwise one memoized count per code
+    table (never one per search call)."""
     import warnings
-    n = codes_df.count()  # metadata-cheap on parquet/cached code tables
+    n = corpus_n if corpus_n is not None else _corpus_rows(
+        codes_df, replication)
     if refine_factor == "auto":
         return adaptive_refine_factor(n, k, fraction)
     rf = int(refine_factor)
@@ -186,7 +217,8 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
               k: int, refine_with: DataFrame | None = None,
               refine_factor: int | str = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+              qid_col: str = "query_id", qvec_col: str = "query_vec",
+              corpus_n: int | None = None) -> DataFrame:
     """ADC search: per query, the (m, k) lookup table of exact
     query-subvector→code distances broadcasts in the UDF closure; scoring a
     vector is m table lookups. Local per-partition top-k keeps the shuffle
@@ -203,7 +235,8 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
 
     if refine_with is not None:
         refine_factor = _resolve_refine_factor(
-            refine_factor, codes_df, k, PQ_REFINE_FRACTION, "pq")
+            refine_factor, codes_df, k, PQ_REFINE_FRACTION, "pq",
+            corpus_n=corpus_n)
     m, kc, dsub = codebooks.shape
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = np.array([int(r[0]) for r in qrows])
@@ -353,7 +386,8 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
                  refine_factor: int | str = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id",
-                 qvec_col: str = "query_vec") -> DataFrame:
+                 qvec_col: str = "query_vec",
+                 corpus_n: int | None = None) -> DataFrame:
     """Probe the nprobe nearest lists per query, ADC-score their residual
     codes against per-(query, list) LUTs built on the residual query
     (q - centroid), then merge + optional broadcast-candidate exact
@@ -369,7 +403,8 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
 
     if refine_with is not None:
         refine_factor = _resolve_refine_factor(
-            refine_factor, codes_df, k, IVFPQ_REFINE_FRACTION, "ivfpq")
+            refine_factor, codes_df, k, IVFPQ_REFINE_FRACTION, "ivfpq",
+            corpus_n=corpus_n, replication=ANN.IVF_ASSIGN_N)
     m, kc, dsub = codebooks.shape
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = [int(r[0]) for r in qrows]

@@ -266,7 +266,8 @@ def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
                  refine_factor: int | str = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id",
-                 qvec_col: str = "query_vec") -> DataFrame:
+                 qvec_col: str = "query_vec",
+                 corpus_n: int | None = None) -> DataFrame:
     """Probe the ``nprobe`` nearest centroid lists, score DEQUANTIZED codes
     within them (Arrow GEMM local top-n per batch), merge, exact-refine.
 
@@ -285,8 +286,10 @@ def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
         _exact_refine, _resolve_refine_factor)
 
     if refine_with is not None:
+        from vectordb_explorations_spark.operators.ann import IVF_ASSIGN_N
         refine_factor = _resolve_refine_factor(
-            refine_factor, codes_df, k, IVFSQ_REFINE_FRACTION, "ivfsq")
+            refine_factor, codes_df, k, IVFSQ_REFINE_FRACTION, "ivfsq",
+            corpus_n=corpus_n, replication=IVF_ASSIGN_N)
 
     scales = _scales(mins, maxs)
     spark = codes_df.sparkSession
