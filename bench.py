@@ -306,7 +306,7 @@ def main() -> None:
           lambda: _force(BQ2.bq_cascade_search(
               bq_state["codes"], bq_state["thr"], bq_state["levels"],
               sq_state["codes"], sq_state["mins"], sq_state["maxs"],
-              queries, K, refine_with=emb)))
+              queries, K, refine_with=emb, corpus_n=n_emb)))
 
     # Partitioned serving paths (r7 verdict item 7): the claimed 100 TB
     # story — probe-pruned I/O at the file listing — now has timed rows,

@@ -194,3 +194,50 @@ def test_adaptive_shortlist_policy(spark, sf_dir, tmp_path):
     msgs = [str(w.message) for w in caught
             if issubclass(w.category, RuntimeWarning)]
     assert any("PRE-FILTER" in m and "auto" in m for m in msgs), msgs
+
+
+def test_cascade_route_crossover(spark, sf_dir):
+    """r8 verdict item 5: the engine ROUTES away from the cascade once
+    the resolved shortlist fraction crosses the measured cliff, instead
+    of warning from inside it. Pin the crossover arithmetic and that the
+    auto entry point's sq8 branch serves identical rows to plain SQ8."""
+    from vectordb_explorations_spark.operators.bq import (
+        CASCADE_MAX_SHORTLIST_FRACTION, adaptive_shortlist,
+        bq_cascade_search_auto, bq_encode, bq_levels, bq_thresholds,
+        cascade_route)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.operators.sq import (
+        sq_encode, sq_search, sq_train)
+
+    # crossover math: the resolved fraction is 0.01 * N/200k past the
+    # anchor, so it crosses the 2% ceiling exactly at N = 400k
+    assert cascade_route(200_000, 64) == "cascade"
+    assert cascade_route(400_000, 64) == "cascade"   # boundary inclusive
+    assert cascade_route(410_000, 64) == "sq8"
+    assert cascade_route(1_000_000, 64) == "sq8"
+    # a >=256-bit code ranks on its own: cascade at any N
+    assert cascade_route(10_000_000, 256) == "cascade"
+    # the routed boundary really is the constant, not a magic number
+    n = 410_000
+    assert adaptive_shortlist(n) / n > CASCADE_MAX_SHORTLIST_FRACTION
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    thr = bq_thresholds(emb, EMBEDDING_DIM)
+    levels = bq_levels(emb, thr)
+    codes = bq_encode(emb, thr)
+    mins, maxs = sq_train(emb, EMBEDDING_DIM)
+    sqc = sq_encode(emb, mins, maxs)
+    qs = sample_queries(emb, 3)
+
+    # fixture corpus (500 rows) -> cascade branch; forcing corpus_n past
+    # the crossover -> sq8 branch, row-identical to plain sq_search
+    routed = bq_cascade_search_auto(codes, thr, levels, sqc, mins, maxs,
+                                    qs, 5, refine_with=emb,
+                                    corpus_n=1_000_000).collect()
+    plain = sq_search(sqc, mins, maxs, qs, 5, refine_with=emb,
+                      refine_factor=3).collect()
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, plain))
+    fixture = bq_cascade_search_auto(codes, thr, levels, sqc, mins, maxs,
+                                     qs, 5, refine_with=emb,
+                                     corpus_n=500).collect()
+    assert {r[0] for r in fixture} == {r[0] for r in routed}

@@ -52,6 +52,16 @@ BQ_SHORTLIST_FLOOR = 2000
 BQ_SHORTLIST_ANCHOR_N = 200_000
 BQ_SHORTLIST_FRACTION = BQ_SHORTLIST_FLOOR / BQ_SHORTLIST_ANCHOR_N  # 1%
 BQ_RANKER_MIN_DIM = 256
+# Past this resolved stage-1 fraction the cascade's premise — "the 1-bit
+# scan prunes so hard the 8-bit stage touches almost nothing" — is gone:
+# stage 2 rescans a corpus-sized shortlist and the pipeline costs MORE
+# than scanning 8-bit codes once. Measured at 1M/dim 64: the resolved
+# 5% shortlist costs 23.4 s/batch at recall 0.931 while plain SQ8 serves
+# 1.5 s at recall 1.0 (SCALE_NOTES r8/r9). The resolved fraction grows
+# linearly in N (0.01 * N/200k), so 2% puts the routing crossover at
+# N = 400k — between the 200k anchor (1% — cascade competitive) and 1M
+# (5% — SQ8 dominates on both axes).
+CASCADE_MAX_SHORTLIST_FRACTION = 0.02
 
 
 def adaptive_shortlist(n: int) -> int:
@@ -358,7 +368,8 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
                       midlist: int = 100,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       qid_col: str = "query_id",
-                      qvec_col: str = "query_vec") -> DataFrame:
+                      qvec_col: str = "query_vec",
+                      corpus_n: int | None = None) -> DataFrame:
     """Three-stage cascade — the shape that makes 1-bit codes useful at
     scale. Measured at 200k (clustered corpus): single-stage BQ1 recall
     saturates slowly (rf=20 -> 0.376, shortlist 1% of corpus -> 0.70 —
@@ -390,8 +401,11 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
     qvecs = {int(q): v for q, v in zip(qids, qmat)}
     dim = len(thresholds)
     if dim < BQ_RANKER_MIN_DIM:
-        # the pre-filter regime: shortlist adequacy depends on N
-        n_corpus = bq_codes.count()   # metadata-cheap on parquet/cached
+        # the pre-filter regime: shortlist adequacy depends on N (count
+        # memoized per code table — never one job per search call)
+        from vectordb_explorations_spark.operators.pq import _corpus_rows
+        n_corpus = (corpus_n if corpus_n is not None
+                    else _corpus_rows(bq_codes, 1))
         if shortlist == "auto":
             shortlist = adaptive_shortlist(n_corpus)
         else:
@@ -448,3 +462,57 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
     from vectordb_explorations_spark.operators.pq import _exact_refine
     return _exact_refine(cand2, qids, qmat, refine_with, k, dim,
                          id_col, vec_col, qid_col, qvec_col)
+
+
+def cascade_route(n: int, dim: int) -> str:
+    """Serving-family routing decision for a BQ1+SQ8 artifact pair:
+    ``'cascade'`` while the resolved stage-1 shortlist stays a small
+    corpus fraction, ``'sq8'`` once it crosses
+    CASCADE_MAX_SHORTLIST_FRACTION — the measured point where the 1-bit
+    pre-filter stops paying for itself (1M/dim 64: cascade 23.4 s/batch
+    at recall 0.931 vs SQ8 1.5 s at 1.0). At dim >= BQ_RANKER_MIN_DIM
+    the 1-bit code ranks on its own, the shortlist stays at the floor,
+    and the cascade premise holds at any N.
+
+    Routing, not warning (r8 verdict item 5): ``bq_cascade_search``
+    still serves a caller who asks for the cascade by name — this is
+    the policy the AUTO entry point consults before the cliff."""
+    if dim >= BQ_RANKER_MIN_DIM:
+        return "cascade"
+    frac = adaptive_shortlist(int(n)) / max(1, int(n))
+    return "cascade" if frac <= CASCADE_MAX_SHORTLIST_FRACTION else "sq8"
+
+
+def bq_cascade_search_auto(bq_codes: DataFrame, thresholds: np.ndarray,
+                           levels: tuple[np.ndarray, np.ndarray],
+                           sq_codes: DataFrame,
+                           mins: np.ndarray, maxs: np.ndarray,
+                           queries: DataFrame, k: int,
+                           refine_with: DataFrame,
+                           midlist: int = 100,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           qid_col: str = "query_id",
+                           qvec_col: str = "query_vec",
+                           corpus_n: int | None = None) -> DataFrame:
+    """Family-routed serving over the cascade's own artifacts: consult
+    ``cascade_route`` and serve the cascade while its shortlist economics
+    hold, else fall through to plain SQ8 (same artifacts — the sq_codes
+    table plus extents ARE stage 2) with the corpus-adaptive exact-refine
+    policy. The caller keeps one entry point; the engine steps off the
+    super-linear shortlist curve before it becomes a corpus rescan
+    instead of warning from inside it."""
+    from vectordb_explorations_spark.operators.pq import _corpus_rows
+    n = corpus_n if corpus_n is not None else _corpus_rows(bq_codes, 1)
+    if cascade_route(n, len(thresholds)) == "sq8":
+        from vectordb_explorations_spark.operators.sq import sq_search
+        return sq_search(sq_codes, mins, maxs, queries, k,
+                         refine_with=refine_with, refine_factor=3,
+                         id_col=id_col, vec_col=vec_col,
+                         qid_col=qid_col, qvec_col=qvec_col)
+    return bq_cascade_search(bq_codes, thresholds, levels, sq_codes,
+                             mins, maxs, queries, k, refine_with,
+                             shortlist="auto", midlist=midlist,
+                             id_col=id_col, vec_col=vec_col,
+                             qid_col=qid_col, qvec_col=qvec_col,
+                             corpus_n=n)

@@ -44,9 +44,13 @@ def events_gapfill(events: DataFrame, step_s: int = GAPFILL_STEP_S) -> DataFrame
            .agg(F.count(F.lit(1)).alias("n"),
                 round6(F.avg("value")).alias("avg_v")))
     span = ev.agg(F.min("bucket_s").alias("b0"), F.max("bucket_s").alias("b1"))
+    # Explicit broadcast on the distinct-type side: its cardinality is
+    # known-tiny (the event-type vocabulary), and the hint makes the plan
+    # deterministic instead of relying on AQE's runtime stats to avoid a
+    # grid-sized shuffle (r8 verdict minor).
     grid = (span.select(F.explode(
         F.sequence(F.col("b0"), F.col("b1"), step)).alias("bucket_s"))
-        .crossJoin(events.select("event_type").distinct()))
+        .crossJoin(F.broadcast(events.select("event_type").distinct())))
     w = (Window.partitionBy("event_type").orderBy("bucket_s")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (grid.join(agg, ["event_type", "bucket_s"], "left")

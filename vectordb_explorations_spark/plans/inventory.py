@@ -211,7 +211,7 @@ def q_distance_matrix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 30)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     F.round(F.expr(l2_distance_sql("va", "vb", EMBEDDING_DIM)),
                             6).alias("dist"))
@@ -876,58 +876,43 @@ QUERIES: dict[str, QueryFn] = {
 # prose) and asserts the first-50 window below contains every query whose
 # evidence would otherwise become older than two rounds — the SURVEY §11
 # queue discipline as a checked invariant (r7 verdict item 8).
-WINDOW_ROUND = 8
+WINDOW_ROUND = 9
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Round-8 rotation (r7 verdict item
-# 1): the 16 rows whose latest driver evidence is r05 (3 rounds old by
-# r08) go first, then rows whose code changes this round (the
-# scale-adaptive LSH candidate policy touches the bucketed-probe serving
-# path, so ann_recall_report — r07-green but code-adjacent — re-enters),
-# then the oldest r06-green rows. The 15 r06 rows deferred to r09 are
-# static relational/text aggregates whose code is untouched this round
-# and whose operator classes keep in-window siblings (window/agg classes
-# via events_gapfill, funnel_conversion, cohort_retention,
-# event_transitions, events_hourly; text classes via boilerplate_ngrams,
-# bpe_pair_stats, doc_repetition_stats): boilerplate_coverage,
-# customer_balance_tiles, customer_first_orders,
-# customers_with_open_orders, lang_confusion, lang_geomean_chars,
-# moving_avg_daily_revenue, order_gaps, orders_above_customer_avg,
-# pivot_flag_by_status, pricing_summary, top_customers_per_nation,
-# unigram_logprob, user_sessions, vocab_stats — plus
-# train_val_split_stats, training_shards, zorder_layout (sampling/layout
-# classes keep in-window siblings weighted_sample, domain_mix_sample,
-# sequence_pack_bins; the last two yielded their slots to this round's
-# two never-checked additions, which outrank re-certs per the r6/r7
-# precedent).
+# dict order IS the evidence schedule. Round-9 rotation (r8 verdict item
+# 3): the 19 rows whose latest driver evidence is r06 (3 rounds old by
+# r09 — the full deferred queue SURVEY §12 recorded) go first; then the
+# rows whose CODE changed this round and must re-certify on the new
+# plans — knn_search_after (the 64 KB codegen fix replaced its cursor
+# predicate with a struct comparison), dedup_semantic (sparse-id-safe
+# seed selection, Spark AND oracle sides), dedup_embedding_lsh /
+# ann_bucketed_probe / ann_recall_report (the hot-bucket histogram is
+# now cached + Spark-side-filtered) — then the oldest r07 greens
+# (alphabetical, deterministic) fill the remaining slots. The 21 r07
+# rows deferred to r10 (quality_filter .. top_orders alphabetically,
+# plus sql/streaming aggregates) stay within the two-round evidence
+# bound through r10's window, where they lead the queue.
 _WINDOW_PRIORITY = [
-    # --- new this round, never driver-checked (outrank everything) ---
-    "bm25_topk", "band_state_budget", "dedup_semantic",
-    # --- latest driver evidence r05: the full 16-row re-cert queue ---
-    "knn_batch_blockwise", "compat_distance", "vector_elements",
-    "region_nation_rollcall", "priority_customer_counts",
-    "nation_customer_lists", "supplier_nation_volume",
-    "top_parts_by_revenue", "weighted_sample", "doc_chunks",
-    "event_prop_keys", "event_value_percentiles", "events_sliding_2h",
-    "events_session_window", "multimodal_frames",
-    "salted_event_type_stats",
-    # --- code changes this round (scale-adaptive LSH probe policy) ---
-    "ann_recall_report",
-    # --- latest driver evidence r06 (34 of 49; code-changed rows
-    #     ann_bucketed_probe / bq_hamming_topk / streaming_near_dedup
-    #     kept in-window ahead of static siblings) ---
-    "ann_bucketed_probe", "bq_hamming_topk", "streaming_near_dedup",
-    "boilerplate_ngrams", "bpe_pair_stats", "cohort_retention",
-    "contamination_check", "curation_pipeline", "data_quality_audit",
-    "dedup_clusters", "dedup_edit_distance", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_representatives", "doc_repetition_stats",
-    "domain_mix_sample", "event_transitions", "event_value_histogram",
-    "events_gapfill", "events_hourly", "funnel_conversion",
-    "hashed_doc_embeddings", "knn_filtered", "label_centroids",
-    "mmr_diversified_topk", "multimodal_resize", "quota_capped_search",
-    "range_search", "sequence_pack_bins", "sq8_quantization",
-    # streaming_enrichment (r06-green, class sibling streaming_near_dedup
-    # in-window) yielded its slot to dedup_semantic, joining the r09 queue
+    # --- latest driver evidence r06: the 19-row deferred queue ---
+    "boilerplate_coverage", "customer_balance_tiles",
+    "customer_first_orders", "customers_with_open_orders",
+    "lang_confusion", "lang_geomean_chars", "moving_avg_daily_revenue",
+    "order_gaps", "orders_above_customer_avg", "pivot_flag_by_status",
+    "pricing_summary", "streaming_enrichment", "top_customers_per_nation",
+    "train_val_split_stats", "training_shards", "unigram_logprob",
+    "user_sessions", "vocab_stats", "zorder_layout",
+    # --- code changed this round: re-certify on the new plans ---
+    "knn_search_after", "dedup_embedding_lsh", "dedup_semantic",
+    "ann_bucketed_probe", "ann_recall_report",
+    # --- oldest r07 greens (alphabetical fill) ---
+    "asof_join", "clean_text", "cube_order_stats",
+    "customers_without_orders", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_simhash", "distance_matrix_sample",
+    "doc_fingerprints", "doc_length_percentiles", "events_json_stats",
+    "events_variant_stats", "hybrid_rrf_search", "knn_batch",
+    "knn_classify", "knn_cosine", "knn_exact", "lang_id",
+    "large_volume_customers", "mask_pii", "multimodal_features",
+    "multimodal_summary", "mutual_knn", "norm_stats", "part_set_ops",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
