@@ -324,6 +324,30 @@ def main() -> None:
               spark, ivf_part_path, ivf_state["cents"], queries, K,
               nprobe=8)))
 
+    # Compressed-composite partitioned serving (round 9): probe-pruned
+    # file listing over CODE tables — the 100 TB economical configuration
+    # (what survives pruning is already 16-64x narrower than vectors).
+    from vectordb_explorations_spark.operators.pq import (
+        ivfpq_persist_partitioned, ivfpq_probe_partitioned)
+    from vectordb_explorations_spark.operators.sq import (
+        ivfsq_persist_partitioned, ivfsq_probe_partitioned)
+
+    ivfpq_part_path = "/tmp/bench_ivfpq_partitioned"
+    ivfpq_persist_partitioned(ivfpq_state["codes"], ivfpq_part_path)
+    bench("ann_ivfpq_partitioned_batch100",
+          lambda: _force(ivfpq_probe_partitioned(
+              spark, ivfpq_part_path, ivfpq_state["cents"],
+              ivfpq_state["books"], queries, K, nprobe=8,
+              refine_with=emb, refine_factor=10)))
+
+    ivfsq_part_path = "/tmp/bench_ivfsq_partitioned"
+    ivfsq_persist_partitioned(ivfsq_state["codes"], ivfsq_part_path)
+    bench("ann_ivfsq_partitioned_batch100",
+          lambda: _force(ivfsq_probe_partitioned(
+              spark, ivfsq_part_path, ivfsq_state["cents"],
+              ivfsq_state["mins"], ivfsq_state["maxs"], queries, K,
+              nprobe=8, refine_with=emb, refine_factor=10)))
+
     hnsw_routed = {}
 
     def build_hnsw_routed():

@@ -81,3 +81,50 @@ def test_encode_deterministic(setup):
     a = {(r["vec_id"], r["list_id"]): r["codes"] for r in codes.collect()}
     b = {(r["vec_id"], r["list_id"]): r["codes"] for r in again.collect()}
     assert a == b
+
+
+def test_ivfpq_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
+    """Partitioned serving for the compressed composite (round 9): the
+    probe's scan must show PartitionFilters on list_id (unprobed list
+    directories never read), the refine policy must resolve from the
+    sidecar corpus metadata (replication-corrected N — no count job),
+    and results must equal ivfpq_search over the full code table bit
+    for bit."""
+    import json
+    import os as _os
+    import re
+
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.operators.pq import (
+        ivfpq_build, ivfpq_persist_partitioned, ivfpq_probe_partitioned,
+        ivfpq_search)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes, cents, books = ivfpq_build(emb, num_centroids=8,
+                                      m_subspaces=8, k_codes=16)
+    codes = codes.cache()
+    codes.count()
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_persist_partitioned(codes, path)
+
+    # sidecar metadata carries corpus rows, not replicated code rows
+    with open(_os.path.join(path, "_corpus_meta.json")) as f:
+        assert json.load(f)["corpus_n"] == emb.count()
+
+    queries = sample_queries(emb, 5).cache()
+    served = ivfpq_probe_partitioned(spark, path, cents, books, queries,
+                                     5, nprobe=2, refine_with=emb,
+                                     refine_factor=5)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # the refine-side embeddings scan legitimately has no partition
+    # filters; the CODE scan must carry a non-empty list_id filter
+    assert any("list_id" in pf for pf in pfs), plan[:1500]
+
+    full = ivfpq_search(codes, cents, books, queries, 5, nprobe=2,
+                        refine_with=emb, refine_factor=5)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and a
+    codes.unpersist()

@@ -150,3 +150,40 @@ def test_ivfsq_fixed_rf_below_fraction_warns(ivfsq, setup):
         warnings.simplefilter("error")
         SQ.ivfsq_search(codes, cents, mins, maxs, queries, K,
                         nprobe=2, refine_with=emb, refine_factor=10)
+
+
+def test_ivfsq_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
+    """IVF-SQ8 twin of the IVF-PQ partitioned-serving test: pruning at
+    the file listing, sidecar-metadata policy resolution, bit-equal
+    results vs the unpartitioned search."""
+    import re
+
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.operators.sq import (
+        ivfsq_build, ivfsq_persist_partitioned, ivfsq_probe_partitioned,
+        ivfsq_search)
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes, cents, mins, maxs = ivfsq_build(emb, num_centroids=8)
+    codes = codes.cache()
+    codes.count()
+    path = str(tmp_path / "ivfsq_idx")
+    ivfsq_persist_partitioned(codes, path)
+
+    queries = sample_queries(emb, 5).cache()
+    served = ivfsq_probe_partitioned(spark, path, cents, mins, maxs,
+                                     queries, 5, nprobe=2,
+                                     refine_with=emb, refine_factor=5)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # the refine-side embeddings scan legitimately has no partition
+    # filters; the CODE scan must carry a non-empty list_id filter
+    assert any("list_id" in pf for pf in pfs), plan[:1500]
+
+    full = ivfsq_search(codes, cents, mins, maxs, queries, 5, nprobe=2,
+                        refine_with=emb, refine_factor=5)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and a
+    codes.unpersist()

@@ -493,3 +493,87 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
             .select(qid_col, id_col))
     return _exact_refine(cand, qids, qmat, refine_with, k, m * dsub,
                          id_col, vec_col, qid_col, qvec_col)
+
+
+# ---- partitioned serving for the compressed composite (round 9) ----
+# IVF and sharded HNSW already had hive-partitioned serving; the
+# COMPRESSED router family did not — yet at 100 TB it is exactly the
+# configuration you'd serve (probe-pruned file listing over 16-byte
+# codes instead of 256-byte vectors: the scan that survives is
+# nprobe/C of the INDEX bytes, already 16x smaller than the corpus).
+
+def _probed_union(centroids: np.ndarray, queries: DataFrame, nprobe: int,
+                  qid_col: str = "query_id",
+                  qvec_col: str = "query_vec") -> list[int]:
+    """Driver-side union of every query's nprobe nearest lists — the
+    literal isin filter that partition-prunes a hive list_id layout.
+    Same lexsort tie-break as ivf_search's probe selection."""
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    cd = (qmat[:, None, :] - centroids[None, :, :])
+    cdist = (cd * cd).sum(-1)
+    nn = min(nprobe, centroids.shape[0])
+    return sorted({int(li)
+                   for qi in range(len(qrows))
+                   for li in np.lexsort((np.arange(centroids.shape[0]),
+                                         cdist[qi]))[:nn]})
+
+
+def _write_corpus_meta(path: str, corpus_n: int) -> None:
+    """Persist the corpus size next to the index — THE build-time
+    metadata the adaptive refine policy resolves from, so serving never
+    schedules a count job (and never mis-counts the assign_n-replicated
+    code rows)."""
+    import json
+    import os
+    with open(os.path.join(path, "_corpus_meta.json"), "w") as f:
+        json.dump({"corpus_n": int(corpus_n)}, f)
+
+
+def _read_corpus_meta(path: str) -> int | None:
+    import json
+    import os
+    p = os.path.join(path, "_corpus_meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f)["corpus_n"])
+    return None
+
+
+def ivfpq_persist_partitioned(codes_df: DataFrame, path: str,
+                              id_col: str = "vec_id") -> None:
+    """Persist IVF-PQ codes hive-partitioned by list_id: each inverted
+    list of m-byte codes is its own directory, so a probe's literal
+    ``list_id IN (...)`` prunes unprobed lists at the FILE LISTING.
+    Writes the corpus row count (distinct ids — the replication-corrected
+    N) as sidecar metadata for job-free refine-policy resolution."""
+    (codes_df.select(id_col, "codes", "list_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    _write_corpus_meta(
+        path, codes_df.select(id_col).distinct().count())
+
+
+def ivfpq_probe_partitioned(spark, path: str, centroids: np.ndarray,
+                            codebooks: np.ndarray, queries: DataFrame,
+                            k: int, nprobe: int = 8,
+                            refine_with: DataFrame | None = None,
+                            refine_factor: int | str = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            qid_col: str = "query_id",
+                            qvec_col: str = "query_vec") -> DataFrame:
+    """Serve IVF-PQ from the hive layout: driver-side probed-list union
+    as a literal isin (PartitionFilters pruning — unprobed list
+    directories are never listed, let alone read), then the standard
+    ivfpq_search over the pruned frame; its broadcast probe join
+    restricts each query to ITS lists within the union. The refine
+    policy resolves from the sidecar corpus metadata — no count job."""
+    probed = _probed_union(centroids, queries, nprobe, qid_col, qvec_col)
+    codes = (spark.read.parquet(path)
+             .where(F.col("list_id").isin(probed)))
+    return ivfpq_search(codes, centroids, codebooks, queries, k,
+                        nprobe=nprobe, refine_with=refine_with,
+                        refine_factor=refine_factor,
+                        id_col=id_col, vec_col=vec_col,
+                        qid_col=qid_col, qvec_col=qvec_col,
+                        corpus_n=_read_corpus_meta(path))

@@ -354,3 +354,42 @@ def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
             .select(qid_col, id_col))
     return _exact_refine(cand, qids, qmat, refine_with, k, qmat.shape[1],
                          id_col, vec_col, qid_col, qvec_col)
+
+
+def ivfsq_persist_partitioned(codes_df: DataFrame, path: str,
+                              id_col: str = "vec_id") -> None:
+    """Persist IVF-SQ8 codes hive-partitioned by list_id — the 1-byte
+    twin of ivfpq_persist_partitioned: probe pruning happens at the file
+    listing, and what survives is nprobe/C of a table already 32x
+    narrower than the vectors. Sidecar corpus metadata makes serving's
+    refine-policy resolution job-free."""
+    from vectordb_explorations_spark.operators.pq import _write_corpus_meta
+    (codes_df.select(id_col, "codes", "list_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    _write_corpus_meta(
+        path, codes_df.select(id_col).distinct().count())
+
+
+def ivfsq_probe_partitioned(spark, path: str, centroids: np.ndarray,
+                            mins: np.ndarray, maxs: np.ndarray,
+                            queries: DataFrame, k: int, nprobe: int = 8,
+                            refine_with: DataFrame | None = None,
+                            refine_factor: int | str = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            qid_col: str = "query_id",
+                            qvec_col: str = "query_vec") -> DataFrame:
+    """Serve IVF-SQ8 from the hive layout: literal probed-list isin
+    (PartitionFilters pruning) + the standard ivfsq_search over the
+    pruned frame, refine policy resolved from sidecar metadata."""
+    from vectordb_explorations_spark.operators.pq import (
+        _probed_union, _read_corpus_meta)
+    probed = _probed_union(centroids, queries, nprobe, qid_col, qvec_col)
+    codes = (spark.read.parquet(path)
+             .where(F.col("list_id").isin(probed)))
+    return ivfsq_search(codes, centroids, mins, maxs, queries, k,
+                        nprobe=nprobe, refine_with=refine_with,
+                        refine_factor=refine_factor,
+                        id_col=id_col, vec_col=vec_col,
+                        qid_col=qid_col, qvec_col=qvec_col,
+                        corpus_n=_read_corpus_meta(path))
