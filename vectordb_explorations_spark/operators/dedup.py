@@ -1198,3 +1198,51 @@ SELECT asg.vec_id, asg.cluster_id, dup.dup_of
 FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
 ORDER BY asg.vec_id
 """
+
+
+def source_dup_matrix(docs: DataFrame,
+                      num_hashes: int = NUM_HASHES,
+                      band_size: int = BAND_SIZE,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Cross-source near-duplication matrix: for every unordered source
+    pair, how many verified near-dup pairs span it and at what mean
+    similarity — the curation question behind source selection ("is crawl
+    B a mirror of crawl A; how much does each source self-plagiarize").
+    Built ON the engine's own minhash_lsh_pairs, so the corpus-scan
+    budget is the pair stage's (banding + one melted Jaccard verify);
+    the source join adds two narrow (doc_id, source) probes with the
+    BOUNDED pair side broadcast, and the matrix itself is at most
+    |sources|² rows."""
+    pairs = minhash_lsh_pairs(docs, num_hashes, band_size, threshold)
+    src = docs.select("doc_id", "source")
+    ab = (src.select(F.col("doc_id").alias("doc_id_a"),
+                     F.col("source").alias("src_a"))
+          .join(F.broadcast(pairs), "doc_id_a"))
+    ab = (src.select(F.col("doc_id").alias("doc_id_b"),
+                     F.col("source").alias("src_b"))
+          .join(F.broadcast(ab), "doc_id_b"))
+    return (ab.select(F.least("src_a", "src_b").alias("source_a"),
+                      F.greatest("src_a", "src_b").alias("source_b"),
+                      "jaccard")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("jaccard"), 6).alias("avg_jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
+def source_dup_matrix_oracle(num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE,
+                             threshold: float = JACCARD_THRESHOLD) -> str:
+    pairs_sql = minhash_lsh_pairs_oracle(
+        num_hashes, band_size, threshold).strip().rstrip(";")
+    return f"""
+WITH pairs AS ({pairs_sql})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_id_a
+JOIN documents db ON db.doc_id = p.doc_id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -862,3 +862,52 @@ FROM s
 QUALIFY rank <= {top_n}
 ORDER BY doc_id, rank
 """
+
+
+# ---- character-entropy quality scoring (round 9) ----
+# The classic compression-quality signal (C4/RefinedWeb-style gibberish
+# filters): near-zero entropy = repeated-character junk, near-uniform
+# entropy = random noise; natural text sits in a band. In nats (natural
+# log), so both engines evaluate the same libm-class function the green
+# unigram_logprob/lang_geomean_chars queries already proved parity for.
+
+def doc_char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution:
+    H = -sum_c p_c ln(p_c) over the doc's own characters, plus the size
+    facts the filter thresholds on. Deterministic given the text.
+
+    Scale shape: one explode feeding a (doc, char) count agg (map-side
+    combinable — the alphabet bounds per-doc groups), then a per-doc
+    combinable reduction; no joins, no window, no Python. The identity
+    H = -sum(p ln p) = ln(T) - sum(cnt ln cnt)/T (T = doc chars) turns
+    the per-class probability pass into plain count sums, so the whole
+    query is two grouped aggregations."""
+    chars = (docs.select("doc_id", F.explode(F.split("text", ""))
+                 .alias("ch"))
+             .where(F.col("ch") != ""))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("s"))
+    ent = F.log(F.col("n_chars").cast("double")) - F.col("s") / F.col("n_chars")
+    return (agg.select("doc_id", "n_chars", "n_distinct_chars",
+                       F.round(ent, 6).alias("entropy_nats"))
+            .orderBy("doc_id"))
+
+
+DOC_CHAR_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), f AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+), a AS (
+  SELECT doc_id, sum(cnt) AS n_chars, count(*) AS n_distinct_chars,
+         sum(cnt * ln(cnt)) AS s
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+       round(ln(n_chars::DOUBLE) - s / n_chars, 6) AS entropy_nats
+FROM a ORDER BY doc_id
+"""

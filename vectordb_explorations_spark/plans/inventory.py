@@ -868,6 +868,15 @@ QUERIES: dict[str, QueryFn] = {
     # hash-checked (deterministic exemplars, r6-rounded cosine)
     "dedup_semantic": lambda s, d: D.semantic_dedup(
         load_table(s, "embeddings", d)),
+    # Round-9 additions: character-entropy quality scoring (the classic
+    # compression/gibberish filter signal, C4/RefinedWeb-style) and the
+    # cross-source near-duplication matrix (which sources mirror each
+    # other — the curation question behind source selection), composed
+    # from the engine's own minhash pair machinery.
+    "doc_char_entropy": lambda s, d: X.doc_char_entropy(
+        load_table(s, "documents", d)),
+    "source_dup_matrix": lambda s, d: D.source_dup_matrix(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -893,6 +902,8 @@ WINDOW_ROUND = 9
 # plus sql/streaming aggregates) stay within the two-round evidence
 # bound through r10's window, where they lead the queue.
 _WINDOW_PRIORITY = [
+    # --- new this round, never driver-checked (outrank everything) ---
+    "doc_char_entropy", "source_dup_matrix",
     # --- latest driver evidence r06: the 19-row deferred queue ---
     "boilerplate_coverage", "customer_balance_tiles",
     "customer_first_orders", "customers_with_open_orders",
@@ -912,7 +923,10 @@ _WINDOW_PRIORITY = [
     "events_variant_stats", "hybrid_rrf_search", "knn_batch",
     "knn_classify", "knn_cosine", "knn_exact", "lang_id",
     "large_volume_customers", "mask_pii", "multimodal_features",
-    "multimodal_summary", "mutual_knn", "norm_stats", "part_set_ops",
+    "multimodal_summary", "mutual_knn",
+    # norm_stats / part_set_ops yielded their slots to the two new
+    # never-checked queries; they join the r10 queue with the other
+    # r07 rows (still within the two-round evidence bound there)
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1045,4 +1059,6 @@ ORACLES: dict[str, str] = {
     "bm25_topk": HY.bm25_topk_oracle(),
     "band_state_budget": D.band_state_budget_oracle(),
     "dedup_semantic": D.semantic_dedup_oracle(),
+    "doc_char_entropy": X.DOC_CHAR_ENTROPY_ORACLE,
+    "source_dup_matrix": D.source_dup_matrix_oracle(),
 }
