@@ -47,6 +47,24 @@ COMMENTARY = {
         "Salted two-phase aggregation: the hot event_type keys spread over "
         "(key, salt) reducers first; the second exchange moves only "
         "keys×salts rows."),
+    "knn_search_after": (
+        "Cursor-paginated exact search. The round-9 shape: the cursor "
+        "predicate is a lexicographic STRUCT comparison (dist, id) > "
+        "(cd, cid), binding the unrolled 64-term distance tree ONCE in "
+        "the pushed filter — the previous two-reference OR predicate "
+        "blew janino's 64 KB method limit after CollapseProject "
+        "substitution and silently ran the stage interpreted. One scan + "
+        "TakeOrderedAndProject; page depth never changes the cost."),
+    "doc_char_entropy": (
+        "Character-entropy quality score: explode feeds a (doc, char) "
+        "map-side-combinable count agg, then one per-doc reduction via "
+        "H = ln(T) - sum(cnt ln cnt)/T — two grouped aggregations, no "
+        "join, no window, no Python."),
+    "source_dup_matrix": (
+        "Cross-source near-dup matrix over the engine's own "
+        "minhash_lsh_pairs: the bounded verified-pair side broadcasts "
+        "into two narrow (doc_id, source) probes; the matrix agg is at "
+        "most |sources|^2 rows."),
     "sql_knn": (
         "The SQL-text twin of knn_exact through the registered `l2_dist` "
         "SQL function — inlines to a native expression tree with the same "
