@@ -903,7 +903,8 @@ WITH ch AS (
 ), f AS (
   SELECT doc_id, ch, count(*) AS cnt FROM ch WHERE ch <> '' GROUP BY doc_id, ch
 ), a AS (
-  SELECT doc_id, sum(cnt) AS n_chars, count(*) AS n_distinct_chars,
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+         count(*) AS n_distinct_chars,
          sum(cnt * ln(cnt)) AS s
   FROM f GROUP BY doc_id
 )
