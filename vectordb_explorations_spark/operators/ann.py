@@ -586,34 +586,38 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
     within them, global top-k. Equivalent role to HNSW's upper-layer
     routing (hnsw.cc:150-156): coarse structure prunes, fine search scores.
 
-    Scale shape (same as lsh_search): probes broadcast; scoring + per-batch
-    local top-k happen inside one Arrow stage, so the global window merge
-    ranks only <= partitions x Q x k narrow rows — the full candidate set
-    never shuffles. Build-side replication (ivf_build assign_n > 1) can
-    surface a vector twice for one query, so the bounded merge input is
-    deduped before ranking.
+    Scale shape: the probe map (list -> probing-query indices, tiny: Q x
+    nprobe entries) rides the UDF closure, so probed vectors stream through
+    the Arrow stage ONCE — the earlier probe-frame broadcast JOIN
+    replicated every probed row per probing query (measured 12.6x at 1M:
+    25.2M joined rows from a 2M-row code table, ~13 GB of duplicated
+    embeddings through Arrow; 6.9 s -> this shape). Scoring + per-(list,
+    query) local top-k happen inside the stage, so the global window merge
+    ranks only <= partitions x Q x k narrow rows. Build-side replication
+    (ivf_build assign_n > 1) can surface a vector twice for one query —
+    exact distances make the replicas tie, so the bounded merge just
+    dedupes before ranking.
     """
     import pandas as pd
 
     # Probe selection is a (Q, C) argmin over driver-resident centroids —
     # pure NumPy, no crossJoin/window stage (queries and centroids are both
-    # tiny; the cluster only ever sees the final probe list).
-    spark = assigned.sparkSession
+    # tiny; the cluster only ever sees the final probed-list isin filter).
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     cd = (qmat[:, None, :] - centroids[None, :, :])
     cdist = (cd * cd).sum(-1)  # (Q, C)
     nn = min(nprobe, centroids.shape[0])
-    probe_rows = []
-    for qi, qid in enumerate(qids):
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
         order = np.lexsort((np.arange(centroids.shape[0]), cdist[qi]))[:nn]
         for li in order:
-            probe_rows.append((qid, int(li)))
-    probes = spark.createDataFrame(probe_rows, f"{qid_col} long, list_id int")
-    joined = (assigned.join(F.broadcast(probes), "list_id")
-              .select(qid_col, id_col, vec_col))
-    qindex = {qid: i for i, qid in enumerate(qids)}
+            by_list.setdefault(int(li), []).append(qi)
+    list_q = {li: np.asarray(v, dtype=np.int64) for li, v in by_list.items()}
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    scan = (assigned.where(F.col("list_id").isin(sorted(by_list)))
+            .select("list_id", id_col, vec_col))
     out_schema = T.StructType([
         T.StructField(qid_col, T.LongType()),
         T.StructField(id_col, T.LongType()),
@@ -621,27 +625,42 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
     ])
 
     def score(batches):
+        # Accumulate per partition, emit once: per-(list, query) local
+        # top-k pools bound the merge shuffle to partitions x Q x k rows.
+        accs = []
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            qi = pdf[qid_col].map(qindex).to_numpy(dtype=np.int64)
-            d = mat - qmat[qi]
-            dist = np.sqrt(np.einsum("ij,ij->i", d, d))
-            flat = pd.DataFrame({qid_col: pdf[qid_col].to_numpy(),
-                                 id_col: pdf[id_col].to_numpy(),
-                                 "dist": dist})
-            # per-batch local top-k per query bounds the merge shuffle.
-            # Dedupe WITHIN the batch first: with assign_n=2 a replicated
-            # vector's probed lists usually land in the same batch, and
-            # duplicate rows would eat top-k slots (measured recall
-            # 0.96 -> 0.66 without this). Cross-batch duplicates can still
-            # survive — the bounded merge dedupes again.
-            yield (flat.sort_values([qid_col, "dist", id_col])
-                   .drop_duplicates([qid_col, id_col])
-                   .groupby(qid_col, sort=False).head(k))
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            for li in np.unique(lists):
+                sel = lists == li
+                sub, sids = mat[sel], ids[sel]
+                for qi in list_q[int(li)]:
+                    # identical per-row arithmetic to the joined shape
+                    # (row - query, einsum self-dot): bit-equal distances
+                    d = sub - qmat[qi]
+                    dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+                    top = np.lexsort((sids, dist))[:k]
+                    accs.append((qid_arr[qi], sids[top], dist[top]))
+        if not accs:
+            return
+        flat = pd.DataFrame({
+            qid_col: np.concatenate(
+                [np.full(len(i), q, dtype=np.int64) for q, i, _ in accs]),
+            id_col: np.concatenate([i for _, i, _ in accs]),
+            "dist": np.concatenate([d for _, _, d in accs]),
+        })
+        # Dedupe assign_n replicas WITHIN the partition first: duplicate
+        # rows would eat top-k slots (measured recall 0.96 -> 0.66 without
+        # this). Cross-partition duplicates can still survive — the bounded
+        # merge dedupes again.
+        yield (flat.sort_values([qid_col, "dist", id_col])
+               .drop_duplicates([qid_col, id_col])
+               .groupby(qid_col, sort=False).head(k))
 
-    local = joined.mapInPandas(score, schema=out_schema)
+    local = scan.mapInPandas(score, schema=out_schema)
     # One exchange for both the cross-batch dedupe and the ranking window:
     # hash(qid) clusters rows for the (qid, id) distinct AND for the
     # window's partitioning, so neither inserts its own shuffle — without
@@ -815,8 +834,8 @@ def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
     """Serve from the partitioned index: select the union of all queries'
     probed lists driver-side (centroids are driver-resident), apply it as
     a LITERAL isin filter — this is what partition-prunes the scan — and
-    run the standard ivf_search over the pruned frame (its broadcast
-    probe join then restricts each query to ITS lists within the
+    run the standard ivf_search over the pruned frame (its closure
+    probe map then restricts each query to ITS lists within the
     union)."""
     qrows = queries.select(qid_col, qvec_col).collect()
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)

@@ -412,29 +412,31 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
     cd = (qmat[:, None, :] - centroids[None, :, :])
     cdist = (cd * cd).sum(-1)  # (Q, C)
     nn = min(nprobe, centroids.shape[0])
-    probe_rows, luts, key_index = [], [], {}
+    luts, by_list = [], {}
     for qi, qid in enumerate(qids):
         order = np.lexsort((np.arange(centroids.shape[0]), cdist[qi]))[:nn]
         for li in order:
-            probe_rows.append((qid, int(li)))
             r = qmat[qi] - centroids[li]  # residual query for this list
             lut = np.stack([
                 ((r[s * dsub:(s + 1) * dsub][None, :]
                   - codebooks[s]) ** 2).sum(-1)
                 for s in range(m)])  # (m, kc)
-            key_index[(qid, int(li))] = len(luts)
+            by_list.setdefault(int(li), []).append((qid, len(luts)))
             luts.append(lut)
     luts = np.stack(luts)  # (Q*nprobe, m, kc)
-
-    spark = codes_df.sparkSession
-    # The LUT row index rides ON the probe frame (narrow int through the
-    # broadcast join) so the Arrow stage never reconstructs (qid, list)
-    # keys in Python per batch.
-    probes_ix = spark.createDataFrame(
-        [(qid, li, key_index[(qid, li)]) for qid, li in probe_rows],
-        f"{qid_col} long, list_id int, lut_ix int")
-    joined = (codes_df.join(F.broadcast(probes_ix), "list_id")
-              .select(qid_col, id_col, "codes", "lut_ix"))
+    # The probe map (list -> probing queries + their LUT rows) rides the
+    # UDF closure — Q x nprobe entries, kilobytes. The earlier probe-frame
+    # broadcast JOIN replicated every probed code row per probing query
+    # (measured 12.6x at 1M: 25.2M joined rows from a 2M-row code table;
+    # the ADC stage alone was 7.5 of 8.4 s/batch100) — codes now stream
+    # through Arrow ONCE and each list's rows score against a (nq, m)
+    # LUT gather.
+    list_qids = {li: np.asarray([q for q, _ in v], dtype=np.int64)
+                 for li, v in by_list.items()}
+    list_lix = {li: np.asarray([x for _, x in v], dtype=np.int64)
+                for li, v in by_list.items()}
+    scan = (codes_df.where(F.col("list_id").isin(sorted(by_list)))
+            .select("list_id", id_col, "codes"))
 
     n_local = k * refine_factor if refine_with is not None else k
     out_schema = T.StructType([
@@ -442,6 +444,7 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
         T.StructField(id_col, T.LongType()),
         T.StructField("adc_dist", T.DoubleType()),
     ])
+    marange = np.arange(m)
 
     def score2(batches):
         # Accumulate per-PARTITION and emit once (pq_search's pattern —
@@ -452,27 +455,35 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
             if pdf.empty:
                 continue
             codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (N, m)
-            lix = pdf["lut_ix"].to_numpy(dtype=np.int64)
-            # d2[n] = sum_s LUT[lix[n], s, codes[n, s]]
-            d2 = luts[lix[:, None], np.arange(m)[None, :], codes].sum(-1)
-            flat = pd.DataFrame({qid_col: pdf[qid_col].to_numpy(),
-                                 id_col: pdf[id_col].to_numpy(),
-                                 "adc_dist": np.sqrt(np.maximum(d2, 0.0))})
-            # min-dedupe replicas (assign_n puts a vector in 2 lists with
-            # DIFFERENT residual distances — sorted-ascending keep-first
-            # keeps the closer-list estimate), then bound the pool
-            flat = (flat.sort_values([qid_col, "adc_dist", id_col])
-                    .drop_duplicates([qid_col, id_col])
-                    .groupby(qid_col, sort=False).head(n_local))
-            accs.append(flat)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            for li in np.unique(lists):
+                sel = lists == li
+                c, sids = codes[sel], ids[sel]
+                qv, lixv = list_qids[int(li)], list_lix[int(li)]
+                # d2[q, n] = sum_s LUT[lix[q], s, c[n, s]] — same gather +
+                # length-m reduce as the joined shape: bit-equal distances
+                d2 = luts[lixv][:, marange[None, :], c].sum(-1)  # (nq, n)
+                dist = np.sqrt(np.maximum(d2, 0.0))
+                for row, qid in enumerate(qv):
+                    top = np.lexsort((sids, dist[row]))[:n_local]
+                    accs.append((qid, sids[top], dist[row][top]))
         if not accs:
             return
-        allf = pd.concat(accs)
+        allf = pd.DataFrame({
+            qid_col: np.concatenate(
+                [np.full(len(i), q, dtype=np.int64) for q, i, _ in accs]),
+            id_col: np.concatenate([i for _, i, _ in accs]),
+            "adc_dist": np.concatenate([d for _, _, d in accs]),
+        })
+        # min-dedupe replicas (assign_n puts a vector in 2 lists with
+        # DIFFERENT residual distances — sorted-ascending keep-first
+        # keeps the closer-list estimate), then bound the pool
         yield (allf.sort_values([qid_col, "adc_dist", id_col])
                .drop_duplicates([qid_col, id_col])
                .groupby(qid_col, sort=False).head(n_local))
 
-    local = joined.mapInPandas(score2, schema=out_schema)
+    local = scan.mapInPandas(score2, schema=out_schema)
     # Cross-partition replica dedupe must keep MIN(adc_dist), not an
     # arbitrary row: unlike ivf_search (exact dists — replicas tie),
     # IVF-PQ replicas carry different per-list residual estimates, so a
@@ -565,9 +576,9 @@ def ivfpq_probe_partitioned(spark, path: str, centroids: np.ndarray,
     """Serve IVF-PQ from the hive layout: driver-side probed-list union
     as a literal isin (PartitionFilters pruning — unprobed list
     directories are never listed, let alone read), then the standard
-    ivfpq_search over the pruned frame; its broadcast probe join
-    restricts each query to ITS lists within the union. The refine
-    policy resolves from the sidecar corpus metadata — no count job."""
+    ivfpq_search over the pruned frame; its closure probe map restricts
+    each query to ITS lists within the union. The refine policy
+    resolves from the sidecar corpus metadata — no count job."""
     probed = _probed_union(centroids, queries, nprobe, qid_col, qvec_col)
     codes = (spark.read.parquet(path)
              .where(F.col("list_id").isin(probed)))

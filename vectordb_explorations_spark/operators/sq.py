@@ -271,12 +271,14 @@ def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
     """Probe the ``nprobe`` nearest centroid lists, score DEQUANTIZED codes
     within them (Arrow GEMM local top-n per batch), merge, exact-refine.
 
-    Scale shape mirrors ivf_search + sq_search: the probe list is a
-    driver-side (Q, C) argmin broadcast into the list_id join, so unprobed
-    lists never leave the scan; scoring + per-batch local top-n happen in
-    one Arrow stage; one qid-hash exchange serves both the cross-batch
-    replication dedupe (ivf assign_n=2 surfaces a vector twice) and the
-    ranking window; the refine join broadcasts the bounded candidate set.
+    Scale shape mirrors ivf_search: probe selection is a driver-side
+    (Q, C) argmin; the probed-list set becomes an isin scan filter and the
+    list -> probing-queries map rides the UDF closure, so probed codes
+    stream through Arrow once (never replicated per probing query);
+    scoring + per-(list, query) local top-n happen in one Arrow stage; one
+    qid-hash exchange serves both the cross-partition replication dedupe
+    (ivf assign_n=2 surfaces a vector twice) and the ranking window; the
+    refine join broadcasts the bounded candidate set.
     ``refine_factor='auto'`` holds rf*k at IVFSQ_REFINE_FRACTION of the
     corpus; a fixed rf below the fraction warns (the shared decay policy).
     """
@@ -292,23 +294,28 @@ def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
             corpus_n=corpus_n, replication=IVF_ASSIGN_N)
 
     scales = _scales(mins, maxs)
-    spark = codes_df.sparkSession
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qsq = (qmat ** 2).sum(-1)
-    qindex = {qid: i for i, qid in enumerate(qids)}
 
     cd = (qmat[:, None, :] - centroids[None, :, :])
     cdist = (cd * cd).sum(-1)
     nn = min(nprobe, centroids.shape[0])
-    probe_rows = []
-    for qi, qid in enumerate(qids):
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
         order = np.lexsort((np.arange(centroids.shape[0]), cdist[qi]))[:nn]
-        probe_rows.extend((qid, int(li)) for li in order)
-    probes = spark.createDataFrame(probe_rows, f"{qid_col} long, list_id int")
-    joined = (codes_df.join(F.broadcast(probes), "list_id")
-              .select(qid_col, id_col, "codes"))
+        for li in order:
+            by_list.setdefault(int(li), []).append(qi)
+    # Probe map in the UDF closure (Q x nprobe entries) — probed code rows
+    # stream through Arrow ONCE instead of once per probing query (the
+    # probe-frame broadcast join measured 12.6x row replication at 1M:
+    # the 64-byte code arrays alone were ~1.6 GB of duplicated Arrow
+    # traffic; 10.1 s -> this shape).
+    list_q = {li: np.asarray(v, dtype=np.int64) for li, v in by_list.items()}
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    scan = (codes_df.where(F.col("list_id").isin(sorted(by_list)))
+            .select("list_id", id_col, "codes"))
 
     n_local = k * refine_factor if refine_with is not None else k
     schema = T.StructType([
@@ -318,29 +325,47 @@ def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
     ])
 
     def score(batches):
+        # Accumulate per partition, emit once — per-(list, query) local
+        # top-n pools bound the merge shuffle input.
+        accs = []
         for pdf in batches:
             if pdf.empty:
                 continue
             codes = np.asarray(list(pdf["codes"]), dtype=np.float64)
             deq = codes * scales + mins
-            qi = pdf[qid_col].map(qindex).to_numpy(dtype=np.int64)
-            # per-row distance against that row's query (probed layout is
-            # (query, candidate) pairs, not a dense (Q, N) block)
-            d2 = qsq[qi] - 2.0 * np.einsum("ij,ij->i", qmat[qi], deq) \
-                + (deq ** 2).sum(-1)
-            flat = pd.DataFrame({
-                qid_col: pdf[qid_col].to_numpy(),
-                id_col: pdf[id_col].to_numpy(),
-                "sq_dist": np.sqrt(np.maximum(d2, 0.0)),
-            })
-            # in-batch replication dedupe before the local head bounds the
-            # merge without duplicates eating top-n slots (ivf_search's
-            # measured 0.96 -> 0.66 recall failure mode)
-            yield (flat.sort_values([qid_col, "sq_dist", id_col])
-                   .drop_duplicates([qid_col, id_col])
-                   .groupby(qid_col, sort=False).head(n_local))
+            rowsq = (deq ** 2).sum(-1)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            for li in np.unique(lists):
+                sel = lists == li
+                dsub, rsq, sids = deq[sel], rowsq[sel], ids[sel]
+                for qi in list_q[int(li)]:
+                    # identical per-row arithmetic to the joined shape
+                    # (einsum row-dot against a stride-0 query view):
+                    # bit-equal distances
+                    q = np.broadcast_to(qmat[qi], dsub.shape)
+                    d2 = qsq[qi] - 2.0 * np.einsum("ij,ij->i", q, dsub) \
+                        + rsq
+                    dist = np.sqrt(np.maximum(d2, 0.0))
+                    top = np.lexsort((sids, dist))[:n_local]
+                    accs.append((qid_arr[qi], sids[top], dist[top]))
+        if not accs:
+            return
+        flat = pd.DataFrame({
+            qid_col: np.concatenate(
+                [np.full(len(i), q, dtype=np.int64) for q, i, _ in accs]),
+            id_col: np.concatenate([i for _, i, _ in accs]),
+            "sq_dist": np.concatenate([d for _, _, d in accs]),
+        })
+        # replication dedupe before the local head bounds the merge
+        # without duplicates eating top-n slots (ivf_search's measured
+        # 0.96 -> 0.66 recall failure mode); SQ codes are vector-level
+        # (global mins/scales), so assign_n replicas tie exactly
+        yield (flat.sort_values([qid_col, "sq_dist", id_col])
+               .drop_duplicates([qid_col, id_col])
+               .groupby(qid_col, sort=False).head(n_local))
 
-    local = joined.mapInPandas(score, schema=schema)
+    local = scan.mapInPandas(score, schema=schema)
     w = Window.partitionBy(qid_col).orderBy(
         F.col("sq_dist").asc(), F.col(id_col).asc())
     merged = (local.repartition(F.col(qid_col))
