@@ -332,8 +332,8 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
                index: DataFrame | None = None,
                bucket_cap: int | str | None = LSH_DEFAULT_BUCKET_CAP,
                nprobe_sub: int = 2,
-               refined: tuple[DataFrame, "DataFrame | list"] | None = None
-               ) -> DataFrame:
+               refined: tuple[DataFrame, "DataFrame | list"] | None = None,
+               corpus_n: int | None = None) -> DataFrame:
     """Multi-table multiprobe LSH ANN search with hot-bucket refinement.
 
     Candidates = vectors sharing a bucket with the query in ANY table
@@ -364,9 +364,12 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
     qb = _buckets_np(qmat, planes)  # (Q, T)
     spark = vectors.sparkSession
     if multiprobe_bits == "auto":
-        # parquet/cached counts are metadata-cheap; the probe depth that
-        # holds recall is a function of corpus size (policy block above)
-        multiprobe_bits = adaptive_multiprobe_bits(vectors.count())
+        # The probe depth that holds recall is a function of corpus size
+        # (policy block above). ``corpus_n`` (build-time metadata the
+        # caller already holds) makes the resolution job-free; the count
+        # fallback is paid only by callers that never measured N.
+        multiprobe_bits = adaptive_multiprobe_bits(
+            corpus_n if corpus_n is not None else vectors.count())
 
     sub_meta: dict = {}
     if bucket_cap is not None:
