@@ -194,6 +194,63 @@ ORDER BY c_custkey
 """
 
 
+def late_supplier_blame(lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, topn: int = 20) -> DataFrame:
+    """TPC-H Q21-shaped sole-blame query on this schema's columns:
+    suppliers whose 'R'-flagged line was the ONLY returned line in a
+    multi-supplier order, counted per flagged line. The correlated
+    EXISTS (another supplier shipped in the same order) is a left-semi
+    self-join and the NOT EXISTS (another supplier was ALSO flagged) is
+    a left-anti self-join — both keyed on l_orderkey, so the flagged
+    side shuffles once and both probes reuse that exchange; the
+    supplier/nation dims broadcast onto the bounded per-supplier
+    aggregate; TakeOrderedAndProject caps the output at ``topn`` with
+    a unique (numwait DESC, s_name) ordering."""
+    flagged = (lineitem.where(F.col("l_returnflag") == "R")
+               .select("l_orderkey", "l_suppkey"))
+    others = (lineitem.select(F.col("l_orderkey").alias("o2"),
+                              F.col("l_suppkey").alias("s2")))
+    multi = flagged.join(
+        others,
+        (flagged.l_orderkey == others.o2) & (flagged.l_suppkey != others.s2),
+        "left_semi")
+    flagged_others = (flagged.select(F.col("l_orderkey").alias("o3"),
+                                     F.col("l_suppkey").alias("s3")))
+    sole = multi.join(
+        flagged_others,
+        (multi.l_orderkey == flagged_others.o3)
+        & (multi.l_suppkey != flagged_others.s3),
+        "left_anti")
+    blame = sole.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait"))
+    dims = F.broadcast(
+        supplier.select("s_suppkey", "s_name", "s_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey")))
+    return (blame.join(dims, blame.l_suppkey == F.col("s_suppkey"))
+            .select("s_name", "n_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(topn))
+
+
+LATE_SUPPLIER_BLAME_ORACLE = """
+SELECT s_name, n_name, count(*) AS numwait
+FROM lineitem l1, supplier, nation
+WHERE l1.l_returnflag = 'R'
+  AND s_suppkey = l1.l_suppkey AND n_nationkey = s_nationkey
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # ---------- scalar-subquery pattern ----------
 
 def orders_above_customer_avg(orders: DataFrame, factor: float = 1.5) -> DataFrame:

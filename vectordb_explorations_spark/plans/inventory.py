@@ -877,6 +877,12 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "source_dup_matrix": lambda s, d: D.source_dup_matrix(
         load_table(s, "documents", d)),
+    # TPC-H Q21-shaped correlated-exists pair: left-semi (another
+    # supplier shipped in the order) + left-anti (no other supplier was
+    # also flagged) self-joins on one l_orderkey exchange.
+    "late_supplier_blame": lambda s, d: A.late_supplier_blame(
+        load_table(s, "lineitem", d), load_table(s, "supplier", d),
+        load_table(s, "nation", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -903,7 +909,7 @@ WINDOW_ROUND = 9
 # bound through r10's window, where they lead the queue.
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
-    "doc_char_entropy", "source_dup_matrix",
+    "doc_char_entropy", "source_dup_matrix", "late_supplier_blame",
     # --- latest driver evidence r06: the 19-row deferred queue ---
     "boilerplate_coverage", "customer_balance_tiles",
     "customer_first_orders", "customers_with_open_orders",
@@ -923,10 +929,10 @@ _WINDOW_PRIORITY = [
     "events_variant_stats", "hybrid_rrf_search", "knn_batch",
     "knn_classify", "knn_cosine", "knn_exact", "lang_id",
     "large_volume_customers", "mask_pii", "multimodal_features",
-    "multimodal_summary", "mutual_knn",
-    # norm_stats / part_set_ops yielded their slots to the two new
-    # never-checked queries; they join the r10 queue with the other
-    # r07 rows (still within the two-round evidence bound there)
+    "multimodal_summary",
+    # mutual_knn / norm_stats / part_set_ops yielded their slots to the
+    # three new never-checked queries; they join the r10 queue with the
+    # other r07 rows (still within the two-round evidence bound there)
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1061,4 +1067,5 @@ ORACLES: dict[str, str] = {
     "dedup_semantic": D.semantic_dedup_oracle(),
     "doc_char_entropy": X.DOC_CHAR_ENTROPY_ORACLE,
     "source_dup_matrix": D.source_dup_matrix_oracle(),
+    "late_supplier_blame": A.LATE_SUPPLIER_BLAME_ORACLE,
 }
