@@ -128,3 +128,44 @@ def test_ivfpq_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, full.collect()))
     assert a == b and a
     codes.unpersist()
+
+
+def test_ivfpq_append_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF-PQ ingest: after appending a batch encoded against
+    FROZEN centroids/codebooks, (a) probes over the appended layout must
+    equal ivfpq_search over the logical code union (build and append
+    share _ivfpq_encode, so codes are bit-identical), and (b) the sidecar
+    corpus count advances by the batch size, keeping refine auto-policy
+    resolution job-free AND true to N."""
+    from vectordb_explorations_spark.operators.ann import ivf_assign
+    from vectordb_explorations_spark.operators.pq import (
+        _ivfpq_encode, _read_corpus_meta, ivfpq_append_partitioned,
+        ivfpq_build, ivfpq_persist_partitioned, ivfpq_probe_partitioned,
+        ivfpq_search)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0).limit(20).cache()
+    codes, cents, books = ivfpq_build(old, num_centroids=8,
+                                      m_subspaces=8, k_codes=16)
+    codes = codes.cache()
+    codes.count()
+    path = str(tmp_path / "ivfpq_inc")
+    ivfpq_persist_partitioned(codes, path)
+    n0 = _read_corpus_meta(path)
+    ivfpq_append_partitioned(path, cents, books, new)
+    assert _read_corpus_meta(path) == n0 + new.count()
+
+    queries = sample_queries(emb, 5).cache()
+    served = ivfpq_probe_partitioned(spark, path, cents, books, queries, 5,
+                                     nprobe=3, refine_with=emb,
+                                     refine_factor=4)
+    union = codes.unionByName(
+        _ivfpq_encode(ivf_assign(new.select("vec_id", "embedding"), cents),
+                      cents, books))
+    full = ivfpq_search(union, cents, books, queries, 5, nprobe=3,
+                        refine_with=emb, refine_factor=4)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and a
+    codes.unpersist()

@@ -187,3 +187,45 @@ def test_ivfsq_partitioned_probe_prunes_and_matches(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, full.collect()))
     assert a == b and a
     codes.unpersist()
+
+
+def test_ivfsq_append_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF-SQ8 ingest: appends quantize against the FROZEN
+    extents + centroids (sq_encode is extent-deterministic, so appended
+    codes equal a rebuild's); probes over the appended layout equal
+    ivfsq_search over the logical union and the sidecar corpus count
+    advances by the batch size."""
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.ann import ivf_assign
+    from vectordb_explorations_spark.operators.pq import _read_corpus_meta
+    from vectordb_explorations_spark.operators.sq import (
+        ivfsq_append_partitioned, ivfsq_build, ivfsq_persist_partitioned,
+        ivfsq_probe_partitioned, ivfsq_search, sq_encode)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0).limit(20).cache()
+    codes, cents, mins, maxs = ivfsq_build(old, num_centroids=8)
+    codes = codes.cache()
+    codes.count()
+    path = str(tmp_path / "ivfsq_inc")
+    ivfsq_persist_partitioned(codes, path)
+    n0 = _read_corpus_meta(path)
+    ivfsq_append_partitioned(path, cents, mins, maxs, new)
+    assert _read_corpus_meta(path) == n0 + new.count()
+
+    queries = sample_queries(emb, 5).cache()
+    served = ivfsq_probe_partitioned(spark, path, cents, mins, maxs,
+                                     queries, 5, nprobe=3, refine_with=emb,
+                                     refine_factor=4)
+    union = codes.unionByName(
+        sq_encode(ivf_assign(new.select("vec_id", "embedding"), cents),
+                  mins, maxs, keep_cols=("list_id",))
+        .select(*codes.columns))
+    full = ivfsq_search(union, cents, mins, maxs, queries, 5, nprobe=3,
+                        refine_with=emb, refine_factor=4)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and a
+    codes.unpersist()

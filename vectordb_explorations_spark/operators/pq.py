@@ -349,8 +349,24 @@ def ivfpq_build(vectors: DataFrame, num_centroids: int = 16,
         _kmeans_1d(resid[:, s * dsub:(s + 1) * dsub], k_codes, seed + s)
         for s in range(m_subspaces)])
 
-    bc_cent = vectors.sparkSession.sparkContext.broadcast(centroids)
-    bc_books = vectors.sparkSession.sparkContext.broadcast(codebooks)
+    codes_df = _ivfpq_encode(assigned, centroids, codebooks,
+                             id_col, vec_col)
+    return codes_df, centroids, codebooks
+
+
+def _ivfpq_encode(assigned: DataFrame, centroids: np.ndarray,
+                  codebooks: np.ndarray,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One Arrow pass: residual (vec - list centroid) -> per-subspace
+    argmin codes. Shared by the full build AND incremental append, so
+    appended codes are bit-identical to what a rebuild with the same
+    centroids/codebooks would produce."""
+    import pandas as pd
+
+    m_subspaces, _, dsub = codebooks.shape
+    bc_cent = assigned.sparkSession.sparkContext.broadcast(centroids)
+    bc_books = assigned.sparkSession.sparkContext.broadcast(codebooks)
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("list_id", T.IntegerType()),
@@ -375,9 +391,8 @@ def ivfpq_build(vectors: DataFrame, num_centroids: int = 16,
                                 "list_id": pdf["list_id"],
                                 "codes": list(codes.tolist())})
 
-    codes_df = (assigned.select(id_col, vec_col, "list_id")
-                .mapInPandas(enc, schema=schema))
-    return codes_df, centroids, codebooks
+    return (assigned.select(id_col, vec_col, "list_id")
+            .mapInPandas(enc, schema=schema))
 
 
 def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
@@ -562,6 +577,33 @@ def ivfpq_persist_partitioned(codes_df: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("list_id").parquet(path))
     _write_corpus_meta(
         path, codes_df.select(id_col).distinct().count())
+
+
+def ivfpq_append_partitioned(path: str, centroids: np.ndarray,
+                             codebooks: np.ndarray,
+                             new_vectors: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> None:
+    """Incremental IVF-PQ maintenance: assign + encode ONLY the new batch
+    against the FROZEN coarse centroids and residual codebooks, append
+    into the hive layout (hive append is partition-local — new files land
+    only in the list directories the batch touches), and advance the
+    sidecar corpus count so ``refine_factor='auto'`` keeps resolving
+    against the true N without a count job. O(batch), never a rebuild;
+    appended codes are bit-identical to a rebuild's because build and
+    append share ``_ivfpq_encode``. Codebook/centroid drift is handled by
+    periodic re-train + full rewrite (the standard IVF maintenance split,
+    same as ivf_append_partitioned)."""
+    from vectordb_explorations_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(new_vectors.select(id_col, vec_col), centroids,
+                          assign_n=ANN.IVF_ASSIGN_N, vec_col=vec_col)
+    codes = _ivfpq_encode(assigned, centroids, codebooks, id_col, vec_col)
+    (codes.select(id_col, "codes", "list_id")
+     .write.mode("append").partitionBy("list_id").parquet(path))
+    old_n = _read_corpus_meta(path) or 0
+    _write_corpus_meta(
+        path, old_n + new_vectors.select(id_col).distinct().count())
 
 
 def ivfpq_probe_partitioned(spark, path: str, centroids: np.ndarray,

@@ -395,6 +395,35 @@ def ivfsq_persist_partitioned(codes_df: DataFrame, path: str,
         path, codes_df.select(id_col).distinct().count())
 
 
+def ivfsq_append_partitioned(path: str, centroids: np.ndarray,
+                             mins: np.ndarray, maxs: np.ndarray,
+                             new_vectors: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> None:
+    """Incremental IVF-SQ8 maintenance: assign + quantize ONLY the new
+    batch against the FROZEN centroids and global extents, append into
+    the hive layout (partition-local writes), and advance the sidecar
+    corpus count so ``refine_factor='auto'`` stays job-free and true to
+    N. O(batch); codes are bit-identical to a rebuild's (sq_encode is
+    extent-deterministic and shared). Extent drift (a new batch outside
+    the trained min/max clips to the range edge) is the documented SQ8
+    trade — re-train + rewrite when the quantization audit says so."""
+    from vectordb_explorations_spark.operators.ann import (IVF_ASSIGN_N,
+                                                           ivf_assign)
+
+    assigned = ivf_assign(new_vectors.select(id_col, vec_col), centroids,
+                          assign_n=IVF_ASSIGN_N, vec_col=vec_col)
+    codes = sq_encode(assigned, mins, maxs, id_col=id_col, vec_col=vec_col,
+                      keep_cols=("list_id",))
+    from vectordb_explorations_spark.operators.pq import (_read_corpus_meta,
+                                                          _write_corpus_meta)
+    (codes.select(id_col, "codes", "list_id")
+     .write.mode("append").partitionBy("list_id").parquet(path))
+    old_n = _read_corpus_meta(path) or 0
+    _write_corpus_meta(
+        path, old_n + new_vectors.select(id_col).distinct().count())
+
+
 def ivfsq_probe_partitioned(spark, path: str, centroids: np.ndarray,
                             mins: np.ndarray, maxs: np.ndarray,
                             queries: DataFrame, k: int, nprobe: int = 8,
