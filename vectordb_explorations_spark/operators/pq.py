@@ -477,12 +477,17 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
                 c, sids = codes[sel], ids[sel]
                 qv, lixv = list_qids[int(li)], list_lix[int(li)]
                 # d2[q, n] = sum_s LUT[lix[q], s, c[n, s]] — same gather +
-                # length-m reduce as the joined shape: bit-equal distances
-                d2 = luts[lixv][:, marange[None, :], c].sum(-1)  # (nq, n)
-                dist = np.sqrt(np.maximum(d2, 0.0))
-                for row, qid in enumerate(qv):
-                    top = np.lexsort((sids, dist[row]))[:n_local]
-                    accs.append((qid, sids[top], dist[row][top]))
+                # length-m reduce as the joined shape: bit-equal
+                # distances. Chunk the query axis so the (nq, n, m)
+                # gather temp stays bounded (~32 x batch x m doubles)
+                # even when every query probes the same hot list.
+                for q0 in range(0, len(qv), 32):
+                    lsel = luts[lixv[q0:q0 + 32]]
+                    d2 = lsel[:, marange[None, :], c].sum(-1)  # (nq', n)
+                    dist = np.sqrt(np.maximum(d2, 0.0))
+                    for row, qid in enumerate(qv[q0:q0 + 32]):
+                        top = np.lexsort((sids, dist[row]))[:n_local]
+                        accs.append((qid, sids[top], dist[row][top]))
         if not accs:
             return
         allf = pd.DataFrame({
