@@ -468,3 +468,25 @@ def test_adaptive_multiprobe_and_auto_search(spark, sf_dir, exact):
     auto = lsh_search(emb, qs, 5, multiprobe_bits="auto",
                       bucket_cap="auto").collect()
     assert sorted(map(tuple, fixed)) == sorted(map(tuple, auto))
+
+
+def test_ivf_search_partitioning_invariant(spark, sf_dir):
+    """ivf_search's closure probe-map kernel must be partitioning-blind:
+    exact distances make assign_n replicas tie, and every global top-k
+    row survives its own (partition, list, query) pool head. Pin it with
+    a 7-way reshuffle of the assignment."""
+    from vectordb_explorations_spark.operators.ann import (ivf_build,
+                                                           ivf_search)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    assigned = assigned.cache()
+    queries = sample_queries(emb, 10).cache()
+    a = sorted(map(tuple, ivf_search(assigned, cents, queries, 5,
+                                     nprobe=3).collect()))
+    b = sorted(map(tuple, ivf_search(assigned.repartition(7), cents,
+                                     queries, 5, nprobe=3).collect()))
+    assert a == b and a
+    assigned.unpersist()

@@ -169,3 +169,23 @@ def test_ivfpq_append_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, full.collect()))
     assert a == b and a
     codes.unpersist()
+
+
+def test_ivfpq_search_partitioning_invariant(setup, spark):
+    """The closure probe-map kernel pools per (partition, list, query),
+    so HOW codes land in partitions must not change the result: any
+    globally-top-n candidate survives its own pool's head (fewer than n
+    rows beat it anywhere), and the qid-grouped min-merge picks the same
+    replica estimate regardless of which partition carried it. Pin it:
+    searches over a 7-way reshuffle of the code table must equal the
+    original bit for bit, refined and raw."""
+    emb, codes, cents, books, queries, exact = setup
+    for kw in (dict(refine_with=None),
+               dict(refine_with=emb, refine_factor=5)):
+        a = PQ.ivfpq_search(codes, cents, books, queries, 5, nprobe=2,
+                            **kw)
+        b = PQ.ivfpq_search(codes.repartition(7), cents, books, queries,
+                            5, nprobe=2, **kw)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and ra

@@ -229,3 +229,21 @@ def test_ivfsq_append_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, full.collect()))
     assert a == b and a
     codes.unpersist()
+
+
+def test_ivfsq_search_partitioning_invariant(ivfsq, setup):
+    """Partitioning must not change ivfsq_search results (per-pool heads
+    keep every globally-surviving candidate; SQ codes are vector-level so
+    replica estimates tie exactly): a 7-way reshuffle of the code table
+    searches bit-identically, refined and raw."""
+    emb, codes, cents, mins, maxs = ivfsq
+    queries = setup[4]
+    for kw in (dict(refine_with=None),
+               dict(refine_with=emb, refine_factor=5)):
+        a = SQ.ivfsq_search(codes, cents, mins, maxs, queries, 5,
+                            nprobe=2, **kw)
+        b = SQ.ivfsq_search(codes.repartition(7), cents, mins, maxs,
+                            queries, 5, nprobe=2, **kw)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and ra
