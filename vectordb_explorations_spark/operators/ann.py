@@ -214,29 +214,37 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     # list. Collecting the full histogram for both would be driver
     # transfer bounded only by min(2^num_planes, N) * num_tables rows —
     # O(N * num_tables) once the plane count outgrows the corpus (the
-    # r8 ADVICE regression vs the old Spark-side sz > cap filter). So:
-    # cache the histogram once, pull ONE stats row for the cap
-    # resolution, then collect only rows the Spark-side `sz > cap`
-    # filter keeps — bounded by hot buckets (≤ N / cap), never by the
-    # key space. A lazy `hot` DF instead of the collect would re-run
-    # the agg in every downstream action (isEmpty + anti-join + member
-    # join = 3 recomputes, ~2 s of job overhead measured in round 2);
-    # the cache keeps it at one histogram computation for both jobs.
+    # r8 ADVICE regression vs the old Spark-side sz > cap filter).
+    # With a FIXED cap the stats ride the hot-row collect itself via an
+    # Observation (one job, no cache — the r9 cache + stats-agg + collect
+    # triple cost ~0.6-1.8 s of extra cold stages/codegen at sf0.1); only
+    # 'auto' pays a stats job first, because the cap the filter needs IS
+    # the thing being resolved, and there the cached histogram keeps it
+    # at one computation for both jobs. table_id is dense 0..T-1 by
+    # construction (every vector buckets into every table), so
+    # max(table_id)+1 is the table count without a distinct.
     hist = (index.groupBy("table_id", "bucket")
-            .agg(F.count("*").alias("sz"))
-            .cache())
-    stats = hist.agg(
-        F.sum("sz").alias("rows"),
-        F.countDistinct("table_id").alias("tables")).collect()[0]
-    n_tables = int(stats["tables"] or 1)
-    n_corpus = int(stats["rows"] or 0) // n_tables
+            .agg(F.count("*").alias("sz")))
     if bucket_cap == "auto":
+        hist = hist.cache()
+        stats = hist.agg(
+            F.sum("sz").alias("rows"),
+            F.max("table_id").alias("max_tid")).collect()[0]
+        n_tables = int(stats["max_tid"] or 0) + 1
+        n_corpus = int(stats["rows"] or 0) // n_tables
         bucket_cap = adaptive_bucket_cap(n_corpus)
+        hot_rows = hist.where(F.col("sz") > F.lit(int(bucket_cap))).collect()
+        hist.unpersist()
     else:
+        from pyspark.sql import Observation
         bucket_cap = int(bucket_cap)
+        obs = Observation()
+        hot_rows = (hist.observe(obs, F.sum("sz").alias("rows"),
+                                 F.max("table_id").alias("max_tid"))
+                    .where(F.col("sz") > F.lit(bucket_cap)).collect())
+        n_tables = int(obs.get.get("max_tid") or 0) + 1
+        n_corpus = int(obs.get.get("rows") or 0) // n_tables
         _warn_recall_risk(bucket_cap, n_corpus)
-    hot_rows = hist.where(F.col("sz") > F.lit(int(bucket_cap))).collect()
-    hist.unpersist()
     if fast_future is not None:
         fast_future.result()
         executor.shutdown()
