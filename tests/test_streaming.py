@@ -381,3 +381,45 @@ def test_near_dedup_ttl_keeps_live_bands(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.doc_id, r.dup_of) for r in spark.table(name).collect()}
     assert (5, 100) in rows
+
+
+def test_incremental_ivfpq_ingest_matches_batch_encode(spark, sf_dir,
+                                                       tmp_path):
+    """Streaming IVF-PQ ingest: draining the embeddings stream through
+    foreachBatch ivfpq_append_partitioned must leave codes equal to the
+    batch encode with the same frozen centroids/codebooks, keep the
+    sidecar corpus count at N, and serve probes that match ivfpq_search
+    over those codes bit for bit."""
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.operators.pq import (
+        _read_corpus_meta, ivfpq_build, ivfpq_probe_partitioned,
+        ivfpq_search)
+    from vectordb_explorations_spark.sources import load_table
+    from vectordb_explorations_spark.streaming.events import (
+        incremental_ivfpq_ingest)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes, cents, books = ivfpq_build(emb, num_centroids=8,
+                                      m_subspaces=8, k_codes=16)
+    codes = codes.cache()
+    path = str(tmp_path / "ivfpq_stream")
+    q = incremental_ivfpq_ingest(spark, sf_dir, path, cents, books)
+    q.awaitTermination(300)
+
+    layout = spark.read.parquet(path)
+    a = sorted((int(r[0]), int(r[1]), tuple(r[2])) for r in
+               layout.select("vec_id", "list_id", "codes").collect())
+    b = sorted((int(r[0]), int(r[1]), tuple(r[2])) for r in
+               codes.select("vec_id", "list_id", "codes").collect())
+    assert a == b and a
+    assert _read_corpus_meta(path) == emb.count()
+
+    queries = sample_queries(emb, 5).cache()
+    served = ivfpq_probe_partitioned(spark, path, cents, books, queries, 5,
+                                     nprobe=3, refine_with=emb,
+                                     refine_factor=4)
+    mem = ivfpq_search(codes, cents, books, queries, 5, nprobe=3,
+                       refine_with=emb, refine_factor=4)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, mem.collect()))
+    codes.unpersist()

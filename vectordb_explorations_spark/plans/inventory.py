@@ -788,6 +788,7 @@ QUERIES: dict[str, QueryFn] = {
     # summarized deterministically — round-1 VERDICT item 10)
     "streaming_dedup_stats": SE.streaming_dedup_stats,
     "streaming_index_refresh": SE.streaming_index_refresh_stats,
+    "streaming_ivfpq_refresh": SE.streaming_ivfpq_refresh_stats,
     "streaming_join_stats": SE.streaming_join_stats,
     "streaming_user_totals": SE.streaming_user_totals,
     # stateful streaming near-dup admission (first-seen per MinHash band)
@@ -910,6 +911,7 @@ WINDOW_ROUND = 9
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "doc_char_entropy", "source_dup_matrix", "late_supplier_blame",
+    "streaming_ivfpq_refresh",
     # --- latest driver evidence r06: the 19-row deferred queue ---
     "boilerplate_coverage", "customer_balance_tiles",
     "customer_first_orders", "customers_with_open_orders",
@@ -929,10 +931,10 @@ _WINDOW_PRIORITY = [
     "events_variant_stats", "hybrid_rrf_search", "knn_batch",
     "knn_classify", "knn_cosine", "knn_exact", "lang_id",
     "large_volume_customers", "mask_pii", "multimodal_features",
-    "multimodal_summary",
-    # mutual_knn / norm_stats / part_set_ops yielded their slots to the
-    # three new never-checked queries; they join the r10 queue with the
-    # other r07 rows (still within the two-round evidence bound there)
+    # multimodal_summary / mutual_knn / norm_stats / part_set_ops yielded
+    # their slots to the four new never-checked queries; they join the
+    # r10 queue with the other r07 rows (still within the two-round
+    # evidence bound there)
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1038,6 +1040,7 @@ ORACLES: dict[str, str] = {
     "salted_event_type_stats": SK.SALTED_EVENT_TYPE_STATS_ORACLE,
     "streaming_dedup_stats": SE.STREAMING_DEDUP_STATS_ORACLE,
     "streaming_index_refresh": SE.STREAMING_INDEX_REFRESH_ORACLE,
+    "streaming_ivfpq_refresh": SE.STREAMING_IVFPQ_REFRESH_ORACLE,
     "streaming_join_stats": SE.STREAMING_JOIN_STATS_ORACLE,
     "streaming_user_totals": SE.STREAMING_USER_TOTALS_ORACLE,
     "streaming_near_dedup": SD.streaming_near_dedup_oracle(),

@@ -211,6 +211,44 @@ def incremental_ivf_ingest(spark: SparkSession, sf_dir: str,
             .start())
 
 
+def incremental_ivfpq_ingest(spark: SparkSession, sf_dir: str,
+                             index_dir: str, centroids,
+                             codebooks) -> "object":
+    """foreachBatch incremental IVF-PQ maintenance: each micro-batch is
+    assigned + residual-encoded against the index's FROZEN centroids and
+    codebooks and hive-appended into the compressed serving layout
+    (ivfpq_append_partitioned) — the streaming composition of the batch
+    incremental path, so a live ingest keeps the probe-prunable 16-byte-
+    code layout AND its sidecar corpus count current without retraining.
+    Codes are bit-identical to a rebuild's (build and append share the
+    encode kernel); drift triggers a batch re-train + rewrite."""
+    from vectordb_explorations_spark.operators.pq import (
+        ivfpq_append_partitioned)
+    from vectordb_explorations_spark.sources.catalog import (
+        ensure_package_on_workers)
+
+    ensure_package_on_workers(spark)
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    stream = (spark.readStream.schema(emb_schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivfpq_append_partitioned(index_dir, centroids, codebooks, batch_df)
+
+    return (stream.writeStream
+            .foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start())
+
+
 def streaming_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared correctness pin for the stateful-dedup path (round-1
     VERDICT item 10): drain ``streaming_dedup`` with availableNow into a
@@ -269,6 +307,49 @@ STREAMING_INDEX_REFRESH_ORACLE = """
 SELECT 8 * count(*) AS n_rows,
        CAST(8 AS BIGINT) AS n_tables,
        count(*) AS n_vectors
+FROM embeddings
+"""
+
+
+def streaming_ivfpq_refresh_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the COMPRESSED-family streaming
+    ingest: fit IVF-PQ on the embeddings table (seeded driver-side
+    k-means — deterministic), drain ``incremental_ivfpq_ingest`` into a
+    fresh hive layout, then audit what was streamed — code rows must be
+    assign_n x N (every vector in exactly two lists), every vector
+    present, every code exactly m subquantizers wide, and the sidecar
+    corpus count the refine auto-policy resolves from must equal N. All
+    audit columns are SQL-derivable, so the driver hash-checks the
+    streamed serving layout end to end."""
+    import tempfile
+
+    from vectordb_explorations_spark.operators.pq import (_read_corpus_meta,
+                                                          ivfpq_build)
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, cents, books = ivfpq_build(emb, num_centroids=8, m_subspaces=8,
+                                  k_codes=16)
+    out = tempfile.mkdtemp(prefix="ivfpq_refresh_")
+    q = incremental_ivfpq_ingest(spark, sf_dir, out, cents, books)
+    await_drained(q)
+    idx = spark.read.parquet(out)
+    meta_n = _read_corpus_meta(out) or 0
+    return (idx.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("vec_id").alias("n_vectors"),
+        F.min(F.size("codes")).cast("long").alias("m_min"),
+        F.max(F.size("codes")).cast("long").alias("m_max"))
+        .withColumn("meta_n", F.lit(int(meta_n)).cast("long")))
+
+
+STREAMING_IVFPQ_REFRESH_ORACLE = """
+SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+       count(*) AS n_vectors,
+       CAST(8 AS BIGINT) AS m_min,
+       CAST(8 AS BIGINT) AS m_max,
+       count(*) AS meta_n
 FROM embeddings
 """
 
