@@ -563,6 +563,64 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_soft_weights(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Soft deduplication — the reweight-instead-of-drop alternative to
+    hard dedup a training-mix pipeline wants when near-duplicates carry
+    paraphrase diversity: every document is weighted by the INVERSE of
+    its near-dup cluster size (so each cluster contributes ~one document
+    of expected probability mass), and a deterministic md5-uniform draw
+    (u(doc_id) <= weight) materializes a reproducible kept-set — in
+    expectation one member per cluster, chosen by hash rather than
+    always the min-id representative, and every singleton kept.
+
+    Scale shape: dedup_clusters' min-label propagation + one count agg
+    on the cluster root + one root-keyed size join + a pure projection;
+    the draw is the same coordination-free md5 uniform weighted_sample
+    uses (no RNG state, stable under any partitioning)."""
+    clusters = dedup_clusters(docs, max_iters)  # (doc_id, root)
+    sizes = clusters.groupBy("root").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2 ** 32))
+    w = F.lit(1.0) / F.col("cluster_size").cast("double")
+    return (clusters.join(sizes, "root")
+            .select("doc_id", F.col("root").alias("cluster_id"),
+                    "cluster_size", F.round(w, 6).alias("weight"),
+                    (u <= w).alias("kept"))
+            .orderBy("doc_id"))
+
+
+def dedup_soft_weights_oracle() -> str:
+    pairs_sql = minhash_lsh_pairs_oracle().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+), edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS root
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+), sizes AS (
+  SELECT root, count(*) AS cluster_size FROM labels GROUP BY root
+)
+SELECT l.doc_id, l.root AS cluster_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 6) AS weight,
+       ((CAST(CAST('0x' || substring(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0)
+         <= 1.0 / s.cluster_size AS kept
+FROM labels l JOIN sizes s USING (root)
+ORDER BY l.doc_id
+"""
+
+
 # Edit-distance candidates use narrower bands (2 rows -> 6 bands) than the
 # Jaccard verifier (3 rows -> 4 bands): banding collision prob is
 # 1-(1-j^r)^b, so r=2 admits pairs down to ~0.4 Jaccard — character-level

@@ -641,6 +641,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(load_table(s, "documents", d)),
     "dedup_embedding_cosine": lambda s, d: D.embedding_cosine_pairs(load_table(s, "embeddings", d)),
     "dedup_clusters": lambda s, d: D.dedup_clusters(load_table(s, "documents", d)),
+    "dedup_soft_weights": lambda s, d: D.dedup_soft_weights(
+        load_table(s, "documents", d)),
     "dedup_edit_distance": lambda s, d: D.edit_distance_pairs(load_table(s, "documents", d)),
     "dedup_representatives": lambda s, d: D.dedup_representatives(
         load_table(s, "documents", d)),
@@ -911,7 +913,7 @@ WINDOW_ROUND = 9
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "doc_char_entropy", "source_dup_matrix", "late_supplier_blame",
-    "streaming_ivfpq_refresh",
+    "streaming_ivfpq_refresh", "dedup_soft_weights",
     # --- latest driver evidence r06: the 19-row deferred queue ---
     "boilerplate_coverage", "customer_balance_tiles",
     "customer_first_orders", "customers_with_open_orders",
@@ -930,11 +932,11 @@ _WINDOW_PRIORITY = [
     "doc_fingerprints", "doc_length_percentiles", "events_json_stats",
     "events_variant_stats", "hybrid_rrf_search", "knn_batch",
     "knn_classify", "knn_cosine", "knn_exact", "lang_id",
-    "large_volume_customers", "mask_pii", "multimodal_features",
-    # multimodal_summary / mutual_knn / norm_stats / part_set_ops yielded
-    # their slots to the four new never-checked queries; they join the
-    # r10 queue with the other r07 rows (still within the two-round
-    # evidence bound there)
+    "large_volume_customers", "mask_pii",
+    # multimodal_features / multimodal_summary / mutual_knn / norm_stats
+    # / part_set_ops yielded their slots to the five new never-checked
+    # queries; they join the r10 queue with the other r07 rows (still
+    # within the two-round evidence bound there)
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -963,6 +965,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle(),
     "dedup_embedding_cosine": D.embedding_cosine_pairs_oracle(),
     "dedup_clusters": D.dedup_clusters_oracle(),
+    "dedup_soft_weights": D.dedup_soft_weights_oracle(),
     "dedup_edit_distance": D.edit_distance_pairs_oracle(),
     "dedup_representatives": D.dedup_representatives_oracle(),
     "dedup_incremental": D.incremental_dedup_oracle(),
