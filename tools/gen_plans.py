@@ -65,6 +65,23 @@ COMMENTARY = {
         "minhash_lsh_pairs: the bounded verified-pair side broadcasts "
         "into two narrow (doc_id, source) probes; the matrix agg is at "
         "most |sources|^2 rows."),
+    "late_supplier_blame": (
+        "TPC-H Q21-shaped correlated-exists pair: EXISTS (another supplier "
+        "in the order) is a left-semi self-join and NOT EXISTS (another "
+        "flagged supplier) a left-anti self-join, both keyed on l_orderkey "
+        "so one exchange serves both probes at scale; supplier/nation "
+        "broadcast onto the bounded per-supplier agg; "
+        "TakeOrderedAndProject caps the output."),
+    "dedup_soft_weights": (
+        "Soft dedup: inverse-cluster-size weights over the label-"
+        "propagation clusters plus a deterministic md5-uniform kept draw — "
+        "one count agg on the cluster root, one root-keyed size join, and "
+        "a pure projection on top of the converged labels."),
+    "streaming_ivfpq_refresh": (
+        "Streamed compressed-layout audit: foreachBatch drains micro-"
+        "batches through the frozen-codebook IVF-PQ append, then the "
+        "declared plan is one combinable agg over the hive layout — the "
+        "streaming work happens in the drained query, not this plan."),
     "sql_knn": (
         "The SQL-text twin of knn_exact through the registered `l2_dist` "
         "SQL function — inlines to a native expression tree with the same "
