@@ -468,6 +468,12 @@ def test_adaptive_multiprobe_and_auto_search(spark, sf_dir, exact):
     auto = lsh_search(emb, qs, 5, multiprobe_bits="auto",
                       bucket_cap="auto").collect()
     assert sorted(map(tuple, fixed)) == sorted(map(tuple, auto))
+    # the job-free resolution path: a caller that holds N from build time
+    # must get the identical result without the count fallback
+    metadata = lsh_search(emb, qs, 5, multiprobe_bits="auto",
+                          bucket_cap="auto",
+                          corpus_n=emb.count()).collect()
+    assert sorted(map(tuple, metadata)) == sorted(map(tuple, auto))
 
 
 def test_ivf_search_partitioning_invariant(spark, sf_dir):

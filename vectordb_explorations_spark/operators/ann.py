@@ -220,18 +220,23 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
     # triple cost ~0.6-1.8 s of extra cold stages/codegen at sf0.1); only
     # 'auto' pays a stats job first, because the cap the filter needs IS
     # the thing being resolved, and there the cached histogram keeps it
-    # at one computation for both jobs. table_id is dense 0..T-1 by
-    # construction (every vector buckets into every table), so
-    # max(table_id)+1 is the table count without a distinct.
+    # at one computation for both jobs. Observation forbids distinct
+    # aggregates, so the table count rides as a bit mask (table ids are
+    # small ints — bounded by the 64-bit word far above any real table
+    # count) and popcounts driver-side; this stays correct on a FILTERED
+    # index (e.g. a caller passing only some tables), where max+1 would
+    # over-divide.
     hist = (index.groupBy("table_id", "bucket")
             .agg(F.count("*").alias("sz")))
+    tmask_expr = F.bit_or(
+        F.expr("shiftleft(CAST(1 AS BIGINT), table_id)")).alias("tmask")
     if bucket_cap == "auto":
         hist = hist.cache()
         stats = hist.agg(
             F.sum("sz").alias("rows"),
-            F.max("table_id").alias("max_tid")).collect()[0]
-        n_tables = int(stats["max_tid"] or 0) + 1
-        n_corpus = int(stats["rows"] or 0) // n_tables
+            F.countDistinct("table_id").alias("tables")).collect()[0]
+        n_tables = int(stats["tables"] or 1)
+        n_corpus = int(stats["rows"] or 0) // max(1, n_tables)
         bucket_cap = adaptive_bucket_cap(n_corpus)
         hot_rows = hist.where(F.col("sz") > F.lit(int(bucket_cap))).collect()
         hist.unpersist()
@@ -239,10 +244,9 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
         from pyspark.sql import Observation
         bucket_cap = int(bucket_cap)
         obs = Observation()
-        hot_rows = (hist.observe(obs, F.sum("sz").alias("rows"),
-                                 F.max("table_id").alias("max_tid"))
+        hot_rows = (hist.observe(obs, F.sum("sz").alias("rows"), tmask_expr)
                     .where(F.col("sz") > F.lit(bucket_cap)).collect())
-        n_tables = int(obs.get.get("max_tid") or 0) + 1
+        n_tables = bin(int(obs.get.get("tmask") or 0)).count("1") or 1
         n_corpus = int(obs.get.get("rows") or 0) // n_tables
         _warn_recall_risk(bucket_cap, n_corpus)
     if fast_future is not None:

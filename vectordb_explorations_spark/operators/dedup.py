@@ -577,11 +577,12 @@ def dedup_soft_weights(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     on the cluster root + one root-keyed size join + a pure projection;
     the draw is the same coordination-free md5 uniform weighted_sample
     uses (no RNG state, stable under any partitioning)."""
+    from vectordb_explorations_spark.operators.sampling import md5_uniform
+
     clusters = dedup_clusters(docs, max_iters)  # (doc_id, root)
     sizes = clusters.groupBy("root").agg(
         F.count(F.lit(1)).alias("cluster_size"))
-    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2 ** 32))
+    u = md5_uniform("doc_id")
     w = F.lit(1.0) / F.col("cluster_size").cast("double")
     return (clusters.join(sizes, "root")
             .select("doc_id", F.col("root").alias("cluster_id"),
@@ -591,6 +592,9 @@ def dedup_soft_weights(docs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 
 def dedup_soft_weights_oracle() -> str:
+    from vectordb_explorations_spark.operators.sampling import (
+        md5_uniform_sql)
+
     pairs_sql = minhash_lsh_pairs_oracle().strip().rstrip(";")
     return f"""
 WITH RECURSIVE pairs AS (
@@ -613,8 +617,7 @@ WITH RECURSIVE pairs AS (
 )
 SELECT l.doc_id, l.root AS cluster_id, s.cluster_size,
        round(1.0 / s.cluster_size, 6) AS weight,
-       ((CAST(CAST('0x' || substring(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)
-              AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0)
+       {md5_uniform_sql('l.doc_id')}
          <= 1.0 / s.cluster_size AS kept
 FROM labels l JOIN sizes s USING (root)
 ORDER BY l.doc_id

@@ -320,8 +320,6 @@ def ivfpq_build(vectors: DataFrame, num_centroids: int = 16,
     assignment; residual codebooks train on a bounded hash-ordered driver
     sample of residuals; encode is one Arrow pass over the assigned rows.
     Returns (codes_df(vec_id, list_id, codes), centroids, codebooks)."""
-    import pandas as pd
-
     from vectordb_explorations_spark.operators.ann import ivf_build
 
     assigned, centroids = ivf_build(vectors, num_centroids, seed=seed,
@@ -364,7 +362,7 @@ def _ivfpq_encode(assigned: DataFrame, centroids: np.ndarray,
     centroids/codebooks would produce."""
     import pandas as pd
 
-    m_subspaces, _, dsub = codebooks.shape
+    dsub = codebooks.shape[2]
     bc_cent = assigned.sparkSession.sparkContext.broadcast(centroids)
     bc_books = assigned.sparkSession.sparkContext.broadcast(codebooks)
     schema = T.StructType([
@@ -584,6 +582,33 @@ def ivfpq_persist_partitioned(codes_df: DataFrame, path: str,
         path, codes_df.select(id_col).distinct().count())
 
 
+def _append_codes_partitioned(path: str, codes: DataFrame,
+                              assign_rows_per_vec: int,
+                              id_col: str = "vec_id") -> None:
+    """Shared hive-append + sidecar-advance for the compressed layouts
+    (IVF-PQ and IVF-SQ8 appends differ only in how ``codes`` was made).
+    The corpus increment rides the SAME write job as an observed row
+    count — ivf_assign emits exactly ``assign_rows_per_vec`` rows per
+    batch vector, so no second source scan and no distinct shuffle.
+
+    Contract: batch ids are NEW to the layout and unique within the
+    batch (the ingest semantics every append path here shares);
+    re-ingesting existing ids would inflate the sidecar N — corrections
+    go through the batch rebuild. The parquet write -> meta write pair
+    is not atomic: a crash between them undercounts N until the next
+    append or rebuild; the streaming wrappers' epoch markers make
+    replays no-ops, a full rebuild recovers anything else."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (codes.observe(obs, F.count(F.lit(1)).alias("rows"))
+     .select(id_col, "codes", "list_id")
+     .write.mode("append").partitionBy("list_id").parquet(path))
+    inc = int(obs.get.get("rows") or 0) // max(1, assign_rows_per_vec)
+    old_n = _read_corpus_meta(path) or 0
+    _write_corpus_meta(path, old_n + inc)
+
+
 def ivfpq_append_partitioned(path: str, centroids: np.ndarray,
                              codebooks: np.ndarray,
                              new_vectors: DataFrame,
@@ -594,21 +619,20 @@ def ivfpq_append_partitioned(path: str, centroids: np.ndarray,
     into the hive layout (hive append is partition-local — new files land
     only in the list directories the batch touches), and advance the
     sidecar corpus count so ``refine_factor='auto'`` keeps resolving
-    against the true N without a count job. O(batch), never a rebuild;
-    appended codes are bit-identical to a rebuild's because build and
-    append share ``_ivfpq_encode``. Codebook/centroid drift is handled by
-    periodic re-train + full rewrite (the standard IVF maintenance split,
-    same as ivf_append_partitioned)."""
+    against the true N without a count job. O(batch) in ONE source pass
+    (the sidecar increment is an observed metric on the write job), never
+    a rebuild; appended codes are bit-identical to a rebuild's because
+    build and append share ``_ivfpq_encode``. Codebook/centroid drift is
+    handled by periodic re-train + full rewrite (the standard IVF
+    maintenance split, same as ivf_append_partitioned); id/atomicity
+    contract in ``_append_codes_partitioned``."""
     from vectordb_explorations_spark.operators.ann import ivf_assign
 
+    an = max(1, min(ANN.IVF_ASSIGN_N, centroids.shape[0]))
     assigned = ivf_assign(new_vectors.select(id_col, vec_col), centroids,
-                          assign_n=ANN.IVF_ASSIGN_N, vec_col=vec_col)
+                          assign_n=an, vec_col=vec_col)
     codes = _ivfpq_encode(assigned, centroids, codebooks, id_col, vec_col)
-    (codes.select(id_col, "codes", "list_id")
-     .write.mode("append").partitionBy("list_id").parquet(path))
-    old_n = _read_corpus_meta(path) or 0
-    _write_corpus_meta(
-        path, old_n + new_vectors.select(id_col).distinct().count())
+    _append_codes_partitioned(path, codes, an, id_col)
 
 
 def ivfpq_probe_partitioned(spark, path: str, centroids: np.ndarray,

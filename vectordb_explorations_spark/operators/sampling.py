@@ -283,6 +283,25 @@ FROM e ORDER BY doc_id, chunk_id
 WEIGHTED_SAMPLE_N = 100
 
 
+def md5_uniform(id_col: Column | str) -> Column:
+    """Deterministic uniform draw in (0, 1] from a stable id: the first 8
+    md5 hex digits as a 32-bit integer, shifted to exclude 0. No RNG
+    state, stable under any partitioning — the one coordination-free
+    uniform every sampling/reweighting operator shares (weighted_sample,
+    dedup_soft_weights). Keep md5_uniform_sql textually in lockstep: the
+    pair IS the cross-engine contract the oracle hashes check."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("double") + F.lit(1.0)) / F.lit(float(2 ** 32))
+
+
+def md5_uniform_sql(id_expr: str) -> str:
+    """DuckDB twin of md5_uniform — same hex prefix, same shift, same
+    divisor, so both engines draw the identical double for an id."""
+    return (f"(CAST(CAST('0x' || substring(md5(CAST({id_expr} AS VARCHAR))"
+            f", 1, 8) AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0")
+
+
 def weighted_sample(docs: DataFrame, n: int = WEIGHTED_SAMPLE_N) -> DataFrame:
     """Weighted sampling without replacement via Efraimidis-Spirakis
     exponential keys: each doc draws key = u^(1/w) with u uniform in (0,1)
@@ -294,8 +313,7 @@ def weighted_sample(docs: DataFrame, n: int = WEIGHTED_SAMPLE_N) -> DataFrame:
 
     Scale shape: pure projection + one TakeOrderedAndProject top-n; at
     100 TB the same two lines sample any corpus in one scan."""
-    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2 ** 32))
+    u = md5_uniform("doc_id")
     key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
     return (docs.select("doc_id", F.col("n_chars").alias("weight"),
                         key.alias("key_raw"))
@@ -309,8 +327,7 @@ def weighted_sample_oracle(n: int = WEIGHTED_SAMPLE_N) -> str:
     return f"""
 WITH k AS (
   SELECT doc_id, n_chars AS weight,
-         pow((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                        AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0,
+         pow({md5_uniform_sql('doc_id')},
              1.0 / n_chars) AS key_raw
   FROM documents
 )

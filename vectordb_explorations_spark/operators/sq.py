@@ -404,24 +404,24 @@ def ivfsq_append_partitioned(path: str, centroids: np.ndarray,
     batch against the FROZEN centroids and global extents, append into
     the hive layout (partition-local writes), and advance the sidecar
     corpus count so ``refine_factor='auto'`` stays job-free and true to
-    N. O(batch); codes are bit-identical to a rebuild's (sq_encode is
-    extent-deterministic and shared). Extent drift (a new batch outside
-    the trained min/max clips to the range edge) is the documented SQ8
-    trade — re-train + rewrite when the quantization audit says so."""
+    N. O(batch) in ONE source pass (the sidecar increment is an observed
+    metric on the write job); codes are bit-identical to a rebuild's
+    (sq_encode is extent-deterministic and shared). Extent drift (a new
+    batch outside the trained min/max clips to the range edge) is the
+    documented SQ8 trade — re-train + rewrite when the quantization
+    audit says so; id/atomicity contract in
+    ``pq._append_codes_partitioned``."""
     from vectordb_explorations_spark.operators.ann import (IVF_ASSIGN_N,
                                                            ivf_assign)
+    from vectordb_explorations_spark.operators.pq import (
+        _append_codes_partitioned)
 
+    an = max(1, min(IVF_ASSIGN_N, centroids.shape[0]))
     assigned = ivf_assign(new_vectors.select(id_col, vec_col), centroids,
-                          assign_n=IVF_ASSIGN_N, vec_col=vec_col)
+                          assign_n=an, vec_col=vec_col)
     codes = sq_encode(assigned, mins, maxs, id_col=id_col, vec_col=vec_col,
                       keep_cols=("list_id",))
-    from vectordb_explorations_spark.operators.pq import (_read_corpus_meta,
-                                                          _write_corpus_meta)
-    (codes.select(id_col, "codes", "list_id")
-     .write.mode("append").partitionBy("list_id").parquet(path))
-    old_n = _read_corpus_meta(path) or 0
-    _write_corpus_meta(
-        path, old_n + new_vectors.select(id_col).distinct().count())
+    _append_codes_partitioned(path, codes, an, id_col)
 
 
 def ivfsq_probe_partitioned(spark, path: str, centroids: np.ndarray,

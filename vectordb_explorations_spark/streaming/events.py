@@ -137,6 +137,40 @@ def await_drained(query, timeout_s: int = 300) -> None:
             f"partial sink")
 
 
+def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared micro-batch source every incremental index-maintenance
+    stream reads: the fixture embeddings table replayed file-by-file."""
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    return (spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir))
+
+
+def _epoch_applied(index_dir: str, epoch_id: int) -> bool:
+    """foreachBatch is at-least-once: a task/driver failure replays an
+    epoch, and a blind append would double-ingest it (duplicate index
+    rows, double-advanced sidecar corpus count). The guard: a zero-byte
+    ``_epoch_<id>`` marker written AFTER the epoch's files land (the
+    underscore prefix keeps Spark's parquet reader from listing it)
+    makes replays no-ops — this is what the module docstring's
+    'idempotent per epoch_id' means in code. Residual window: a crash
+    between the data landing and the marker re-appends that one epoch
+    on restart; recovery is the batch rebuild, same as any multi-file
+    sink without a transaction log."""
+    return os.path.exists(os.path.join(index_dir, f"_epoch_{epoch_id}"))
+
+
+def _mark_epoch(index_dir: str, epoch_id: int) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, f"_epoch_{epoch_id}"), "w"):
+        pass
+
+
 def incremental_index_refresh(spark: SparkSession, sf_dir: str,
                               index_dir: str,
                               num_shards: int = 4) -> "object":
@@ -144,27 +178,23 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
     new embeddings is LSH-bucketed and appended to the index table —
     the streaming counterpart of the reference's online `Insert`
     (hnsw.cc:147-215), restated as bulk-append (SURVEY §0: Spark batch-
-    builds indexes; it does not serve online point inserts).
+    builds indexes; it does not serve online point inserts). Epoch
+    markers make replayed micro-batches no-ops (see _epoch_applied).
     """
     from vectordb_explorations_spark.operators.ann import random_hyperplane_lsh
     from vectordb_explorations_spark.sources.catalog import (
         ensure_package_on_workers)
 
     ensure_package_on_workers(spark)
-    emb_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
-        T.StructField("label", T.IntegerType()),
-    ])
-    stream = (spark.readStream.schema(emb_schema)
-              .option("maxFilesPerTrigger", 1)
-              .option("pathGlobFilter", "embeddings.parquet")
-              .parquet(sf_dir))
+    stream = _embeddings_stream(spark, sf_dir)
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_applied(index_dir, epoch_id):
+            return
         idx = random_hyperplane_lsh(batch_df)
         (idx.withColumn("epoch", F.lit(epoch_id))
             .write.mode("append").parquet(index_dir))
+        _mark_epoch(index_dir, epoch_id)
 
     return (stream.writeStream
             .foreachBatch(refresh)
@@ -181,29 +211,23 @@ def incremental_ivf_ingest(spark: SparkSession, sf_dir: str,
     (ivf_append_partitioned) — the streaming composition of the batch
     incremental path, so a live ingest keeps the probe-prunable layout
     current without retraining or corpus re-assignment. Epoch files land
-    only in touched list directories; drift triggers a batch re-train +
-    rewrite, not a streaming concern."""
+    only in touched list directories; replayed epochs are no-ops
+    (_epoch_applied); drift triggers a batch re-train + rewrite, not a
+    streaming concern."""
     from vectordb_explorations_spark.operators.ann import (
         ivf_append_partitioned)
     from vectordb_explorations_spark.sources.catalog import (
         ensure_package_on_workers)
 
     ensure_package_on_workers(spark)
-    emb_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
-        T.StructField("label", T.IntegerType()),
-    ])
-    stream = (spark.readStream.schema(emb_schema)
-              .option("maxFilesPerTrigger", 1)
-              .option("pathGlobFilter", "embeddings.parquet")
-              .parquet(sf_dir))
+    stream = _embeddings_stream(spark, sf_dir)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _epoch_applied(index_dir, epoch_id) or batch_df.isEmpty():
             return
         ivf_append_partitioned(index_dir, centroids, batch_df,
                                assign_n=assign_n)
+        _mark_epoch(index_dir, epoch_id)
 
     return (stream.writeStream
             .foreachBatch(ingest)
@@ -221,27 +245,22 @@ def incremental_ivfpq_ingest(spark: SparkSession, sf_dir: str,
     incremental path, so a live ingest keeps the probe-prunable 16-byte-
     code layout AND its sidecar corpus count current without retraining.
     Codes are bit-identical to a rebuild's (build and append share the
-    encode kernel); drift triggers a batch re-train + rewrite."""
+    encode kernel); replayed epochs are no-ops (_epoch_applied — a blind
+    re-append would double both the code rows and the sidecar N); drift
+    triggers a batch re-train + rewrite."""
     from vectordb_explorations_spark.operators.pq import (
         ivfpq_append_partitioned)
     from vectordb_explorations_spark.sources.catalog import (
         ensure_package_on_workers)
 
     ensure_package_on_workers(spark)
-    emb_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
-        T.StructField("label", T.IntegerType()),
-    ])
-    stream = (spark.readStream.schema(emb_schema)
-              .option("maxFilesPerTrigger", 1)
-              .option("pathGlobFilter", "embeddings.parquet")
-              .parquet(sf_dir))
+    stream = _embeddings_stream(spark, sf_dir)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _epoch_applied(index_dir, epoch_id) or batch_df.isEmpty():
             return
         ivfpq_append_partitioned(index_dir, centroids, codebooks, batch_df)
+        _mark_epoch(index_dir, epoch_id)
 
     return (stream.writeStream
             .foreachBatch(ingest)
