@@ -423,3 +423,29 @@ def test_incremental_ivfpq_ingest_matches_batch_encode(spark, sf_dir,
     assert sorted(map(tuple, served.collect())) == \
         sorted(map(tuple, mem.collect()))
     codes.unpersist()
+
+
+def test_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running the ingest stream over
+    the same source (same epoch ids, no checkpoint) must be a no-op —
+    the epoch markers make replays skip, so the layout's rows AND the
+    sidecar corpus count are unchanged by the second run."""
+    from vectordb_explorations_spark.operators.pq import (_read_corpus_meta,
+                                                          ivfpq_build)
+    from vectordb_explorations_spark.sources import load_table
+    from vectordb_explorations_spark.streaming.events import (
+        incremental_ivfpq_ingest)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, cents, books = ivfpq_build(emb, num_centroids=8, m_subspaces=8,
+                                  k_codes=16)
+    path = str(tmp_path / "ivfpq_replay")
+    q = incremental_ivfpq_ingest(spark, sf_dir, path, cents, books)
+    q.awaitTermination(300)
+    rows1 = spark.read.parquet(path).count()
+    meta1 = _read_corpus_meta(path)
+
+    q2 = incremental_ivfpq_ingest(spark, sf_dir, path, cents, books)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(path).count() == rows1
+    assert _read_corpus_meta(path) == meta1 == emb.count()
