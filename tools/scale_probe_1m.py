@@ -334,8 +334,9 @@ def main() -> None:
     mb = n * DIM * 4 // 1_000_000
     lines = [
         "",
-        f"## Round-8 addendum: {n:,}-vector probe, full 8-family matrix "
-        "(the reference's SizeTest scale, hnsw.cc:486)",
+        f"## 1M probe matrix (latest regeneration): {n:,}-vector probe, "
+        "full 8-family matrix (the reference's SizeTest scale, "
+        "hnsw.cc:486)",
         "",
         f"Same generator/methodology as the 200k core above, {n:,} x "
         f"{DIM} float32 (~{mb} MB raw), 100-query batches, k={K}, "
@@ -463,7 +464,8 @@ def main() -> None:
         os.path.abspath(__file__))), "SCALE_NOTES.md")
     existing = open(path).read()
     for marker in (f"## Round-7 addendum: {n:,}-vector probe",
-                   f"## Round-8 addendum: {n:,}-vector probe"):
+                   f"## Round-8 addendum: {n:,}-vector probe",
+                   f"## 1M probe matrix (latest regeneration): {n:,}"):
         idx = existing.find(marker)
         if idx >= 0:
             nxt = existing.find("\n## ", idx)
