@@ -496,3 +496,35 @@ def test_ivf_search_partitioning_invariant(spark, sf_dir):
                                      queries, 5, nprobe=3).collect()))
     assert a == b and a
     assigned.unpersist()
+
+
+def test_ranked_probing_full_budget_equals_ring(spark, sf_dir):
+    """Query-directed probing contract: a budget covering the whole
+    <=2-bit flip family probes exactly the ring's buckets, so results
+    equal multiprobe_bits=2 bit for bit, and the ranking is
+    deterministic (same call twice, identical output)."""
+    from vectordb_explorations_spark.operators.ann import (
+        lsh_refine_hot_buckets, lsh_search, random_hyperplane_lsh)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+
+    P = 6
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, 10).cache()
+    idx = random_hyperplane_lsh(emb, 4, P).cache()
+    idx.count()
+    ref = lsh_refine_hot_buckets(idx, emb, 256)
+    full = 1 + P + P * (P - 1) // 2
+
+    def run(**kw):
+        return lsh_search(emb, qs, 5, 4, P, index=idx, bucket_cap=256,
+                          refined=ref, **kw)
+
+    ring = sorted(map(tuple, run(multiprobe_bits=2).collect()))
+    ranked_full = sorted(map(tuple, run(probe_budget=full).collect()))
+    assert ring == ranked_full and ring
+
+    a = sorted(map(tuple, run(probe_budget=8).collect()))
+    b = sorted(map(tuple, run(probe_budget=8).collect()))
+    assert a == b and a
+    idx.unpersist()

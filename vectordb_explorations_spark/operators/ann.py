@@ -345,7 +345,8 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
                bucket_cap: int | str | None = LSH_DEFAULT_BUCKET_CAP,
                nprobe_sub: int = 2,
                refined: tuple[DataFrame, "DataFrame | list"] | None = None,
-               corpus_n: int | None = None) -> DataFrame:
+               corpus_n: int | None = None,
+               probe_budget: int | None = None) -> DataFrame:
     """Multi-table multiprobe LSH ANN search with hot-bucket refinement.
 
     Candidates = vectors sharing a bucket with the query in ANY table
@@ -365,6 +366,18 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
     don't re-fit the sub-quantizers). The centroid half is the builder's
     pre-collected row list (a DataFrame is also accepted and collected) —
     rows make a repeated-search loop cost zero extra Spark jobs per call.
+
+    ``probe_budget`` switches from the exhaustive bit-flip RING to
+    query-directed RANKED probing (Lv et al., VLDB'07): perturbations are
+    scored by their boundary distance (|projection| of each flipped
+    plane — a bit is likeliest wrong when the query sits near that
+    hyperplane), and only the ``probe_budget`` best-ranked buckets per
+    (query, table) are probed out of the <=2-bit family. A budget >=
+    1 + P + C(P,2) probes the whole family and equals the mpb=2 ring bit
+    for bit (pytest-pinned); smaller budgets buy a near-proportional
+    candidate reduction because the dropped probes are exactly the ones
+    least likely to hold neighbors. ``multiprobe_bits`` is ignored when
+    a budget is set.
     """
     if index is None:
         index = random_hyperplane_lsh(vectors, num_tables, num_planes, seed,
@@ -373,7 +386,13 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
-    qb = _buckets_np(qmat, planes)  # (Q, T)
+    # one GEMM yields both the base buckets and (for ranked probing) the
+    # per-plane boundary distances; the bucket formula is _buckets_np's,
+    # so qb is bit-identical to the build side's bucketing
+    tt, pp, dd = planes.shape
+    qproj = (qmat @ planes.reshape(tt * pp, dd).T).reshape(-1, tt, pp)
+    qbits = (qproj >= 0).astype(np.int64)
+    qb = (qbits * (1 << np.arange(pp, dtype=np.int64))).sum(axis=2)  # (Q, T)
     spark = vectors.sparkSession
     if multiprobe_bits == "auto":
         # The probe depth that holds recall is a function of corpus size
@@ -410,6 +429,20 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
         order = np.lexsort((np.arange(len(d)), d))[:nprobe_sub]
         return [int(j) for j in order]
 
+    # Ranked probing: enumerate the <=2-bit flip-mask family once, score
+    # each mask per (query, table) as the sum of flipped planes'
+    # boundary distances, keep the budget best (base mask scores 0 —
+    # always first). Deterministic: float scores from a deterministic
+    # GEMM, mask value as the tie-break.
+    flip_masks = None
+    if probe_budget is not None:
+        flip_masks = np.asarray(
+            [0] + [1 << b for b in range(num_planes)]
+            + [(1 << b1) | (1 << b2) for b1 in range(num_planes)
+               for b2 in range(b1 + 1, num_planes)], dtype=np.int64)
+        mask_bits = ((flip_masks[:, None]
+                      >> np.arange(num_planes)[None, :]) & 1)  # (M, P)
+
     # Dedupe driver-side (a set over the tiny probe list) instead of a
     # Spark .distinct(): the probe set is O(Q·T·planes·subs) rows, and the
     # distinct cost a full extra shuffle + stage per search call.
@@ -417,16 +450,22 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
     for qi, qid in enumerate(qids):
         for t in range(qb.shape[1]):
             base = int(qb[qi, t])
-            cands = [base]
-            if multiprobe_bits >= 1:
-                cands.extend(base ^ (1 << b) for b in range(num_planes))
-            if multiprobe_bits >= 2:
-                # 2-bit flips: C(P,2) extra probes per table. Most land in
-                # cold buckets, so candidates grow far slower than probes —
-                # the classic multiprobe trade (Lv et al., VLDB'07).
-                cands.extend(base ^ (1 << b1) ^ (1 << b2)
-                             for b1 in range(num_planes)
-                             for b2 in range(b1 + 1, num_planes))
+            if flip_masks is not None:
+                scores = mask_bits @ np.abs(qproj[qi, t])  # (M,)
+                order = np.lexsort((flip_masks, scores))[:probe_budget]
+                cands = [base ^ int(flip_masks[m]) for m in order]
+            else:
+                cands = [base]
+                if multiprobe_bits >= 1:
+                    cands.extend(base ^ (1 << b) for b in range(num_planes))
+                if multiprobe_bits >= 2:
+                    # 2-bit flips: C(P,2) extra probes per table. Most land
+                    # in cold buckets, so candidates grow far slower than
+                    # probes — the classic multiprobe trade (Lv et al.,
+                    # VLDB'07).
+                    cands.extend(base ^ (1 << b1) ^ (1 << b2)
+                                 for b1 in range(num_planes)
+                                 for b2 in range(b1 + 1, num_planes))
             for bk in cands:
                 if use_subs:
                     for sub in probe_subs(qi, t, bk):
