@@ -370,3 +370,21 @@ def test_compact_table_swap_leaves_no_staging_dirs(spark, sf_dir, tmp_path):
     assert after == before
     assert not os.path.exists(flat + "._compact_tmp")
     assert not os.path.exists(flat + "._compact_old")
+
+
+def test_xml_roundtrip_documents(spark, sf_dir, tmp_path):
+    """XML round-trip over the REAL documents table (Spark 4 built-in xml
+    source): entity-sensitive text (&, <, quotes) must survive
+    write+read bit for bit with the writer's schema passed back, and the
+    doc count must hold. XML is the ingest format here — no pushdown to
+    assert; the landing pattern is xml -> parquet."""
+    df = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source")
+    path = str(tmp_path / "docs_xml")
+    sinks.write_xml(df, path)
+    back = sinks.read_xml(spark, path, schema=df.schema)
+    a = {r["doc_id"]: (r["text"], r["lang"], r["source"])
+         for r in back.collect()}
+    b = {r["doc_id"]: (r["text"], r["lang"], r["source"])
+         for r in df.collect()}
+    assert a == b and len(a) == df.count()

@@ -82,6 +82,29 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    """XML sink (Spark 4's built-in xml source — the spark-xml package
+    merged upstream, SPARK-44265): one element per row under ``row_tag``,
+    entities escaped by the writer. The interchange format feeds/crawl
+    dumps still arrive in; like CSV it is row-oriented text — no column
+    pruning or predicate pushdown on read, so it is an INGEST format:
+    land it once, convert to parquet, and let the columnar side serve."""
+    (df.write.mode(mode).format("xml")
+     .option("rowTag", row_tag).save(path))
+
+
+def read_xml(spark: SparkSession, path: str, schema=None,
+             row_tag: str = "row") -> DataFrame:
+    """XML read-back. Pass the writer's schema for a lossless roundtrip
+    (inference samples the documents and can widen types, same caveat as
+    CSV)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def partition_file_counts(path: str) -> dict[str, int]:
     """Data-file count per hive partition directory (for asserting layout
     in tests): {'' : n} for unpartitioned, {'k=v': n, ...} otherwise."""
