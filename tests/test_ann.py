@@ -528,3 +528,20 @@ def test_ranked_probing_full_budget_equals_ring(spark, sf_dir):
     b = sorted(map(tuple, run(probe_budget=8).collect()))
     assert a == b and a
     idx.unpersist()
+
+
+def test_query_batch_cap_guard(spark):
+    """The serving contract is explicit: search kernels collect the query
+    batch driver-side (closure probe maps), so an oversized batch raises
+    instead of flooding the driver — and the LIMIT bounds the transfer
+    BEFORE the check."""
+    import pytest as _pytest
+
+    from vectordb_explorations_spark.operators.ann import (
+        collect_query_batch)
+
+    qs = spark.range(10).selectExpr(
+        "id AS query_id", "array(CAST(id AS FLOAT)) AS query_vec")
+    assert len(collect_query_batch(qs, "query_id", "query_vec", cap=10)) == 10
+    with _pytest.raises(ValueError, match="serving cap"):
+        collect_query_batch(qs, "query_id", "query_vec", cap=9)

@@ -269,3 +269,45 @@ def test_semantic_dedup_gemm_assign_parity(spark, sf_dir):
     auto_plan = (semantic_dedup(emb)  # declared defaults
                  ._jdf.queryExecution().executedPlan().toString())
     assert "InPandas" not in auto_plan
+
+
+def test_exact_substring_finds_planted_spans(spark):
+    """Planted span-level duplicates: a 6-token span pasted verbatim into
+    two otherwise-distinct docs is found as exactly one pair with the
+    right shared-window count; a doc shorter than w yields no windows;
+    OVERLAPPING duplicated windows union into one covered interval (the
+    gaps-and-islands math), and a full duplicate covers 1.0."""
+    from vectordb_explorations_spark.operators.dedup import (
+        exact_substring_pairs, substring_dup_coverage)
+
+    span = "the quick brown fox jumps over"           # 6 tokens
+    docs = spark.createDataFrame([
+        (0, f"alpha beta {span} gamma delta"),        # span at pos 2..7
+        (1, f"{span} zeta eta theta iota kappa"),     # span at pos 0..5
+        (2, "one two three four five six seven"),     # unrelated
+        (3, "tiny doc"),                              # shorter than w
+        (4, f"alpha beta {span} gamma delta"),        # full dup of doc 0
+    ], "doc_id long, text string")
+    w = 4
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_spans"]
+             for r in exact_substring_pairs(docs, w=w).collect()}
+    # doc 0 and doc 4 are identical: every one of their 10-4+1=7 windows
+    # is shared; docs 0/1 and 1/4 share only the windows inside the span
+    # (6-4+1=3 fully-inside windows)
+    assert pairs[(0, 4)] == 7
+    assert pairs[(0, 1)] == 3
+    assert pairs[(1, 4)] == 3
+    assert not any(3 in p or 2 in p for p in pairs)
+
+    cov = {r["doc_id"]: r for r in substring_dup_coverage(docs, w=w).collect()}
+    assert cov[3]["n_dup_spans"] == 0 and cov[3]["coverage"] == 0.0
+    assert cov[2]["coverage"] == 0.0
+    # docs 0 and 4: all 7 windows duplicated -> full coverage, ONE island
+    assert cov[0]["coverage"] == 1.0 and cov[0]["covered_tokens"] == 10
+    assert cov[4]["coverage"] == 1.0
+    # doc 1: the 3 span windows overlap into one island covering
+    # positions 0..5 = 6 of its 11 tokens
+    assert cov[1]["n_dup_spans"] == 3
+    assert cov[1]["covered_tokens"] == 6
+    assert cov[1]["coverage"] == round(6 / 11, 6)

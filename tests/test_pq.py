@@ -99,3 +99,94 @@ def test_adaptive_refine_factor_policy(spark, sf_dir):
     msgs = [str(w.message) for w in caught
             if issubclass(w.category, RuntimeWarning)]
     assert any("recall decays" in m and "auto" in m for m in msgs), msgs
+
+
+def test_corpus_n_cache_staleness_contract(spark, tmp_path):
+    """The documented staleness contract, both layers of it: (1) a
+    parquet DataFrame SNAPSHOTS its file listing at creation, so a
+    long-lived object over a growing path reports the old N even on a
+    fresh count — growing-path serving must re-read the path (the
+    probe_partitioned helpers do) or pass corpus_n=; (2) _corpus_rows
+    memoizes per DataFrame lifetime (proven via a cache sentinel) and
+    invalidate_corpus_n() drops the memo."""
+    from vectordb_explorations_spark.operators.pq import (
+        _CORPUS_N_CACHE, _corpus_rows, invalidate_corpus_n)
+
+    path = str(tmp_path / "grow")
+    spark.range(100).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert _corpus_rows(df, 1) == 100
+    spark.range(50).write.mode("append").parquet(path)
+    # layer 1 — the DataFrame's file index is a creation-time snapshot:
+    # the old object cannot see the appended files at all
+    assert df.count() == 100
+    assert _corpus_rows(df, 1) == 100
+    # a fresh read (what the probe_partitioned helpers do per call)
+    # sees the grown layout
+    assert _corpus_rows(spark.read.parquet(path), 1) == 150
+    # layer 2 — memoization is real (sentinel read back, no count job)
+    # and invalidation drops it
+    _CORPUS_N_CACHE[df] = 999
+    assert _corpus_rows(df, 1) == 999
+    invalidate_corpus_n(df)
+    assert _corpus_rows(df, 1) == 100
+    _CORPUS_N_CACHE[df] = 999
+    invalidate_corpus_n()  # no-arg clears everything
+    assert _corpus_rows(df, 1) == 100
+
+
+def test_append_clears_corpus_memo(spark, sf_dir, tmp_path):
+    """Appending through ivfpq_append_partitioned advances the sidecar
+    AND invalidates the memo; a probe that re-reads the path (the
+    partitioned-serving contract) resolves auto policies against the
+    grown N (the ADVICE staleness edge)."""
+    from vectordb_explorations_spark.operators.pq import (
+        _corpus_rows, _read_corpus_meta, ivfpq_build,
+        ivfpq_append_partitioned, ivfpq_persist_partitioned)
+    from vectordb_explorations_spark.operators.ann import IVF_ASSIGN_N
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes, cents, books = ivfpq_build(emb, num_centroids=8, m_subspaces=8,
+                                      k_codes=16)
+    path = str(tmp_path / "ivfpq_grow")
+    ivfpq_persist_partitioned(codes, path)
+    n0 = _read_corpus_meta(path)
+    df = spark.read.parquet(path)
+    rep = IVF_ASSIGN_N
+    assert _corpus_rows(df, rep) == n0
+    batch = emb.limit(20).selectExpr("vec_id + 1000000 AS vec_id",
+                                     "embedding", "label")
+    ivfpq_append_partitioned(path, cents, books, batch)
+    assert _read_corpus_meta(path) == n0 + 20
+    # the append cleared the memo (no stale entry survives), and a
+    # fresh read of the layout — what probe_partitioned does per call —
+    # resolves against the grown N; the old snapshot object honestly
+    # reports its own (old) listing rather than a cached number
+    assert _corpus_rows(spark.read.parquet(path), rep) == n0 + 20
+    assert _corpus_rows(df, rep) == n0  # snapshot semantics, recounted
+
+
+def test_layout_corpus_n_fallback_counts_unpruned(spark, tmp_path):
+    """When the sidecar is missing, _layout_corpus_n counts the FULL
+    layout (never a probe-pruned frame) and warns; with the sidecar it
+    is job-free and silent."""
+    import warnings
+
+    from vectordb_explorations_spark.operators.pq import (
+        _layout_corpus_n, _write_corpus_meta)
+
+    path = str(tmp_path / "nosidecar")
+    (spark.range(200).selectExpr("id AS vec_id", "id % 4 AS list_id")
+     .write.partitionBy("list_id").parquet(path))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = _layout_corpus_n(spark, path, 2)
+    assert n == 100  # 200 rows / replication 2 — the UNPRUNED count
+    assert any("_corpus_meta.json" in str(w.message) for w in caught)
+
+    _write_corpus_meta(path, 100)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _layout_corpus_n(spark, path, 2) == 100
+    assert not [w for w in caught if "corpus" in str(w.message)]

@@ -449,3 +449,27 @@ def test_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
     q2.awaitTermination(300)
     assert spark.read.parquet(path).count() == rows1
     assert _read_corpus_meta(path) == meta1 == emb.count()
+
+
+def test_batch_key_is_content_keyed(spark, tmp_path):
+    """Epoch markers are keyed by the batch's SOURCE FILES, not the epoch
+    counter: the same files give the same key at any epoch id (replays
+    skip), and a NEW file gives a new key even if a fresh run reuses an
+    already-marked epoch id (the silently-dropped-batch ADVICE hazard)."""
+    from vectordb_explorations_spark.streaming.events import (
+        _batch_key, _epoch_applied, _mark_epoch)
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(10).write.parquet(pa)
+    spark.range(20).write.parquet(pb)
+    dfa, dfb = spark.read.parquet(pa), spark.read.parquet(pb)
+
+    ka0, ka7 = _batch_key(dfa, 0), _batch_key(dfa, 7)
+    kb0 = _batch_key(dfb, 0)
+    assert ka0 == ka7          # counter-independent: replay/restart safe
+    assert ka0 != kb0          # different files never collide on epoch id
+
+    idx = str(tmp_path / "idx")
+    _mark_epoch(idx, ka0)
+    assert _epoch_applied(idx, ka0)
+    assert not _epoch_applied(idx, kb0)  # new file at old epoch id ingests

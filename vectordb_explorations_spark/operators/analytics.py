@@ -233,7 +233,11 @@ def late_supplier_blame(lineitem: DataFrame, supplier: DataFrame,
             .limit(topn))
 
 
-LATE_SUPPLIER_BLAME_ORACLE = """
+def late_supplier_blame_oracle(topn: int = 20) -> str:
+    """Oracle twin of :func:`late_supplier_blame`, parameterized on the
+    same ``topn`` so a non-default limit can't silently diverge from
+    the SQL used for certification."""
+    return f"""
 SELECT s_name, n_name, count(*) AS numwait
 FROM lineitem l1, supplier, nation
 WHERE l1.l_returnflag = 'R'
@@ -247,8 +251,11 @@ WHERE l1.l_returnflag = 'R'
                     AND l3.l_returnflag = 'R')
 GROUP BY s_name, n_name
 ORDER BY numwait DESC, s_name
-LIMIT 20
+LIMIT {int(topn)}
 """
+
+
+LATE_SUPPLIER_BLAME_ORACLE = late_supplier_blame_oracle()
 
 
 # ---------- scalar-subquery pattern ----------

@@ -84,6 +84,33 @@ def _warn_recall_risk(cap: int, n: int) -> None:
             RuntimeWarning, stacklevel=3)
 
 
+# Serving contract: every search kernel collects the QUERY batch to the
+# driver (the probe map / query matrix ride the UDF closure — KB-to-MB
+# for real serving batches of 10^2-10^5). Nothing in the plan bounds a
+# caller passing a corpus-sized "batch", so the collect itself must: past
+# the cap the closure broadcast and the O(Q x dim) driver matrix stop
+# being serving-shaped. Chunk the queries and union the results, or use
+# the distributed knn_join / knn_join_blockwise for corpus x corpus
+# scoring.
+QUERY_BATCH_CAP = 100_000
+
+
+def collect_query_batch(queries: DataFrame, qid_col: str, qvec_col: str,
+                        cap: int = QUERY_BATCH_CAP) -> list:
+    """Driver-side query-batch collect, capped (LIMIT cap+1 bounds the
+    transfer BEFORE the overflow check, so an oversized frame can never
+    flood the driver)."""
+    rows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query batch exceeds the driver-resident serving cap "
+            f"({cap:,} rows): search kernels ship the batch in the UDF "
+            f"closure, which is serving-shaped, not corpus-shaped — "
+            f"chunk the queries and union results, or use knn_join / "
+            f"knn_join_blockwise for corpus-scale scoring")
+    return rows
+
+
 def _hyperplanes(num_tables: int, num_planes: int, dim: int, seed: int) -> np.ndarray:
     """(num_tables, num_planes, dim) deterministic Gaussian hyperplanes."""
     rng = np.random.RandomState(seed)
@@ -244,9 +271,17 @@ def lsh_refine_hot_buckets(index: DataFrame, vectors: DataFrame,
         from pyspark.sql import Observation
         bucket_cap = int(bucket_cap)
         obs = Observation()
-        hot_rows = (hist.observe(obs, F.sum("sz").alias("rows"), tmask_expr)
+        hot_rows = (hist.observe(obs, F.sum("sz").alias("rows"), tmask_expr,
+                                 F.max("table_id").alias("tmax"))
                     .where(F.col("sz") > F.lit(bucket_cap)).collect())
-        n_tables = bin(int(obs.get.get("tmask") or 0)).count("1") or 1
+        if int(obs.get.get("tmax") or 0) >= 64:
+            # shiftleft wraps mod 64 — the popcount would undercount
+            # tables and inflate n_corpus. Fall back to the exact
+            # countDistinct stats job (rare: >=64 hash tables).
+            n_tables = int(hist.agg(
+                F.countDistinct("table_id")).collect()[0][0] or 1)
+        else:
+            n_tables = bin(int(obs.get.get("tmask") or 0)).count("1") or 1
         n_corpus = int(obs.get.get("rows") or 0) // n_tables
         _warn_recall_risk(bucket_cap, n_corpus)
     if fast_future is not None:
@@ -383,7 +418,7 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
         index = random_hyperplane_lsh(vectors, num_tables, num_planes, seed,
                                       dim, id_col, vec_col)
     planes = _hyperplanes(num_tables, num_planes, dim, seed)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     # one GEMM yields both the base buckets and (for ranked probing) the
@@ -657,7 +692,7 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
     # Probe selection is a (Q, C) argmin over driver-resident centroids —
     # pure NumPy, no crossJoin/window stage (queries and centroids are both
     # tiny; the cluster only ever sees the final probed-list isin filter).
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     cd = (qmat[:, None, :] - centroids[None, :, :])
@@ -891,7 +926,7 @@ def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
     run the standard ivf_search over the pruned frame (its closure
     probe map then restricts each query to ITS lists within the
     union)."""
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     cd = (qmat[:, None, :] - centroids[None, :, :])
     cdist = (cd * cd).sum(-1)

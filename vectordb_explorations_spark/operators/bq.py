@@ -30,6 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
+from vectordb_explorations_spark.operators.ann import collect_query_batch
 from vectordb_explorations_spark.operators.sq import sq_train
 
 BQ_WORD_BITS = 32  # bits packed per BIGINT word: keeps every engine's
@@ -289,7 +290,7 @@ def bq_search(codes_df: DataFrame, thresholds: np.ndarray, queries: DataFrame,
     refine tail (the corpus never shuffles)."""
     import pandas as pd
 
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = np.array([int(r[0]) for r in qrows])
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     dim = len(thresholds)
@@ -395,7 +396,7 @@ def bq_cascade_search(bq_codes: DataFrame, thresholds: np.ndarray,
     verdict item 4)."""
     import pandas as pd
 
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = np.array([int(r[0]) for r in qrows])
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qvecs = {int(q): v for q, v in zip(qids, qmat)}

@@ -1307,3 +1307,181 @@ JOIN documents da ON da.doc_id = p.doc_id_a
 JOIN documents db ON db.doc_id = p.doc_id_b
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup — the other half of the train-set-dedup
+# literature (Lee et al. 2021, "Deduplicating Training Data Makes Language
+# Models Better"): document-level near-dup misses the verbatim 50-token
+# boilerplate SPAN pasted into thousands of otherwise-distinct pages. Here:
+# overlapping w-token window fingerprints via ONE explode, bucketed
+# fingerprint self-join (never all-pairs — the fingerprint IS the blocking
+# key, group sizes bounded by real duplication multiplicity), and a
+# gaps-and-islands interval union for per-doc duplicated-span coverage.
+#
+# Scale shape (100 TB): the exchange after the explode carries (doc_id,
+# pos, 32-char md5) — ~50 B/row at ~n_tokens rows per doc, so the
+# fingerprint-exchange volume is ~50 bytes x corpus tokens, independent of
+# w; the per-doc distinct before the pair join keeps a span repeated k
+# times INSIDE one doc from k-plicating that doc's join rows; the interval
+# union is window-function math over only the DUPLICATED windows (no w-way
+# position explode).
+# ---------------------------------------------------------------------------
+
+# Lee et al. use w=50 on long web documents; 20 scales the same statistics
+# to the fixture's 10-99-token docs while keeping a shared span rare enough
+# to mean real duplication (sf0.01: 747 cross-doc duplicate fingerprints).
+SUBSTRING_WINDOW = 20
+
+
+def _span_windows(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, fp) for every overlapping w-token window: fp =
+    md5(the w space-joined tokens), pos = 0-based start. Docs shorter
+    than w yield no rows (explode of the empty array). The split is
+    hoisted into a projected column — referencing split(text) inside the
+    transform lambda re-tokenizes once per window in the interpreted
+    higher-order-function path (the _exploded_shingles trap)."""
+    wins = (f"CASE WHEN size(ws) >= {w} THEN "
+            f"transform(sequence(0, size(ws) - {w}), "
+            f"i -> struct(i AS pos, "
+            f"md5(concat_ws(' ', slice(ws, i + 1, {w}))) AS fp)) "
+            f"ELSE array() END")
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", F.explode(F.expr(wins)).alias("wn"))
+            .select("doc_id", F.col("wn.pos").alias("pos"),
+                    F.col("wn.fp").alias("fp")))
+
+
+def _span_windows_duck(w: int) -> str:
+    """DuckDB twin of _span_windows as shared CTE text (toks + wins);
+    1-based list slicing, pos re-based to 0 to match Spark."""
+    return f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), wins AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         md5(list_aggregate(ws[u.i:u.i+{w}-1], 'string_agg', ' ')) AS fp
+  FROM toks, unnest(range(1, len(ws) - {w} + 2)) AS u(i)
+  WHERE len(ws) >= {w}
+)"""
+
+
+def exact_substring_pairs(docs: DataFrame,
+                          w: int = SUBSTRING_WINDOW) -> DataFrame:
+    """Cross-doc verbatim-span pairs: (doc_a, doc_b, n_shared_spans)
+    where n_shared_spans counts DISTINCT shared w-token window
+    fingerprints (per-doc distinct first, so within-doc repetition of a
+    span can't inflate the pair). The self-join is bucketed by the
+    fingerprint itself — shuffle carries compact (doc_id, md5) rows and
+    each join group is one duplicated span's occurrence set, never a
+    corpus-wide cross product."""
+    docfp = _span_windows(docs, w).select("doc_id", "fp").distinct()
+    a = docfp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = docfp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def exact_substring_pairs_oracle(w: int = SUBSTRING_WINDOW) -> str:
+    return f"""
+WITH {_span_windows_duck(w).strip()},
+docfp AS (SELECT DISTINCT doc_id, fp FROM wins)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_spans
+FROM docfp a JOIN docfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def substring_dup_coverage(docs: DataFrame,
+                           w: int = SUBSTRING_WINDOW) -> DataFrame:
+    """Per-doc duplicated-span coverage: which fraction of each doc's
+    tokens sits inside at least one w-token window that also appears
+    verbatim in ANOTHER doc — the number a curation pipeline thresholds
+    to drop boilerplate-dominated pages (and the rollup view of
+    exact_substring_pairs). Interval union via gaps-and-islands over
+    only the duplicated windows: a window starts a new island iff its
+    start exceeds the running max end of everything before it; per-doc
+    work is a sort of that doc's duplicated windows (bounded by its own
+    token count), never a w-way position explode."""
+    wins = _span_windows(docs, w)
+    docfp = wins.select("doc_id", "fp").distinct()
+    dup_fps = (docfp.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("nd"))
+               .where(F.col("nd") >= 2)
+               .select("fp"))
+    dupw = (wins.join(dup_fps, "fp", "left_semi")
+            .select("doc_id", "pos",
+                    (F.col("pos") + F.lit(w - 1)).alias("fin")))
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (dupw
+             .withColumn("new_island",
+                         F.when(F.col("pos") > F.coalesce(
+                             F.max("fin").over(w_prev), F.lit(-1)),
+                             F.lit(1)).otherwise(F.lit(0)))
+             .withColumn("island", F.sum("new_island").over(w_run))
+             .groupBy("doc_id", "island")
+             .agg(F.min("pos").alias("s"), F.max("fin").alias("e"),
+                  F.count(F.lit(1)).alias("nw")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.sum(F.col("e") - F.col("s") + 1)
+                    .alias("covered_tokens"),
+                    F.sum("nw").alias("n_dup_spans")))
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    cov = F.coalesce("covered_tokens", F.lit(0))
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    .cast("long").alias("n_dup_spans"),
+                    cov.cast("long").alias("covered_tokens"),
+                    F.round(cov.cast("double") / F.col("n_tokens"), 6)
+                    .alias("coverage"))
+            .orderBy("doc_id"))
+
+
+def substring_dup_coverage_oracle(w: int = SUBSTRING_WINDOW) -> str:
+    return f"""
+WITH {_span_windows_duck(w).strip()},
+dup_fps AS (
+  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM wins)
+  GROUP BY fp HAVING count(*) >= 2
+), dupw AS (
+  SELECT w.doc_id, w.pos, w.pos + {w} - 1 AS fin
+  FROM wins w JOIN dup_fps USING (fp)
+), isl AS (
+  SELECT doc_id, pos, fin,
+         CASE WHEN pos > coalesce(max(fin) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dupw
+), isl2 AS (
+  SELECT doc_id, pos, fin,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(fin) AS e, count(*) AS nw
+  FROM isl2 GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+         CAST(sum(nw) AS BIGINT) AS n_dup_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       round(coalesce(p.covered_tokens, 0)::DOUBLE / len(t.ws), 6)
+         AS coverage
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
+from vectordb_explorations_spark.operators.ann import collect_query_batch
+
 
 class HnswGraph:
     """In-memory HNSW over a float64 matrix. Pure NumPy, no external ANN lib.
@@ -611,7 +613,7 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
     ef_search defaults to 128: at the 200k probe this lifts recall@10
     0.865 → 0.935 for <25% extra beam work (per-shard graphs are small, so
     a wider beam is cheap relative to the fan-out overhead)."""
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
 
@@ -728,7 +730,7 @@ def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
     for r in cent_rows:
         cell_shards.setdefault(tuple(r["centroid"]), []).append(int(r["shard"]))
     C = np.asarray(list(cell_shards), dtype=np.float64)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     nn = min(probe_shards, len(C))
     d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)

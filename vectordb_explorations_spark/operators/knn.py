@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from vectordb_explorations_spark.operators.ann import collect_query_batch
 from vectordb_explorations_spark.functions.vectors import (
     array_lit_sql, l2_distance, l2_distance_sql)
 
@@ -107,7 +108,7 @@ def knn_join_blockwise(vectors: DataFrame, queries: DataFrame, k: int,
     """
     import numpy as np
 
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = [r[0] for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
 

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from vectordb_explorations_spark.functions.vectors import l2_distance_sql
 from vectordb_explorations_spark.operators import ann as ANN
+from vectordb_explorations_spark.operators.ann import collect_query_batch
 
 
 # ---- corpus-adaptive exact-refine shortlist (round 8) ----
@@ -54,8 +55,37 @@ import weakref
 _CORPUS_N_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def invalidate_corpus_n(codes_df: DataFrame | None = None) -> None:
+    """Drop the memoized corpus count for ``codes_df`` (or ALL entries
+    when called with no argument). The memo is per-DataFrame-lifetime
+    by design (job-free steady-state serving), and the engine's own
+    append helpers clear it automatically. Note the deeper contract: a
+    parquet-backed DataFrame SNAPSHOTS its file listing at creation, so
+    a long-lived object over a growing path reports the old N (and old
+    rows!) even after invalidation — growing-path serving must re-read
+    the path per probe (the ``*_probe_partitioned`` helpers do, and
+    resolve N from the sidecar) or pass ``corpus_n=``. This hook covers
+    sources whose listing CAN refresh under one object (catalog tables
+    after REFRESH TABLE, in-memory unions rebound to the same name)."""
+    if codes_df is None:
+        _CORPUS_N_CACHE.clear()
+    else:
+        _CORPUS_N_CACHE.pop(codes_df, None)
+
+
 def _corpus_rows(codes_df: DataFrame, replication: int) -> int:
     """Corpus row count of a code table, ONE count per DataFrame lifetime.
+
+    STALENESS CONTRACT: the memo lives as long as the DataFrame object —
+    which is also exactly how long the object's FILE LISTING lives (a
+    parquet DataFrame snapshots its file index at creation), so the memo
+    can only disagree with what its DataFrame would count for sources
+    whose listing refreshes in place (catalog tables after REFRESH
+    TABLE). Growing-path serving must re-read the path per probe (the
+    ``*_probe_partitioned`` helpers do) or pass ``corpus_n=``; appends
+    made through the engine's own helpers (``*_append_partitioned``)
+    clear this cache themselves, and :func:`invalidate_corpus_n` does it
+    manually.
 
     ``replication`` is the known per-vector row multiplicity (IVF-family
     code tables carry assign_n rows per vector — counting raw rows would
@@ -238,7 +268,7 @@ def pq_search(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame,
             refine_factor, codes_df, k, PQ_REFINE_FRACTION, "pq",
             corpus_n=corpus_n)
     m, kc, dsub = codebooks.shape
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = np.array([int(r[0]) for r in qrows])
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     # (Q, m, kc) squared-distance LUTs
@@ -419,7 +449,7 @@ def ivfpq_search(codes_df: DataFrame, centroids: np.ndarray,
             refine_factor, codes_df, k, IVFPQ_REFINE_FRACTION, "ivfpq",
             corpus_n=corpus_n, replication=ANN.IVF_ASSIGN_N)
     m, kc, dsub = codebooks.shape
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     cd = (qmat[:, None, :] - centroids[None, :, :])
@@ -537,7 +567,7 @@ def _probed_union(centroids: np.ndarray, queries: DataFrame, nprobe: int,
     """Driver-side union of every query's nprobe nearest lists — the
     literal isin filter that partition-prunes a hive list_id layout.
     Same lexsort tie-break as ivf_search's probe selection."""
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     cd = (qmat[:, None, :] - centroids[None, :, :])
     cdist = (cd * cd).sum(-1)
@@ -557,6 +587,24 @@ def _write_corpus_meta(path: str, corpus_n: int) -> None:
     import os
     with open(os.path.join(path, "_corpus_meta.json"), "w") as f:
         json.dump({"corpus_n": int(corpus_n)}, f)
+
+
+def _layout_corpus_n(spark, path: str, replication: int) -> int:
+    """Corpus N for a persisted layout: the sidecar when present
+    (job-free), else ONE count over the UNPRUNED layout. The fallback
+    must never count a probe-pruned frame — that badly underestimates N
+    and resolves ``refine_factor='auto'`` too small (silently degraded
+    recall) while pricing the fixed-rf warning against the wrong N."""
+    n = _read_corpus_meta(path)
+    if n is not None:
+        return n
+    import warnings
+    warnings.warn(
+        f"layout at {path} has no _corpus_meta.json sidecar — resolving "
+        f"auto policies with a one-off count over the full layout; "
+        f"persist via the engine's build/append helpers to make probe "
+        f"policy resolution job-free.", RuntimeWarning, stacklevel=3)
+    return spark.read.parquet(path).count() // max(1, int(replication))
 
 
 def _read_corpus_meta(path: str) -> int | None:
@@ -607,6 +655,11 @@ def _append_codes_partitioned(path: str, codes: DataFrame,
     inc = int(obs.get.get("rows") or 0) // max(1, assign_rows_per_vec)
     old_n = _read_corpus_meta(path) or 0
     _write_corpus_meta(path, old_n + inc)
+    # The layout just grew: any memoized count over a pre-existing
+    # DataFrame of it is stale. Appends are rare next to searches, so
+    # clearing the whole memo (one re-count per live index, worst case)
+    # beats a silently wrong auto policy.
+    invalidate_corpus_n()
 
 
 def ivfpq_append_partitioned(path: str, centroids: np.ndarray,
@@ -658,4 +711,5 @@ def ivfpq_probe_partitioned(spark, path: str, centroids: np.ndarray,
                         refine_factor=refine_factor,
                         id_col=id_col, vec_col=vec_col,
                         qid_col=qid_col, qvec_col=qvec_col,
-                        corpus_n=_read_corpus_meta(path))
+                        corpus_n=_layout_corpus_n(
+                            spark, path, ANN.IVF_ASSIGN_N))

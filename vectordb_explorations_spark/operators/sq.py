@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
 from vectordb_explorations_spark.functions.vectors import l2_distance
+from vectordb_explorations_spark.operators.ann import collect_query_batch
 
 SQ_LEVELS = 255  # codes 0..255
 
@@ -100,7 +101,7 @@ def sq_search(codes_df: DataFrame, mins: np.ndarray, maxs: np.ndarray,
     import pandas as pd
 
     scales = _scales(mins, maxs)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = np.array([int(r[0]) for r in qrows])
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, dim)
     qsq = (qmat ** 2).sum(-1)  # (Q,)
@@ -294,7 +295,7 @@ def ivfsq_search(codes_df: DataFrame, centroids: np.ndarray,
             corpus_n=corpus_n, replication=IVF_ASSIGN_N)
 
     scales = _scales(mins, maxs)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qsq = (qmat ** 2).sum(-1)
@@ -436,8 +437,9 @@ def ivfsq_probe_partitioned(spark, path: str, centroids: np.ndarray,
     """Serve IVF-SQ8 from the hive layout: literal probed-list isin
     (PartitionFilters pruning) + the standard ivfsq_search over the
     pruned frame, refine policy resolved from sidecar metadata."""
+    from vectordb_explorations_spark.operators.ann import IVF_ASSIGN_N
     from vectordb_explorations_spark.operators.pq import (
-        _probed_union, _read_corpus_meta)
+        _probed_union, _layout_corpus_n)
     probed = _probed_union(centroids, queries, nprobe, qid_col, qvec_col)
     codes = (spark.read.parquet(path)
              .where(F.col("list_id").isin(probed)))
@@ -446,4 +448,5 @@ def ivfsq_probe_partitioned(spark, path: str, centroids: np.ndarray,
                         refine_factor=refine_factor,
                         id_col=id_col, vec_col=vec_col,
                         qid_col=qid_col, qvec_col=qvec_col,
-                        corpus_n=_read_corpus_meta(path))
+                        corpus_n=_layout_corpus_n(
+                            spark, path, IVF_ASSIGN_N))

@@ -886,6 +886,14 @@ QUERIES: dict[str, QueryFn] = {
     "late_supplier_blame": lambda s, d: A.late_supplier_blame(
         load_table(s, "lineitem", d), load_table(s, "supplier", d),
         load_table(s, "nation", d)),
+    # exact-substring (span-level) dedup — Lee et al. 2021: verbatim
+    # w-token spans shared across docs (bucketed fingerprint self-join)
+    # and the per-doc duplicated-span coverage rollup (gaps-and-islands
+    # interval union over only the duplicated windows).
+    "dedup_exact_substring": lambda s, d: D.exact_substring_pairs(
+        load_table(s, "documents", d)),
+    "substring_dup_coverage": lambda s, d: D.substring_dup_coverage(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -894,49 +902,44 @@ QUERIES: dict[str, QueryFn] = {
 # prose) and asserts the first-50 window below contains every query whose
 # evidence would otherwise become older than two rounds — the SURVEY §11
 # queue discipline as a checked invariant (r7 verdict item 8).
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Round-9 rotation (r8 verdict item
-# 3): the 19 rows whose latest driver evidence is r06 (3 rounds old by
-# r09 — the full deferred queue SURVEY §12 recorded) go first; then the
-# rows whose CODE changed this round and must re-certify on the new
-# plans — knn_search_after (the 64 KB codegen fix replaced its cursor
-# predicate with a struct comparison), dedup_semantic (sparse-id-safe
-# seed selection, Spark AND oracle sides), dedup_embedding_lsh /
-# ann_bucketed_probe / ann_recall_report (the hot-bucket histogram is
-# now cached + Spark-side-filtered) — then the oldest r07 greens
-# (alphabetical, deterministic) fill the remaining slots. The 21 r07
-# rows deferred to r10 (quality_filter .. top_orders alphabetically,
-# plus sql/streaming aggregates) stay within the two-round evidence
-# bound through r10's window, where they lead the queue.
+# dict order IS the evidence schedule. Round-10 rotation (r9 verdict item
+# 7): the two NEW never-checked queries lead; then the full 26-row
+# r07-evidence queue (3 rounds old by r10 — exactly the list SURVEY §13 /
+# the r9 verdict queued); then the rows whose CODE changed this round and
+# must re-certify on the new plans — ann_bucketed_probe /
+# ann_recall_report (the Observation now carries max(table_id) for the
+# >=64-table bitmask guard), streaming_ivfpq_refresh (epoch markers are
+# now content-keyed by the batch's source files), late_supplier_blame
+# (oracle refactored to a topn-parameterized function) — then the oldest
+# r08 greens (alphabetical, deterministic) fill the remaining 18 slots.
+# The 29 r08 rows deferred to r11 stay within the two-round evidence
+# bound through r11's window, where they lead the queue.
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
-    "doc_char_entropy", "source_dup_matrix", "late_supplier_blame",
-    "streaming_ivfpq_refresh", "dedup_soft_weights",
-    # --- latest driver evidence r06: the 19-row deferred queue ---
-    "boilerplate_coverage", "customer_balance_tiles",
-    "customer_first_orders", "customers_with_open_orders",
-    "lang_confusion", "lang_geomean_chars", "moving_avg_daily_revenue",
-    "order_gaps", "orders_above_customer_avg", "pivot_flag_by_status",
-    "pricing_summary", "streaming_enrichment", "top_customers_per_nation",
-    "train_val_split_stats", "training_shards", "unigram_logprob",
-    "user_sessions", "vocab_stats", "zorder_layout",
+    "dedup_exact_substring", "substring_dup_coverage",
+    # --- latest driver evidence r07: the 26-row deferred queue ---
+    "multimodal_features", "multimodal_summary", "mutual_knn",
+    "nation_balance_full_outer", "norm_stats", "part_set_ops",
+    "quality_filter", "random_projection", "range_join",
+    "region_revenue", "rollup_revenue", "running_totals",
+    "segment_order_stats", "shipping_priority", "sql_grouping_sets",
+    "sql_knn", "sql_volume_shipping", "stratified_sample",
+    "streaming_dedup_stats", "streaming_index_refresh",
+    "streaming_join_stats", "streaming_user_totals", "text_stats",
+    "tfidf_top_terms", "token_counts", "top_orders",
     # --- code changed this round: re-certify on the new plans ---
-    "knn_search_after", "dedup_embedding_lsh", "dedup_semantic",
-    "ann_bucketed_probe", "ann_recall_report",
-    # --- oldest r07 greens (alphabetical fill) ---
-    "asof_join", "clean_text", "cube_order_stats",
-    "customers_without_orders", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_simhash", "distance_matrix_sample",
-    "doc_fingerprints", "doc_length_percentiles", "events_json_stats",
-    "events_variant_stats", "hybrid_rrf_search", "knn_batch",
-    "knn_classify", "knn_cosine", "knn_exact", "lang_id",
-    "large_volume_customers", "mask_pii",
-    # multimodal_features / multimodal_summary / mutual_knn / norm_stats
-    # / part_set_ops yielded their slots to the five new never-checked
-    # queries; they join the r10 queue with the other r07 rows (still
-    # within the two-round evidence bound there)
+    "ann_bucketed_probe", "ann_recall_report", "streaming_ivfpq_refresh",
+    "late_supplier_blame",
+    # --- oldest r08 greens (alphabetical fill) ---
+    "band_state_budget", "bm25_topk", "boilerplate_ngrams",
+    "bpe_pair_stats", "bq_hamming_topk", "cohort_retention",
+    "compat_distance", "contamination_check", "curation_pipeline",
+    "data_quality_audit", "dedup_clusters", "dedup_edit_distance",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_representatives",
+    "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -969,6 +972,8 @@ ORACLES: dict[str, str] = {
     "dedup_edit_distance": D.edit_distance_pairs_oracle(),
     "dedup_representatives": D.dedup_representatives_oracle(),
     "dedup_incremental": D.incremental_dedup_oracle(),
+    "dedup_exact_substring": D.exact_substring_pairs_oracle(),
+    "substring_dup_coverage": D.substring_dup_coverage_oracle(),
     "text_stats": X.text_stats_oracle(),
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),

@@ -151,23 +151,44 @@ def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir))
 
 
-def _epoch_applied(index_dir: str, epoch_id: int) -> bool:
+def _batch_key(batch_df: DataFrame, epoch_id: int) -> str:
+    """Identity of a micro-batch for idempotence marking. Keyed by the
+    batch's SOURCE FILES (sha1 of the sorted inputFiles list), NOT the
+    epoch counter: epoch ids restart at 0 on every checkpoint-less run
+    and map to files only via listing order, so a directory that gains
+    files between runs could land a NEW file on an already-marked epoch
+    id (silently dropped) or re-ingest an old one under a fresh id.
+    File names are stable across replays AND across restarts, whatever
+    the counter says. Fallback to the epoch id only when the batch
+    exposes no files (non-file sources), where replays-within-a-run are
+    the only replays possible."""
+    import hashlib
+    try:
+        files = sorted(batch_df.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        return f"e{epoch_id}"
+    return hashlib.sha1("\n".join(files).encode()).hexdigest()[:20]
+
+
+def _epoch_applied(index_dir: str, key: str) -> bool:
     """foreachBatch is at-least-once: a task/driver failure replays an
     epoch, and a blind append would double-ingest it (duplicate index
     rows, double-advanced sidecar corpus count). The guard: a zero-byte
-    ``_epoch_<id>`` marker written AFTER the epoch's files land (the
+    ``_epoch_<key>`` marker written AFTER the epoch's files land (the
     underscore prefix keeps Spark's parquet reader from listing it)
-    makes replays no-ops — this is what the module docstring's
-    'idempotent per epoch_id' means in code. Residual window: a crash
-    between the data landing and the marker re-appends that one epoch
-    on restart; recovery is the batch rebuild, same as any multi-file
-    sink without a transaction log."""
-    return os.path.exists(os.path.join(index_dir, f"_epoch_{epoch_id}"))
+    makes replays no-ops; the key is the batch's source-file content
+    hash (see _batch_key), so it survives epoch-counter restarts.
+    Residual window: a crash between the data landing and the marker
+    re-appends that one batch on restart; recovery is the batch
+    rebuild, same as any multi-file sink without a transaction log."""
+    return os.path.exists(os.path.join(index_dir, f"_epoch_{key}"))
 
 
-def _mark_epoch(index_dir: str, epoch_id: int) -> None:
+def _mark_epoch(index_dir: str, key: str) -> None:
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, f"_epoch_{epoch_id}"), "w"):
+    with open(os.path.join(index_dir, f"_epoch_{key}"), "w"):
         pass
 
 
@@ -189,12 +210,13 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
     stream = _embeddings_stream(spark, sf_dir)
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
-        if _epoch_applied(index_dir, epoch_id):
+        key = _batch_key(batch_df, epoch_id)
+        if _epoch_applied(index_dir, key):
             return
         idx = random_hyperplane_lsh(batch_df)
         (idx.withColumn("epoch", F.lit(epoch_id))
             .write.mode("append").parquet(index_dir))
-        _mark_epoch(index_dir, epoch_id)
+        _mark_epoch(index_dir, key)
 
     return (stream.writeStream
             .foreachBatch(refresh)
@@ -223,11 +245,12 @@ def incremental_ivf_ingest(spark: SparkSession, sf_dir: str,
     stream = _embeddings_stream(spark, sf_dir)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        if _epoch_applied(index_dir, epoch_id) or batch_df.isEmpty():
+        key = _batch_key(batch_df, epoch_id)
+        if _epoch_applied(index_dir, key) or batch_df.isEmpty():
             return
         ivf_append_partitioned(index_dir, centroids, batch_df,
                                assign_n=assign_n)
-        _mark_epoch(index_dir, epoch_id)
+        _mark_epoch(index_dir, key)
 
     return (stream.writeStream
             .foreachBatch(ingest)
@@ -257,10 +280,11 @@ def incremental_ivfpq_ingest(spark: SparkSession, sf_dir: str,
     stream = _embeddings_stream(spark, sf_dir)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        if _epoch_applied(index_dir, epoch_id) or batch_df.isEmpty():
+        key = _batch_key(batch_df, epoch_id)
+        if _epoch_applied(index_dir, key) or batch_df.isEmpty():
             return
         ivfpq_append_partitioned(index_dir, centroids, codebooks, batch_df)
-        _mark_epoch(index_dir, epoch_id)
+        _mark_epoch(index_dir, key)
 
     return (stream.writeStream
             .foreachBatch(ingest)
