@@ -311,3 +311,37 @@ def test_exact_substring_finds_planted_spans(spark):
     assert cov[1]["n_dup_spans"] == 3
     assert cov[1]["covered_tokens"] == 6
     assert cov[1]["coverage"] == round(6 / 11, 6)
+
+
+def test_strip_duplicated_spans_keeps_one_occurrence(spark):
+    """Remediation semantics: the smallest doc_id KEEPS each duplicated
+    span; every other doc's covered tokens are stripped; untouched and
+    too-short docs pass through with their original text hash."""
+    import hashlib
+
+    from vectordb_explorations_spark.operators.dedup import (
+        strip_duplicated_spans)
+
+    span = "the quick brown fox jumps over"
+    d0 = f"alpha beta {span} gamma delta"
+    d2 = "one two three four five six seven"
+    docs = spark.createDataFrame([
+        (0, d0),                                       # keeper (min id)
+        (1, f"{span} zeta eta theta iota kappa"),      # strips the span
+        (2, d2),                                       # untouched
+        (4, d0),                                       # full dup: strips all
+    ], "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in
+           strip_duplicated_spans(docs, w=4).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # keeper and untouched docs hash to their original text
+    assert out[0]["removed_tokens"] == 0
+    assert out[0]["cleaned_md5"] == md5(d0)
+    assert out[2]["cleaned_md5"] == md5(d2)
+    # doc 1 loses exactly the 6 span tokens, keeping its tail
+    assert out[1]["removed_tokens"] == 6
+    assert out[1]["cleaned_md5"] == md5("zeta eta theta iota kappa")
+    # doc 4 is a verbatim copy of the keeper: everything strips
+    assert out[4]["kept_tokens"] == 0
+    assert out[4]["cleaned_md5"] == md5("")

@@ -116,6 +116,12 @@ COMMENTARY = {
         "pass (running max-end per doc) unions overlapping spans WITHOUT a "
         "w-way position explode; short docs rejoin with zero coverage via "
         "one left join."),
+    "strip_duplicated_spans": (
+        "Span-dedup remediation: the smallest doc_id keeps each duplicated "
+        "span, other docs strip the covered tokens. The interval list rides "
+        "a per-doc struct array and the strip is a higher-order filter "
+        "(JVM-side, no Python, no token-level explode); the cleaned text "
+        "is audited by md5 — a pure function of the corpus."),
     "vocab_stats": (
         "Vocabulary heavy-hitters: explode → groupBy(token) aggregates "
         "partially map-side (zipfian head tokens never concentrate raw rows "

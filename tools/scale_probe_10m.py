@@ -181,8 +181,21 @@ def main() -> None:
                 sq_state["c"], sq_state["mins"], sq_state["maxs"],
                 queries, K, refine_with=emb, shortlist="auto",
                 corpus_n=n)
-    timed("cascade_raw_search", lambda: force(run_cascade()))
-    rec("cascade_raw", run_cascade)
+    # Past ~10% resolved shortlist the raw cascade is not merely slow,
+    # it is INFEASIBLE in one piece: stage 2 broadcasts Q x shortlist
+    # candidate rows, which bursts spark.driver.maxResultSize (measured
+    # at 10M: 1,076 MiB > the 1 GiB default on the FIRST collect of the
+    # NQ=100 x 5M-row shortlist). Record the fact instead of the crash —
+    # this hard wall, not the 1M slow-down, is the crossover's endpoint.
+    if policies["shortlist_fraction"] <= 0.1:
+        timed("cascade_raw_search", lambda: force(run_cascade()))
+        rec("cascade_raw", run_cascade)
+    else:
+        policies["cascade_raw"] = (
+            f"infeasible: Q x shortlist = {NQ * policies['adaptive_shortlist']:,} "
+            f"candidate rows broadcast past spark.driver.maxResultSize")
+        print(f"[probe10m] cascade_raw: {policies['cascade_raw']}",
+              flush=True)
 
     def run_routed():
         return BQ.bq_cascade_search_auto(

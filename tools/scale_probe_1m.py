@@ -97,15 +97,21 @@ def main() -> None:
         results[name] = round(time.time() - t0, 2)
         print(f"[probe] {name}: {results[name]}s", flush=True)
 
+    # median-of-N steady state; N=5 for canonical-matrix regeneration
+    # (the r9 variance study showed the shuffle-heavy rows' GC-stall
+    # tail needs 5 samples for an honest median), N=3 for quick passes
+    n_steady = int(os.environ.get("SPARK_GRAFT_STEADY_RUNS", "3"))
+
     def steady(name, fn):
         fn()
         runs = []
-        for _ in range(3):
+        for _ in range(n_steady):
             t0 = time.time()
             fn()
             runs.append(time.time() - t0)
-        results[name] = round(sorted(runs)[1], 2)
-        print(f"[probe] {name}: {results[name]}s", flush=True)
+        results[name] = round(sorted(runs)[n_steady // 2], 2)
+        print(f"[probe] {name}: {results[name]}s "
+              f"(spread {min(runs):.1f}-{max(runs):.1f})", flush=True)
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()

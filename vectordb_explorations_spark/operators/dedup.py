@@ -1485,3 +1485,105 @@ SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+def strip_duplicated_spans(docs: DataFrame,
+                           w: int = SUBSTRING_WINDOW) -> DataFrame:
+    """The remediation stage of span-level dedup (Lee et al. 2021 remove
+    all but one occurrence of each duplicated span): for every w-token
+    window appearing verbatim in >= 2 docs, the SMALLEST doc_id keeps its
+    occurrence and every other doc's covered tokens are stripped. Output
+    is the audit view a pipeline persists next to the cleaned corpus:
+    per-doc token counts before/after and the md5 of the cleaned text
+    (hash-checkable — the rewrite is a pure function of the corpus).
+
+    Scale shape: same bounded stages as substring_dup_coverage (one
+    fingerprint exchange, islands over only the FOREIGN duplicated
+    windows), then the strip itself is a per-row higher-order filter
+    against that doc's own interval list — no token-level explode, no
+    per-token shuffle; the interval list rides a struct array bounded by
+    the doc's own window count."""
+    wins = _span_windows(docs, w)
+    docfp = wins.select("doc_id", "fp").distinct()
+    owners = (docfp.groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("nd"),
+                   F.min("doc_id").alias("keeper"))
+              .where(F.col("nd") >= 2)
+              .select("fp", "keeper"))
+    foreign = (wins.join(owners, "fp")
+               .where(F.col("doc_id") != F.col("keeper"))
+               .select("doc_id", "pos",
+                       (F.col("pos") + F.lit(w - 1)).alias("fin")))
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (foreign
+             .withColumn("new_island",
+                         F.when(F.col("pos") > F.coalesce(
+                             F.max("fin").over(w_prev), F.lit(-1)),
+                             F.lit(1)).otherwise(F.lit(0)))
+             .withColumn("island", F.sum("new_island").over(w_run))
+             .groupBy("doc_id", "island")
+             .agg(F.min("pos").alias("s"), F.max("fin").alias("e")))
+    iv = (spans.groupBy("doc_id")
+          .agg(F.collect_list(F.struct("s", "e")).alias("iv")))
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    kept = F.when(F.col("iv").isNull(), F.col("ws")).otherwise(
+        F.filter("ws", lambda t, i: ~F.exists(
+            "iv", lambda r: (i >= r["s"]) & (i <= r["e"]))))
+    return (base.join(iv, "doc_id", "left")
+            .select("doc_id",
+                    F.size("ws").cast("long").alias("n_tokens"),
+                    F.size(kept).cast("long").alias("kept_tokens"),
+                    (F.size("ws") - F.size(kept)).cast("long")
+                    .alias("removed_tokens"),
+                    F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"))
+            .orderBy("doc_id"))
+
+
+def strip_duplicated_spans_oracle(w: int = SUBSTRING_WINDOW) -> str:
+    return f"""
+WITH {_span_windows_duck(w).strip()},
+owners AS (
+  SELECT fp, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, fp FROM wins)
+  GROUP BY fp HAVING count(*) >= 2
+), foreign_w AS (
+  SELECT w.doc_id, w.pos, w.pos + {w} - 1 AS fin
+  FROM wins w JOIN owners o USING (fp)
+  WHERE w.doc_id <> o.keeper
+), isl AS (
+  SELECT doc_id, pos, fin,
+         CASE WHEN pos > coalesce(max(fin) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM foreign_w
+), isl2 AS (
+  SELECT doc_id, pos, fin,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), iv AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv
+  FROM (SELECT doc_id, island, min(pos) AS s, max(fin) AS e
+        FROM isl2 GROUP BY doc_id, island)
+  GROUP BY doc_id
+), stripped AS (
+  SELECT t.doc_id, t.ws,
+         CASE WHEN iv.iv IS NULL THEN t.ws
+              ELSE list_filter(t.ws, (tok, i) ->
+                len(list_filter(iv.iv,
+                    r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0)
+         END AS kept
+  FROM toks t LEFT JOIN iv USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       CAST(len(ws) - len(kept) AS BIGINT) AS removed_tokens,
+       md5(coalesce(list_aggregate(kept, 'string_agg', ' '), ''))
+         AS cleaned_md5
+FROM stripped ORDER BY doc_id
+"""

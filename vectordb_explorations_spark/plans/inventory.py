@@ -894,6 +894,11 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "substring_dup_coverage": lambda s, d: D.substring_dup_coverage(
         load_table(s, "documents", d)),
+    # the remediation stage: strip all-but-one occurrence of every
+    # duplicated span; cleaned text audited by md5 (pure function of
+    # the corpus, so hash-checkable).
+    "strip_duplicated_spans": lambda s, d: D.strip_duplicated_spans(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -920,6 +925,7 @@ WINDOW_ROUND = 10
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "dedup_exact_substring", "substring_dup_coverage",
+    "strip_duplicated_spans",
     # --- latest driver evidence r07: the 26-row deferred queue ---
     "multimodal_features", "multimodal_summary", "mutual_knn",
     "nation_balance_full_outer", "norm_stats", "part_set_ops",
@@ -939,7 +945,10 @@ _WINDOW_PRIORITY = [
     "compat_distance", "contamination_check", "curation_pipeline",
     "data_quality_audit", "dedup_clusters", "dedup_edit_distance",
     "dedup_incremental", "dedup_minhash_lsh", "dedup_representatives",
-    "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
+    "doc_chunks", "doc_repetition_stats",
+    # domain_mix_sample yielded its slot to strip_duplicated_spans; it
+    # joins the r11 queue with the other r08 rows (still within the
+    # two-round evidence bound there)
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -974,6 +983,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": D.incremental_dedup_oracle(),
     "dedup_exact_substring": D.exact_substring_pairs_oracle(),
     "substring_dup_coverage": D.substring_dup_coverage_oracle(),
+    "strip_duplicated_spans": D.strip_duplicated_spans_oracle(),
     "text_stats": X.text_stats_oracle(),
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),
