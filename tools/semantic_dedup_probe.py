@@ -74,16 +74,28 @@ def main() -> None:
 
     def pair_candidates(n: int, c: int) -> int:
         # exact candidate count for nearest-seed clusters of sizes s_i:
-        # sum_i s_i*(s_i-1)/2 — computed from the assignment, not modeled
+        # sum_i s_i*(s_i-1)/2 — computed from the assignment, not modeled.
+        # Assignment kernel follows the ENGINE'S OWN policy: the join
+        # shape materializes N*C rows — at 10M x auto-C that is ~5e10
+        # rows whose window sort spilled a 69 GB disk to death (measured
+        # in-round) — so past SEM_GEMM_ASSIGN_MIN_CELLS cells the count
+        # rides the same Arrow GEMM argmin semantic_dedup itself uses.
         import warnings
 
         from pyspark.sql import Window
         from vectordb_explorations_spark.functions.rounding import round6
         from vectordb_explorations_spark.functions.vectors import \
             squared_l2_sql
+        from vectordb_explorations_spark.operators.dedup import (
+            SEM_GEMM_ASSIGN_MIN_CELLS, _sem_assign_gemm)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
             emb = gen(n)
+            if n * c >= SEM_GEMM_ASSIGN_MIN_CELLS:
+                sizes = (_sem_assign_gemm(emb, c)
+                         .groupBy("cluster_id").count().collect())
+                return sum(r["count"] * (r["count"] - 1) // 2
+                           for r in sizes)
             seeds = (emb.where(F.col("vec_id") < c)
                      .select(F.col("vec_id").alias("seed_id"),
                              F.col("embedding").alias("semb")))

@@ -686,6 +686,16 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries: DataFrame,
     (ivf_build assign_n > 1) can surface a vector twice for one query —
     exact distances make the replicas tie, so the bounded merge just
     dedupes before ranking.
+
+    When to use which (10M in-memory measurement, SCALE_NOTES r10): on a
+    CACHED corpus the blockwise exact GEMM is competitive past what
+    intuition suggests (10M x batch-100: exact 4.0 s vs IVF 9.1 s —
+    sequential cache-friendly FLOPs beat list-gather overhead), so this
+    in-memory path earns its keep on recall-tolerant latency, not
+    throughput. Where IVF wins — and the reason this family exists — is
+    the PERSISTED hive layout (ivf_probe_partitioned): there the probe
+    reads ~nprobe/C of the corpus BYTES off storage, and bytes-scanned,
+    not FLOPs, is the 100 TB bottleneck.
     """
     import pandas as pd
 

@@ -45,10 +45,13 @@ BQ_WORD_BITS = 32  # bits packed per BIGINT word: keeps every engine's
 # neighbors' Hamming ranks drift past any fixed fraction. The policy
 # anchors on those measurements: fraction 1% at the 200k anchor, scaled
 # by N/anchor past it (quadratic in N — at 1M that is 5%, the measured
-# >=0.9 operating point). Past ~5M rows the resolved shortlist
-# approaches the corpus itself, which is the honest signal that 1-bit
-# codes at dim 64 stop paying: use SQ8 or IVF there, or bring
-# >=BQ_RANKER_MIN_DIM-bit codes where 1-bit Hamming can actually rank.
+# >=0.9 operating point). Past the crossover the resolved shortlist
+# approaches the corpus itself — and at 10M the raw cascade is not slow
+# but INFEASIBLE (measured: the Q x 5M-row candidate broadcast bursts
+# spark.driver.maxResultSize on its first collect; SCALE_NOTES r10) —
+# the honest signal that 1-bit codes at dim 64 stop paying: use SQ8 or
+# IVF there (cascade_route does), or bring >=BQ_RANKER_MIN_DIM-bit
+# codes where 1-bit Hamming can actually rank.
 BQ_SHORTLIST_FLOOR = 2000
 BQ_SHORTLIST_ANCHOR_N = 200_000
 BQ_SHORTLIST_FRACTION = BQ_SHORTLIST_FLOOR / BQ_SHORTLIST_ANCHOR_N  # 1%
