@@ -345,3 +345,28 @@ def test_strip_duplicated_spans_keeps_one_occurrence(spark):
     # doc 4 is a verbatim copy of the keeper: everything strips
     assert out[4]["kept_tokens"] == 0
     assert out[4]["cleaned_md5"] == md5("")
+
+
+def test_substring_pairs_cap_excludes_boilerplate_spans(spark):
+    """A span hotter than max_span_docs is boilerplate: it must NOT fan
+    out into quadratic pairs (the all-pairs stage the module bans), but
+    it stays fully visible to the linear coverage view."""
+    from vectordb_explorations_spark.operators.dedup import (
+        exact_substring_pairs, substring_dup_coverage)
+
+    boiler = "all rights reserved by the original author"  # 7 tokens
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} text {boiler}") for i in range(6)]
+        + [(100, "unique pair text alpha beta gamma delta one"),
+           (101, "unique pair text alpha beta gamma delta two")],
+        "doc_id long, text string")
+
+    pairs = exact_substring_pairs(docs, w=4, max_span_docs=4).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # the 6-doc boilerplate span (occupancy 6 > cap 4) contributes no
+    # pairs; the genuine 2-doc duplicate survives
+    assert got == {(100, 101)}
+    # ...but the boilerplate docs still show coverage in the linear view
+    cov = {r["doc_id"]: r["coverage"]
+           for r in substring_dup_coverage(docs, w=4).collect()}
+    assert all(cov[i] > 0 for i in range(6))

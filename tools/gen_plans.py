@@ -104,16 +104,17 @@ COMMENTARY = {
         "candidate pairs to (pair, side, doc) so ONE shingle scan serves "
         "both sides."),
     "dedup_exact_substring": (
-        "Exact-substring (span-level) dedup, Lee et al. 2021: ONE explode "
-        "emits (doc_id, pos, md5-of-w-tokens) — the 32-char fingerprint is "
-        "all that shuffles, never the window text; per-doc distinct before "
-        "the pair join bounds within-doc repetition at one row; the "
-        "self-join is bucketed BY the fingerprint (each group is one "
-        "duplicated span's occurrence set — no all-pairs stage)."),
+        "Exact-substring (span-level) dedup, Lee et al. 2021: ONE corpus "
+        "scan explodes (doc_id, pos, md5-of-w-tokens) — the 32-char "
+        "fingerprint is all that shuffles, never the window text; the "
+        "duplicated-fp facts (distinct-doc count, boilerplate cap) ride "
+        "window functions over one fp-partitioned sort; the pair self-join "
+        "is bucketed BY the fingerprint (each group is one duplicated "
+        "span's occurrence set — no all-pairs stage, occupancy capped)."),
     "substring_dup_coverage": (
-        "Per-doc duplicated-span coverage: the duplicated-fingerprint set "
-        "semi-joins back onto the windows, then a gaps-and-islands window "
-        "pass (running max-end per doc) unions overlapping spans WITHOUT a "
+        "Per-doc duplicated-span coverage over the same one-scan "
+        "duplicated-windows frame, then a gaps-and-islands window pass "
+        "(running max-end per doc) unions overlapping spans WITHOUT a "
         "w-way position explode; short docs rejoin with zero coverage via "
         "one left join."),
     "strip_duplicated_spans": (

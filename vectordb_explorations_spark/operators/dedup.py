@@ -1367,16 +1367,34 @@ toks AS (
 )"""
 
 
+# A span shared by d docs contributes d*(d-1)/2 pairs — quadratic PER
+# FINGERPRINT. Real web corpora contain boilerplate spans in millions of
+# docs (cookie banners, license headers); one such fp would be a 10^12-
+# pair join group, the all-pairs stage this module bans. The pair query
+# therefore skips fps above this occupancy — those spans are BOILERPLATE,
+# not plagiarism, and the linear-shaped substring_dup_coverage /
+# strip_duplicated_spans / boilerplate_ngrams views are how they are
+# meant to be seen. 256^2/2 = 32k pairs max per skipped-threshold group.
+SUBSTRING_PAIR_MAX_DOCS = 256
+
+
 def exact_substring_pairs(docs: DataFrame,
-                          w: int = SUBSTRING_WINDOW) -> DataFrame:
+                          w: int = SUBSTRING_WINDOW,
+                          max_span_docs: int = SUBSTRING_PAIR_MAX_DOCS
+                          ) -> DataFrame:
     """Cross-doc verbatim-span pairs: (doc_a, doc_b, n_shared_spans)
     where n_shared_spans counts DISTINCT shared w-token window
     fingerprints (per-doc distinct first, so within-doc repetition of a
     span can't inflate the pair). The self-join is bucketed by the
     fingerprint itself — shuffle carries compact (doc_id, md5) rows and
-    each join group is one duplicated span's occurrence set, never a
-    corpus-wide cross product."""
-    docfp = _span_windows(docs, w).select("doc_id", "fp").distinct()
+    each join group is one duplicated span's occurrence set, CAPPED at
+    ``max_span_docs`` docs (hotter spans are boilerplate — quadratic
+    pair fan-out per fp is exactly the all-pairs stage this module
+    bans; they remain fully visible to the linear coverage/strip
+    views)."""
+    docfp = (_duplicated_windows(docs, w)
+             .where(F.col("nd") <= int(max_span_docs))
+             .select("doc_id", "fp").distinct())
     a = docfp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = docfp.select(F.col("doc_id").alias("doc_b"), "fp")
     return (a.join(b, "fp")
@@ -1386,15 +1404,51 @@ def exact_substring_pairs(docs: DataFrame,
             .orderBy("doc_a", "doc_b"))
 
 
-def exact_substring_pairs_oracle(w: int = SUBSTRING_WINDOW) -> str:
+def exact_substring_pairs_oracle(w: int = SUBSTRING_WINDOW,
+                                 max_span_docs: int =
+                                 SUBSTRING_PAIR_MAX_DOCS) -> str:
     return f"""
 WITH {_span_windows_duck(w).strip()},
-docfp AS (SELECT DISTINCT doc_id, fp FROM wins)
+docfp0 AS (SELECT DISTINCT doc_id, fp FROM wins),
+ok_fps AS (
+  SELECT fp FROM docfp0
+  GROUP BY fp HAVING count(*) BETWEEN 2 AND {int(max_span_docs)}
+),
+docfp AS (SELECT d.doc_id, d.fp FROM docfp0 d JOIN ok_fps USING (fp))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS n_shared_spans
 FROM docfp a JOIN docfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def _duplicated_windows(docs: DataFrame, w: int) -> DataFrame:
+    """All window rows whose fingerprint appears in >= 2 distinct docs,
+    annotated with the fp's distinct-doc count (``nd``) and its smallest
+    doc_id (``keeper``) — in ONE scan of the corpus. The naive shape
+    (distinct → groupBy → semi-join back) re-runs the tokenize+md5
+    explode TWICE because the windows frame feeds two DAG branches; here
+    both facts ride window functions over one fp-partitioned sort: rows
+    arrive ordered by (doc_id, pos) within each fp, a lag marks each
+    doc's first occurrence, and the unbounded sum of those marks IS the
+    distinct-doc count. The corpus scan is the expensive stage at
+    100 TB, so one scan instead of two is the structural win; the
+    measured sf0.1 delta is in SCALE_NOTES."""
+    wins = _span_windows(docs, w)
+    w_ord = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    w_all = (Window.partitionBy("fp")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    first_in_doc = F.when(
+        F.lag("doc_id").over(w_ord).isNull()
+        | (F.lag("doc_id").over(w_ord) != F.col("doc_id")),
+        F.lit(1)).otherwise(F.lit(0))
+    return (wins
+            .withColumn("first_in_doc", first_in_doc)
+            .withColumn("nd", F.sum("first_in_doc").over(w_all))
+            .withColumn("keeper", F.min("doc_id").over(w_all))
+            .where(F.col("nd") >= 2)
+            .drop("first_in_doc"))
 
 
 def substring_dup_coverage(docs: DataFrame,
@@ -1408,15 +1462,8 @@ def substring_dup_coverage(docs: DataFrame,
     start exceeds the running max end of everything before it; per-doc
     work is a sort of that doc's duplicated windows (bounded by its own
     token count), never a w-way position explode."""
-    wins = _span_windows(docs, w)
-    docfp = wins.select("doc_id", "fp").distinct()
-    dup_fps = (docfp.groupBy("fp")
-               .agg(F.count(F.lit(1)).alias("nd"))
-               .where(F.col("nd") >= 2)
-               .select("fp"))
-    dupw = (wins.join(dup_fps, "fp", "left_semi")
-            .select("doc_id", "pos",
-                    (F.col("pos") + F.lit(w - 1)).alias("fin")))
+    dupw = _duplicated_windows(docs, w).select(
+        "doc_id", "pos", (F.col("pos") + F.lit(w - 1)).alias("fin"))
     w_prev = (Window.partitionBy("doc_id").orderBy("pos")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_run = (Window.partitionBy("doc_id").orderBy("pos")
@@ -1503,14 +1550,7 @@ def strip_duplicated_spans(docs: DataFrame,
     against that doc's own interval list — no token-level explode, no
     per-token shuffle; the interval list rides a struct array bounded by
     the doc's own window count."""
-    wins = _span_windows(docs, w)
-    docfp = wins.select("doc_id", "fp").distinct()
-    owners = (docfp.groupBy("fp")
-              .agg(F.count(F.lit(1)).alias("nd"),
-                   F.min("doc_id").alias("keeper"))
-              .where(F.col("nd") >= 2)
-              .select("fp", "keeper"))
-    foreign = (wins.join(owners, "fp")
+    foreign = (_duplicated_windows(docs, w)
                .where(F.col("doc_id") != F.col("keeper"))
                .select("doc_id", "pos",
                        (F.col("pos") + F.lit(w - 1)).alias("fin")))
