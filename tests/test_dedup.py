@@ -370,3 +370,25 @@ def test_substring_pairs_cap_excludes_boilerplate_spans(spark):
     cov = {r["doc_id"]: r["coverage"]
            for r in substring_dup_coverage(docs, w=4).collect()}
     assert all(cov[i] > 0 for i in range(6))
+
+
+def test_source_span_matrix_attributes_pairs_to_sources(spark):
+    """The span matrix attributes each cross-doc span pair to its
+    unordered source pair — planted: one cross-crawl syndicated span,
+    one within-crawl duplicate."""
+    from vectordb_explorations_spark.operators.dedup import (
+        source_span_matrix)
+
+    span = "breaking news syndicated paragraph shared verbatim today"
+    rows = [
+        (0, f"crawl a article one {span}", "en", "cc"),
+        (1, f"{span} with extra crawl b words", "en", "web"),   # cc-web
+        (2, f"crawl a article two {span}", "en", "cc"),         # cc-cc + cc-web
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r["source_a"], r["source_b"]): r["n_doc_pairs"]
+           for r in source_span_matrix(docs, w=5).collect()}
+    assert got[("cc", "web")] == 2   # docs 0-1 and 1-2
+    assert got[("cc", "cc")] == 1    # docs 0-2

@@ -1627,3 +1627,111 @@ SELECT doc_id,
          AS cleaned_md5
 FROM stripped ORDER BY doc_id
 """
+
+
+def source_span_matrix(docs: DataFrame,
+                       w: int = SUBSTRING_WINDOW,
+                       max_span_docs: int = SUBSTRING_PAIR_MAX_DOCS
+                       ) -> DataFrame:
+    """Cross-source verbatim-SPAN matrix: for every unordered source
+    pair, how many doc pairs share spans and how many distinct spans
+    they share — the span-level twin of source_dup_matrix (which rides
+    minhash near-dup pairs). "Is crawl B quoting crawl A verbatim" is a
+    different question from "is crawl B a near-copy of crawl A": a
+    syndicated paragraph shows up here long before whole-document
+    Jaccard clears the near-dup bar. Rides the engine's own
+    exact_substring_pairs (bucketed, occupancy-capped — no new
+    quadratic stage); the source join adds two narrow (doc_id, source)
+    probes with the BOUNDED pair side broadcast; the matrix is at most
+    |sources|² rows."""
+    pairs = exact_substring_pairs(docs, w, max_span_docs)
+    src = docs.select("doc_id", "source")
+    ab = (src.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("src_a"))
+          .join(F.broadcast(pairs), "doc_a"))
+    ab = (src.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("src_b"))
+          .join(F.broadcast(ab), "doc_b"))
+    return (ab.select(F.least("src_a", "src_b").alias("source_a"),
+                      F.greatest("src_a", "src_b").alias("source_b"),
+                      "n_shared_spans")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_doc_pairs"),
+                 F.sum("n_shared_spans").cast("long")
+                 .alias("n_shared_spans"))
+            .orderBy("source_a", "source_b"))
+
+
+def source_span_matrix_oracle(w: int = SUBSTRING_WINDOW,
+                              max_span_docs: int = SUBSTRING_PAIR_MAX_DOCS
+                              ) -> str:
+    pairs_sql = exact_substring_pairs_oracle(
+        w, max_span_docs).strip().rstrip(";")
+    return f"""
+WITH pairs AS ({pairs_sql})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_doc_pairs,
+       CAST(sum(n_shared_spans) AS BIGINT) AS n_shared_spans
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def span_dedup_pipeline(docs: DataFrame,
+                        w: int = SUBSTRING_WINDOW) -> DataFrame:
+    """End-to-end span-dedup composition — the curation flow a pipeline
+    ships (quality_filter admits docs, strip_duplicated_spans rewrites
+    the ADMITTED corpus, the audit rolls up per lang): declared as one
+    query so the driver hash-checks the operators composed, not just in
+    isolation (the curation_pipeline pattern).
+
+    Scale shape: the filter verdict is a narrow (doc_id) frame joined
+    back on the stable id (AQE broadcasts it while it fits); the strip
+    runs its one corpus scan over only the admitted docs; one grouped
+    aggregation ends the pipeline."""
+    from vectordb_explorations_spark.operators.textops import quality_filter
+
+    kept = quality_filter(docs).where(F.col("keep")).select("doc_id")
+    admitted = docs.join(kept, "doc_id")
+    stripped = strip_duplicated_spans(admitted, w)
+    return (stripped
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tokens_in"),
+                 F.sum("removed_tokens").cast("long")
+                 .alias("tokens_removed"),
+                 F.count(F.when(F.col("removed_tokens") > 0, 1))
+                 .alias("docs_touched"))
+            .orderBy("lang"))
+
+
+def span_dedup_pipeline_oracle(w: int = SUBSTRING_WINDOW) -> str:
+    from vectordb_explorations_spark.operators.textops import (
+        quality_filter_oracle)
+    qf = quality_filter_oracle().strip()
+    strip_sql = strip_duplicated_spans_oracle(w).strip().rstrip(";")
+    # the strip oracle reads the `documents` view; re-scope it to the
+    # ADMITTED corpus by prepending a CTE that shadows the view name
+    strip_scoped = strip_sql.replace(
+        "WITH toks AS (\n  SELECT doc_id, string_split(text, ' ') AS ws"
+        " FROM documents",
+        "WITH toks AS (\n  SELECT doc_id, string_split(text, ' ') AS ws"
+        " FROM admitted")
+    return f"""
+WITH qf AS ({qf}),
+admitted AS (
+  SELECT d.* FROM documents d JOIN qf ON qf.doc_id = d.doc_id AND qf.keep
+),
+stripped AS ({strip_scoped})
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS tokens_in,
+       CAST(sum(s.removed_tokens) AS BIGINT) AS tokens_removed,
+       count(CASE WHEN s.removed_tokens > 0 THEN 1 END) AS docs_touched
+FROM stripped s JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""

@@ -899,6 +899,13 @@ QUERIES: dict[str, QueryFn] = {
     # the corpus, so hash-checkable).
     "strip_duplicated_spans": lambda s, d: D.strip_duplicated_spans(
         load_table(s, "documents", d)),
+    # span-level twin of source_dup_matrix (verbatim quoting across
+    # crawls) and the composed curation flow (quality_filter -> strip ->
+    # per-lang audit), hash-checked as compositions.
+    "source_span_matrix": lambda s, d: D.source_span_matrix(
+        load_table(s, "documents", d)),
+    "span_dedup_pipeline": lambda s, d: D.span_dedup_pipeline(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -925,7 +932,7 @@ WINDOW_ROUND = 10
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "dedup_exact_substring", "substring_dup_coverage",
-    "strip_duplicated_spans",
+    "strip_duplicated_spans", "source_span_matrix", "span_dedup_pipeline",
     # --- latest driver evidence r07: the 26-row deferred queue ---
     "multimodal_features", "multimodal_summary", "mutual_knn",
     "nation_balance_full_outer", "norm_stats", "part_set_ops",
@@ -945,10 +952,10 @@ _WINDOW_PRIORITY = [
     "compat_distance", "contamination_check", "curation_pipeline",
     "data_quality_audit", "dedup_clusters", "dedup_edit_distance",
     "dedup_incremental", "dedup_minhash_lsh", "dedup_representatives",
-    "doc_chunks", "doc_repetition_stats",
-    # domain_mix_sample yielded its slot to strip_duplicated_spans; it
-    # joins the r11 queue with the other r08 rows (still within the
-    # two-round evidence bound there)
+    # doc_chunks / doc_repetition_stats / domain_mix_sample yielded
+    # their slots to the five new never-checked span queries; they join
+    # the r11 queue with the other r08 rows (still within the two-round
+    # evidence bound there)
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -984,6 +991,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact_substring": D.exact_substring_pairs_oracle(),
     "substring_dup_coverage": D.substring_dup_coverage_oracle(),
     "strip_duplicated_spans": D.strip_duplicated_spans_oracle(),
+    "source_span_matrix": D.source_span_matrix_oracle(),
+    "span_dedup_pipeline": D.span_dedup_pipeline_oracle(),
     "text_stats": X.text_stats_oracle(),
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),
