@@ -545,3 +545,28 @@ def test_query_batch_cap_guard(spark):
     assert len(collect_query_batch(qs, "query_id", "query_vec", cap=10)) == 10
     with _pytest.raises(ValueError, match="serving cap"):
         collect_query_batch(qs, "query_id", "query_vec", cap=9)
+
+
+def test_lsh_exchange_warning_at_scale(spark, sf_dir):
+    """Serving LSH past the measured exchange knee (10M: ring 188 s vs
+    IVF 9 s) without a probe_budget warns and points at the partitioned
+    families; a budgeted call stays silent."""
+    import warnings
+
+    from vectordb_explorations_spark.operators.ann import (
+        LSH_EXCHANGE_WARN_N, lsh_search)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, 2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_search(emb, qs, 3, corpus_n=LSH_EXCHANGE_WARN_N).collect()
+    assert any("candidate-pair exchange" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_search(emb, qs, 3, corpus_n=LSH_EXCHANGE_WARN_N,
+                   probe_budget=24).collect()
+    assert not any("candidate-pair exchange" in str(w.message)
+                   for w in caught)

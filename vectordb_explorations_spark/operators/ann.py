@@ -54,6 +54,12 @@ LSH_CAP_FRACTION = 1024 / 100_000  # ≈1% — cap/N at the 100k anchor
 # away in every table, which no cap can recover — only probing recovers
 # them (Lv et al. multiprobe).
 LSH_MULTIPROBE_THRESHOLD = 500_000
+# Past this corpus size LSH's candidate-pair EXCHANGE, not its probe
+# count, is the serving bottleneck (10M measured: ring 188 s / ranked-24
+# 127 s per batch-100 vs IVF 9.1 s, SQ8 3.7 s — SCALE_NOTES r10); serving
+# without an explicit probe_budget warns and points at the partitioned
+# IVF families.
+LSH_EXCHANGE_WARN_N = 5_000_000
 
 
 def adaptive_bucket_cap(n: int, floor: int = LSH_DEFAULT_BUCKET_CAP,
@@ -436,6 +442,16 @@ def lsh_search(vectors: DataFrame, queries: DataFrame, k: int,
         # fallback is paid only by callers that never measured N.
         multiprobe_bits = adaptive_multiprobe_bits(
             corpus_n if corpus_n is not None else vectors.count())
+    if (corpus_n is not None and corpus_n >= LSH_EXCHANGE_WARN_N
+            and probe_budget is None):
+        import warnings
+        warnings.warn(
+            f"LSH serving at N={corpus_n:,}: the candidate-pair exchange "
+            f"dominates past ~{LSH_EXCHANGE_WARN_N:,} rows (10M measured: "
+            f"ring 188 s/batch100 vs IVF 9 s, SQ8 3.7 s — SCALE_NOTES "
+            f"r10). Pass probe_budget~=24 (ranked probing, ~recall-0.02) "
+            f"or serve a partition-pruned IVF/IVF-PQ layout instead.",
+            RuntimeWarning, stacklevel=2)
 
     sub_meta: dict = {}
     if bucket_cap is not None:

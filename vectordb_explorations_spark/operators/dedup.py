@@ -1642,16 +1642,18 @@ def source_span_matrix(docs: DataFrame,
     Jaccard clears the near-dup bar. Rides the engine's own
     exact_substring_pairs (bucketed, occupancy-capped — no new
     quadratic stage); the source join adds two narrow (doc_id, source)
-    probes with the BOUNDED pair side broadcast; the matrix is at most
-    |sources|² rows."""
+    probes. The pair side is deliberately NOT broadcast-hinted: the
+    per-fingerprint cap bounds each span's fan-out, not the corpus-wide
+    pair total, so at 100 TB the pair graph can be billions of rows —
+    AQE broadcasts it while it fits and hash-joins past that."""
     pairs = exact_substring_pairs(docs, w, max_span_docs)
     src = docs.select("doc_id", "source")
     ab = (src.select(F.col("doc_id").alias("doc_a"),
                      F.col("source").alias("src_a"))
-          .join(F.broadcast(pairs), "doc_a"))
+          .join(pairs, "doc_a"))
     ab = (src.select(F.col("doc_id").alias("doc_b"),
                      F.col("source").alias("src_b"))
-          .join(F.broadcast(ab), "doc_b"))
+          .join(ab, "doc_b"))
     return (ab.select(F.least("src_a", "src_b").alias("source_a"),
                       F.greatest("src_a", "src_b").alias("source_b"),
                       "n_shared_spans")
