@@ -1723,6 +1723,12 @@ def span_dedup_pipeline_oracle(w: int = SUBSTRING_WINDOW) -> str:
         " FROM documents",
         "WITH toks AS (\n  SELECT doc_id, string_split(text, ' ') AS ws"
         " FROM admitted")
+    # fail LOUDLY at oracle-construction time if the shared windowing
+    # template drifted and the replace no-opped — an unscoped oracle
+    # would strip against the FULL corpus, not the admitted set
+    assert strip_scoped != strip_sql, (
+        "span_dedup_pipeline_oracle: _span_windows_duck's rendering "
+        "changed; update the re-scoping replacement")
     return f"""
 WITH qf AS ({qf}),
 admitted AS (
