@@ -1,0 +1,109 @@
+"""MaxSim late-interaction retrieval: planted relevance (the doc holding
+the query's verbatim phrases wins), the late-interaction property proper
+(phrases split across DIFFERENT chunks still each contribute their own
+chunk's max — a whole-doc single-vector average cannot), the exact-match
+score ceiling, DuckDB oracle parity, and candidate-bounding semantics."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_explorations_spark.operators import latesim as LS  # noqa: E402
+from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+FILLER = ("row line value column part order group agg data big small "
+          "the a customer supplier region nation " * 4).strip()
+
+
+def test_planted_phrases_rank_first(spark):
+    """A doc containing every query phrase verbatim beats filler docs."""
+    queries = ((0, ("vector scan", "hash join", "merge sort")),)
+    docs = _mk_docs(spark, [
+        FILLER,
+        FILLER + " vector scan " + FILLER + " hash join merge sort",
+        FILLER.replace("row", "stream"),
+        FILLER.replace("line", "spark"),
+    ])
+    out = LS.maxsim_chunk_topk(docs, queries=queries, top=4).collect()
+    assert out[0]["doc_id"] == 1 and out[0]["rank"] == 1
+
+
+def test_late_interaction_across_chunks(spark):
+    """Each phrase sits in a DIFFERENT chunk of one long doc (chunks are
+    CHUNK_WIN=32 tokens); per-term max-over-chunks picks each phrase's
+    own chunk, so the doc still collects all three contributions. A doc
+    with all phrases but also 10x the filler (diluting any single-vector
+    representation) must NOT beat it by much — both score near ceiling."""
+    queries = ((0, ("vector scan", "hash join", "merge sort")),)
+    pad = "row line value column part order group agg " * 4  # 32 tokens
+    spread = ("vector scan " + pad + " hash join " + pad + " merge sort")
+    docs = _mk_docs(spark, [FILLER, spread, FILLER.replace("row", "join")])
+    out = {r["doc_id"]: r["score"]
+           for r in LS.maxsim_chunk_topk(docs, queries=queries,
+                                         top=3).collect()}
+    assert max(out, key=out.get) == 1
+    # every term found a verbatim chunk somewhere: score near the 3.0
+    # ceiling is not required (the chunk holding a phrase also holds
+    # filler), but each term must contribute positively
+    assert out[1] > out[0] + 0.3
+
+
+def test_exact_chunk_is_score_ceiling(spark):
+    """A doc that IS exactly one query phrase scores that term at 1.0
+    (cos of identical directions); with one phrase only, total = 1.0 +
+    the other terms' (small) best sims."""
+    queries = ((0, ("vector scan", "hash join", "merge sort")),)
+    docs = _mk_docs(spark, ["vector scan", FILLER])
+    out = {r["doc_id"]: r["score"]
+           for r in LS.maxsim_chunk_topk(docs, queries=queries,
+                                         top=2).collect()}
+    # doc 0 has ONLY the two phrase tokens: term 0 contributes exactly 1
+    assert out[0] >= 1.0
+    assert out[0] <= 3.0 + 1e-9
+
+
+def test_negative_sims_clamp_to_zero(spark):
+    """A term whose only shared-dim sims are negative contributes 0, not
+    a penalty — scores are monotone in matched terms."""
+    queries = ((0, ("vector scan",)),)
+    docs = _mk_docs(spark, ["vector scan", "table filter window sort"])
+    rows = LS.maxsim_chunk_topk(docs, queries=queries, top=2).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert all(s >= 0.0 for s in scores.values())
+    assert scores[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_candidate_bound_caps_rescoring(spark, sf_dir):
+    """cand_per_term bounds which docs reach rescoring: with a tiny cap
+    the result set can only shrink, and surviving docs keep the same
+    score as the unbounded run (bounding selects docs, never alters a
+    selected doc's score)."""
+    docs = load_table(spark, "documents", sf_dir)
+    wide = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in LS.maxsim_chunk_topk(docs, cand_per_term=500,
+                                          top=5).collect()}
+    tight = {(r["query_id"], r["doc_id"]): r["score"]
+             for r in LS.maxsim_chunk_topk(docs, cand_per_term=3,
+                                           top=5).collect()}
+    assert set(tight) and set(wide)
+    for key, score in tight.items():
+        if key in wide:
+            assert score == wide[key]
+
+
+def test_oracle_parity(spark, sf_dir):
+    from oracle_utils import compare
+    docs = load_table(spark, "documents", sf_dir)
+    ok, detail = compare(LS.maxsim_chunk_topk(docs),
+                         LS.maxsim_chunk_topk_oracle(), sf_dir)
+    assert ok, detail

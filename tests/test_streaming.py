@@ -473,3 +473,57 @@ def test_batch_key_is_content_keyed(spark, tmp_path):
     _mark_epoch(idx, ka0)
     assert _epoch_applied(idx, ka0)
     assert not _epoch_applied(idx, kb0)  # new file at old epoch id ingests
+
+
+def test_span_admission_cross_batch_and_replay(spark, tmp_path):
+    """Streaming span-dedup admission (the exact-substring family's
+    streaming twin): (1) arrival order is the keeper semantic — a doc
+    arriving in batch 2 with a verbatim 20-token span from batch 1 is
+    flagged against the EARLIER doc even when its doc_id is smaller;
+    (2) a doc sharing no window fingerprint is never flagged; (3) a
+    checkpoint-less replay of the same source files is a no-op (epoch
+    markers are content-keyed), so the persisted results do not inflate."""
+    import os
+    import time
+
+    from vectordb_explorations_spark.streaming.documents import (
+        span_admission_ingest)
+    from vectordb_explorations_spark.streaming.events import await_drained
+
+    span = " ".join(f"tok{i}" for i in range(24))          # > w=20 tokens
+    other = " ".join(f"zzz{i}" for i in range(24))
+    batch1 = [(100, "lead in words " + span, "en", "web", 1)]
+    batch2 = [(5, span + " trailing words here", "en", "web", 1),
+              (200, other, "en", "web", 1)]
+    d = tmp_path / "span_stream"
+    d.mkdir()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet"))
+    now = time.time()
+    for i, sub in enumerate(("b1.parquet", "b2.parquet")):
+        for root, _, files in os.walk(d / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d) + "/*.parquet"))
+
+    state, results = str(tmp_path / "state"), str(tmp_path / "hits")
+    await_drained(span_admission_ingest(spark, stream(), state, results))
+    rows = [(r.doc_id, r.dup_of)
+            for r in spark.read.parquet(results).collect()]
+    # doc 5 arrived after doc 100 → every shared window fp flags it
+    # against 100; doc 200 shares nothing; doc 100 is the keeper → clean
+    assert rows and set(r[0] for r in rows) == {5}
+    assert all(r == (5, 100) for r in rows)
+    # 5 shares exactly the span's 5 windows (24-token doc, w=20)
+    assert len(rows) == 5
+
+    # replay: same files, fresh stream, same dirs → markers absorb it
+    await_drained(span_admission_ingest(spark, stream(), state, results))
+    assert spark.read.parquet(results).count() == len(rows)

@@ -1,0 +1,275 @@
+"""Multi-vector (late-interaction) retrieval: MaxSim over per-chunk
+embeddings — the ColBERT-style serving shape (Khattab & Zaharia 2020)
+where a document is represented by MANY vectors (one per context-window
+chunk) and a query by one vector per term, scored as
+
+    score(q, doc) = sum over query terms t of
+                    max over doc chunks c of cos(e_t, e_c)
+
+The reference indexes exactly one vector per point (hnsw.cc:96-112 — a
+Node holds a single `Vector vec`); chunked multi-vector retrieval is the
+modern extension a long-document corpus needs: a relevant passage buried
+in a long page wins via its own chunk's max instead of being averaged
+away in a whole-document embedding.
+
+Everything is deterministic and hash-checked:
+
+- chunking reuses the ``doc_chunks`` window contract (sampling.py:
+  CHUNK_WIN/CHUNK_STRIDE — overlapping fixed-width token windows, last
+  window short) over the SHARED tokenizer (functions/text.py);
+- per-chunk embeddings reuse the hashing-trick featurizer formula
+  (featurize.py: md5 -> dim, md5 -> sign, exact INTEGER weights, norm =
+  sqrt of an integer sum), so every float in the pipeline derives from
+  exact integers via IEEE sqrt/divide/multiply — bit-identical across
+  Spark and DuckDB;
+- query-term embeddings are tiny and computed DRIVER-SIDE with hashlib
+  (the identical md5 formula), inlined as literal rows into BOTH
+  engines — the query side cannot drift by construction;
+- per-term contributions are summed via an EXPLICIT left-to-right
+  ``greatest(coalesce(...)) + ...`` fold (the hybrid.py discipline:
+  group-aggregate float sums are order-nondeterministic across engines;
+  a written-out c0 + c1 + c2 is not), then binary-6dp rounded.
+
+Scale shape (the 100 TB story): ONE corpus scan explodes chunks->tokens
+(fan-out = tokens/doc x win/stride overlap, the same budget as every
+shingling op), one combinable (doc, chunk, dim) integer-sum exchange,
+then the query side — O(terms x dims), bytes — BROADCASTS onto the
+chunk weights, so the dot-product join is shuffle-free on the corpus
+side; the per-(query, term) candidate window carries a partial
+WindowGroupLimit (rank <= CAND_PER_TERM pushes the top-C into the map
+side), so the exchange after scoring is O(queries x terms x C), never
+corpus-sized; the final MaxSim re-score touches only candidate docs'
+sim rows. At real scale the candidate stage is where an ANN prefilter
+plugs in — band/route the CHUNK embeddings with the existing LSH/IVF
+families (ann.py) and feed only banded candidates into the sparse dot;
+the MaxSim aggregation shape is unchanged (SCALE_NOTES r11).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vectordb_explorations_spark.functions.rounding import r6, round6
+from vectordb_explorations_spark.functions.text import TOKENS_SQL
+from vectordb_explorations_spark.operators.featurize import HASH_DIM
+from vectordb_explorations_spark.operators.sampling import (
+    CHUNK_STRIDE, CHUNK_WIN)
+
+# (query_id, phrases). Each phrase is one late-interaction "query term":
+# its embedding is the hashed-trick vector of ITS OWN tokens (2 tokens ->
+# <=2 non-zero dims), so terms are genuinely multi-dimensional, not
+# one-hot. Phrases use the synthetic fixture vocabulary; 'dup' is the
+# rare token (df ~5% of docs), exercising the selective-term branch.
+MAXSIM_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("vector scan", "hash join", "merge sort")),
+    (1, ("stream batch", "window agg", "spark query")),
+    (2, ("slow filter", "fast key", "dup table")),
+)
+TERMS_PER_QUERY = 3
+CAND_PER_TERM = 50   # per-(query, term) chunk candidates admitted to rescoring
+MAXSIM_TOP = 10
+
+
+def _hash_tok(tok: str) -> tuple[int, int]:
+    """(dim_id, sign) of one token — the featurize.py formula, computed
+    driver-side: dim = first 8 md5 hex digits mod HASH_DIM, sign = parity
+    of the 9th hex digit. hashlib md5 of an ascii token == Spark F.md5 ==
+    DuckDB md5, so inlining these as literals cannot drift."""
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return int(h[:8], 16) % HASH_DIM, 1 if int(h[8], 16) % 2 == 0 else -1
+
+
+def _term_weight_rows(
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = MAXSIM_QUERIES,
+) -> list[tuple[int, int, int, int, int]]:
+    """(query_id, term_id, dim_id, w, qssq) literal rows: exact integer
+    signed-hash weights of each phrase's tokens (zero-sum dims dropped)
+    plus the term's integer squared norm, repeated per weight row so
+    both engines read it off the same literal."""
+    out: list[tuple[int, int, int, int, int]] = []
+    for qid, phrases in queries:
+        for tid, phrase in enumerate(phrases):
+            w: dict[int, int] = {}
+            for tok in phrase.lower().split():
+                d, s = _hash_tok(tok)
+                w[d] = w.get(d, 0) + s
+            w = {d: v for d, v in w.items() if v != 0}
+            qssq = sum(v * v for v in w.values())
+            for d in sorted(w):
+                out.append((qid, tid, d, w[d], qssq))
+    return out
+
+
+def _chunk_weights(docs: DataFrame, win: int, stride: int) -> DataFrame:
+    """(doc_id, chunk_id, dim_id, w): exact integer signed-hash weights
+    per overlapping token chunk — the doc_chunks window contract over
+    the shared tokenizer, then the featurize.py hash. One explode chain,
+    one combinable integer-sum exchange."""
+    from vectordb_explorations_spark.functions.text import whitespace_tokens
+    toks = docs.select("doc_id", whitespace_tokens("text").alias("ws"))
+    n = F.size("ws")
+    n_chunks = (F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(win)).cast("double") / F.lit(stride)))).cast("int")
+    ck = F.slice("ws", F.col("chunk_id") * stride + 1, win)
+    ct = (toks
+          .withColumn("chunk_id", F.explode(F.sequence(F.lit(0),
+                                                       n_chunks - 1)))
+          .select("doc_id", "chunk_id", F.explode(ck).alias("tok")))
+    h = F.md5(F.col("tok"))
+    dim_id = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % HASH_DIM).cast("int")
+    sign = (F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+                   F.lit(1)).otherwise(F.lit(-1)).cast("long"))
+    return (ct.select("doc_id", "chunk_id", dim_id.alias("dim_id"),
+                      sign.alias("sign"))
+            .groupBy("doc_id", "chunk_id", "dim_id")
+            .agg(F.sum("sign").alias("w"))
+            .where(F.col("w") != 0))
+
+
+def maxsim_chunk_topk(docs: DataFrame,
+                      queries: tuple[tuple[int, tuple[str, ...]], ...]
+                      = MAXSIM_QUERIES,
+                      win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE,
+                      cand_per_term: int = CAND_PER_TERM,
+                      top: int = MAXSIM_TOP) -> DataFrame:
+    """Late-interaction top-k: (query_id, doc_id, score, rank).
+
+    Stages: chunk weights (one corpus scan) -> broadcast the literal
+    term weights onto the shared-dim rows -> exact-integer dot per
+    (query, term, doc, chunk) -> cosine via sqrt-of-integer norms ->
+    per-(query, term) top-``cand_per_term`` chunks nominate candidate
+    docs (the bounding stage; at 100 TB an ANN prefilter replaces the
+    full sparse scan, module docstring) -> MaxSim rescoring of candidate
+    docs only, summed over terms with an explicit left-to-right fold, a
+    term with no shared-dim chunk (or only negative sims) contributing
+    0.0 (cos vs an orthogonal chunk) -> top-``top`` docs per query by
+    (score desc, doc_id)."""
+    spark = docs.sparkSession
+    qw = spark.createDataFrame(
+        _term_weight_rows(queries),
+        "query_id int, term_id int, dim_id int, wq long, qssq long")
+
+    cw = _chunk_weights(docs, win, stride)
+    cn = (cw.groupBy("doc_id", "chunk_id")
+          .agg(F.sum(F.col("w") * F.col("w")).alias("cssq")))
+
+    dot = (cw.join(F.broadcast(qw), "dim_id")
+           .groupBy("query_id", "term_id", "qssq", "doc_id", "chunk_id")
+           .agg(F.sum(F.col("w") * F.col("wq")).alias("dot")))
+    sims = (dot.join(cn, ["doc_id", "chunk_id"])
+            .select("query_id", "term_id", "doc_id", "chunk_id",
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("qssq").cast("double"))
+                        * F.sqrt(F.col("cssq").cast("double"))))
+                    .alias("sim")))
+
+    w_term = (Window.partitionBy("query_id", "term_id")
+              .orderBy(F.col("sim").desc(), "doc_id", "chunk_id"))
+    cands = (sims
+             .withColumn("rk", F.row_number().over(w_term))
+             .where(F.col("rk") <= cand_per_term)
+             .select("query_id", "doc_id").distinct())
+
+    n_terms = max(len(p) for _, p in queries)
+    mx = [F.max(F.when(F.col("term_id") == t, F.col("sim"))).alias(f"mx{t}")
+          for t in range(n_terms)]
+    contrib = [F.greatest(F.coalesce(F.col(f"mx{t}"), F.lit(0.0)), F.lit(0.0))
+               for t in range(n_terms)]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+
+    w_q = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                 "doc_id")
+    return (sims.join(cands, ["query_id", "doc_id"], "left_semi")
+            .groupBy("query_id", "doc_id")
+            .agg(*mx)
+            .select("query_id", "doc_id", score.alias("score"))
+            .withColumn("rank", F.row_number().over(w_q))
+            .where(F.col("rank") <= top)
+            .select("query_id", "doc_id", round6(F.col("score")).alias("score"),
+                    "rank")
+            .orderBy("query_id", "rank"))
+
+
+def maxsim_chunk_topk_oracle(
+        queries: tuple[tuple[int, tuple[str, ...]], ...] = MAXSIM_QUERIES,
+        win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE,
+        cand_per_term: int = CAND_PER_TERM,
+        top: int = MAXSIM_TOP) -> str:
+    """DuckDB twin sharing the chunking CTEs (the doc_chunks_oracle
+    slicing over the shared-tokenizer list) and the literal term weights
+    (the same _term_weight_rows the Spark side inlines)."""
+    qw_rows = ", ".join(f"({q}, {t}, {d}, {w}, {s})"
+                        for q, t, d, w, s in _term_weight_rows(queries))
+    toks = TOKENS_SQL.format(col="text")
+    n_terms = max(len(p) for _, p in queries)
+    score = " + ".join(
+        f"greatest(coalesce(max(CASE WHEN term_id = {t} THEN sim END), "
+        f"0.0), 0.0)" for t in range(n_terms))
+    return f"""
+WITH qw(query_id, term_id, dim_id, wq, qssq) AS (VALUES {qw_rows}),
+s AS (SELECT doc_id, {toks} AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         1 + greatest(0, CAST(ceil((len(ws) - {win})::DOUBLE / {stride})
+                              AS INT)) AS n_chunks
+  FROM s
+), e AS (
+  SELECT doc_id, ws, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c
+), ct AS (
+  SELECT doc_id, chunk_id,
+         unnest(ws[chunk_id * {stride} + 1 :
+                   chunk_id * {stride} + {win}]) AS tok
+  FROM e
+), h AS (
+  SELECT doc_id, chunk_id,
+         CAST(CAST(CAST('0x' || substring(md5(tok), 1, 8) AS UBIGINT)
+                   % {HASH_DIM} AS BIGINT) AS INTEGER) AS dim_id,
+         CASE WHEN CAST('0x' || substring(md5(tok), 9, 1) AS UBIGINT) % 2 = 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
+  FROM ct
+), cw AS (
+  SELECT doc_id, chunk_id, dim_id, CAST(SUM(sign) AS BIGINT) AS w
+  FROM h GROUP BY doc_id, chunk_id, dim_id
+  HAVING CAST(SUM(sign) AS BIGINT) <> 0
+), cn AS (
+  SELECT doc_id, chunk_id, SUM(w * w) AS cssq
+  FROM cw GROUP BY doc_id, chunk_id
+), dot AS (
+  SELECT q.query_id, q.term_id, q.qssq, cw.doc_id, cw.chunk_id,
+         SUM(cw.w * q.wq) AS dot
+  FROM cw JOIN qw q ON cw.dim_id = q.dim_id
+  GROUP BY 1, 2, 3, 4, 5
+), sims AS (
+  SELECT d.query_id, d.term_id, d.doc_id, d.chunk_id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(d.qssq AS DOUBLE)) * sqrt(CAST(n.cssq AS DOUBLE)))
+           AS sim
+  FROM dot d JOIN cn n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id
+), cands AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id, term_id
+                              ORDER BY sim DESC, doc_id, chunk_id) AS rk
+    FROM sims
+  ) WHERE rk <= {cand_per_term}
+), scored AS (
+  SELECT s.query_id, s.doc_id, {score} AS score
+  FROM sims s JOIN cands c
+    ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+  GROUP BY s.query_id, s.doc_id
+)
+SELECT query_id, doc_id, {r6('score')} AS score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {top}
+ORDER BY query_id, rank
+"""

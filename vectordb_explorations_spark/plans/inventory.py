@@ -31,6 +31,7 @@ from vectordb_explorations_spark.operators import featurize as FZ
 from vectordb_explorations_spark.operators import hybrid as HY
 from vectordb_explorations_spark.operators import joins as J
 from vectordb_explorations_spark.operators import knn as K
+from vectordb_explorations_spark.operators import latesim as LSIM
 from vectordb_explorations_spark.operators import layout as L
 from vectordb_explorations_spark.operators import multimodal as M
 from vectordb_explorations_spark.operators import quality as QA
@@ -795,6 +796,11 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_user_totals": SE.streaming_user_totals,
     # stateful streaming near-dup admission (first-seen per MinHash band)
     "streaming_near_dedup": SD.streaming_near_dedup_stats,
+    # streaming span-level dedup admission: foreachBatch NEW x OLD
+    # fingerprint check against a persisted state table (the
+    # incremental_dedup shape); one fixture file -> one batch, so the
+    # declared result is batch-derivable.
+    "streaming_span_admission": SD.streaming_span_admission_stats,
     # stream-static broadcast enrichment join (no state, no watermark)
     "streaming_enrichment": SE.streaming_enrichment_stats,
     # persisted-index pruned serving (oracle bakes the seeded hyperplanes
@@ -906,6 +912,11 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "span_dedup_pipeline": lambda s, d: D.span_dedup_pipeline(
         load_table(s, "documents", d)),
+    # multi-vector (late-interaction) retrieval — MaxSim over per-chunk
+    # hashed embeddings (ColBERT serving shape): sum over query terms of
+    # max over doc chunks of cosine, candidate-bounded per term.
+    "maxsim_chunk_topk": lambda s, d: LSIM.maxsim_chunk_topk(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -993,6 +1004,7 @@ ORACLES: dict[str, str] = {
     "strip_duplicated_spans": D.strip_duplicated_spans_oracle(),
     "source_span_matrix": D.source_span_matrix_oracle(),
     "span_dedup_pipeline": D.span_dedup_pipeline_oracle(),
+    "maxsim_chunk_topk": LSIM.maxsim_chunk_topk_oracle(),
     "text_stats": X.text_stats_oracle(),
     "lang_id": X.lang_id_oracle(),
     "token_counts": X.token_counts_oracle(),
@@ -1071,6 +1083,7 @@ ORACLES: dict[str, str] = {
     "streaming_join_stats": SE.STREAMING_JOIN_STATS_ORACLE,
     "streaming_user_totals": SE.STREAMING_USER_TOTALS_ORACLE,
     "streaming_near_dedup": SD.streaming_near_dedup_oracle(),
+    "streaming_span_admission": SD.streaming_span_admission_oracle(),
     "streaming_enrichment": SE.STREAMING_ENRICHMENT_ORACLE,
     "ann_bucketed_probe": _oracle_ann_bucketed_probe(),
     "bq_hamming_topk": B.bq_hamming_topk_oracle(BQ_QUERIES, KNN_K),

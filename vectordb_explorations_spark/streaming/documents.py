@@ -138,6 +138,126 @@ def streaming_near_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
+                          state_dir: str, results_dir: str,
+                          w: int | None = None) -> "object":
+    """foreachBatch span-level dedup admission — the streaming twin of
+    the batch exact-substring family (operators/dedup.py:
+    exact_substring_pairs et al., Lee et al. 2021): each arriving
+    micro-batch's w-token window fingerprints are checked NEW x OLD
+    against the PERSISTED fingerprint table (the incremental_dedup
+    shape — never a corpus self-join), intra-batch firsts are admitted
+    as keepers, and only the batch's genuinely new fingerprints are
+    appended to the state table.
+
+    Per batch: (1) fingerprint the batch once (_span_windows, per-doc
+    distinct); (2) every (doc, fp) whose fp already exists in the state
+    table emits a hit against the persisted keeper — arrival order wins,
+    so a later-arriving SMALLER doc_id is still flagged against the
+    earlier keeper; (3) fps new to the table keep their min-doc_id batch
+    occurrence and flag the batch's other holders; (4) new fps append to
+    the state table as (fp, first_doc). Hits land in ``results_dir`` as
+    (doc_id, dup_of) rows, one per colliding (doc, fp).
+
+    Idempotence: results are epoch-marked by source-file content key
+    (streaming/events._batch_key), so checkpoint-less replays are
+    no-ops; results are written BEFORE the state append, so the crash
+    residual window is the same one-batch re-append events.py documents.
+
+    Scale shape: state is one (md5, long) row per distinct corpus window
+    fingerprint — ≈50 B x corpus tokens, the SAME budget as the batch
+    family's fingerprint exchange (SCALE_NOTES r10), but paid once ever
+    and persisted as a bucketable parquet table; per batch the work is
+    batch-windows x (one join against the state table + one combinable
+    min) — new x old only. Compact the state table with the engine's
+    salt-split compaction (sources/sinks.py) as it grows."""
+    import os
+
+    from vectordb_explorations_spark.operators.dedup import (
+        SUBSTRING_WINDOW, _span_windows)
+    from vectordb_explorations_spark.streaming.events import (
+        _batch_key, _epoch_applied, _mark_epoch)
+
+    w = SUBSTRING_WINDOW if w is None else w
+    state_schema = "fp string, first_doc long"
+    hit_schema = "doc_id long, dup_of long"
+    for path, schema in ((state_dir, state_schema),
+                         (results_dir, hit_schema)):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (spark.createDataFrame([], schema)
+             .write.mode("overwrite").parquet(path))
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        key = _batch_key(batch_df, epoch_id)
+        if _epoch_applied(results_dir, key):
+            return
+        docfp = (_span_windows(batch_df, w)
+                 .select("doc_id", "fp").distinct()
+                 .localCheckpoint(eager=True))  # one fingerprint pass,
+        # reused by three branches below (hits x2 + state append)
+        old = spark.read.schema(state_schema).parquet(state_dir)
+        hits_old = (docfp.join(old, "fp")
+                    .select("doc_id", F.col("first_doc").alias("dup_of")))
+        batch_first = (docfp.groupBy("fp")
+                       .agg(F.min("doc_id").alias("first_doc")))
+        new_fps = batch_first.join(old, "fp", "left_anti")
+        hits_new = (docfp.join(new_fps, "fp")
+                    .where(F.col("doc_id") != F.col("first_doc"))
+                    .select("doc_id", F.col("first_doc").alias("dup_of")))
+        (hits_old.unionByName(hits_new)
+         .write.mode("append").parquet(results_dir))
+        new_fps.write.mode("append").parquet(state_dir)
+        _mark_epoch(results_dir, key)
+
+    return (docs_stream.writeStream
+            .foreachBatch(admit)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_span_admission_stats(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the streaming span-admission path:
+    drain the fixture documents (one file → one micro-batch, so every
+    keeper is the intra-batch min doc_id and the result is
+    batch-derivable), then report per flagged doc its keeper and how
+    many window fingerprints collided. The oracle recomputes the
+    identical windowing via the shared span CTEs. The NEW x OLD
+    cross-batch path (arrival-order keepers, persisted state) is pinned
+    by tests/test_streaming.py's two-batch arrival test."""
+    import tempfile
+
+    from vectordb_explorations_spark.streaming.events import await_drained
+
+    state = tempfile.mkdtemp(prefix="span_state_")
+    results = tempfile.mkdtemp(prefix="span_hits_")
+    q = span_admission_ingest(spark, read_documents_stream(spark, sf_dir),
+                              state, results)
+    await_drained(q)
+    return (spark.read.schema("doc_id long, dup_of long").parquet(results)
+            .groupBy("doc_id")
+            .agg(F.min("dup_of").alias("dup_of"),
+                 F.count(F.lit(1)).alias("n_fp_hits"))
+            .orderBy("doc_id"))
+
+
+def streaming_span_admission_oracle(w: int | None = None) -> str:
+    from vectordb_explorations_spark.operators.dedup import (
+        SUBSTRING_WINDOW, _span_windows_duck)
+    w = SUBSTRING_WINDOW if w is None else w
+    return f"""
+WITH {_span_windows_duck(w).strip()},
+docfp AS (SELECT DISTINCT doc_id, fp FROM wins),
+firsts AS (SELECT fp, min(doc_id) AS first_doc
+           FROM docfp GROUP BY fp),
+d AS (SELECT b.doc_id, f.first_doc
+      FROM docfp b JOIN firsts f USING (fp)
+      WHERE b.doc_id > f.first_doc)
+SELECT doc_id, min(first_doc) AS dup_of, count(*) AS n_fp_hits
+FROM d GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def streaming_near_dedup_oracle(num_hashes: int = NUM_HASHES,
                                 band_size: int = BAND_SIZE) -> str:
     from vectordb_explorations_spark.operators.dedup import _banding_base_ctes
