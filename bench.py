@@ -71,9 +71,85 @@ def _load_gate(extras: dict) -> None:
               f"binding-baseline quality", file=sys.stderr)
 
 
+def _total_busy_jiffies() -> int:
+    """System-wide non-idle jiffies from /proc/stat (idle+iowait excluded)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+
+
+def _tree_jiffies(root_pid: int) -> int:
+    """utime+stime jiffies of ``root_pid`` and every live descendant
+    (one /proc scan; per-process stat is thread-inclusive, so the JVM's
+    32 executor threads are fully counted)."""
+    procs: dict[int, tuple[int, int]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()  # comm may contain spaces
+        procs[int(entry)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    total = 0
+    for pid, (ppid, jiff) in procs.items():
+        p, seen = pid, set()
+        while p and p not in seen:
+            if p == root_pid:
+                total += jiff
+                break
+            seen.add(p)
+            p = procs.get(p, (0, 0))[0]
+    return total
+
+
+def _end_of_run_contention_stamp(extras: dict, t0: float,
+                                 busy0: int, self0: int) -> None:
+    """Close the load-gate's end-of-run hole (r10 verdict item 6): the
+    start gate only proves the box was quiet at t=0 — a mid-run external
+    spike was invisible (BENCH_r10 ended at loadavg 5.6-6.2, mostly
+    self-load, with nothing distinguishing it from contention). Loadavg
+    cannot separate self from foreign load, so measure CPU directly:
+    system-wide busy jiffies minus this process tree's jiffies over the
+    run = EXTERNAL cores. Above SPARK_GRAFT_EXTERNAL_GATE (default 2.0
+    cores averaged over the whole run) the record is stamped EXCEEDED —
+    the same not-binding-quality verdict as a hot start. Heuristic note
+    (documented in BASELINE.md): descendants that exited mid-run drop
+    out of the end snapshot, biasing external UP — the stamp can only be
+    too strict, never silently lenient; reaped-children jiffies are
+    added back via getrusage to shrink that bias."""
+    import resource
+    try:
+        wall = time.time() - t0
+        hz = os.sysconf("SC_CLK_TCK")
+        sys_cores = (_total_busy_jiffies() - busy0) / (wall * hz)
+        reaped = resource.getrusage(resource.RUSAGE_CHILDREN)
+        self_cores = ((_tree_jiffies(os.getpid()) - self0) / (wall * hz)
+                      + (reaped.ru_utime + reaped.ru_stime) / wall)
+        external = max(0.0, sys_cores - self_cores)
+    except (OSError, ValueError):
+        return
+    extras["cpu_cores_busy_system"] = round(sys_cores, 2)
+    extras["cpu_cores_busy_self"] = round(self_cores, 2)
+    extras["cpu_cores_external"] = round(external, 2)
+    gate = float(os.environ.get("SPARK_GRAFT_EXTERNAL_GATE", "2.0"))
+    if external > gate:
+        extras["load_gate"] = "EXCEEDED"
+        print(f"WARNING: ~{external:.1f} external CPU cores ran alongside "
+              f"this bench (> gate {gate}) — timings in this record are "
+              f"not binding-baseline quality", file=sys.stderr)
+
+
 def main() -> None:
     extras_pregate: dict = {}
     _load_gate(extras_pregate)
+    run_t0 = time.time()
+    try:
+        run_busy0, run_self0 = _total_busy_jiffies(), _tree_jiffies(os.getpid())
+    except OSError:
+        run_busy0 = run_self0 = -1
     spark = get_spark(app_name="vx-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -469,6 +545,8 @@ def main() -> None:
         extras["loadavg_1m_5m_15m"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
+    if run_busy0 >= 0:
+        _end_of_run_contention_stamp(extras, run_t0, run_busy0, run_self0)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),

@@ -25,6 +25,7 @@ def test_feature_extraction_deterministic(spark, sf_dir):
     assert a == b
 
 
+@pytest.mark.skipif(M.HAS_PIL, reason="PIL present: the seam decodes")
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG...")
@@ -132,10 +133,47 @@ def test_decode_wav_pcm16():
     assert arr.tolist() == samples.tolist()
 
 
+@pytest.mark.skipif(M.HAS_PIL, reason="PIL present: the seam decodes")
 def test_decode_compressed_raises():
     import pytest
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+# --- runtime codec capability seams (env-gated: skipped where the codec
+# libraries are absent, green where they exist — r10 verdict item 5) ---
+
+@pytest.mark.skipif(not M.HAS_PIL, reason="Pillow not installed")
+def test_pil_seam_decodes_png_roundtrip():
+    """Where Pillow exists, a PNG round-trips through the seam to the
+    exact pixels — and the NATIVE paths still own their formats, so
+    declared hashes cannot change with the environment."""
+    import io
+
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = io.BytesIO()
+    M._PIL_IMAGE.fromarray(px, mode="RGB").save(buf, format="PNG")
+    out = M.decode_image(buf.getvalue())
+    assert out.shape == (2, 3, 3) and (out == px).all()
+    # native format still takes the NumPy path (contract: shape + values)
+    ppm = b"P6\n3 2\n255\n" + px.tobytes()
+    assert (M.decode_image(ppm) == px).all()
+
+
+@pytest.mark.skipif(not M.HAS_SOUNDFILE, reason="soundfile not installed")
+def test_soundfile_seam_decodes_flac_roundtrip():
+    import io
+
+    import numpy as np
+
+    samples = (np.sin(np.linspace(0, 8, 800)) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    M._SOUNDFILE.write(buf, samples, 8000, format="FLAC")
+    arr, rate = M.decode_audio(buf.getvalue())
+    assert rate == 8000 and arr.shape == (800, 1)
+    assert np.abs(arr[:, 0].astype(int) - samples.astype(int)).max() <= 1
 
 
 def test_resize_images_real_decode_path(spark):

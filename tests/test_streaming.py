@@ -527,3 +527,35 @@ def test_span_admission_cross_batch_and_replay(spark, tmp_path):
     # replay: same files, fresh stream, same dirs → markers absorb it
     await_drained(span_admission_ingest(spark, stream(), state, results))
     assert spark.read.parquet(results).count() == len(rows)
+
+
+def test_multi_file_batch_regrouping_is_per_file_idempotent(spark, tmp_path):
+    """The r10 ADVICE hazard: a checkpoint-less restart that regroups an
+    already-ingested file WITH a new file into one batch must ingest
+    only the new file's rows — per-file markers, not a whole-set key."""
+    from vectordb_explorations_spark.streaming.events import (
+        _files_to_ingest)
+
+    pa, pb = str(tmp_path / "fa"), str(tmp_path / "fb")
+    spark.range(0, 10).coalesce(1).write.parquet(pa)
+    spark.range(100, 105).coalesce(1).write.parquet(pb)
+    idx = str(tmp_path / "idx")
+
+    # run 1: a batch of file A alone — ingested and marked
+    df_a = spark.read.parquet(pa)
+    d1, mark1 = _files_to_ingest(df_a, idx, 0)
+    assert d1 is not None and d1.count() == 10
+    mark1()
+
+    # "restart": files regrouped — A (already applied) + B in ONE batch
+    both = spark.read.parquet(pa, pb)
+    d2, mark2 = _files_to_ingest(both, idx, 0)
+    assert d2 is not None
+    ids = sorted(r[0] for r in d2.collect())
+    assert ids == list(range(100, 105)), (
+        f"already-marked file A leaked back into the batch: {ids}")
+    mark2()
+
+    # full replay of the regrouped batch: everything marked -> no-op
+    d3, _ = _files_to_ingest(spark.read.parquet(pa, pb), idx, 3)
+    assert d3 is None

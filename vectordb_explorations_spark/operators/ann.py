@@ -112,8 +112,9 @@ def collect_query_batch(queries: DataFrame, qid_col: str, qvec_col: str,
             f"query batch exceeds the driver-resident serving cap "
             f"({cap:,} rows): search kernels ship the batch in the UDF "
             f"closure, which is serving-shaped, not corpus-shaped — "
-            f"chunk the queries and union results, or use knn_join / "
-            f"knn_join_blockwise for corpus-scale scoring")
+            f"chunk the queries and union results, or use knn_join for "
+            f"corpus-scale scoring (knn_join_blockwise also routes its "
+            f"query side through this cap)")
     return rows
 
 

@@ -148,9 +148,14 @@ def bq_hamming_topk(vectors: DataFrame, n_queries: int, k: int, dim: int,
                     vec_col: str = "embedding") -> DataFrame:
     """Declared (hash-checked) Hamming top-k: encode the corpus, take the
     first ``n_queries`` vectors' codes as the probe set, rank every vector
-    per query by (hamming, id). This IS the scale path — broadcast probe
-    codes, XOR+popcount in codegen, one window exchange on query_id; the
-    deterministic midrange threshold is what lets DuckDB recompute the
+    per query by (hamming, id). The INGREDIENTS are scale-shaped —
+    broadcast probe codes, XOR+popcount in codegen, one window exchange
+    on query_id — but the ranking itself is a full N x Q scan per batch:
+    the 10M probe measured the raw cascade's candidate broadcast bursting
+    spark.driver.maxResultSize at that size, and the ROUTED cascade
+    (``cascade_route``, 3.68 s at recall 1.0) is the actual scale path
+    (SCALE_NOTES r10). This query's role is the deterministic oracle
+    face: the midrange threshold is what lets DuckDB recompute the
     identical codes (unlike the k-means index families, which are
     recall-gated instead)."""
     thresholds = bq_thresholds(vectors, dim, vec_col=vec_col)

@@ -1490,7 +1490,11 @@ def substring_dup_coverage(docs: DataFrame,
                     F.coalesce("n_dup_spans", F.lit(0))
                     .cast("long").alias("n_dup_spans"),
                     cov.cast("long").alias("covered_tokens"),
-                    F.round(cov.cast("double") / F.col("n_tokens"), 6)
+                    # round6 (binary half-up), NOT F.round: the module's
+                    # rounding convention for oracle-paired ratios of
+                    # small integers (r10 ADVICE — decimal round pairs
+                    # only coincidentally across engines here)
+                    round6(cov.cast("double") / F.col("n_tokens"))
                     .alias("coverage"))
             .orderBy("doc_id"))
 
@@ -1527,7 +1531,7 @@ dup_fps AS (
 SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
        coalesce(p.n_dup_spans, 0) AS n_dup_spans,
        coalesce(p.covered_tokens, 0) AS covered_tokens,
-       round(coalesce(p.covered_tokens, 0)::DOUBLE / len(t.ws), 6)
+       {r6("coalesce(p.covered_tokens, 0)::DOUBLE / len(t.ws)")}
          AS coverage
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY t.doc_id

@@ -6,9 +6,13 @@ reference, which knows only float vectors).
 Container reality: no codec libraries (PIL/cv2/ffmpeg) are installed.
 Codec-free formats decode for REAL with pure NumPy — binary netpbm (P5/P6)
 and uncompressed BMP images, 8/16-bit PCM WAV audio — and resize runs a
-real nearest-neighbor kernel on them; compressed formats (PNG/JPEG/...)
-raise NotImplementedError at the clearly-marked decode step, with a
-deterministic fake fallback so every stage shape still executes.
+real nearest-neighbor kernel on them. Compressed formats route through a
+RUNTIME CAPABILITY PROBE (``HAS_PIL`` / ``HAS_SOUNDFILE``, r10 verdict
+item 5): where Pillow/soundfile exist the seam decodes for real; where
+they don't, the decode step raises NotImplementedError naming the
+swap-in, with a deterministic fake fallback so every stage shape still
+executes. The native NumPy paths always win for the formats they cover,
+so declared query hashes never depend on the environment.
 Everything Spark-side — schema, batch iteration, partition behavior, UDF
 signatures, struct assembly — is real and tested either way.
 
@@ -28,6 +32,25 @@ from pyspark.sql import DataFrame, functions as F
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
 from pyspark.sql import types as T
+
+def _optional_import(name: str):
+    """Runtime codec capability probe (r10 verdict item 5): import the
+    library if the environment has it, else None — so the compressed-
+    codec seams light up automatically where PIL/soundfile exist, with
+    zero behavior change (and zero declared-hash change) where they
+    don't. Probed once at import; workers re-probe on first use of the
+    module (the import rides the pickled closure's module reference)."""
+    import importlib
+    try:
+        return importlib.import_module(name)
+    except Exception:
+        return None
+
+
+_PIL_IMAGE = _optional_import("PIL.Image")
+_SOUNDFILE = _optional_import("soundfile")
+HAS_PIL = _PIL_IMAGE is not None
+HAS_SOUNDFILE = _SOUNDFILE is not None
 
 MODALITIES = ["text", "image", "audio", "video"]
 
@@ -119,26 +142,58 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Pure-NumPy image decode for codec-free formats: binary netpbm
-    (P5/P6) and uncompressed 24/32-bit BMP — header parse + raw samples,
-    no PIL/cv2. Compressed formats (PNG/JPEG/WebP/...) genuinely require
-    a codec library, which is not installed in this container, and raise
-    NotImplementedError; swap in PIL/cv2 there to productionize."""
-    if payload[:2] in (b"P5", b"P6"):
-        return _decode_netpbm(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+    """Image decode. Codec-free formats — binary netpbm (P5/P6) and
+    uncompressed 24/32-bit BMP — ALWAYS decode via the pure-NumPy paths
+    (deterministic, dependency-free: the declared queries' hashes never
+    depend on which libraries the environment carries). Anything the
+    native paths can't handle (PNG/JPEG/WebP/16-bit netpbm/compressed
+    BMP) routes through PIL when the runtime probe found it
+    (``HAS_PIL``), normalized to uint8 RGB / grayscale arrays matching
+    the native paths' shape contract; without PIL those formats raise
+    NotImplementedError naming the swap-in."""
+    try:
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_netpbm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+    except NotImplementedError:
+        if not HAS_PIL:
+            raise
+        return _decode_image_pil(payload)
+    if HAS_PIL:
+        return _decode_image_pil(payload)
     raise NotImplementedError(
         "compressed image formats require PIL/cv2 (not in this container); "
-        "netpbm P5/P6 and uncompressed BMP decode natively")
+        "netpbm P5/P6 and uncompressed BMP decode natively — install "
+        "Pillow and this seam lights up automatically (HAS_PIL)")
+
+
+def _decode_image_pil(payload: bytes) -> np.ndarray:
+    """PIL-backed decode for the compressed-codec seam: (h, w, 3) uint8
+    RGB for color modes, (h, w) uint8 for single-channel — the same
+    shape contract as the native netpbm/BMP paths."""
+    import io
+
+    img = _PIL_IMAGE.open(io.BytesIO(payload))
+    if img.mode in ("L", "1", "I;16", "I"):
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Pure-NumPy PCM WAV decode -> ((n_samples, n_channels), sample_rate).
-    Walks RIFF chunks (fmt / data may be preceded by LIST etc.); 8-bit
-    unsigned and 16-bit signed PCM; compressed codecs raise."""
+    """Audio decode -> ((n_samples, n_channels), sample_rate). PCM WAV
+    ALWAYS decodes via the pure-NumPy RIFF walk below (8-bit unsigned /
+    16-bit signed — deterministic, dependency-free, so declared hashes
+    never depend on the environment); non-PCM WAV encodings and non-RIFF
+    containers (FLAC/OGG/MP3...) route through soundfile when the
+    runtime probe found it (``HAS_SOUNDFILE``), else raise
+    NotImplementedError naming the swap-in."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
+        if HAS_SOUNDFILE:
+            return _decode_audio_soundfile(payload)
+        raise ValueError(
+            "not a RIFF/WAVE payload (non-WAV containers decode via "
+            "soundfile when installed — HAS_SOUNDFILE)")
     i, fmt, data = 12, None, None
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
@@ -156,13 +211,27 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits not in (8, 16):
+        if HAS_SOUNDFILE:
+            return _decode_audio_soundfile(payload)
         raise NotImplementedError(
             f"only 8/16-bit PCM WAV decodes natively (format={audio_format}, "
-            f"bits={bits}); compressed audio requires a codec library")
+            f"bits={bits}); compressed audio requires a codec library — "
+            f"install soundfile and this seam lights up automatically")
     dt = np.uint8 if bits == 8 else np.dtype("<i2")
     samples = np.frombuffer(data, dtype=dt)
     n = len(samples) // channels
     return samples[: n * channels].reshape(n, channels), rate
+
+
+def _decode_audio_soundfile(payload: bytes) -> tuple[np.ndarray, int]:
+    """soundfile-backed decode for the compressed-codec seam: always
+    returns (n, channels) int16 to match the native PCM path's integer
+    sample contract (soundfile's float output is scaled back)."""
+    import io
+
+    data, rate = _SOUNDFILE.read(io.BytesIO(payload), dtype="int16",
+                                 always_2d=True)
+    return np.asarray(data), int(rate)
 
 
 def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:

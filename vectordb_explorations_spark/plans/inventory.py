@@ -925,48 +925,46 @@ QUERIES: dict[str, QueryFn] = {
 # prose) and asserts the first-50 window below contains every query whose
 # evidence would otherwise become older than two rounds — the SURVEY §11
 # queue discipline as a checked invariant (r7 verdict item 8).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Round-10 rotation (r9 verdict item
-# 7): the two NEW never-checked queries lead; then the full 26-row
-# r07-evidence queue (3 rounds old by r10 — exactly the list SURVEY §13 /
-# the r9 verdict queued); then the rows whose CODE changed this round and
-# must re-certify on the new plans — ann_bucketed_probe /
-# ann_recall_report (the Observation now carries max(table_id) for the
-# >=64-table bitmask guard), streaming_ivfpq_refresh (epoch markers are
-# now content-keyed by the batch's source files), late_supplier_blame
-# (oracle refactored to a topn-parameterized function) — then the oldest
-# r08 greens (alphabetical, deterministic) fill the remaining 18 slots.
-# The 29 r08 rows deferred to r11 stay within the two-round evidence
-# bound through r11's window, where they lead the queue.
+# dict order IS the evidence schedule. Round-11 rotation (r10 verdict
+# item 3): the two NEW never-checked queries lead; then the full 32-row
+# r08-evidence queue (3 rounds old by r11 — exactly the list SURVEY §14
+# queued); then the rows whose CODE changed this round and must
+# re-certify on the new shapes — substring_dup_coverage (coverage now
+# rounds via the round6/r6 binary rounder per the r10 ADVICE),
+# streaming_index_refresh / streaming_ivfpq_refresh (epoch idempotence
+# is now marked PER SOURCE FILE, closing the multi-file regrouping
+# hazard) — then the oldest r09 greens (alphabetical, deterministic)
+# fill the remaining 13 slots. The 33 r09 rows deferred to r12 stay
+# within the two-round evidence bound through r12's window, where they
+# lead the queue.
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
-    "dedup_exact_substring", "substring_dup_coverage",
-    "strip_duplicated_spans", "source_span_matrix", "span_dedup_pipeline",
-    # --- latest driver evidence r07: the 26-row deferred queue ---
-    "multimodal_features", "multimodal_summary", "mutual_knn",
-    "nation_balance_full_outer", "norm_stats", "part_set_ops",
-    "quality_filter", "random_projection", "range_join",
-    "region_revenue", "rollup_revenue", "running_totals",
-    "segment_order_stats", "shipping_priority", "sql_grouping_sets",
-    "sql_knn", "sql_volume_shipping", "stratified_sample",
-    "streaming_dedup_stats", "streaming_index_refresh",
-    "streaming_join_stats", "streaming_user_totals", "text_stats",
-    "tfidf_top_terms", "token_counts", "top_orders",
-    # --- code changed this round: re-certify on the new plans ---
-    "ann_bucketed_probe", "ann_recall_report", "streaming_ivfpq_refresh",
-    "late_supplier_blame",
-    # --- oldest r08 greens (alphabetical fill) ---
-    "band_state_budget", "bm25_topk", "boilerplate_ngrams",
-    "bpe_pair_stats", "bq_hamming_topk", "cohort_retention",
-    "compat_distance", "contamination_check", "curation_pipeline",
-    "data_quality_audit", "dedup_clusters", "dedup_edit_distance",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_representatives",
-    # doc_chunks / doc_repetition_stats / domain_mix_sample yielded
-    # their slots to the five new never-checked span queries; they join
-    # the r11 queue with the other r08 rows (still within the two-round
-    # evidence bound there)
+    "maxsim_chunk_topk", "streaming_span_admission",
+    # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
+    "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
+    "event_prop_keys", "event_transitions", "event_value_histogram",
+    "event_value_percentiles", "events_gapfill", "events_hourly",
+    "events_session_window", "events_sliding_2h", "funnel_conversion",
+    "hashed_doc_embeddings", "knn_batch_blockwise", "knn_filtered",
+    "label_centroids", "mmr_diversified_topk", "multimodal_frames",
+    "multimodal_resize", "nation_customer_lists",
+    "priority_customer_counts", "quota_capped_search", "range_search",
+    "region_nation_rollcall", "salted_event_type_stats",
+    "sequence_pack_bins", "sq8_quantization", "streaming_near_dedup",
+    "supplier_nation_volume", "top_parts_by_revenue", "vector_elements",
+    "weighted_sample",
+    # --- code changed this round: re-certify on the new shapes ---
+    "substring_dup_coverage", "streaming_index_refresh",
+    "streaming_ivfpq_refresh",
+    # --- oldest r09 greens (alphabetical fill) ---
+    "asof_join", "boilerplate_coverage", "clean_text", "cube_order_stats",
+    "customer_balance_tiles", "customer_first_orders",
+    "customers_with_open_orders", "customers_without_orders",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_semantic",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)

@@ -159,10 +159,11 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
     the state table as (fp, first_doc). Hits land in ``results_dir`` as
     (doc_id, dup_of) rows, one per colliding (doc, fp).
 
-    Idempotence: results are epoch-marked by source-file content key
-    (streaming/events._batch_key), so checkpoint-less replays are
-    no-ops; results are written BEFORE the state append, so the crash
-    residual window is the same one-batch re-append events.py documents.
+    Idempotence: results are marked PER SOURCE FILE
+    (streaming/events._files_to_ingest), so checkpoint-less replays are
+    no-ops even when a restart regroups files into different batches;
+    results are written BEFORE the state append, so the crash residual
+    window is the same one-batch re-append events.py documents.
 
     Scale shape: state is one (md5, long) row per distinct corpus window
     fingerprint — ≈50 B x corpus tokens, the SAME budget as the batch
@@ -176,7 +177,7 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
     from vectordb_explorations_spark.operators.dedup import (
         SUBSTRING_WINDOW, _span_windows)
     from vectordb_explorations_spark.streaming.events import (
-        _batch_key, _epoch_applied, _mark_epoch)
+        _files_to_ingest)
 
     w = SUBSTRING_WINDOW if w is None else w
     state_schema = "fp string, first_doc long"
@@ -188,10 +189,10 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
              .write.mode("overwrite").parquet(path))
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
-        key = _batch_key(batch_df, epoch_id)
-        if _epoch_applied(results_dir, key):
+        bdf, mark = _files_to_ingest(batch_df, results_dir, epoch_id)
+        if bdf is None:
             return
-        docfp = (_span_windows(batch_df, w)
+        docfp = (_span_windows(bdf, w)
                  .select("doc_id", "fp").distinct()
                  .localCheckpoint(eager=True))  # one fingerprint pass,
         # reused by three branches below (hits x2 + state append)
@@ -207,7 +208,7 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
         (hits_old.unionByName(hits_new)
          .write.mode("append").parquet(results_dir))
         new_fps.write.mode("append").parquet(state_dir)
-        _mark_epoch(results_dir, key)
+        mark()
 
     return (docs_stream.writeStream
             .foreachBatch(admit)

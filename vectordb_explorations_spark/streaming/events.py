@@ -161,7 +161,15 @@ def _batch_key(batch_df: DataFrame, epoch_id: int) -> str:
     File names are stable across replays AND across restarts, whatever
     the counter says. Fallback to the epoch id only when the batch
     exposes no files (non-file sources), where replays-within-a-run are
-    the only replays possible."""
+    the only replays possible.
+
+    SET-key caveat (r10 ADVICE): hashing the whole file set is only
+    restart-safe while batches hold one file — a restart that REGROUPS
+    files (old+new in one batch) mints a new set key and re-ingests the
+    already-applied file. The ingest wrappers therefore route through
+    :func:`_files_to_ingest` (one marker PER FILE, already-marked files
+    filtered out of the batch); this set key remains only as that
+    helper's non-file fallback."""
     import hashlib
     try:
         files = sorted(batch_df.inputFiles())
@@ -170,6 +178,44 @@ def _batch_key(batch_df: DataFrame, epoch_id: int) -> str:
     if not files:
         return f"e{epoch_id}"
     return hashlib.sha1("\n".join(files).encode()).hexdigest()[:20]
+
+
+def _files_to_ingest(batch_df: DataFrame, index_dir: str, epoch_id: int):
+    """Per-FILE idempotence (r10 ADVICE): ``_batch_key`` hashes the whole
+    input-file SET, which is only restart-safe while batches hold one
+    file (maxFilesPerTrigger=1) — a checkpoint-less restart that REGROUPS
+    files (old+new in one batch) would mint a new set key and re-ingest
+    the already-applied file. This helper marks files INDIVIDUALLY:
+    returns ``(df, mark)`` where ``df`` is the batch restricted to
+    not-yet-applied source files (``None`` when nothing is new) and
+    ``mark()`` stamps each ingested file after the write. Non-file
+    batches fall back to the set key (replays-within-a-run are the only
+    replays possible there)."""
+    import hashlib
+
+    try:
+        files = sorted(batch_df.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        key = _batch_key(batch_df, epoch_id)
+        if _epoch_applied(index_dir, key):
+            return None, None
+        return batch_df, lambda: _mark_epoch(index_dir, key)
+    keys = {f: "f" + hashlib.sha1(f.encode()).hexdigest()[:20]
+            for f in files}
+    todo = [f for f in files if not _epoch_applied(index_dir, keys[f])]
+    if not todo:
+        return None, None
+    df = batch_df
+    if len(todo) < len(files):
+        df = batch_df.where(F.input_file_name().isin(todo))
+
+    def mark() -> None:
+        for f in todo:
+            _mark_epoch(index_dir, keys[f])
+
+    return df, mark
 
 
 def _epoch_applied(index_dir: str, key: str) -> bool:
@@ -210,13 +256,13 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
     stream = _embeddings_stream(spark, sf_dir)
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
-        key = _batch_key(batch_df, epoch_id)
-        if _epoch_applied(index_dir, key):
+        df, mark = _files_to_ingest(batch_df, index_dir, epoch_id)
+        if df is None:
             return
-        idx = random_hyperplane_lsh(batch_df)
+        idx = random_hyperplane_lsh(df)
         (idx.withColumn("epoch", F.lit(epoch_id))
             .write.mode("append").parquet(index_dir))
-        _mark_epoch(index_dir, key)
+        mark()
 
     return (stream.writeStream
             .foreachBatch(refresh)
@@ -245,12 +291,12 @@ def incremental_ivf_ingest(spark: SparkSession, sf_dir: str,
     stream = _embeddings_stream(spark, sf_dir)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        key = _batch_key(batch_df, epoch_id)
-        if _epoch_applied(index_dir, key) or batch_df.isEmpty():
+        df, mark = _files_to_ingest(batch_df, index_dir, epoch_id)
+        if df is None or df.isEmpty():
             return
-        ivf_append_partitioned(index_dir, centroids, batch_df,
+        ivf_append_partitioned(index_dir, centroids, df,
                                assign_n=assign_n)
-        _mark_epoch(index_dir, key)
+        mark()
 
     return (stream.writeStream
             .foreachBatch(ingest)
@@ -280,11 +326,11 @@ def incremental_ivfpq_ingest(spark: SparkSession, sf_dir: str,
     stream = _embeddings_stream(spark, sf_dir)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        key = _batch_key(batch_df, epoch_id)
-        if _epoch_applied(index_dir, key) or batch_df.isEmpty():
+        df, mark = _files_to_ingest(batch_df, index_dir, epoch_id)
+        if df is None or df.isEmpty():
             return
-        ivfpq_append_partitioned(index_dir, centroids, codebooks, batch_df)
-        _mark_epoch(index_dir, key)
+        ivfpq_append_partitioned(index_dir, centroids, codebooks, df)
+        mark()
 
     return (stream.writeStream
             .foreachBatch(ingest)
