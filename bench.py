@@ -238,21 +238,30 @@ def main() -> None:
     lsh_idx = {}
 
     def build_lsh():
+        # r01 scope EXACTLY: the bare hyperplane-bucket index, cached and
+        # counted. The hot-bucket refinement the build gained in r02 (it
+        # lifted recall_lsh 0.875 -> 0.934 and bounds per-probe candidates
+        # on clustered data) is its own row below — the r10 verdict's gate
+        # repair: the fused row had crept to 2.02x a baseline that never
+        # included the refine (BASELINE.md addendum, split note).
         idx = random_hyperplane_lsh(emb).cache()
-        # cent rows come back pre-collected (bounded tiny by construction).
-        # vs BENCH_r01 (0.37 s): the build now INCLUDES hot-bucket
-        # refinement, which r01 lacked — that is what lifted recall_lsh
-        # 0.875 -> 0.934 and bounded per-probe candidates on clustered data.
-        # No separate idx.count(): the refine's bucket histogram is the
-        # first action on idx and materializes the cache in the same pass;
-        # materialize=True overlaps the refined index's own count with
-        # that histogram job (round-5 verdict item 7 — serialized small
-        # jobs were the build's wall-time floor).
-        ref_idx, cent_rows = lsh_refine_hot_buckets(idx, emb, bucket_cap=1024,
-                                                    materialize=True)
-        lsh_idx["df"], lsh_idx["ref"] = idx, (ref_idx, cent_rows)
+        idx.count()
+        lsh_idx["df"] = idx
 
     bench_build("index_build_lsh", build_lsh)
+
+    def build_lsh_refined():
+        # cent rows come back pre-collected (bounded tiny by construction);
+        # materialize=True overlaps the refined index's count with the
+        # bucket histogram job (round-5 verdict item 7 — serialized small
+        # jobs were the build's wall-time floor). The histogram reads the
+        # bare row's cached index.
+        ref_idx, cent_rows = lsh_refine_hot_buckets(lsh_idx["df"], emb,
+                                                    bucket_cap=1024,
+                                                    materialize=True)
+        lsh_idx["ref"] = (ref_idx, cent_rows)
+
+    bench_build("index_build_lsh_refined", build_lsh_refined)
     cents_df = spark.createDataFrame(
         lsh_idx["ref"][1],
         "table_id int, bucket int, sub int, centroid array<double>") \
