@@ -570,3 +570,63 @@ def test_lsh_exchange_warning_at_scale(spark, sf_dir):
                    probe_budget=24).collect()
     assert not any("candidate-pair exchange" in str(w.message)
                    for w in caught)
+
+
+def test_hnsw_probe_shards_auto_policy(spark, sf_dir, exact):
+    """probe_shards='auto' (r10 verdict item 4, the LSH-cap discipline):
+    (1) at the fixture floor the resolution probes EVERY cell, so auto is
+    bit-equal to the explicit full fan-out; (2) the resolver holds the
+    calibrated probed fraction as cells grow; (3) a fixed int below the
+    fraction warns loudly, auto stays silent."""
+    import warnings
+
+    from vectordb_explorations_spark.operators.hnsw import (
+        HNSW_PROBE_FRACTION, adaptive_probe_shards)
+
+    emb, qs, ex = exact
+    # resolver geometry: floor at tiny layouts, fraction past it
+    assert adaptive_probe_shards(2) == 2
+    assert adaptive_probe_shards(4) == 4
+    assert adaptive_probe_shards(32) == 12          # the calibrated anchor
+    assert adaptive_probe_shards(320) == 120        # fraction held at 10x
+    assert adaptive_probe_shards(320) / 320 >= HNSW_PROBE_FRACTION
+
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans").cache()
+    idx.count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # auto never warns
+        a = hnsw_search(idx, qs, K, ef_search=64,
+                        probe_shards="auto").collect()
+    b = hnsw_search(idx, qs, K, ef_search=64, probe_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # floor == full
+
+
+def test_hnsw_probe_shards_low_int_warns(spark, sf_dir, exact):
+    import warnings
+
+    emb, qs, ex = exact
+    idx = hnsw_build(emb, num_shards=12, shard_by="kmeans").cache()
+    idx.count()
+    with pytest.warns(RuntimeWarning, match="probe_shards='auto'"):
+        hnsw_search(idx, qs, K, ef_search=64, probe_shards=2).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        hnsw_search(idx, qs, K, ef_search=64, probe_shards="auto").collect()
+
+
+def test_hnsw_partitioned_auto_matches_in_memory(spark, sf_dir, exact,
+                                                 tmp_path):
+    """The partitioned serving path resolves 'auto' from the SAME cell
+    population, so it stays bit-equal to the in-memory auto search."""
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_persist_partitioned, hnsw_probe_partitioned)
+
+    emb, qs, ex = exact
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans")
+    path = str(tmp_path / "hnsw_auto_part")
+    hnsw_persist_partitioned(idx, path)
+    served = hnsw_probe_partitioned(spark, path, qs, K, ef_search=64,
+                                    probe_shards="auto").collect()
+    mem = hnsw_search(idx, qs, K, ef_search=64,
+                      probe_shards="auto").collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, mem))

@@ -123,6 +123,22 @@ COMMENTARY = {
         "a per-doc struct array and the strip is a higher-order filter "
         "(JVM-side, no Python, no token-level explode); the cleaned text "
         "is audited by md5 — a pure function of the corpus."),
+    "maxsim_chunk_topk": (
+        "Multi-vector (late-interaction) MaxSim retrieval: one corpus "
+        "scan explodes chunks->tokens into exact-INTEGER signed-hash "
+        "chunk weights (one combinable (doc, chunk, dim) sum); the "
+        "literal query-term weights BROADCAST onto the shared-dim rows, "
+        "so the dot-product join is shuffle-free on the corpus side; the "
+        "per-(query, term) candidate window carries a WindowGroupLimit "
+        "(top-C pushed map-side), bounding the post-score exchange at "
+        "O(queries x terms x C); MaxSim re-scores only candidate docs "
+        "with an explicit left-to-right per-term fold."),
+    "streaming_span_admission": (
+        "Streaming span-dedup admission (foreachBatch): the declared "
+        "frame aggregates the persisted hit table — the admission work "
+        "itself runs per micro-batch as NEW x OLD fingerprint joins "
+        "against the persisted state table (never a corpus self-join), "
+        "with per-source-file idempotence markers."),
     "vocab_stats": (
         "Vocabulary heavy-hitters: explode → groupBy(token) aggregates "
         "partially map-side (zipfian head tokens never concentrate raw rows "

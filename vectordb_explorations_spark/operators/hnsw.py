@@ -592,11 +592,47 @@ def hnsw_build(vectors: DataFrame, num_shards: int = 8, m: int = 8,
     return sharded.groupBy("shard").applyInPandas(build, schema=INDEX_SCHEMA)
 
 
+# Routed-probe auto policy (r10 verdict item 4 — the same discipline as
+# the LSH bucket-cap fraction): recall at a FIXED probe count decays as
+# the cell count grows with the corpus, because each cell covers a
+# shrinking corpus fraction. The sf0.1 calibration (32 kmeans cells, 100
+# queries, recall@10 vs exact): 8 cells -> 0.864, 10 -> 0.903,
+# 12 -> 0.936, 16 -> 0.974, 20 -> 0.988. probe_shards='auto' holds the
+# PROBED-CELL FRACTION at the 12/32 operating point (the knee: ≥0.93 for
+# 37.5% of the serving work of a full fan-out), so the geometry the
+# calibration measured is preserved as shard count scales out; the floor
+# keeps tiny fixtures probing every cell.
+HNSW_PROBE_FRACTION = 12 / 32
+HNSW_PROBE_FLOOR = 4
+
+
+def adaptive_probe_shards(n_cells: int) -> int:
+    """Corpus-layout-aware probe count: never below the fixture floor
+    (capped at the cell count), growing with the cell count so the
+    probed fraction stays at the recall-calibrated operating point."""
+    return max(min(HNSW_PROBE_FLOOR, n_cells),
+               int(np.ceil(n_cells * HNSW_PROBE_FRACTION)))
+
+
+def _warn_probe_recall_risk(nn: int, n_cells: int) -> None:
+    import warnings
+    if nn < n_cells and nn < n_cells * HNSW_PROBE_FRACTION:
+        warnings.warn(
+            f"hnsw probe_shards={nn} probes {nn / n_cells:.1%} of "
+            f"{n_cells} cells — below the calibrated "
+            f"{HNSW_PROBE_FRACTION:.1%} fraction; recall decays with "
+            f"cell count at a fixed probe count (measured 0.864 at 8/32 "
+            f"vs 0.936 at the auto point, sf0.1). Pass "
+            f"probe_shards='auto' (resolves to "
+            f"{adaptive_probe_shards(n_cells)}) or accept degraded "
+            f"recall.", RuntimeWarning, stacklevel=3)
+
+
 def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
                 ef_search: int = 128,
                 qid_col: str = "query_id", qvec_col: str = "query_vec",
                 id_col: str = "vec_id",
-                probe_shards: int | None = None) -> DataFrame:
+                probe_shards: int | str | None = None) -> DataFrame:
     """Per-shard graph search + global top-k merge — SURVEY §3 entry point
     C, two stages and one shuffle of only shards×k rows per query.
 
@@ -608,7 +644,10 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
     serving work is O(n cells), not O(shards): the scale path when shard
     count grows with the corpus. Routing is a (Q, cells) NumPy argmin
     over driver-resident centroids (num_shards rows collected once); no
-    vectors move.
+    vectors move. ``probe_shards='auto'`` resolves the count from the
+    index's cell count at the calibrated probed-fraction operating point
+    (policy block above); a fixed int below that fraction emits a loud
+    RuntimeWarning instead of silently degrading.
 
     ef_search defaults to 128: at the 200k probe this lifts recall@10
     0.865 → 0.935 for <25% extra beam work (per-shard graphs are small, so
@@ -639,7 +678,11 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
                 cell_cents.append(list(key))
             cell_shards[cell_of[key]].append(int(r["shard"]))
         C = np.asarray(cell_cents, dtype=np.float64)
-        nn = min(probe_shards, len(C))
+        if probe_shards == "auto":
+            nn = min(adaptive_probe_shards(len(C)), len(C))
+        else:
+            nn = min(int(probe_shards), len(C))
+            _warn_probe_recall_risk(nn, len(C))
         d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)  # (Q, cells)
         near = np.argpartition(d2, nn - 1, axis=1)[:, :nn]
         routed = {}
@@ -705,7 +748,8 @@ def hnsw_persist_partitioned(index_df: DataFrame, path: str) -> None:
 
 
 def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
-                           ef_search: int = 128, probe_shards: int = 2,
+                           ef_search: int = 128,
+                           probe_shards: int | str = 2,
                            qid_col: str = "query_id",
                            qvec_col: str = "query_vec",
                            id_col: str = "vec_id") -> DataFrame:
@@ -732,6 +776,16 @@ def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
     C = np.asarray(list(cell_shards), dtype=np.float64)
     qrows = collect_query_batch(queries, qid_col, qvec_col)
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if probe_shards == "auto":
+        # resolve ONCE here (the inner hnsw_search re-resolves over the
+        # pruned union's cells, which is the same cell population by
+        # construction — but pass the resolved int so the risk warning
+        # cannot double-fire)
+        probe_shards = adaptive_probe_shards(len(C))
+    else:
+        # no risk-warn here: the inner hnsw_search re-routes over the
+        # same cell population and is the single warning chokepoint
+        probe_shards = int(probe_shards)
     nn = min(probe_shards, len(C))
     d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)
     near = np.argpartition(d2, nn - 1, axis=1)[:, :nn]
