@@ -541,6 +541,12 @@ def main() -> None:
         D.substring_dup_coverage(docs)))
     bench("text_stats", lambda: _force(X.text_stats(docs)))
 
+    from vectordb_explorations_spark.operators import latesim as LSIM
+    # NEW r11: multi-vector (late-interaction) MaxSim retrieval — per-chunk
+    # hashed embeddings, candidate-bounded per term (r10 verdict item 1)
+    bench("maxsim_chunk_topk",
+          lambda: _force(LSIM.maxsim_chunk_topk(docs)))
+
     li = load_table(spark, "lineitem", SF_DIR)
     bench("pricing_summary", lambda: _force(R.pricing_summary(li)))
     bench("region_revenue", lambda: _force(R.region_revenue(

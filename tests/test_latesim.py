@@ -107,3 +107,47 @@ def test_oracle_parity(spark, sf_dir):
     ok, detail = compare(LS.maxsim_chunk_topk(docs),
                          LS.maxsim_chunk_topk_oracle(), sf_dir)
     assert ok, detail
+
+
+def test_banded_maxsim_recall_and_score_fidelity(spark):
+    """The ANN-prefiltered scale path is approximate in WHICH docs it
+    scores, never in a scored doc's value: every (query, doc) it returns
+    carries the exact path's score, and recall@top vs the exact MaxSim
+    is gated (hyperplane banding over 64-dim hashed chunk embeddings;
+    recall-gated per SURVEY §0 — never hash-declared)."""
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, "documents", sf)
+    exact = LS.maxsim_chunk_topk(docs, cand_per_term=10**6).collect()
+    banded = LS.maxsim_chunk_topk_banded(docs).collect()
+    ex_scores = {(r["query_id"], r["doc_id"]): r["score"] for r in exact}
+    for r in banded:
+        key = (r["query_id"], r["doc_id"])
+        if key in ex_scores:
+            assert r["score"] == ex_scores[key], key
+    # recall of the exact top-10 per query
+    from collections import defaultdict
+    ex_top = defaultdict(set)
+    for r in exact:
+        ex_top[r["query_id"]].add(r["doc_id"])
+    bd_top = defaultdict(set)
+    for r in banded:
+        bd_top[r["query_id"]].add(r["doc_id"])
+    recalls = [len(ex_top[q] & bd_top[q]) / len(ex_top[q]) for q in ex_top]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_chunk_embeddings_are_unit_and_indexable(spark):
+    """chunk_embeddings is the (id, vector) substrate for the ANN
+    builders: unit-norm doubles, cid collision-free."""
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    ce = LS.chunk_embeddings(docs)
+    rows = ce.limit(50).collect()
+    assert rows
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(n - 1.0) < 1e-9
+        assert r["cid"] == r["doc_id"] * LS.CHUNK_ID_STRIDE + r["chunk_id"]
+    assert ce.count() == ce.select("cid").distinct().count()

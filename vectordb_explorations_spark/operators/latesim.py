@@ -273,3 +273,145 @@ SELECT query_id, doc_id, {r6('score')} AS score, rank FROM (
 ) WHERE rank <= {top}
 ORDER BY query_id, rank
 """
+
+
+# ---- the 100 TB candidate path: ANN-prefiltered MaxSim ----
+
+MAXSIM_LSH_TABLES = 8
+MAXSIM_LSH_PLANES = 6
+MAXSIM_LSH_SEED = 42
+
+
+def chunk_embeddings(docs: DataFrame,
+                     win: int = CHUNK_WIN,
+                     stride: int = CHUNK_STRIDE) -> DataFrame:
+    """(doc_id, chunk_id, cid, embedding ARRAY<DOUBLE> len HASH_DIM):
+    dense L2-normalized per-chunk vectors from the sparse chunk weights
+    (the featurize.hashed_embeddings densify, per chunk). ``cid`` packs
+    (doc_id, chunk_id) into one long so the chunk table plugs directly
+    into every (id, vector) index builder in the engine — ANN over
+    chunks is the multi-vector serving substrate. Chunks whose signs
+    fully cancel (no direction) are dropped here: an index cannot route
+    a zero vector, and MaxSim scores them 0 anyway."""
+    w = _chunk_weights(docs, win, stride)
+    dense = (w.groupBy("doc_id", "chunk_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("dim_id", "w"))).alias("m"),
+                 F.sum(F.col("w") * F.col("w")).alias("ssq")))
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(HASH_DIM - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
+                             F.lit(0).cast("long")).cast("double")
+        / F.sqrt(F.col("ssq").cast("double")))
+    return dense.select(
+        "doc_id", "chunk_id",
+        (F.col("doc_id") * F.lit(CHUNK_ID_STRIDE)
+         + F.col("chunk_id")).alias("cid"),
+        arr.alias("embedding"))
+
+
+# cid = doc_id * CHUNK_ID_STRIDE + chunk_id: supports docs up to ~32M
+# tokens (2^25 chunks) and doc_ids up to ~2^37 without collision.
+CHUNK_ID_STRIDE = 1 << 25
+
+
+def maxsim_chunk_topk_banded(docs: DataFrame,
+                             queries: tuple[tuple[int, tuple[str, ...]], ...]
+                             = MAXSIM_QUERIES,
+                             win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE,
+                             top: int = MAXSIM_TOP,
+                             num_tables: int = MAXSIM_LSH_TABLES,
+                             num_planes: int = MAXSIM_LSH_PLANES,
+                             seed: int = MAXSIM_LSH_SEED) -> DataFrame:
+    """The scale path ``maxsim_chunk_topk``'s docstring promises, made
+    concrete: candidate docs come from hyperplane-LSH bucket collisions
+    between the QUERY-TERM embeddings and the CHUNK embeddings (the
+    embedding_lsh_pairs banding shape — vectors sharing any
+    (table, bucket)), and only candidate docs are MaxSim-rescored —
+    against their FULL chunk set, so a selected doc's score is identical
+    to the exact path's (candidate selection approximates WHICH docs are
+    scored, never a score). Approximate by construction, therefore
+    recall-gated against :func:`maxsim_chunk_topk` in
+    tests/test_latesim.py, never hash-declared (SURVEY §0 discipline).
+
+    Scale shape: chunk bucketing reuses random_hyperplane_lsh's Arrow
+    GEMM kernel (narrow (cid, table, bucket) index — at 100 TB this is
+    the persisted, incrementally-appended chunk index, built once ever);
+    the term side is O(terms) rows bucketed driver-side with the same
+    plane matrix; the candidate join is keyed on (table_id, bucket) with
+    the query side broadcast, so the corpus-side exchange is the narrow
+    bucket index, never chunk vectors; rescoring pulls chunk weights for
+    candidate docs only (left-semi on doc_id). Hot buckets on clustered
+    corpora remain LSH's documented failure mode — pair with
+    lsh_refine_hot_buckets' sub-bucket splitting at scale."""
+    spark = docs.sparkSession
+    from vectordb_explorations_spark.operators.ann import (
+        _buckets_np, _hyperplanes, random_hyperplane_lsh)
+
+    ce = chunk_embeddings(docs, win, stride)
+    cb = random_hyperplane_lsh(ce, num_tables=num_tables,
+                               num_planes=num_planes, seed=seed,
+                               dim=HASH_DIM, id_col="cid",
+                               vec_col="embedding")
+
+    # term embeddings + buckets, driver-side (O(terms) work): densify the
+    # literal sparse weights, bucket with the SAME plane matrix
+    rows = _term_weight_rows(queries)
+    terms: dict[tuple[int, int], dict[int, int]] = {}
+    for qid, tid, d, wv, _ in rows:
+        terms.setdefault((qid, tid), {})[d] = wv
+    import numpy as np
+    keys = sorted(terms)
+    tmat = np.zeros((len(keys), HASH_DIM), dtype=np.float64)
+    for i, key in enumerate(keys):
+        for d, wv in terms[key].items():
+            tmat[i, d] = wv
+        tmat[i] /= np.linalg.norm(tmat[i])
+    tb = _buckets_np(tmat, _hyperplanes(num_tables, num_planes,
+                                        HASH_DIM, seed))  # (T, tables)
+    term_buckets = spark.createDataFrame(
+        [(int(keys[i][0]), int(t), int(tb[i, t]))
+         for i in range(len(keys)) for t in range(num_tables)],
+        "query_id int, table_id int, bucket int").distinct()
+
+    cands = (cb.join(F.broadcast(term_buckets), ["table_id", "bucket"])
+             .select("query_id",
+                     F.floor(F.col("cid") / F.lit(CHUNK_ID_STRIDE))
+                     .cast("long").alias("doc_id"))
+             .distinct())
+
+    qw = spark.createDataFrame(
+        rows, "query_id int, term_id int, dim_id int, wq long, qssq long")
+    cw = (_chunk_weights(docs, win, stride)
+          .join(cands.select("doc_id").distinct(), "doc_id", "left_semi"))
+    cn = (cw.groupBy("doc_id", "chunk_id")
+          .agg(F.sum(F.col("w") * F.col("w")).alias("cssq")))
+    dot = (cw.join(F.broadcast(qw), "dim_id")
+           .groupBy("query_id", "term_id", "qssq", "doc_id", "chunk_id")
+           .agg(F.sum(F.col("w") * F.col("wq")).alias("dot")))
+    sims = (dot.join(cn, ["doc_id", "chunk_id"])
+            .join(cands, ["query_id", "doc_id"], "left_semi")
+            .select("query_id", "term_id", "doc_id",
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("qssq").cast("double"))
+                        * F.sqrt(F.col("cssq").cast("double"))))
+                    .alias("sim")))
+
+    n_terms = max(len(p) for _, p in queries)
+    mx = [F.max(F.when(F.col("term_id") == t, F.col("sim"))).alias(f"mx{t}")
+          for t in range(n_terms)]
+    contrib = [F.greatest(F.coalesce(F.col(f"mx{t}"), F.lit(0.0)), F.lit(0.0))
+               for t in range(n_terms)]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    w_q = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                 "doc_id")
+    return (sims.groupBy("query_id", "doc_id")
+            .agg(*mx)
+            .select("query_id", "doc_id", score.alias("score"))
+            .withColumn("rank", F.row_number().over(w_q))
+            .where(F.col("rank") <= top)
+            .select("query_id", "doc_id", round6(F.col("score")).alias("score"),
+                    "rank")
+            .orderBy("query_id", "rank"))
