@@ -543,9 +543,22 @@ def main() -> None:
 
     from vectordb_explorations_spark.operators import latesim as LSIM
     # NEW r11: multi-vector (late-interaction) MaxSim retrieval — per-chunk
-    # hashed embeddings, candidate-bounded per term (r10 verdict item 1)
+    # hashed embeddings, candidate-bounded per term (r10 verdict item 1);
+    # the banded row is the ANN-prefiltered scale path, recall-gated
+    # against the exact MaxSim top-10 (never hash-declared)
     bench("maxsim_chunk_topk",
           lambda: _force(LSIM.maxsim_chunk_topk(docs)))
+    bench("maxsim_banded",
+          lambda: _force(LSIM.maxsim_chunk_topk_banded(docs)))
+    ms_exact = {}
+    for r in LSIM.maxsim_chunk_topk(docs).collect():
+        ms_exact.setdefault(r["query_id"], set()).add(r["doc_id"])
+    ms_band = {}
+    for r in LSIM.maxsim_chunk_topk_banded(docs).collect():
+        ms_band.setdefault(r["query_id"], set()).add(r["doc_id"])
+    extras["recall_maxsim_banded_at_10"] = round(
+        sum(len(ms_exact[q] & ms_band.get(q, set())) / len(ms_exact[q])
+            for q in ms_exact) / len(ms_exact), 4)
 
     li = load_table(spark, "lineitem", SF_DIR)
     bench("pricing_summary", lambda: _force(R.pricing_summary(li)))

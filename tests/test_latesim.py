@@ -151,3 +151,21 @@ def test_chunk_embeddings_are_unit_and_indexable(spark):
         assert abs(n - 1.0) < 1e-9
         assert r["cid"] == r["doc_id"] * LS.CHUNK_ID_STRIDE + r["chunk_id"]
     assert ce.count() == ce.select("cid").distinct().count()
+
+
+def test_persisted_substrate_matches_in_memory_banded(spark, tmp_path):
+    """maxsim_banded_persisted serves from the persisted weights+index
+    and must be bit-equal to the in-memory banded face (same planes,
+    same candidates, same scorer); the index read must partition-prune
+    to the term buckets."""
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    base = str(tmp_path / "maxsim_substrate")
+    LS.maxsim_persist(docs, base)
+    served = LS.maxsim_banded_persisted(spark, base)
+    mem = LS.maxsim_chunk_topk_banded(docs)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, mem.collect()))
+    # the bucket filter reaches the file listing (partition pruning)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "table_id" in plan

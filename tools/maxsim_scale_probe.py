@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""MaxSim scale probe: late-interaction retrieval measured at corpus
+sizes far past the 5k-doc fixture, with PLANTED relevance of known
+structure so the outputs are checkable, not just timeable.
+
+Generator (deterministic, no RNG): N docs x 50 six-char md5 gibberish
+words; docs 0..2 are each overwritten with EXACTLY query q's three
+phrases — the pure-mixture geometry: cos(term, planted chunk) = 1/sqrt(3)
+per term, total score ~1.73, far above the max-order statistics of
+gibberish chunks (a random chunk needs three SIMULTANEOUS ~0.58
+alignments — P ~ 1e-9/doc). The EXACT path must rank the planted doc
+top-1 for every query at every N (hard assert). The banded path is
+approximate BY DECLARATION (a 3-phrase mixture sits 54.7 degrees from
+each term, so per-table hyperplane collision is ~11%, ~62% per term
+across 8 tables, ~95% per query across 3 terms): its planted recovery is
+REPORTED and gated at >= 2 of 3 queries — the same recall-not-hash
+discipline the engine applies to every ANN face (SURVEY §0). Walls for
+both paths are recorded side by side: the banded candidate pruning is
+exactly what the exact path's docstring defers to at 100 TB.
+
+    python tools/maxsim_scale_probe.py [N ...]   # default 100k 1M
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZES = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+N_WORDS = 50
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.operators.latesim import (
+        MAXSIM_QUERIES, maxsim_banded_persisted, maxsim_chunk_topk,
+        maxsim_chunk_topk_banded, maxsim_persist)
+    from vectordb_explorations_spark.session import get_spark
+
+    spark = get_spark(app_name="maxsim-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    planted = {qid: " ".join(phrases) for qid, phrases in MAXSIM_QUERIES}
+
+    def gen(n: int):
+        path = f"/tmp/maxsim_probe_docs_{n}"
+        if not os.path.exists(path):
+            words = (f"array_join(transform(sequence(0, {N_WORDS - 1}), "
+                     f"i -> substr(md5(concat(id, '_', i)), 1, 6)), ' ')")
+            text = F.expr(words)
+            for qid, t in sorted(planted.items()):
+                text = F.when(F.col("id") == qid, F.lit(t)).otherwise(text)
+            (spark.range(n)
+             .select(F.col("id").alias("doc_id"), text.alias("text"),
+                     F.lit("en").alias("lang"), F.lit("probe").alias("source"),
+                     F.length(text).alias("n_chars"))
+             .repartition(32)
+             .write.mode("overwrite").parquet(path))
+        return spark.read.parquet(path).cache()
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    for n in SIZES:
+        docs = gen(n)
+        docs.count()
+        for label, fn in (("exact", maxsim_chunk_topk),
+                          ("banded", maxsim_chunk_topk_banded)):
+            t0 = time.time()
+            top = fn(docs).collect()
+            wall = round(time.time() - t0, 2)
+            winners = {r["query_id"]: r["doc_id"]
+                       for r in top if r["rank"] == 1}
+            hits = sum(winners.get(qid) == qid for qid, _ in MAXSIM_QUERIES)
+            print(f"[probe] N={n:,} {label}: wall={wall}s planted-top1 "
+                  f"{hits}/{len(MAXSIM_QUERIES)} ({winners})", flush=True)
+            if label == "exact":
+                assert hits == len(MAXSIM_QUERIES), (n, winners)
+            else:
+                assert hits >= 2, (n, winners)  # recall-gated ANN face
+
+        # the production shape: substrate persisted ONCE, then served —
+        # banding only pays here (module docstring measurement)
+        base = f"/tmp/maxsim_probe_substrate_{n}"
+        t0 = time.time()
+        maxsim_persist(docs, base)
+        build = round(time.time() - t0, 2)
+        t0 = time.time()
+        top = maxsim_banded_persisted(spark, base).collect()
+        serve = round(time.time() - t0, 2)
+        winners = {r["query_id"]: r["doc_id"] for r in top if r["rank"] == 1}
+        hits = sum(winners.get(qid) == qid for qid, _ in MAXSIM_QUERIES)
+        print(f"[probe] N={n:,} persisted: build={build}s serve={serve}s "
+              f"planted-top1 {hits}/{len(MAXSIM_QUERIES)}", flush=True)
+        assert hits >= 2, (n, winners)
+        docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()

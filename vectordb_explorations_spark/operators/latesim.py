@@ -148,22 +148,39 @@ def maxsim_chunk_topk(docs: DataFrame,
     term with no shared-dim chunk (or only negative sims) contributing
     0.0 (cos vs an orthogonal chunk) -> top-``top`` docs per query by
     (score desc, doc_id)."""
-    spark = docs.sparkSession
+    return _maxsim_from_weights(
+        docs.sparkSession, _chunk_weights(docs, win, stride), queries,
+        cand_per_term=cand_per_term, top=top)
+
+
+def _maxsim_from_weights(spark, cw_raw: DataFrame,
+                         queries: tuple[tuple[int, tuple[str, ...]], ...],
+                         cands: DataFrame | None = None,
+                         cand_per_term: int = CAND_PER_TERM,
+                         top: int = MAXSIM_TOP) -> DataFrame:
+    """The scoring half, shared by every MaxSim face (exact, banded,
+    persisted-substrate): takes the (doc_id, chunk_id, dim_id, w) weights
+    frame and either a candidate (query_id, doc_id) frame (ANN-prefilter
+    faces) or a per-term rank-window bound (exact face).
+
+    cssq rides a window over the SAME grouped frame instead of a second
+    groupBy + join: the join shape re-scanned the whole chunk-weight
+    subtree (tokenize + explode + md5 — the corpus scan is the
+    expensive stage; the _duplicated_windows lesson). Like-for-like
+    A/B at sf0.1: ~1.98 s (join) vs ~1.75 s (window) median-of-3; the
+    structural win is ONE corpus scan instead of two, which is what
+    matters at 100 TB. cssq is constant per (doc, chunk), so it rides
+    the dot groupBy as a KEY."""
     qw = spark.createDataFrame(
         _term_weight_rows(queries),
         "query_id int, term_id int, dim_id int, wq long, qssq long")
 
-    # cssq rides a window over the SAME grouped frame instead of a second
-    # groupBy + join: the join shape re-scanned the whole chunk-weight
-    # subtree (tokenize + explode + md5 — the corpus scan is the
-    # expensive stage; the _duplicated_windows lesson). Like-for-like
-    # A/B at sf0.1: ~1.98 s (join) vs ~1.75 s (window) median-of-3; the
-    # structural win is ONE corpus scan instead of two, which is what
-    # matters at 100 TB. cssq is constant per (doc, chunk), so it rides
-    # the dot groupBy as a KEY.
+    if cands is not None:
+        cw_raw = cw_raw.join(cands.select("doc_id").distinct(),
+                             "doc_id", "left_semi")
     w_chunk = Window.partitionBy("doc_id", "chunk_id")
-    cw = (_chunk_weights(docs, win, stride)
-          .withColumn("cssq", F.sum(F.col("w") * F.col("w")).over(w_chunk)))
+    cw = cw_raw.withColumn("cssq",
+                           F.sum(F.col("w") * F.col("w")).over(w_chunk))
 
     dot = (cw.join(F.broadcast(qw), "dim_id")
            .groupBy("query_id", "term_id", "qssq",
@@ -176,12 +193,13 @@ def maxsim_chunk_topk(docs: DataFrame,
                         * F.sqrt(F.col("cssq").cast("double"))))
                     .alias("sim")))
 
-    w_term = (Window.partitionBy("query_id", "term_id")
-              .orderBy(F.col("sim").desc(), "doc_id", "chunk_id"))
-    cands = (sims
-             .withColumn("rk", F.row_number().over(w_term))
-             .where(F.col("rk") <= cand_per_term)
-             .select("query_id", "doc_id").distinct())
+    if cands is None:
+        w_term = (Window.partitionBy("query_id", "term_id")
+                  .orderBy(F.col("sim").desc(), "doc_id", "chunk_id"))
+        cands = (sims
+                 .withColumn("rk", F.row_number().over(w_term))
+                 .where(F.col("rk") <= cand_per_term)
+                 .select("query_id", "doc_id").distinct())
 
     n_terms = max(len(p) for _, p in queries)
     mx = [F.max(F.when(F.col("term_id") == t, F.col("sim"))).alias(f"mx{t}")
@@ -343,33 +361,55 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
     recall-gated against :func:`maxsim_chunk_topk` in
     tests/test_latesim.py, never hash-declared (SURVEY §0 discipline).
 
-    Scale shape: chunk bucketing reuses random_hyperplane_lsh's Arrow
-    GEMM kernel (narrow (cid, table, bucket) index — at 100 TB this is
-    the persisted, incrementally-appended chunk index, built once ever);
-    the term side is O(terms) rows bucketed driver-side with the same
-    plane matrix; the candidate join is keyed on (table_id, bucket) with
-    the query side broadcast, so the corpus-side exchange is the narrow
-    bucket index, never chunk vectors; rescoring pulls chunk weights for
-    candidate docs only (left-semi on doc_id). Hot buckets on clustered
+    Scale shape — with one honest measurement attached: this face
+    RECOMPUTES the chunk index and chunk weights from raw text per call,
+    so banding cannot beat the exact face here (1M-doc ladder,
+    tools/maxsim_scale_probe.py: exact 30 s vs recomputed-banded 245 s —
+    the densify + GEMM + second weight pass dwarf the exact face's one
+    broadcast-dot scan). Banding pays when the substrate is PERSISTED
+    and built once: :func:`maxsim_persist` writes the chunk-weight table
+    and the (table_id, bucket)-partitioned chunk index (166 s once at
+    1M), and :func:`maxsim_banded_persisted` serves from them with the
+    bucket lookups partition-PRUNED at the file listing and zero
+    re-tokenize — 12.2 s per batch at 1M, 2.4x the exact face
+    (SCALE_NOTES r11). Hot buckets on clustered
     corpora remain LSH's documented failure mode — pair with
     lsh_refine_hot_buckets' sub-bucket splitting at scale."""
     spark = docs.sparkSession
     from vectordb_explorations_spark.operators.ann import (
-        _buckets_np, _hyperplanes, random_hyperplane_lsh)
+        random_hyperplane_lsh)
 
     ce = chunk_embeddings(docs, win, stride)
     cb = random_hyperplane_lsh(ce, num_tables=num_tables,
                                num_planes=num_planes, seed=seed,
                                dim=HASH_DIM, id_col="cid",
                                vec_col="embedding")
+    term_buckets = _term_bucket_df(spark, queries, num_tables,
+                                   num_planes, seed)
+    cands = (cb.join(F.broadcast(term_buckets), ["table_id", "bucket"])
+             .select("query_id",
+                     F.floor(F.col("cid") / F.lit(CHUNK_ID_STRIDE))
+                     .cast("long").alias("doc_id"))
+             .distinct())
+    return _maxsim_from_weights(spark, _chunk_weights(docs, win, stride),
+                                queries, cands=cands, top=top)
 
-    # term embeddings + buckets, driver-side (O(terms) work): densify the
-    # literal sparse weights, bucket with the SAME plane matrix
+
+def _term_bucket_df(spark, queries, num_tables: int, num_planes: int,
+                    seed: int) -> DataFrame:
+    """(query_id, table_id, bucket) for every query term — term
+    embeddings densified and hyperplane-bucketed DRIVER-SIDE with the
+    SAME plane matrix and GEMM kernel the chunk index uses (O(terms)
+    work, broadcast onto the index)."""
+    import numpy as np
+
+    from vectordb_explorations_spark.operators.ann import (
+        _buckets_np, _hyperplanes)
+
     rows = _term_weight_rows(queries)
     terms: dict[tuple[int, int], dict[int, int]] = {}
     for qid, tid, d, wv, _ in rows:
         terms.setdefault((qid, tid), {})[d] = wv
-    import numpy as np
     keys = sorted(terms)
     tmat = np.zeros((len(keys), HASH_DIM), dtype=np.float64)
     for i, key in enumerate(keys):
@@ -378,51 +418,75 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
         tmat[i] /= np.linalg.norm(tmat[i])
     tb = _buckets_np(tmat, _hyperplanes(num_tables, num_planes,
                                         HASH_DIM, seed))  # (T, tables)
-    term_buckets = spark.createDataFrame(
+    return spark.createDataFrame(
         [(int(keys[i][0]), int(t), int(tb[i, t]))
          for i in range(len(keys)) for t in range(num_tables)],
         "query_id int, table_id int, bucket int").distinct()
 
-    cands = (cb.join(F.broadcast(term_buckets), ["table_id", "bucket"])
+
+def maxsim_persist(docs: DataFrame, base_dir: str,
+                   win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE,
+                   num_tables: int = MAXSIM_LSH_TABLES,
+                   num_planes: int = MAXSIM_LSH_PLANES,
+                   seed: int = MAXSIM_LSH_SEED) -> None:
+    """Build + persist the multi-vector serving substrate ONCE — the
+    shape that makes banding actually pay (module-level measurement in
+    maxsim_chunk_topk_banded's docstring):
+
+    - ``base_dir/weights``: the (doc_id, chunk_id, dim_id, w) chunk
+      weight table — serving never re-tokenizes the corpus;
+    - ``base_dir/index``: the hyperplane chunk index, hive-partitioned
+      by (table_id, bucket) so a query's term-bucket lookups prune at
+      the FILE LISTING (PartitionFilters — the ivf/hnsw partitioned
+      serving discipline), reading O(terms x tables) bucket directories
+      regardless of corpus size.
+
+    Incremental maintenance: both artifacts are plain engine tables —
+    append new docs' weights and bucket rows per batch (the
+    _files_to_ingest foreachBatch pattern); the plane matrix is seeded,
+    so appended chunks bucket consistently."""
+    from vectordb_explorations_spark.operators.ann import (
+        random_hyperplane_lsh)
+
+    cw = _chunk_weights(docs, win, stride)
+    cw.write.mode("overwrite").parquet(f"{base_dir}/weights")
+    ce = chunk_embeddings(docs, win, stride)
+    (random_hyperplane_lsh(ce, num_tables=num_tables,
+                           num_planes=num_planes, seed=seed,
+                           dim=HASH_DIM, id_col="cid",
+                           vec_col="embedding")
+     .write.mode("overwrite").partitionBy("table_id", "bucket")
+     .parquet(f"{base_dir}/index"))
+
+
+def maxsim_banded_persisted(spark, base_dir: str,
+                            queries: tuple[tuple[int, tuple[str, ...]], ...]
+                            = MAXSIM_QUERIES,
+                            top: int = MAXSIM_TOP,
+                            num_tables: int = MAXSIM_LSH_TABLES,
+                            num_planes: int = MAXSIM_LSH_PLANES,
+                            seed: int = MAXSIM_LSH_SEED) -> DataFrame:
+    """Serve banded MaxSim from the persisted substrate: term buckets
+    resolve driver-side, the chunk-index read carries a
+    (table_id, bucket) filter that PRUNES unprobed bucket directories at
+    the file listing, candidates semi-join the persisted weight table
+    (columnar ints — no tokenize, no md5), and the shared scorer
+    finishes. Identical scores to the exact face for every returned doc
+    (pinned in tests); recall-gated like every ANN face."""
+    term_buckets = _term_bucket_df(spark, queries, num_tables,
+                                   num_planes, seed)
+    pairs = {(r["table_id"], r["bucket"])
+             for r in term_buckets.collect()}
+    idx = spark.read.parquet(f"{base_dir}/index")
+    pred = None
+    for t, b in sorted(pairs):
+        leg = (F.col("table_id") == t) & (F.col("bucket") == b)
+        pred = leg if pred is None else (pred | leg)
+    cands = (idx.where(pred)
+             .join(F.broadcast(term_buckets), ["table_id", "bucket"])
              .select("query_id",
                      F.floor(F.col("cid") / F.lit(CHUNK_ID_STRIDE))
                      .cast("long").alias("doc_id"))
              .distinct())
-
-    qw = spark.createDataFrame(
-        rows, "query_id int, term_id int, dim_id int, wq long, qssq long")
-    # same one-subtree shape as the exact path: cssq as a window over the
-    # candidate-pruned chunk weights, no second corpus scan
-    w_chunk = Window.partitionBy("doc_id", "chunk_id")
-    cw = (_chunk_weights(docs, win, stride)
-          .join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
-          .withColumn("cssq", F.sum(F.col("w") * F.col("w")).over(w_chunk)))
-    dot = (cw.join(F.broadcast(qw), "dim_id")
-           .groupBy("query_id", "term_id", "qssq",
-                    "doc_id", "chunk_id", "cssq")
-           .agg(F.sum(F.col("w") * F.col("wq")).alias("dot")))
-    sims = (dot.join(cands, ["query_id", "doc_id"], "left_semi")
-            .select("query_id", "term_id", "doc_id",
-                    (F.col("dot").cast("double")
-                     / (F.sqrt(F.col("qssq").cast("double"))
-                        * F.sqrt(F.col("cssq").cast("double"))))
-                    .alias("sim")))
-
-    n_terms = max(len(p) for _, p in queries)
-    mx = [F.max(F.when(F.col("term_id") == t, F.col("sim"))).alias(f"mx{t}")
-          for t in range(n_terms)]
-    contrib = [F.greatest(F.coalesce(F.col(f"mx{t}"), F.lit(0.0)), F.lit(0.0))
-               for t in range(n_terms)]
-    score = contrib[0]
-    for c in contrib[1:]:
-        score = score + c
-    w_q = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                                 "doc_id")
-    return (sims.groupBy("query_id", "doc_id")
-            .agg(*mx)
-            .select("query_id", "doc_id", score.alias("score"))
-            .withColumn("rank", F.row_number().over(w_q))
-            .where(F.col("rank") <= top)
-            .select("query_id", "doc_id", round6(F.col("score")).alias("score"),
-                    "rank")
-            .orderBy("query_id", "rank"))
+    cw = spark.read.parquet(f"{base_dir}/weights")
+    return _maxsim_from_weights(spark, cw, queries, cands=cands, top=top)
