@@ -169,3 +169,28 @@ def test_persisted_substrate_matches_in_memory_banded(spark, tmp_path):
     # the bucket filter reaches the file listing (partition pruning)
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "table_id" in plan
+
+
+def test_cand_per_term_auto_policy(spark, sf_dir):
+    """cand_per_term='auto' (the LSH-cap / HNSW-fraction discipline):
+    the resolver floors at the calibrated 200 and holds the 0.4%
+    fraction past it; auto is bit-equal to the explicitly resolved int;
+    a fixed int below the fraction warns, auto never does. Calibration:
+    cap=50 recall vs unbounded MaxSim decayed 0.967 (5k docs) -> 0.600
+    (50k docs); cap=200 held 1.000 at both."""
+    import warnings
+
+    docs = load_table(spark, "documents", sf_dir)
+    assert LS.adaptive_cand_per_term(5_000) == 200
+    assert LS.adaptive_cand_per_term(50_000) >= 200
+    assert LS.adaptive_cand_per_term(1_000_000) == 4000
+    n = docs.count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # auto never warns
+        auto = LS.maxsim_chunk_topk(docs, corpus_n=n).collect()
+    explicit = LS.maxsim_chunk_topk(
+        docs, cand_per_term=LS.adaptive_cand_per_term(n),
+        corpus_n=n).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    with pytest.warns(RuntimeWarning, match="cand_per_term='auto'"):
+        LS.maxsim_chunk_topk(docs, cand_per_term=3, corpus_n=50_000)

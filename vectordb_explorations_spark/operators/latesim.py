@@ -68,8 +68,42 @@ MAXSIM_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
     (2, ("slow filter", "fast key", "dup table")),
 )
 TERMS_PER_QUERY = 3
-CAND_PER_TERM = 50   # per-(query, term) chunk candidates admitted to rescoring
 MAXSIM_TOP = 10
+
+# Candidate-bound auto policy (the LSH bucket-cap / HNSW probe-fraction
+# discipline): a FIXED per-term chunk-candidate cap decays as the corpus
+# grows — more chunks compete for the same top-C slots, and docs whose
+# per-chunk sims are individually modest but SUM high across terms fall
+# out. Measured recall@10 of the bounded face vs the unbounded MaxSim:
+# cap=50 -> 0.967 at 5k docs, 0.600 at 50k docs; cap=200 -> 1.000 at
+# BOTH. 'auto' holds the candidate FRACTION at the 200/50k = 0.4%
+# operating point with the 200 floor, so the geometry the calibration
+# measured is preserved as the corpus scales.
+CAND_PER_TERM = "auto"
+MAXSIM_CAND_FLOOR = 200
+MAXSIM_CAND_FRACTION = 200 / 50_000
+
+
+def adaptive_cand_per_term(n_docs: int) -> int:
+    """Corpus-size-aware per-term candidate cap: never below the
+    calibrated floor, growing linearly past floor/fraction docs."""
+    import math
+    return max(MAXSIM_CAND_FLOOR,
+               int(math.ceil(n_docs * MAXSIM_CAND_FRACTION)))
+
+
+def _warn_cand_recall_risk(cap: int, n_docs: int) -> None:
+    import warnings
+    if n_docs > 0 and cap < n_docs * MAXSIM_CAND_FRACTION:
+        warnings.warn(
+            f"maxsim cand_per_term={cap} is below the calibrated "
+            f"{MAXSIM_CAND_FRACTION:.2%} candidate fraction at "
+            f"N={n_docs:,} docs — the bounded face's recall vs unbounded "
+            f"MaxSim decays with N at a fixed cap (measured 0.967 -> "
+            f"0.600 from 5k to 50k docs at cap=50). Pass "
+            f"cand_per_term='auto' (resolves to "
+            f"{adaptive_cand_per_term(n_docs)}) or accept degraded "
+            f"recall.", RuntimeWarning, stacklevel=3)
 
 
 def _hash_tok(tok: str) -> tuple[int, int]:
@@ -134,8 +168,9 @@ def maxsim_chunk_topk(docs: DataFrame,
                       queries: tuple[tuple[int, tuple[str, ...]], ...]
                       = MAXSIM_QUERIES,
                       win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE,
-                      cand_per_term: int = CAND_PER_TERM,
-                      top: int = MAXSIM_TOP) -> DataFrame:
+                      cand_per_term: int | str = CAND_PER_TERM,
+                      top: int = MAXSIM_TOP,
+                      corpus_n: int | None = None) -> DataFrame:
     """Late-interaction top-k: (query_id, doc_id, score, rank).
 
     Stages: chunk weights (one corpus scan) -> broadcast the literal
@@ -147,16 +182,28 @@ def maxsim_chunk_topk(docs: DataFrame,
     docs only, summed over terms with an explicit left-to-right fold, a
     term with no shared-dim chunk (or only negative sims) contributing
     0.0 (cos vs an orthogonal chunk) -> top-``top`` docs per query by
-    (score desc, doc_id)."""
+    (score desc, doc_id).
+
+    ``cand_per_term='auto'`` (default) resolves the bound from the
+    corpus size at the calibrated candidate fraction (policy block at
+    the top of the module); pass ``corpus_n`` (metadata the caller
+    already holds) to make the resolution job-free — the count fallback
+    is paid only by callers that never measured N. A fixed int below the
+    fraction warns instead of silently degrading."""
+    n = corpus_n if corpus_n is not None else docs.count()
+    if cand_per_term == "auto":
+        cand_per_term = adaptive_cand_per_term(n)
+    else:
+        _warn_cand_recall_risk(int(cand_per_term), n)
     return _maxsim_from_weights(
         docs.sparkSession, _chunk_weights(docs, win, stride), queries,
-        cand_per_term=cand_per_term, top=top)
+        cand_per_term=int(cand_per_term), top=top)
 
 
 def _maxsim_from_weights(spark, cw_raw: DataFrame,
                          queries: tuple[tuple[int, tuple[str, ...]], ...],
                          cands: DataFrame | None = None,
-                         cand_per_term: int = CAND_PER_TERM,
+                         cand_per_term: int = MAXSIM_CAND_FLOOR,
                          top: int = MAXSIM_TOP) -> DataFrame:
     """The scoring half, shared by every MaxSim face (exact, banded,
     persisted-substrate): takes the (doc_id, chunk_id, dim_id, w) weights
@@ -226,11 +273,18 @@ def _maxsim_from_weights(spark, cw_raw: DataFrame,
 def maxsim_chunk_topk_oracle(
         queries: tuple[tuple[int, tuple[str, ...]], ...] = MAXSIM_QUERIES,
         win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE,
-        cand_per_term: int = CAND_PER_TERM,
+        cand_per_term: int | str = CAND_PER_TERM,
         top: int = MAXSIM_TOP) -> str:
     """DuckDB twin sharing the chunking CTEs (the doc_chunks_oracle
     slicing over the shared-tokenizer list) and the literal term weights
-    (the same _term_weight_rows the Spark side inlines)."""
+    (the same _term_weight_rows the Spark side inlines).
+    ``cand_per_term='auto'`` resolves the SAME floor/fraction policy the
+    Spark side uses, as a scalar subquery over the corpus — both engines
+    derive the identical cap from the identical count."""
+    if cand_per_term == "auto":
+        cand_per_term = (
+            f"(SELECT greatest({MAXSIM_CAND_FLOOR}, CAST(ceil(count(*) * "
+            f"{MAXSIM_CAND_FRACTION!r}) AS BIGINT)) FROM documents)")
     qw_rows = ", ".join(f"({q}, {t}, {d}, {w}, {s})"
                         for q, t, d, w, s in _term_weight_rows(queries))
     toks = TOKENS_SQL.format(col="text")
@@ -395,12 +449,27 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
                                 queries, cands=cands, top=top)
 
 
+MAXSIM_TERM_PROBE_BITS = 1
+
+
 def _term_bucket_df(spark, queries, num_tables: int, num_planes: int,
-                    seed: int) -> DataFrame:
+                    seed: int,
+                    probe_bits: int = MAXSIM_TERM_PROBE_BITS) -> DataFrame:
     """(query_id, table_id, bucket) for every query term — term
     embeddings densified and hyperplane-bucketed DRIVER-SIDE with the
     SAME plane matrix and GEMM kernel the chunk index uses (O(terms)
-    work, broadcast onto the index)."""
+    work, broadcast onto the index).
+
+    ``probe_bits=1`` (default) also probes every 1-bit-flip neighbor
+    bucket — the Lv et al. multiprobe the LSH serving family already
+    uses, applied on the TERM side where it costs O(terms x tables x
+    planes) driver rows, nothing corpus-side. The physics: a natural
+    chunk sits 60-75 degrees from a 2-token term (a chunk is a ~30-token
+    mixture), where exact-bucket collision across 8x6-plane tables is
+    ~35-60% — measured recall@10 vs the exact face at sf0.1 was 0.60;
+    the 1-bit ring lifts per-table collision to P(hamming<=1) and
+    measured recall to 0.90 for a ~4x candidate pool (SCALE_NOTES r11).
+    probe_bits=0 restores exact-bucket probing."""
     import numpy as np
 
     from vectordb_explorations_spark.operators.ann import (
@@ -418,10 +487,17 @@ def _term_bucket_df(spark, queries, num_tables: int, num_planes: int,
         tmat[i] /= np.linalg.norm(tmat[i])
     tb = _buckets_np(tmat, _hyperplanes(num_tables, num_planes,
                                         HASH_DIM, seed))  # (T, tables)
+    out = []
+    for i in range(len(keys)):
+        qid = int(keys[i][0])
+        for t in range(num_tables):
+            base = int(tb[i, t])
+            out.append((qid, t, base))
+            if probe_bits >= 1:
+                out.extend((qid, t, base ^ (1 << b))
+                           for b in range(num_planes))
     return spark.createDataFrame(
-        [(int(keys[i][0]), int(t), int(tb[i, t]))
-         for i in range(len(keys)) for t in range(num_tables)],
-        "query_id int, table_id int, bucket int").distinct()
+        out, "query_id int, table_id int, bucket int").distinct()
 
 
 def maxsim_persist(docs: DataFrame, base_dir: str,
@@ -478,10 +554,17 @@ def maxsim_banded_persisted(spark, base_dir: str,
     pairs = {(r["table_id"], r["bucket"])
              for r in term_buckets.collect()}
     idx = spark.read.parquet(f"{base_dir}/index")
-    pred = None
-    for t, b in sorted(pairs):
-        leg = (F.col("table_id") == t) & (F.col("bucket") == b)
-        pred = leg if pred is None else (pred | leg)
+    # ONE isin on a packed (table, bucket) key, not an OR-chain — with
+    # term-side multiprobe the chain is terms x tables x (planes+1) legs
+    # and overflows Catalyst's column-tree conversion (measured
+    # StackOverflowError at 504 legs); the per-column isin conjuncts are
+    # what the file listing prunes on (PartitionFilters), the packed key
+    # keeps the probe exact within the pruned rectangles.
+    pack = 1 << num_planes
+    pred = (F.col("table_id").isin(sorted({t for t, _ in pairs}))
+            & F.col("bucket").isin(sorted({b for _, b in pairs}))
+            & (F.col("table_id") * pack + F.col("bucket")).isin(
+                sorted(t * pack + b for t, b in pairs)))
     cands = (idx.where(pred)
              .join(F.broadcast(term_buckets), ["table_id", "bucket"])
              .select("query_id",
