@@ -418,15 +418,16 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
     Scale shape — with one honest measurement attached: this face
     RECOMPUTES the chunk index and chunk weights from raw text per call,
     so banding cannot beat the exact face here (1M-doc ladder,
-    tools/maxsim_scale_probe.py: exact 30 s vs recomputed-banded 245 s —
+    tools/maxsim_scale_probe.py: exact 26 s vs recomputed-banded 216 s —
     the densify + GEMM + second weight pass dwarf the exact face's one
     broadcast-dot scan). Banding pays when the substrate is PERSISTED
     and built once: :func:`maxsim_persist` writes the chunk-weight table
-    and the (table_id, bucket)-partitioned chunk index (166 s once at
+    and the (table_id, bucket)-partitioned chunk index (124 s once at
     1M), and :func:`maxsim_banded_persisted` serves from them with the
     bucket lookups partition-PRUNED at the file listing and zero
-    re-tokenize — 12.2 s per batch at 1M, 2.4x the exact face
-    (SCALE_NOTES r11). Hot buckets on clustered
+    re-tokenize — 18 s per batch at 1M, 1.5x the exact face, with the
+    pruned read corpus-size-independent (SCALE_NOTES r11). Hot buckets
+    on clustered
     corpora remain LSH's documented failure mode — pair with
     lsh_refine_hot_buckets' sub-bucket splitting at scale."""
     spark = docs.sparkSession
