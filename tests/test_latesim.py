@@ -8,6 +8,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -194,3 +195,31 @@ def test_cand_per_term_auto_policy(spark, sf_dir):
     assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
     with pytest.warns(RuntimeWarning, match="cand_per_term='auto'"):
         LS.maxsim_chunk_topk(docs, cand_per_term=3, corpus_n=50_000)
+
+
+def test_chunk_embeddings_feed_the_ann_families(spark):
+    """chunk_embeddings' (cid, embedding) contract composes with the
+    engine's index builders unchanged — multi-vector retrieval can ride
+    ANY family, not just the hyperplane index: kmeans-sharded HNSW
+    builds over chunks and a chunk queried by its own vector returns
+    itself at distance 0."""
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_build, hnsw_search)
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    ce = (LS.chunk_embeddings(docs)
+          .select(F.col("cid").alias("vec_id"),
+                  F.col("embedding").cast("array<float>").alias("embedding"))
+          .cache())
+    n = ce.count()
+    assert n > 0
+    idx = hnsw_build(ce, num_shards=4, shard_by="kmeans")
+    probe = ce.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"))
+    hits = hnsw_search(idx, probe, 3, probe_shards="auto").collect()
+    top1 = {r["query_id"]: (r["vec_id"], r["dist"]) for r in hits
+            if r["rank"] == 1}
+    for qid, (vid, dist) in top1.items():
+        assert dist == 0.0
