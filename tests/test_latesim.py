@@ -223,3 +223,51 @@ def test_chunk_embeddings_feed_the_ann_families(spark):
             if r["rank"] == 1}
     for qid, (vid, dist) in top1.items():
         assert dist == 0.0
+
+
+def test_query_from_text_wrapper():
+    qs = LS.maxsim_query_from_text(["Vector Scan hash JOIN merge",
+                                    "one"])
+    assert qs == ((0, ("vector scan", "hash join", "merge")),
+                  (1, ("one",)))
+    with pytest.raises(ValueError):
+        LS.maxsim_query_from_text([""])
+
+
+def test_streaming_substrate_append_matches_rebuild(spark, tmp_path):
+    """The multi-vector lifecycle closes: build the substrate from the
+    first half of the corpus, stream the second half in
+    (maxsim_append_ingest), and serving from the appended substrate is
+    bit-equal to a full rebuild over everything — seeded planes bucket
+    appended chunks consistently, dynamic partition append touches only
+    collided bucket dirs. A replay of the same files is a no-op."""
+    from vectordb_explorations_spark.streaming.events import await_drained
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    half = docs.agg(F.floor(F.max("doc_id") / 2)).first()[0]
+    base = str(tmp_path / "sub_appended")
+    LS.maxsim_persist(docs.where(F.col("doc_id") <= half), base)
+
+    src = tmp_path / "new_docs"
+    (docs.where(F.col("doc_id") > half).coalesce(1)
+     .write.parquet(str(src / "batch.parquet")))
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src) + "/*.parquet"))
+
+    await_drained(LS.maxsim_append_ingest(spark, stream(), base))
+    served = sorted(map(tuple,
+                        LS.maxsim_banded_persisted(spark, base).collect()))
+
+    full = str(tmp_path / "sub_full")
+    LS.maxsim_persist(docs, full)
+    rebuilt = sorted(map(tuple,
+                         LS.maxsim_banded_persisted(spark, full).collect()))
+    assert served == rebuilt
+
+    before = spark.read.parquet(f"{base}/weights").count()
+    await_drained(LS.maxsim_append_ingest(spark, stream(), base))  # replay
+    assert spark.read.parquet(f"{base}/weights").count() == before

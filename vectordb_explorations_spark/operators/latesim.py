@@ -574,3 +574,66 @@ def maxsim_banded_persisted(spark, base_dir: str,
              .distinct())
     cw = spark.read.parquet(f"{base_dir}/weights")
     return _maxsim_from_weights(spark, cw, queries, cands=cands, top=top)
+
+
+def maxsim_query_from_text(texts: "list[str] | tuple[str, ...]",
+                           phrase_len: int = 2
+                           ) -> tuple[tuple[int, tuple[str, ...]], ...]:
+    """Turn free query text into the (query_id, phrases) shape every
+    MaxSim face consumes: shared-tokenizer tokens grouped into
+    ``phrase_len``-gram late-interaction terms (the last phrase may be
+    short). The fixed MAXSIM_QUERIES literals are the hash-checked
+    declared face; this is the serving-API door for arbitrary text —
+    maxsim_chunk_topk(docs, queries=maxsim_query_from_text([...]))."""
+    out = []
+    for qid, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]
+        phrases = tuple(" ".join(toks[i:i + phrase_len])
+                        for i in range(0, len(toks), phrase_len))
+        if not phrases:
+            raise ValueError(f"query {qid} has no tokens")
+        out.append((qid, phrases))
+    return tuple(out)
+
+
+def maxsim_append_ingest(spark, docs_stream: DataFrame, base_dir: str,
+                         win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE,
+                         num_tables: int = MAXSIM_LSH_TABLES,
+                         num_planes: int = MAXSIM_LSH_PLANES,
+                         seed: int = MAXSIM_LSH_SEED) -> "object":
+    """Streaming maintenance of the persisted multi-vector substrate —
+    the maxsim_persist docstring's append contract made real: each
+    micro-batch of new documents appends its chunk weights to
+    ``base_dir/weights`` and its hyperplane bucket rows into the
+    (table_id, bucket)-partitioned ``base_dir/index`` (dynamic partition
+    append: only touched bucket directories gain files). The plane
+    matrix is seeded, so appended chunks bucket consistently with the
+    original build, and `maxsim_banded_persisted` serves the union with
+    no rebuild. Idempotence rides the per-source-file markers
+    (streaming/events._files_to_ingest — a regrouped replay cannot
+    double-append). Cost per batch: O(batch tokens) — the same two
+    artifacts the bulk build writes, computed over the batch only."""
+    from vectordb_explorations_spark.operators.ann import (
+        random_hyperplane_lsh)
+    from vectordb_explorations_spark.streaming.events import (
+        _files_to_ingest)
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        df, mark = _files_to_ingest(batch_df, base_dir, epoch_id)
+        if df is None or df.isEmpty():
+            return
+        (_chunk_weights(df, win, stride)
+         .write.mode("append").parquet(f"{base_dir}/weights"))
+        (random_hyperplane_lsh(chunk_embeddings(df, win, stride),
+                               num_tables=num_tables,
+                               num_planes=num_planes, seed=seed,
+                               dim=HASH_DIM, id_col="cid",
+                               vec_col="embedding")
+         .write.mode("append").partitionBy("table_id", "bucket")
+         .parquet(f"{base_dir}/index"))
+        mark()
+
+    return (docs_stream.writeStream
+            .foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start())
