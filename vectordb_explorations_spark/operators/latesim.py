@@ -374,8 +374,15 @@ def chunk_embeddings(docs: DataFrame,
     chunks is the multi-vector serving substrate. Chunks whose signs
     fully cancel (no direction) are dropped here: an index cannot route
     a zero vector, and MaxSim scores them 0 anyway."""
-    w = _chunk_weights(docs, win, stride)
-    dense = (w.groupBy("doc_id", "chunk_id")
+    return _densify_chunk_weights(_chunk_weights(docs, win, stride))
+
+
+def _densify_chunk_weights(cw: DataFrame) -> DataFrame:
+    """Dense unit-norm chunk vectors FROM a (doc_id, chunk_id, dim_id, w)
+    weights frame — factored out so the substrate build can derive the
+    index from the already-written weights table instead of paying a
+    second tokenize+md5 corpus scan (maxsim_persist)."""
+    dense = (cw.groupBy("doc_id", "chunk_id")
              .agg(F.map_from_entries(
                  F.collect_list(F.struct("dim_id", "w"))).alias("m"),
                  F.sum(F.col("w") * F.col("w")).alias("ssq")))
@@ -527,7 +534,11 @@ def maxsim_persist(docs: DataFrame, base_dir: str,
 
     cw = _chunk_weights(docs, win, stride)
     cw.write.mode("overwrite").parquet(f"{base_dir}/weights")
-    ce = chunk_embeddings(docs, win, stride)
+    # derive the index FROM the just-written weights table: one
+    # tokenize+md5 corpus scan total, not two (like-for-like A/B at
+    # sf0.1: 7.7 -> 6.7 s median-of-3 build)
+    ce = _densify_chunk_weights(
+        docs.sparkSession.read.parquet(f"{base_dir}/weights"))
     (random_hyperplane_lsh(ce, num_tables=num_tables,
                            num_planes=num_planes, seed=seed,
                            dim=HASH_DIM, id_col="cid",
@@ -622,9 +633,11 @@ def maxsim_append_ingest(spark, docs_stream: DataFrame, base_dir: str,
         df, mark = _files_to_ingest(batch_df, base_dir, epoch_id)
         if df is None or df.isEmpty():
             return
-        (_chunk_weights(df, win, stride)
-         .write.mode("append").parquet(f"{base_dir}/weights"))
-        (random_hyperplane_lsh(chunk_embeddings(df, win, stride),
+        # one tokenize pass per batch: weights checkpointed, the index
+        # densifies from them (the maxsim_persist one-scan shape)
+        cw = _chunk_weights(df, win, stride).localCheckpoint(eager=True)
+        cw.write.mode("append").parquet(f"{base_dir}/weights")
+        (random_hyperplane_lsh(_densify_chunk_weights(cw),
                                num_tables=num_tables,
                                num_planes=num_planes, seed=seed,
                                dim=HASH_DIM, id_col="cid",
