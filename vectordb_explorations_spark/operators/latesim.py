@@ -429,12 +429,12 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
     the densify + GEMM + second weight pass dwarf the exact face's one
     broadcast-dot scan). Banding pays when the substrate is PERSISTED
     and built once: :func:`maxsim_persist` writes the chunk-weight table
-    and the (table_id, bucket)-partitioned chunk index (124 s once at
-    1M), and :func:`maxsim_banded_persisted` serves from them with the
-    bucket lookups partition-PRUNED at the file listing and zero
-    re-tokenize — 18 s per batch at 1M, 1.5x the exact face, with the
-    pruned read corpus-size-independent (SCALE_NOTES r11). Hot buckets
-    on clustered
+    and the (table_id, bucket)-partitioned chunk index (~2.5 min once
+    at 1M, write-bound), and :func:`maxsim_banded_persisted` serves from
+    them with the bucket lookups partition-PRUNED at the file listing
+    and zero re-tokenize — ~17 s per batch at 1M, 1.5x the exact face,
+    with the pruned read corpus-size-independent (SCALE_NOTES r11). Hot
+    buckets on clustered
     corpora remain LSH's documented failure mode — pair with
     lsh_refine_hot_buckets' sub-bucket splitting at scale."""
     spark = docs.sparkSession
