@@ -206,6 +206,15 @@ def main() -> None:
         return hnsw_search(hnsw_state["idx"], queries, K, probe_shards=8)
     steady("hnsw_search", lambda: force(run_hnsw()))
     rec("hnsw_routed8", run_hnsw)
+
+    # r11: the probe-fraction auto policy alongside the legacy fixed-8
+    # point, so the matrix records the decay AND its remediation
+    # (tools/hnsw_auto_probe_1m.py measured 0.929 vs 0.974 at 64 cells)
+    def run_hnsw_auto():
+        return hnsw_search(hnsw_state["idx"], queries, K,
+                           probe_shards="auto")
+    steady("hnsw_search_auto", lambda: force(run_hnsw_auto()))
+    rec("hnsw_routed_auto", run_hnsw_auto)
     hnsw_state["idx"].unpersist()
 
     # ---- PQ (new in the r8 matrix) ------------------------------------
