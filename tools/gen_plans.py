@@ -139,6 +139,22 @@ COMMENTARY = {
         "itself runs per micro-batch as NEW x OLD fingerprint joins "
         "against the persisted state table (never a corpus self-join), "
         "with per-source-file idempotence markers."),
+    "dsir_select": (
+        "DSIR importance resampling (Xie et al. 2023): two corpus passes "
+        "— the paper's own fit/score structure. The fit pass rolls "
+        "hashed-ngram counts up to n_buckets groups map-side and takes "
+        "corpus totals as a whole-frame window over those 64 rows (a "
+        "separate totals agg re-read the corpus a third time — plan-"
+        "audited out); the scoring pass broadcasts the 64-row log-ratio "
+        "table onto its pushed-filter scan and ends in Gumbel-top-k via "
+        "TakeOrderedAndProject. No vocabulary build, no corpus "
+        "self-join, no driver pass."),
+    "cluster_balanced_sample": (
+        "Density-equalizing embedding sample: the seed exemplars broadcast "
+        "(num_clusters rows), nearest-seed assignment is a codegen "
+        "projection + per-vec window, and the per-cluster quota rank is "
+        "one keyed exchange on cluster_id — output bounded at clusters x "
+        "quota rows; nothing quadratic anywhere."),
     "vocab_stats": (
         "Vocabulary heavy-hitters: explode → groupBy(token) aggregates "
         "partially map-side (zipfian head tokens never concentrate raw rows "

@@ -448,3 +448,230 @@ SELECT split, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM k GROUP BY split, lang ORDER BY split, lang
 """
+
+
+# ---- DSIR importance resampling (target-distribution data selection) ----
+
+DSIR_BUCKETS = 64          # hashed n-gram feature buckets
+DSIR_ALPHA = 0.5           # add-alpha smoothing for both bucket models
+DSIR_SELECT_K = 100        # resampled documents returned
+DSIR_TARGET_SOURCES = ("src0", "src1")   # the "looks like this" exemplar set
+
+
+def dsir_select(docs: DataFrame,
+                target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+                n_buckets: int = DSIR_BUCKETS,
+                alpha: float = DSIR_ALPHA,
+                k: int = DSIR_SELECT_K) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick raw documents that LOOK LIKE a target exemplar corpus. Both
+    corpora are modeled as bags of hashed (unigram + bigram) buckets with
+    add-alpha smoothing; each raw document's importance log-weight is
+
+        score(d) = sum over d's grams of  ln p_target(bucket) - ln p_raw(bucket)
+
+    and the selection is Gumbel-top-k over ``score + g`` with g drawn
+    from md5(doc_id) — sampling proportional to the importance ratio
+    p/q without replacement, the log-space twin of ``weighted_sample``'s
+    Efraimidis-Spirakis keys, and fully deterministic (no RNG state, no
+    coordination). Buckets reuse featurize.py's md5-prefix dimension hash
+    and the tokenizer is the SHARED whitespace contract, so the whole
+    pipeline is hash-checkable cross-engine.
+
+    Scale shape: TWO corpus passes — fit then score, the paper's own
+    structure. The fit pass rolls the (doc, bucket) count frame up to
+    ``n_buckets`` groups (map-side combinable) and its corpus totals
+    ride a whole-frame window over those ``n_buckets`` rows — the first
+    cut computed totals as a separate aggregation subtree and read the
+    corpus a THIRD time (plan-audited); the window keeps the fit one
+    subtree. The scoring pass joins the broadcast ``n_buckets``-row
+    lambda table onto its own (doc, bucket) frame and ends in one
+    TakeOrderedAndProject. No corpus self-join, no vocabulary build, no
+    driver pass — at 100 TB the only wide exchanges are the two grouped
+    gram counts, each the same budget as token_counts."""
+    from vectordb_explorations_spark.functions.rounding import round6
+    from vectordb_explorations_spark.functions.text import whitespace_tokens
+
+    w = docs.select("doc_id", "source", whitespace_tokens("text").alias("w"))
+    # unigrams ++ bigrams; sequence(1, 0) is empty so one-token docs are
+    # safe, and the hoisted `w` column tokenizes once (doc_fingerprints'
+    # lesson about re-tokenizing inside higher-order lambdas)
+    grams = w.select(
+        "doc_id", "source",
+        F.explode(F.concat(F.col("w"), F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(w[i-1], ' ', w[i]))"))).alias("gram"))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+              .cast("long") % n_buckets).cast("int")
+    docb = (grams.select("doc_id", "source",
+                         F.col("source").isin(*target_sources)
+                         .alias("is_target"),
+                         bucket.alias("bucket"))
+            .groupBy("doc_id", "source", "is_target", "bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
+    fit = docb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0)))
+        .alias("ct"),
+        F.sum(F.when(F.col("is_target"), F.lit(0)).otherwise(F.col("n")))
+        .alias("cr"))
+    # corpus totals as a whole-frame window over the n_buckets-row fit
+    # (the single-partition move is n_buckets rows — trivial; a separate
+    # agg subtree would re-tokenize the corpus a second time)
+    wall = Window.partitionBy()
+    tt = F.sum("ct").over(wall).cast("double")
+    tr = F.sum("cr").over(wall).cast("double")
+    lam = fit.select(
+        "bucket",
+        (F.log((F.col("ct") + alpha) / (tt + alpha * n_buckets)) -
+         F.log((F.col("cr") + alpha) / (tr + alpha * n_buckets)))
+        .alias("lam"))
+    # the raw-side filter sits on docb so it pushes into the scoring
+    # pass's parquet scan (PushedFilters: NOT source IN target)
+    scored = (docb.where(~F.col("is_target"))
+              .join(F.broadcast(lam), "bucket")
+              .groupBy("doc_id", "source")
+              .agg(F.sum("n").alias("n_grams"),
+                   F.sum(F.col("n") * F.col("lam")).alias("score")))
+    gumbel = -F.log(-F.log(md5_uniform("doc_id")))
+    return (scored.select("doc_id", "source", "n_grams",
+                          round6(F.col("score")).alias("logratio"),
+                          round6(F.col("score") + gumbel).alias("gumbel_key"))
+            .orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+def dsir_select_oracle(target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+                       n_buckets: int = DSIR_BUCKETS,
+                       alpha: float = DSIR_ALPHA,
+                       k: int = DSIR_SELECT_K) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+
+    tgt = ", ".join(f"'{s}'" for s in target_sources)
+    gum = f"-ln(-ln({md5_uniform_sql('doc_id')}))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(w || list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks
+), docb AS (
+  SELECT doc_id, source, source IN ({tgt}) AS is_target,
+         CAST(CAST('0x' || substring(md5(gram), 1, 8) AS UBIGINT)
+              % {n_buckets} AS INTEGER) AS bucket,
+         count(*) AS n
+  FROM grams GROUP BY ALL
+), fit AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_target THEN 0 ELSE n END) AS cr
+  FROM docb GROUP BY bucket
+), tot AS (
+  SELECT SUM(ct)::DOUBLE AS tt, SUM(cr)::DOUBLE AS tr FROM fit
+), lam AS (
+  SELECT bucket,
+         ln((ct + {alpha}) / (tt + {alpha} * {n_buckets})) -
+         ln((cr + {alpha}) / (tr + {alpha} * {n_buckets})) AS lam
+  FROM fit, tot
+), scored AS (
+  SELECT d.doc_id, d.source, CAST(SUM(d.n) AS BIGINT) AS n_grams,
+         SUM(d.n * l.lam) AS score
+  FROM docb d JOIN lam l USING (bucket)
+  WHERE NOT d.is_target
+  GROUP BY d.doc_id, d.source
+)
+SELECT doc_id, source, n_grams,
+       {r6('score')} AS logratio,
+       {r6(f'score + {gum}')} AS gumbel_key
+FROM scored
+ORDER BY gumbel_key DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---- cluster-balanced (density-equalizing) embedding-space sampling ----
+
+CLUSTER_SAMPLE_CLUSTERS = 8    # shares dedup.SEM_CLUSTERS' fixture floor
+CLUSTER_SAMPLE_QUOTA = 15      # docs kept per cluster
+
+
+def cluster_balanced_sample(embeddings: DataFrame,
+                            num_clusters: int = CLUSTER_SAMPLE_CLUSTERS,
+                            quota: int = CLUSTER_SAMPLE_QUOTA) -> DataFrame:
+    """Cluster-balanced sampling: partition the corpus in embedding space
+    and keep at most ``quota`` documents per cluster — the
+    density-equalizing draw prototype-based curation uses to stop dominant
+    modes (boilerplate clusters, one over-crawled template) from flooding
+    a training mix; small clusters survive whole, big ones are capped.
+    Clustering is dedup.semantic_dedup's hash-checkable contract verbatim:
+    nearest of the ``num_clusters`` smallest-vec_id seed exemplars,
+    round6(squared L2) with seed-id tie-break, so both engines assign the
+    identical cell (at scale, plug ivf_build centroids or
+    dedup._sem_assign_gemm into the same quota shape — the sampling rule
+    below is unchanged). Within a cluster the keep order is md5(vec_id) —
+    the same hash-shuffled-but-reproducible pick every sampler here uses.
+
+    Scale shape: the seed side is ``num_clusters`` broadcast rows;
+    assignment is one codegen projection + a vec_id window; the quota
+    rank is one keyed shuffle on cluster_id; output is <= clusters x
+    quota rows. No pair joins, no driver pass, nothing quadratic."""
+    from vectordb_explorations_spark.functions.rounding import round6
+    from vectordb_explorations_spark.functions.vectors import squared_l2_sql
+    from vectordb_explorations_spark.schemas import EMBEDDING_DIM
+
+    seeds = (embeddings.orderBy("vec_id").limit(int(num_clusters))
+             .select(F.col("vec_id").alias("seed_id"),
+                     F.col("embedding").alias("semb")))
+    dist = round6(F.expr(squared_l2_sql("embedding", "semb", EMBEDDING_DIM)))
+    wa = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    asg = (embeddings.join(F.broadcast(seeds))
+           .select("vec_id", "seed_id", dist.alias("dist"))
+           .withColumn("rn", F.row_number().over(wa))
+           .where(F.col("rn") == 1)
+           .select("vec_id", F.col("seed_id").alias("cluster_id")))
+    h = F.md5(F.col("vec_id").cast("string"))
+    wq = Window.partitionBy("cluster_id").orderBy(h.asc(),
+                                                  F.col("vec_id").asc())
+    ws = Window.partitionBy("cluster_id")
+    return (asg.withColumn("rk", F.row_number().over(wq))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(ws))
+            .where(F.col("rk") <= quota)
+            .select("cluster_id", "cluster_size", "vec_id", "rk")
+            .orderBy("cluster_id", "rk"))
+
+
+def cluster_balanced_sample_oracle(
+        num_clusters: int = CLUSTER_SAMPLE_CLUSTERS,
+        quota: int = CLUSTER_SAMPLE_QUOTA) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+
+    sq = ("list_sum(list_transform(list_zip(e.embedding, s.semb), "
+          "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+          "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS semb
+  FROM embeddings ORDER BY vec_id LIMIT {num_clusters}
+),
+asg AS (
+  SELECT vec_id, seed_id AS cluster_id FROM (
+    SELECT e.vec_id, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {r6(sq)}, s.seed_id) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) t WHERE rn = 1
+),
+rk AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM asg
+)
+SELECT cluster_id, cluster_size, vec_id, rk
+FROM rk WHERE rk <= {quota}
+ORDER BY cluster_id, rk
+"""

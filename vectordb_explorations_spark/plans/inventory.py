@@ -680,6 +680,15 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, "documents", d)),
     "weighted_sample": lambda s, d: SP.weighted_sample(
         load_table(s, "documents", d)),
+    # DSIR importance resampling (Xie et al. 2023): select raw docs that
+    # look like a target exemplar corpus via hashed-ngram log-ratio
+    # weights + deterministic Gumbel-top-k (sampling.py design note)
+    "dsir_select": lambda s, d: SP.dsir_select(
+        load_table(s, "documents", d)),
+    # density-equalizing embedding-space sample (per-cluster quota over
+    # the semantic-dedup seed-assignment contract)
+    "cluster_balanced_sample": lambda s, d: SP.cluster_balanced_sample(
+        load_table(s, "embeddings", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -929,20 +938,22 @@ WINDOW_ROUND = 11
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
 # dict order IS the evidence schedule. Round-11 rotation (r10 verdict
-# item 3): the two NEW never-checked queries lead; then the full 32-row
-# r08-evidence queue (3 rounds old by r11 — exactly the list SURVEY §14
-# queued); then the rows whose CODE changed this round and must
-# re-certify on the new shapes — substring_dup_coverage (coverage now
-# rounds via the round6/r6 binary rounder per the r10 ADVICE),
+# item 3): the four NEW never-checked queries lead (maxsim/span-admission
+# plus the late-round dsir_select / cluster_balanced_sample); then the
+# full 32-row r08-evidence queue (3 rounds old by r11 — exactly the list
+# SURVEY §14 queued); then the rows whose CODE changed this round and
+# must re-certify on the new shapes — substring_dup_coverage (coverage
+# now rounds via the round6/r6 binary rounder per the r10 ADVICE),
 # streaming_index_refresh / streaming_ivfpq_refresh (epoch idempotence
 # is now marked PER SOURCE FILE, closing the multi-file regrouping
 # hazard) — then the oldest r09 greens (alphabetical, deterministic)
-# fill the remaining 13 slots. The 33 r09 rows deferred to r12 stay
+# fill the remaining 11 slots. The r09 rows deferred to r12 stay
 # within the two-round evidence bound through r12's window, where they
 # lead the queue.
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "maxsim_chunk_topk", "streaming_span_admission",
+    "dsir_select", "cluster_balanced_sample",
     # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
     "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -964,7 +975,6 @@ _WINDOW_PRIORITY = [
     "customer_balance_tiles", "customer_first_orders",
     "customers_with_open_orders", "customers_without_orders",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_semantic",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1021,6 +1031,8 @@ ORACLES: dict[str, str] = {
     "boilerplate_ngrams": X.boilerplate_ngrams_oracle(),
     "boilerplate_coverage": X.boilerplate_coverage_oracle(),
     "weighted_sample": SP.weighted_sample_oracle(),
+    "dsir_select": SP.dsir_select_oracle(),
+    "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,
