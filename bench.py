@@ -535,6 +535,11 @@ def main() -> None:
     from vectordb_explorations_spark.operators import hybrid as HY
     bench("hybrid_rrf_search", lambda: _force(HY.hybrid_rrf(docs, emb)))
 
+    # NEW r11 (late): DSIR importance resampling — two corpus passes
+    # (fit the hashed-ngram bucket models, score + Gumbel-top-k)
+    from vectordb_explorations_spark.operators import sampling as SP
+    bench("dsir_select", lambda: _force(SP.dsir_select(docs)))
+
     bench("dedup_minhash_lsh", lambda: _force(D.minhash_lsh_pairs(docs)))
     bench("dedup_exact", lambda: _force(D.exact_dedup(docs)))
     bench("dedup_exact_substring", lambda: _force(
