@@ -74,3 +74,46 @@ def test_cluster_balanced_sample_caps_dominant_clusters(spark, sf_dir):
     assert sum(rows[0].cluster_size for rows in per.values()) == n_total
     ids = [r.vec_id for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_mixture_plan_arithmetic_and_caps(spark, sf_dir):
+    from vectordb_explorations_spark.operators.sampling import (
+        MIXTURE_BUDGET_TOKENS, MIXTURE_WEIGHTS, mixture_plan)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r.source: r for r in mixture_plan(docs).collect()}
+    # every source reports; unlisted sources carry weight 0 and ask for
+    # nothing
+    assert set(MIXTURE_WEIGHTS) <= set(rows)
+    for src, r in rows.items():
+        w = MIXTURE_WEIGHTS.get(src, 0.0)
+        assert r.weight == w
+        assert r.target_tokens == int(w * MIXTURE_BUDGET_TOKENS)
+        # epochs > 1 means the source must repeat: the single-epoch
+        # sampling rate is then capped at 1.0
+        assert r.sample_rate <= 1.0
+        if r.epochs > 1.0:
+            assert r.sample_rate == 1.0
+        else:
+            assert abs(r.sample_rate - r.epochs) < 1e-9
+        expected_epochs = w * MIXTURE_BUDGET_TOKENS / r.avail_tokens
+        assert abs(r.epochs - expected_epochs) < 1e-6
+
+
+def test_source_kl_flags_the_planted_drifted_source(spark):
+    from vectordb_explorations_spark.operators.sampling import (
+        source_kl_divergence)
+
+    phrase = "alpha beta gamma delta epsilon zeta"
+    rows = []
+    for i in range(60):                     # three conformant sources
+        rows.append((i, f"src{i % 3}", phrase))
+    for i in range(60, 80):                 # one drifted source
+        rows.append((i, "drifted", " ".join(f"d{i}w{j}" for j in range(6))))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r.kl_divergence for r in
+           source_kl_divergence(docs).collect()}
+    assert set(out) == {"src0", "src1", "src2", "drifted"}
+    assert all(v >= 0.0 for v in out.values())   # KL is non-negative
+    conformant = max(out[s] for s in ("src0", "src1", "src2"))
+    assert out["drifted"] > conformant * 2

@@ -155,6 +155,17 @@ COMMENTARY = {
         "projection + per-vec window, and the per-cluster quota rank is "
         "one keyed exchange on cluster_id — output bounded at clusters x "
         "quota rows; nothing quadratic anywhere."),
+    "mixture_plan": (
+        "Training-mix token budgeting: one map-side-combinable "
+        "aggregation keyed on source; the target-weight table is a "
+        "literal CASE, so everything after the agg is arithmetic on a "
+        "|sources|-row frame — no join, no window, no second scan."),
+    "source_kl_divergence": (
+        "Per-source distribution drift: one corpus scan into a "
+        "(source, bucket) combinable count; the cell frame densifies "
+        "from the AGGREGATED counts (sources x 64 rows), so the "
+        "windows deriving per-source/per-bucket/corpus totals never "
+        "touch corpus-sized data. Output |sources| rows."),
     "vocab_stats": (
         "Vocabulary heavy-hitters: explode → groupBy(token) aggregates "
         "partially map-side (zipfian head tokens never concentrate raw rows "

@@ -458,6 +458,48 @@ DSIR_SELECT_K = 100        # resampled documents returned
 DSIR_TARGET_SOURCES = ("src0", "src1")   # the "looks like this" exemplar set
 
 
+def _gram_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, source, bucket): hashed (unigram + bigram) feature buckets
+    over the SHARED whitespace tokenizer — featurize.py's md5-prefix
+    dimension hash applied to grams. sequence(1, 0) is empty so one-token
+    docs are safe, and the hoisted `w` column tokenizes once
+    (doc_fingerprints' lesson about re-tokenizing inside higher-order
+    lambdas). Shared by dsir_select and source_kl_divergence; keep
+    _GRAM_BUCKETS_SQL textually in lockstep — the pair is the
+    cross-engine contract the oracle hashes check."""
+    from vectordb_explorations_spark.functions.text import whitespace_tokens
+
+    w = docs.select("doc_id", "source", whitespace_tokens("text").alias("w"))
+    grams = w.select(
+        "doc_id", "source",
+        F.explode(F.concat(F.col("w"), F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(w[i-1], ' ', w[i]))"))).alias("gram"))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+              .cast("long") % n_buckets).cast("int")
+    return grams.select("doc_id", "source", bucket.alias("bucket"))
+
+
+def _gram_buckets_sql(n_buckets: int) -> str:
+    """DuckDB twin of _gram_buckets: CTEs `toks`, `grams`, `gbkt` ending
+    in (doc_id, source, bucket)."""
+    return f"""toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(w || list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks
+), gbkt AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substring(md5(gram), 1, 8) AS UBIGINT)
+              % {n_buckets} AS INTEGER) AS bucket
+  FROM grams
+)"""
+
+
 def dsir_select(docs: DataFrame,
                 target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
                 n_buckets: int = DSIR_BUCKETS,
@@ -490,23 +532,12 @@ def dsir_select(docs: DataFrame,
     driver pass — at 100 TB the only wide exchanges are the two grouped
     gram counts, each the same budget as token_counts."""
     from vectordb_explorations_spark.functions.rounding import round6
-    from vectordb_explorations_spark.functions.text import whitespace_tokens
 
-    w = docs.select("doc_id", "source", whitespace_tokens("text").alias("w"))
-    # unigrams ++ bigrams; sequence(1, 0) is empty so one-token docs are
-    # safe, and the hoisted `w` column tokenizes once (doc_fingerprints'
-    # lesson about re-tokenizing inside higher-order lambdas)
-    grams = w.select(
-        "doc_id", "source",
-        F.explode(F.concat(F.col("w"), F.expr(
-            "transform(sequence(1, size(w) - 1),"
-            " i -> concat(w[i-1], ' ', w[i]))"))).alias("gram"))
-    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
-              .cast("long") % n_buckets).cast("int")
-    docb = (grams.select("doc_id", "source",
-                         F.col("source").isin(*target_sources)
-                         .alias("is_target"),
-                         bucket.alias("bucket"))
+    docb = (_gram_buckets(docs, n_buckets)
+            .select("doc_id", "source",
+                    F.col("source").isin(*target_sources)
+                    .alias("is_target"),
+                    "bucket")
             .groupBy("doc_id", "source", "is_target", "bucket")
             .agg(F.count(F.lit(1)).alias("n")))
     fit = docb.groupBy("bucket").agg(
@@ -549,21 +580,10 @@ def dsir_select_oracle(target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
     tgt = ", ".join(f"'{s}'" for s in target_sources)
     gum = f"-ln(-ln({md5_uniform_sql('doc_id')}))"
     return f"""
-WITH toks AS (
-  SELECT doc_id, source,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-  FROM documents
-), grams AS (
-  SELECT doc_id, source,
-         unnest(w || list_transform(range(1, len(w)),
-                                    i -> w[i] || ' ' || w[i+1])) AS gram
-  FROM toks
-), docb AS (
-  SELECT doc_id, source, source IN ({tgt}) AS is_target,
-         CAST(CAST('0x' || substring(md5(gram), 1, 8) AS UBIGINT)
-              % {n_buckets} AS INTEGER) AS bucket,
+WITH {_gram_buckets_sql(n_buckets)}, docb AS (
+  SELECT doc_id, source, source IN ({tgt}) AS is_target, bucket,
          count(*) AS n
-  FROM grams GROUP BY ALL
+  FROM gbkt GROUP BY ALL
 ), fit AS (
   SELECT bucket,
          SUM(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
@@ -674,4 +694,154 @@ rk AS (
 SELECT cluster_id, cluster_size, vec_id, rk
 FROM rk WHERE rk <= {quota}
 ORDER BY cluster_id, rk
+"""
+
+
+# ---- domain-mixture token budgeting (training-mix planning) ----
+
+MIXTURE_BUDGET_TOKENS = 200_000
+MIXTURE_WEIGHTS = {"src0": 0.25, "src1": 0.25, "src2": 0.2, "src3": 0.3}
+
+
+def mixture_plan(docs: DataFrame,
+                 budget_tokens: int = MIXTURE_BUDGET_TOKENS,
+                 weights: dict[str, float] | None = None) -> DataFrame:
+    """Training-mixture token budgeting: given a target mixture (source →
+    weight) and a total token budget, how much of each source's corpus do
+    we actually have, how many tokens the mix wants from it, the epoch
+    factor (>1 = the source must repeat to meet its share — the
+    oversampling decision every published mixture makes for small
+    high-quality sources), and the single-epoch sampling rate. This is
+    the planning query a data team runs BEFORE domain_mix_sample
+    executes a mix.
+
+    Scale shape: one map-side-combinable aggregation keyed on source
+    (|sources| groups); the weight table is a literal CASE — everything
+    after the agg is arithmetic on a tiny frame. Sources outside the
+    target mix report weight 0 (excluded from the budget)."""
+    from vectordb_explorations_spark.functions.rounding import round6
+
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w_col = F.lit(0.0)
+    for src, w in weights.items():
+        w_col = F.when(F.col("source") == src, F.lit(float(w))) \
+            .otherwise(w_col)
+    avail = (docs.select("source", n_tokens.alias("n_tokens"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("avail_tokens")))
+    target = F.col("weight") * F.lit(float(budget_tokens))
+    return (avail.withColumn("weight", w_col)
+            .select("source", "n_docs", "avail_tokens", "weight",
+                    F.floor(target).cast("long").alias("target_tokens"),
+                    round6(target / F.col("avail_tokens").cast("double"))
+                    .alias("epochs"),
+                    round6(F.least(
+                        F.lit(1.0),
+                        target / F.col("avail_tokens").cast("double")))
+                    .alias("sample_rate"))
+            .orderBy("source"))
+
+
+def mixture_plan_oracle(budget_tokens: int = MIXTURE_BUDGET_TOKENS,
+                        weights: dict[str, float] | None = None) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    cases = " ".join(f"WHEN source = '{s}' THEN {float(w)!r}"
+                     for s, w in weights.items())
+    tgt = f"(CASE {cases} ELSE 0.0 END) * {float(budget_tokens)!r}"
+    return f"""
+WITH avail AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, avail_tokens,
+       CASE {cases} ELSE 0.0 END AS weight,
+       CAST(floor({tgt}) AS BIGINT) AS target_tokens,
+       {r6(f'({tgt}) / CAST(avail_tokens AS DOUBLE)')} AS epochs,
+       {r6(f'least(1.0, ({tgt}) / CAST(avail_tokens AS DOUBLE))')}
+         AS sample_rate
+FROM avail ORDER BY source
+"""
+
+
+# ---- per-source distribution drift (KL divergence vs the corpus mix) ----
+
+
+def source_kl_divergence(docs: DataFrame,
+                         n_buckets: int = DSIR_BUCKETS,
+                         alpha: float = DSIR_ALPHA) -> DataFrame:
+    """Per-source distribution drift: KL(p_source || p_corpus) over the
+    same hashed (uni+bi)-gram bucket models dsir_select fits — the
+    monitoring query behind "which source stopped looking like the mix"
+    (a crawl gone template-heavy, a source that silently switched
+    language). Both distributions are add-alpha smoothed over the FULL
+    bucket range, so zero-count cells contribute their smoothed mass and
+    the divergence is finite by construction.
+
+    Scale shape: one corpus scan into a (source, bucket) count — map-side
+    combinable, |sources| x n_buckets groups; the cell frame is densified
+    from the AGGREGATED counts (sources x n_buckets rows — tiny), so the
+    whole-frame and per-source windows that derive the totals never touch
+    corpus-sized data. Output is |sources| rows."""
+    from vectordb_explorations_spark.functions.rounding import round6
+
+    sb = (_gram_buckets(docs, n_buckets)
+          .groupBy("source", "bucket")
+          .agg(F.count(F.lit(1)).alias("n")))
+    # densify to every (source, bucket) cell — from the aggregated frame,
+    # never the corpus
+    dense = (sb.select("source").distinct()
+             .select("source", F.explode(F.sequence(
+                 F.lit(0), F.lit(n_buckets - 1))).alias("bucket")))
+    cells = (dense.join(sb, ["source", "bucket"], "left")
+             .select("source", "bucket",
+                     F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    ws = Window.partitionBy("source")
+    wb = Window.partitionBy("bucket")
+    wall = Window.partitionBy()
+    ns = F.sum("n").over(ws).cast("double")
+    nb = F.sum("n").over(wb).cast("double")
+    tot = F.sum("n").over(wall).cast("double")
+    p = (F.col("n") + alpha) / (ns + alpha * n_buckets)
+    q = (nb + alpha) / (tot + alpha * n_buckets)
+    term = cells.select(
+        "source", F.sum("n").over(ws).alias("n_grams"),
+        (p * F.log(p / q)).alias("t"))
+    return (term.groupBy("source", "n_grams")
+            .agg(round6(F.sum("t")).alias("kl_divergence"))
+            .orderBy("source"))
+
+
+def source_kl_divergence_oracle(n_buckets: int = DSIR_BUCKETS,
+                                alpha: float = DSIR_ALPHA) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+
+    p = f"((n + {alpha}) / (ns + {alpha} * {n_buckets}))"
+    q = f"((nb + {alpha}) / (tot + {alpha} * {n_buckets}))"
+    return f"""
+WITH {_gram_buckets_sql(n_buckets)}, sb AS (
+  SELECT source, bucket, count(*) AS n
+  FROM gbkt GROUP BY ALL
+), dense AS (
+  SELECT s.source, CAST(b.bucket AS INTEGER) AS bucket
+  FROM (SELECT DISTINCT source FROM sb) s
+  CROSS JOIN (SELECT unnest(range(0, {n_buckets})) AS bucket) b
+), cells AS (
+  SELECT d.source, d.bucket, COALESCE(sb.n, 0) AS n
+  FROM dense d LEFT JOIN sb ON sb.source = d.source AND sb.bucket = d.bucket
+), t AS (
+  SELECT source,
+         CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) AS ns,
+         CAST(SUM(n) OVER (PARTITION BY bucket) AS DOUBLE) AS nb,
+         CAST(SUM(n) OVER () AS DOUBLE) AS tot,
+         n
+  FROM cells
+)
+SELECT source, CAST(ns AS BIGINT) AS n_grams,
+       {r6(f'SUM({p} * ln({p} / {q}))')} AS kl_divergence
+FROM t GROUP BY source, ns ORDER BY source
 """

@@ -689,6 +689,13 @@ QUERIES: dict[str, QueryFn] = {
     # the semantic-dedup seed-assignment contract)
     "cluster_balanced_sample": lambda s, d: SP.cluster_balanced_sample(
         load_table(s, "embeddings", d)),
+    # training-mix token budgeting: per-source availability vs target
+    # share -> epochs / single-epoch sampling rate
+    "mixture_plan": lambda s, d: SP.mixture_plan(
+        load_table(s, "documents", d)),
+    # per-source distribution drift over the DSIR hashed-ngram buckets
+    "source_kl_divergence": lambda s, d: SP.source_kl_divergence(
+        load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -938,8 +945,9 @@ WINDOW_ROUND = 11
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
 # dict order IS the evidence schedule. Round-11 rotation (r10 verdict
-# item 3): the four NEW never-checked queries lead (maxsim/span-admission
-# plus the late-round dsir_select / cluster_balanced_sample); then the
+# item 3): the six NEW never-checked queries lead (maxsim/span-admission
+# plus the late-round dsir_select / cluster_balanced_sample /
+# mixture_plan / source_kl_divergence); then the
 # full 32-row r08-evidence queue (3 rounds old by r11 — exactly the list
 # SURVEY §14 queued); then the rows whose CODE changed this round and
 # must re-certify on the new shapes — substring_dup_coverage (coverage
@@ -947,13 +955,14 @@ WINDOW_ROUND = 11
 # streaming_index_refresh / streaming_ivfpq_refresh (epoch idempotence
 # is now marked PER SOURCE FILE, closing the multi-file regrouping
 # hazard) — then the oldest r09 greens (alphabetical, deterministic)
-# fill the remaining 11 slots. The r09 rows deferred to r12 stay
+# fill the remaining 9 slots. The r09 rows deferred to r12 stay
 # within the two-round evidence bound through r12's window, where they
 # lead the queue.
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "maxsim_chunk_topk", "streaming_span_admission",
     "dsir_select", "cluster_balanced_sample",
+    "mixture_plan", "source_kl_divergence",
     # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
     "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -974,7 +983,7 @@ _WINDOW_PRIORITY = [
     "asof_join", "boilerplate_coverage", "clean_text", "cube_order_stats",
     "customer_balance_tiles", "customer_first_orders",
     "customers_with_open_orders", "customers_without_orders",
-    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_embedding_cosine",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1033,6 +1042,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SP.weighted_sample_oracle(),
     "dsir_select": SP.dsir_select_oracle(),
     "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
+    "mixture_plan": SP.mixture_plan_oracle(),
+    "source_kl_divergence": SP.source_kl_divergence_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,
