@@ -117,3 +117,28 @@ def test_source_kl_flags_the_planted_drifted_source(spark):
     assert all(v >= 0.0 for v in out.values())   # KL is non-negative
     conformant = max(out[s] for s in ("src0", "src1", "src2"))
     assert out["drifted"] > conformant * 2
+
+
+def test_split_leakage_is_the_cross_split_pair_subset(spark, sf_dir):
+    from vectordb_explorations_spark.operators.dedup import (
+        JACCARD_THRESHOLD, minhash_lsh_pairs, split_leakage)
+    from vectordb_explorations_spark.operators.sampling import split_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_leakage(docs).collect()
+    assert len(out) > 0          # the fixture does leak across the split
+    splits = {r.doc_id: r.split for r in
+              docs.select("doc_id",
+                          split_column(F.col("doc_id")).alias("split"))
+              .collect()}
+    for r in out:
+        assert r.split_a != r.split_b
+        assert r.split_a == splits[r.doc_id_a]
+        assert r.split_b == splits[r.doc_id_b]
+        assert r.jaccard >= JACCARD_THRESHOLD
+    # exactly the cross-split subset of the engine's own verified pairs
+    all_pairs = {(p.doc_id_a, p.doc_id_b)
+                 for p in minhash_lsh_pairs(docs).collect()}
+    expected = {(a, b) for (a, b) in all_pairs
+                if splits[a] != splits[b]}
+    assert {(r.doc_id_a, r.doc_id_b) for r in out} == expected

@@ -155,6 +155,12 @@ COMMENTARY = {
         "projection + per-vec window, and the per-cluster quota rank is "
         "one keyed exchange on cluster_id — output bounded at clusters x "
         "quota rows; nothing quadratic anywhere."),
+    "split_leakage": (
+        "Train/eval near-dup leakage audit: the verified-pair side "
+        "(banded candidates only, never all-pairs) is BOUNDED and "
+        "broadcasts into two narrow (doc_id, split) probes — the "
+        "source_dup_matrix shape keyed on the deterministic md5 split; "
+        "output is the leaking pairs themselves."),
     "mixture_plan": (
         "Training-mix token budgeting: one map-side-combinable "
         "aggregation keyed on source; the target-weight table is a "

@@ -1309,6 +1309,67 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def split_leakage(docs: DataFrame,
+                  train: float = 0.9,
+                  val: float = 0.05,
+                  num_hashes: int = NUM_HASHES,
+                  band_size: int = BAND_SIZE,
+                  threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Train/eval near-duplicate leakage audit: verified near-dup pairs
+    that STRADDLE the deterministic md5-threshold split — the
+    eval-integrity question (Lee et al. 2021: held-out scores are inflated
+    when an eval doc has a train-set near-twin) asked of the engine's own
+    split assignment. Exact-copy leakage is this query's jaccard=1.0 rows;
+    the near-dup rows are the ones an exact-hash audit misses.
+
+    Built ON minhash_lsh_pairs (banded candidates only, never all-pairs)
+    composed with sampling.split_column, so the corpus-scan budget is the
+    pair stage's; the split probes are two narrow broadcast joins on the
+    BOUNDED pair side (the source_dup_matrix shape). Output: the leaking
+    pairs themselves — actionable for removal — ordered by ids."""
+    from vectordb_explorations_spark.operators.sampling import split_column
+
+    pairs = minhash_lsh_pairs(docs, num_hashes, band_size, threshold)
+    spl = docs.select("doc_id", split_column(F.col("doc_id"), train, val)
+                      .alias("split"))
+    ab = (spl.select(F.col("doc_id").alias("doc_id_a"),
+                     F.col("split").alias("split_a"))
+          .join(F.broadcast(pairs), "doc_id_a"))
+    ab = (spl.select(F.col("doc_id").alias("doc_id_b"),
+                     F.col("split").alias("split_b"))
+          .join(F.broadcast(ab), "doc_id_b"))
+    return (ab.where(F.col("split_a") != F.col("split_b"))
+            .select("doc_id_a", "split_a", "doc_id_b", "split_b", "jaccard")
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def split_leakage_oracle(train: float = 0.9,
+                         val: float = 0.05,
+                         num_hashes: int = NUM_HASHES,
+                         band_size: int = BAND_SIZE,
+                         threshold: float = JACCARD_THRESHOLD) -> str:
+    from vectordb_explorations_spark.operators.sampling import _hex_threshold
+
+    pairs_sql = minhash_lsh_pairs_oracle(
+        num_hashes, band_size, threshold).strip().rstrip(";")
+    t1, t2 = _hex_threshold(train), _hex_threshold(train + val)
+    case = (f"CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t1}'"
+            f" THEN 'train'"
+            f" WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t2}'"
+            f" THEN 'val' ELSE 'test' END")
+    return f"""
+WITH pairs AS ({pairs_sql}),
+spl AS (SELECT doc_id, {case} AS split FROM documents)
+SELECT p.doc_id_a, sa.split AS split_a, p.doc_id_b, sb.split AS split_b,
+       p.jaccard
+FROM pairs p
+JOIN spl sa ON sa.doc_id = p.doc_id_a
+JOIN spl sb ON sb.doc_id = p.doc_id_b
+WHERE sa.split <> sb.split
+ORDER BY p.doc_id_a, p.doc_id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring (span-level) dedup — the other half of the train-set-dedup
 # literature (Lee et al. 2021, "Deduplicating Training Data Makes Language

@@ -696,6 +696,9 @@ QUERIES: dict[str, QueryFn] = {
     # per-source distribution drift over the DSIR hashed-ngram buckets
     "source_kl_divergence": lambda s, d: SP.source_kl_divergence(
         load_table(s, "documents", d)),
+    # train/eval near-dup leakage: verified pairs straddling the split
+    "split_leakage": lambda s, d: D.split_leakage(
+        load_table(s, "documents", d)),
     # multimodal (north star)
     "multimodal_summary": lambda s, d: M.multimodal_summary(
         load_table(s, "documents", d), load_table(s, "embeddings", d)),
@@ -945,9 +948,9 @@ WINDOW_ROUND = 11
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
 # dict order IS the evidence schedule. Round-11 rotation (r10 verdict
-# item 3): the six NEW never-checked queries lead (maxsim/span-admission
+# item 3): the seven NEW never-checked queries lead (maxsim/span-admission
 # plus the late-round dsir_select / cluster_balanced_sample /
-# mixture_plan / source_kl_divergence); then the
+# mixture_plan / source_kl_divergence / split_leakage); then the
 # full 32-row r08-evidence queue (3 rounds old by r11 — exactly the list
 # SURVEY §14 queued); then the rows whose CODE changed this round and
 # must re-certify on the new shapes — substring_dup_coverage (coverage
@@ -955,14 +958,14 @@ WINDOW_ROUND = 11
 # streaming_index_refresh / streaming_ivfpq_refresh (epoch idempotence
 # is now marked PER SOURCE FILE, closing the multi-file regrouping
 # hazard) — then the oldest r09 greens (alphabetical, deterministic)
-# fill the remaining 9 slots. The r09 rows deferred to r12 stay
+# fill the remaining 8 slots. The r09 rows deferred to r12 stay
 # within the two-round evidence bound through r12's window, where they
 # lead the queue.
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "maxsim_chunk_topk", "streaming_span_admission",
     "dsir_select", "cluster_balanced_sample",
-    "mixture_plan", "source_kl_divergence",
+    "mixture_plan", "source_kl_divergence", "split_leakage",
     # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
     "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -983,7 +986,6 @@ _WINDOW_PRIORITY = [
     "asof_join", "boilerplate_coverage", "clean_text", "cube_order_stats",
     "customer_balance_tiles", "customer_first_orders",
     "customers_with_open_orders", "customers_without_orders",
-    "dedup_embedding_cosine",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1044,6 +1046,7 @@ ORACLES: dict[str, str] = {
     "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
     "mixture_plan": SP.mixture_plan_oracle(),
     "source_kl_divergence": SP.source_kl_divergence_oracle(),
+    "split_leakage": D.split_leakage_oracle(),
     "multimodal_summary": M.MULTIMODAL_SUMMARY_ORACLE,
     "multimodal_features": M.FEATURES_FLAT_ORACLE,
     "multimodal_frames": M.FRAMES_ORACLE,
