@@ -529,8 +529,9 @@ def dsir_select(docs: DataFrame,
     subtree. The scoring pass joins the broadcast ``n_buckets``-row
     lambda table onto its own (doc, bucket) frame and ends in one
     TakeOrderedAndProject. No corpus self-join, no vocabulary build, no
-    driver pass — at 100 TB the only wide exchanges are the two grouped
-    gram counts, each the same budget as token_counts."""
+    driver pass — at 100 TB the wide exchanges are the per-pass gram
+    counts (the token_counts budget) plus the per-doc score aggregation,
+    whose input is already compacted to <= n_buckets rows per doc."""
     from vectordb_explorations_spark.functions.rounding import round6
 
     docb = (_gram_buckets(docs, n_buckets)
