@@ -142,3 +142,60 @@ def test_split_leakage_is_the_cross_split_pair_subset(spark, sf_dir):
     expected = {(a, b) for (a, b) in all_pairs
                 if splits[a] != splits[b]}
     assert {(r.doc_id_a, r.doc_id_b) for r in out} == expected
+
+
+def test_gram_buckets_survive_degenerate_documents(spark):
+    """Spark's sequence(1, 0) DESCENDS to [1, 0] — without the size guard
+    the bigram lambda indexes out of bounds (ANSI crash) on <=1-token
+    docs. Pin: solo/empty/whitespace-only docs flow through every
+    consumer; DuckDB's range(1, 1) is already empty so the oracle needs
+    no guard."""
+    from vectordb_explorations_spark.operators.sampling import (
+        _gram_buckets, dsir_select, source_kl_divergence)
+
+    docs = spark.createDataFrame(
+        [(0, "tgt", "alpha beta gamma"), (1, "raw", "solo"),
+         (2, "raw", ""), (3, "raw", "   "), (4, "raw", "alpha beta")],
+        ["doc_id", "source", "text"])
+    grams = _gram_buckets(docs, 64).collect()
+    # 3 uni + 2 bi (doc 0), 1 uni (doc 1), nothing (docs 2-3), 2+1 (doc 4)
+    assert len(grams) == 9
+    sel = {r.doc_id: r.n_grams for r in
+           dsir_select(docs, target_sources=("tgt",), k=10).collect()}
+    assert sel == {1: 1, 4: 3}            # tokenless docs drop, solo scores
+    kl = {r.source: r.n_grams for r in source_kl_divergence(docs).collect()}
+    assert kl == {"tgt": 5, "raw": 4}
+
+
+def test_gumbel_clamp_is_finite_at_u_one_in_both_engines():
+    """md5_uniform's range is (0, 1]; unclamped, u=1 ('ffffffff' prefix)
+    makes Spark yield NULL and DuckDB hard-error — the clamp keeps both
+    engines finite and identical."""
+    import math
+
+    import duckdb
+
+    from vectordb_explorations_spark.operators.sampling import _GUMBEL_U_MAX
+
+    py = -math.log(-math.log(min(1.0, _GUMBEL_U_MAX)))
+    duck = duckdb.sql(
+        f"SELECT -ln(-ln(least(1.0, {_GUMBEL_U_MAX!r})))").fetchone()[0]
+    assert math.isfinite(py) and py == duck
+
+
+def test_mixture_plan_reports_budgeted_sources_with_no_data(spark):
+    from vectordb_explorations_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(0, "src0", "a b c"), (1, "src1", "d e")],
+        ["doc_id", "source", "text"])
+    rows = {r.source: r for r in
+            mixture_plan(docs, budget_tokens=100,
+                         weights={"src0": 0.5, "src9": 0.5}).collect()}
+    # the budgeted-but-absent source is REPORTED, not silently dropped
+    assert set(rows) == {"src0", "src1", "src9"}
+    missing = rows["src9"]
+    assert missing.n_docs == 0 and missing.avail_tokens == 0
+    assert missing.weight == 0.5 and missing.target_tokens == 50
+    assert missing.epochs is None and missing.sample_rate is None
+    assert rows["src1"].weight == 0.0 and rows["src1"].target_tokens == 0

@@ -163,9 +163,12 @@ COMMENTARY = {
         "output is the leaking pairs themselves."),
     "mixture_plan": (
         "Training-mix token budgeting: one map-side-combinable "
-        "aggregation keyed on source; the target-weight table is a "
-        "literal CASE, so everything after the agg is arithmetic on a "
-        "|sources|-row frame — no join, no window, no second scan."),
+        "aggregation keyed on source, then a FULL OUTER join against "
+        "the literal |mix|-row weight table (full-outer precisely so a "
+        "budgeted source with zero corpus presence still reports — the "
+        "condition the query exists to catch; it plans as an SMJ of two "
+        "already-tiny frames, |sources| vs |mix| rows, so the exchange "
+        "is negligible at any corpus size). No second corpus scan."),
     "source_kl_divergence": (
         "Per-source distribution drift: one corpus scan into a "
         "(source, bucket) combinable count; the cell frame densifies "

@@ -456,25 +456,34 @@ DSIR_BUCKETS = 64          # hashed n-gram feature buckets
 DSIR_ALPHA = 0.5           # add-alpha smoothing for both bucket models
 DSIR_SELECT_K = 100        # resampled documents returned
 DSIR_TARGET_SOURCES = ("src0", "src1")   # the "looks like this" exemplar set
+# largest double < 1 at md5_uniform's 2^-32 grain — keeps -ln(-ln(u))
+# finite at u = 1 (the 'ffffffff' prefix) identically in both engines
+_GUMBEL_U_MAX = 1.0 - 2.0 ** -32
 
 
 def _gram_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
     """(doc_id, source, bucket): hashed (unigram + bigram) feature buckets
     over the SHARED whitespace tokenizer — featurize.py's md5-prefix
-    dimension hash applied to grams. sequence(1, 0) is empty so one-token
-    docs are safe, and the hoisted `w` column tokenizes once
-    (doc_fingerprints' lesson about re-tokenizing inside higher-order
-    lambdas). Shared by dsir_select and source_kl_divergence; keep
-    _GRAM_BUCKETS_SQL textually in lockstep — the pair is the
-    cross-engine contract the oracle hashes check."""
+    dimension hash applied to grams. The bigram arm needs an explicit
+    size guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (it does not
+    produce an empty array), so an unguarded lambda indexes out of
+    bounds — an ANSI crash — on any <=1-token document (the size>=k
+    when-guard discipline of doc_fingerprints / textops); DuckDB's
+    range(1, 1) IS empty, so the twin needs no guard. The hoisted `w`
+    column tokenizes once (doc_fingerprints' lesson about re-tokenizing
+    inside higher-order lambdas). Shared by dsir_select and
+    source_kl_divergence; keep _gram_buckets_sql in lockstep — the pair
+    is the cross-engine contract the oracle hashes check."""
     from vectordb_explorations_spark.functions.text import whitespace_tokens
 
     w = docs.select("doc_id", "source", whitespace_tokens("text").alias("w"))
     grams = w.select(
         "doc_id", "source",
         F.explode(F.concat(F.col("w"), F.expr(
-            "transform(sequence(1, size(w) - 1),"
-            " i -> concat(w[i-1], ' ', w[i]))"))).alias("gram"))
+            "CASE WHEN size(w) >= 2 THEN"
+            " transform(sequence(1, size(w) - 1),"
+            " i -> concat(w[i-1], ' ', w[i]))"
+            " ELSE array() END"))).alias("gram"))
     bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
               .cast("long") % n_buckets).cast("int")
     return grams.select("doc_id", "source", bucket.alias("bucket"))
@@ -564,7 +573,12 @@ def dsir_select(docs: DataFrame,
               .groupBy("doc_id", "source")
               .agg(F.sum("n").alias("n_grams"),
                    F.sum(F.col("n") * F.col("lam")).alias("score")))
-    gumbel = -F.log(-F.log(md5_uniform("doc_id")))
+    # md5_uniform's range is (0, 1] and -ln(-ln(1)) is undefined — Spark
+    # would yield NULL (doc unselectable) while DuckDB hard-errors, the
+    # one place the engines would diverge. Clamp u just under 1: at
+    # billions of docs the 2^-32 'ffffffff' prefix WILL occur.
+    u = F.least(md5_uniform("doc_id"), F.lit(_GUMBEL_U_MAX))
+    gumbel = -F.log(-F.log(u))
     return (scored.select("doc_id", "source", "n_grams",
                           round6(F.col("score")).alias("logratio"),
                           round6(F.col("score") + gumbel).alias("gumbel_key"))
@@ -579,7 +593,8 @@ def dsir_select_oracle(target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
     from vectordb_explorations_spark.functions.rounding import r6
 
     tgt = ", ".join(f"'{s}'" for s in target_sources)
-    gum = f"-ln(-ln({md5_uniform_sql('doc_id')}))"
+    gum = (f"-ln(-ln(least({md5_uniform_sql('doc_id')}, "
+           f"{_GUMBEL_U_MAX!r})))")
     return f"""
 WITH {_gram_buckets_sql(n_buckets)}, docb AS (
   SELECT doc_id, source, source IN ({tgt}) AS is_target, bucket,
@@ -717,30 +732,38 @@ def mixture_plan(docs: DataFrame,
     executes a mix.
 
     Scale shape: one map-side-combinable aggregation keyed on source
-    (|sources| groups); the weight table is a literal CASE — everything
-    after the agg is arithmetic on a tiny frame. Sources outside the
+    (|sources| groups); the weight table is a literal |mix|-row frame
+    FULL-OUTER-joined onto the observed sources — a budgeted source with
+    ZERO corpus presence still reports (avail 0, epochs NULL), the one
+    condition a pre-run budgeting query exists to catch; a groupBy over
+    observed sources alone would silently drop it. Sources outside the
     target mix report weight 0 (excluded from the budget)."""
     from vectordb_explorations_spark.functions.rounding import round6
 
     weights = MIXTURE_WEIGHTS if weights is None else weights
     n_tokens = F.size(F.split(F.col("text"), " "))
-    w_col = F.lit(0.0)
-    for src, w in weights.items():
-        w_col = F.when(F.col("source") == src, F.lit(float(w))) \
-            .otherwise(w_col)
     avail = (docs.select("source", n_tokens.alias("n_tokens"))
              .groupBy("source")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum("n_tokens").alias("avail_tokens")))
+    wtab = docs.sparkSession.createDataFrame(
+        [(s, float(w)) for s, w in weights.items()],
+        "source string, w double")
+    joined = (avail.join(wtab, "source", "full_outer")
+              .select("source",
+                      F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                      F.coalesce("avail_tokens", F.lit(0))
+                      .alias("avail_tokens"),
+                      F.coalesce("w", F.lit(0.0)).alias("weight")))
     target = F.col("weight") * F.lit(float(budget_tokens))
-    return (avail.withColumn("weight", w_col)
+    per_epoch = target / F.col("avail_tokens").cast("double")
+    return (joined
             .select("source", "n_docs", "avail_tokens", "weight",
                     F.floor(target).cast("long").alias("target_tokens"),
-                    round6(target / F.col("avail_tokens").cast("double"))
+                    F.when(F.col("avail_tokens") > 0, round6(per_epoch))
                     .alias("epochs"),
-                    round6(F.least(
-                        F.lit(1.0),
-                        target / F.col("avail_tokens").cast("double")))
+                    F.when(F.col("avail_tokens") > 0,
+                           round6(F.least(F.lit(1.0), per_epoch)))
                     .alias("sample_rate"))
             .orderBy("source"))
 
@@ -750,22 +773,29 @@ def mixture_plan_oracle(budget_tokens: int = MIXTURE_BUDGET_TOKENS,
     from vectordb_explorations_spark.functions.rounding import r6
 
     weights = MIXTURE_WEIGHTS if weights is None else weights
-    cases = " ".join(f"WHEN source = '{s}' THEN {float(w)!r}"
-                     for s, w in weights.items())
-    tgt = f"(CASE {cases} ELSE 0.0 END) * {float(budget_tokens)!r}"
+    vals = ", ".join(f"('{s}', {float(w)!r})" for s, w in weights.items())
+    tgt = f"weight * {float(budget_tokens)!r}"
+    per = f"({tgt}) / CAST(avail_tokens AS DOUBLE)"
     return f"""
 WITH avail AS (
   SELECT source, count(*) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
   FROM documents GROUP BY source
+), wtab AS (
+  SELECT * FROM (VALUES {vals}) AS v(source, w)
+), joined AS (
+  SELECT COALESCE(a.source, wt.source) AS source,
+         COALESCE(a.n_docs, 0) AS n_docs,
+         COALESCE(a.avail_tokens, 0) AS avail_tokens,
+         COALESCE(wt.w, 0.0) AS weight
+  FROM avail a FULL OUTER JOIN wtab wt ON a.source = wt.source
 )
-SELECT source, n_docs, avail_tokens,
-       CASE {cases} ELSE 0.0 END AS weight,
+SELECT source, n_docs, avail_tokens, weight,
        CAST(floor({tgt}) AS BIGINT) AS target_tokens,
-       {r6(f'({tgt}) / CAST(avail_tokens AS DOUBLE)')} AS epochs,
-       {r6(f'least(1.0, ({tgt}) / CAST(avail_tokens AS DOUBLE))')}
+       CASE WHEN avail_tokens > 0 THEN {r6(per)} END AS epochs,
+       CASE WHEN avail_tokens > 0 THEN {r6(f'least(1.0, {per})')} END
          AS sample_rate
-FROM avail ORDER BY source
+FROM joined ORDER BY source
 """
 
 
