@@ -89,10 +89,14 @@ def _tree_jiffies(root_pid: int) -> int:
         try:
             with open(f"/proc/{entry}/stat") as f:
                 s = f.read()
-        except OSError:
+            rest = s[s.rindex(")") + 2:].split()  # comm may contain spaces
+            procs[int(entry)] = (int(rest[1]),
+                                 int(rest[11]) + int(rest[12]))
+        except (OSError, ValueError, IndexError):
+            # a process exiting mid-scan can yield an unreadable OR
+            # empty/truncated stat line — skip it; only OSError was
+            # caught before, so a torn read aborted the whole bench
             continue
-        rest = s[s.rindex(")") + 2:].split()  # comm may contain spaces
-        procs[int(entry)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
     total = 0
     for pid, (ppid, jiff) in procs.items():
         p, seen = pid, set()

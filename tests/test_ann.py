@@ -630,3 +630,28 @@ def test_hnsw_partitioned_auto_matches_in_memory(spark, sf_dir, exact,
     mem = hnsw_search(idx, qs, K, ef_search=64,
                       probe_shards="auto").collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, mem))
+
+
+def test_hnsw_partitioned_fixed_low_probe_warns(spark, sf_dir, tmp_path):
+    """The partitioned serving path must emit the same recall-risk
+    warning as the in-memory search for a risky fixed probe count: the
+    inner hnsw_search only sees the PRUNED cell union (probe == its
+    whole world), so the outer router is the only place the full cell
+    population is known (review finding)."""
+    import pytest as _pytest
+
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_build, hnsw_persist_partitioned, hnsw_probe_partitioned)
+    from vectordb_explorations_spark.operators.knn import sample_queries
+    from vectordb_explorations_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = hnsw_build(emb, num_shards=12, shard_by="kmeans").cache()
+    idx.count()
+    path = str(tmp_path / "hnsw_idx_warn")
+    hnsw_persist_partitioned(idx, path)
+    queries = sample_queries(emb, 2).cache()
+    with _pytest.warns(RuntimeWarning, match="probe_shards=2"):
+        hnsw_probe_partitioned(spark, path, queries, 5,
+                               probe_shards=2).collect()
+    idx.unpersist()

@@ -271,3 +271,47 @@ def test_streaming_substrate_append_matches_rebuild(spark, tmp_path):
     before = spark.read.parquet(f"{base}/weights").count()
     await_drained(LS.maxsim_append_ingest(spark, stream(), base))  # replay
     assert spark.read.parquet(f"{base}/weights").count() == before
+
+
+def test_crash_window_replay_cannot_double_append_weights(spark, tmp_path):
+    """The marker alone cannot close the crash window BETWEEN the weight/
+    index writes and mark(): a replay of an unmarked-but-written file
+    used to re-APPEND identical weight rows, doubling cssq/dot and
+    silently inflating every affected chunk's served score by sqrt(2).
+    The ingest_key dynamic partition OVERWRITE closes it — simulate the
+    crash by deleting the markers after a drained ingest and replaying."""
+    from vectordb_explorations_spark.streaming.events import await_drained
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    half = docs.agg(F.floor(F.max("doc_id") / 2)).first()[0]
+    base = str(tmp_path / "sub_crash")
+    LS.maxsim_persist(docs.where(F.col("doc_id") <= half), base)
+
+    src = tmp_path / "new_docs"
+    (docs.where(F.col("doc_id") > half).coalesce(1)
+     .write.parquet(str(src / "batch.parquet")))
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src) + "/*.parquet"))
+
+    await_drained(LS.maxsim_append_ingest(spark, stream(), base))
+    weights_before = spark.read.parquet(f"{base}/weights").count()
+    served_before = sorted(map(tuple,
+                               LS.maxsim_banded_persisted(spark,
+                                                          base).collect()))
+
+    # crash simulation: the data writes landed but mark() never ran
+    import glob
+    import os
+    for marker in glob.glob(f"{base}/_epoch_*"):
+        os.remove(marker)
+    await_drained(LS.maxsim_append_ingest(spark, stream(), base))
+
+    assert spark.read.parquet(f"{base}/weights").count() == weights_before
+    served_after = sorted(map(tuple,
+                              LS.maxsim_banded_persisted(spark,
+                                                         base).collect()))
+    assert served_after == served_before

@@ -783,9 +783,15 @@ def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
         # cannot double-fire)
         probe_shards = adaptive_probe_shards(len(C))
     else:
-        # no risk-warn here: the inner hnsw_search re-routes over the
-        # same cell population and is the single warning chokepoint
         probe_shards = int(probe_shards)
+        # risk-warn HERE against the FULL cell population: the inner
+        # hnsw_search re-routes over the PRUNED union (only the probed
+        # cells survive the isin filter), so from its viewpoint a risky
+        # fixed probe looks like a full fan-out and its own check stays
+        # silent (caught by review — the comment previously claimed the
+        # populations were the same, which is only true for 'auto')
+        _warn_probe_recall_risk(min(probe_shards, len(cell_shards)),
+                                len(cell_shards))
     nn = min(probe_shards, len(C))
     d2 = -2.0 * qmat @ C.T + (C ** 2).sum(-1)
     near = np.argpartition(d2, nn - 1, axis=1)[:, :nn]

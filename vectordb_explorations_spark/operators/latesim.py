@@ -399,8 +399,16 @@ def _densify_chunk_weights(cw: DataFrame) -> DataFrame:
 
 
 # cid = doc_id * CHUNK_ID_STRIDE + chunk_id: supports docs up to ~32M
-# tokens (2^25 chunks) and doc_ids up to ~2^37 without collision.
+# tokens (2^25 chunks) and doc_ids up to ~2^37 without collision — but
+# ONLY with integer recovery: floor(cid / stride) in DOUBLE loses the
+# low bits past 2^53 total (doc_id 2^30, chunk 2^25-1 recovers the WRONG
+# doc), so every doc_id recovery goes through _cid_doc (`div`, exact).
 CHUNK_ID_STRIDE = 1 << 25
+
+
+def _cid_doc():
+    """Exact integer doc_id recovery from a packed cid column."""
+    return F.expr(f"cid div {CHUNK_ID_STRIDE}").cast("long")
 
 
 def maxsim_chunk_topk_banded(docs: DataFrame,
@@ -425,7 +433,7 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
     Scale shape — with one honest measurement attached: this face
     RECOMPUTES the chunk index and chunk weights from raw text per call,
     so banding cannot beat the exact face here (1M-doc ladder,
-    tools/maxsim_scale_probe.py: exact 26 s vs recomputed-banded 216 s —
+    tools/maxsim_scale_probe.py: exact 27 s vs recomputed-banded 257 s —
     the densify + GEMM + second weight pass dwarf the exact face's one
     broadcast-dot scan). Banding pays when the substrate is PERSISTED
     and built once: :func:`maxsim_persist` writes the chunk-weight table
@@ -441,7 +449,15 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
     from vectordb_explorations_spark.operators.ann import (
         random_hyperplane_lsh)
 
-    ce = chunk_embeddings(docs, win, stride)
+    # One weights frame feeds both the index densify and the scorer
+    # (review caught the redundant second _chunk_weights call). Honest
+    # caveat: without materialization Spark still recomputes the
+    # tokenize subtree under each consumer, and the 1M re-measure
+    # confirmed the wall is unchanged (257 s vs the 216-239 s noise
+    # band — densify+GEMM dominate, not the scan); materializing ~90M
+    # weight rows per CALL is maxsim_persist's job, not this face's.
+    cw = _chunk_weights(docs, win, stride)
+    ce = _densify_chunk_weights(cw)
     cb = random_hyperplane_lsh(ce, num_tables=num_tables,
                                num_planes=num_planes, seed=seed,
                                dim=HASH_DIM, id_col="cid",
@@ -449,12 +465,9 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
     term_buckets = _term_bucket_df(spark, queries, num_tables,
                                    num_planes, seed)
     cands = (cb.join(F.broadcast(term_buckets), ["table_id", "bucket"])
-             .select("query_id",
-                     F.floor(F.col("cid") / F.lit(CHUNK_ID_STRIDE))
-                     .cast("long").alias("doc_id"))
+             .select("query_id", _cid_doc().alias("doc_id"))
              .distinct())
-    return _maxsim_from_weights(spark, _chunk_weights(docs, win, stride),
-                                queries, cands=cands, top=top)
+    return _maxsim_from_weights(spark, cw, queries, cands=cands, top=top)
 
 
 MAXSIM_TERM_PROBE_BITS = 1
@@ -532,8 +545,17 @@ def maxsim_persist(docs: DataFrame, base_dir: str,
     from vectordb_explorations_spark.operators.ann import (
         random_hyperplane_lsh)
 
+    # Both artifacts carry an `ingest_key` partition level ('base' for
+    # the bulk build): maxsim_append_ingest dynamic-OVERWRITES its own
+    # key's partitions on replay, so the crash window between the two
+    # appends and mark() cannot double-append weight rows (which would
+    # silently inflate every affected chunk's norm/score — caught by
+    # review). Serving prunes on the (table_id, bucket) prefix levels
+    # exactly as before; the key level only namespaces writers.
     cw = _chunk_weights(docs, win, stride)
-    cw.write.mode("overwrite").parquet(f"{base_dir}/weights")
+    (cw.withColumn("ingest_key", F.lit("base"))
+     .write.mode("overwrite").partitionBy("ingest_key")
+     .parquet(f"{base_dir}/weights"))
     # derive the index FROM the just-written weights table: one
     # tokenize+md5 corpus scan total, not two (like-for-like A/B at
     # sf0.1: 7.7 -> 6.7 s median-of-3 build)
@@ -543,7 +565,9 @@ def maxsim_persist(docs: DataFrame, base_dir: str,
                            num_planes=num_planes, seed=seed,
                            dim=HASH_DIM, id_col="cid",
                            vec_col="embedding")
-     .write.mode("overwrite").partitionBy("table_id", "bucket")
+     .withColumn("ingest_key", F.lit("base"))
+     .write.mode("overwrite")
+     .partitionBy("table_id", "bucket", "ingest_key")
      .parquet(f"{base_dir}/index"))
 
 
@@ -579,9 +603,7 @@ def maxsim_banded_persisted(spark, base_dir: str,
                 sorted(t * pack + b for t, b in pairs)))
     cands = (idx.where(pred)
              .join(F.broadcast(term_buckets), ["table_id", "bucket"])
-             .select("query_id",
-                     F.floor(F.col("cid") / F.lit(CHUNK_ID_STRIDE))
-                     .cast("long").alias("doc_id"))
+             .select("query_id", _cid_doc().alias("doc_id"))
              .distinct())
     cw = spark.read.parquet(f"{base_dir}/weights")
     return _maxsim_from_weights(spark, cw, queries, cands=cands, top=top)
@@ -620,10 +642,15 @@ def maxsim_append_ingest(spark, docs_stream: DataFrame, base_dir: str,
     append: only touched bucket directories gain files). The plane
     matrix is seeded, so appended chunks bucket consistently with the
     original build, and `maxsim_banded_persisted` serves the union with
-    no rebuild. Idempotence rides the per-source-file markers
-    (streaming/events._files_to_ingest — a regrouped replay cannot
-    double-append). Cost per batch: O(batch tokens) — the same two
-    artifacts the bulk build writes, computed over the batch only."""
+    no rebuild. Idempotence is TWO-layered: the per-source-file markers
+    (streaming/events._files_to_ingest) skip already-applied files
+    across restarts AND each write is a dynamic partition OVERWRITE
+    keyed on the batch's deterministic ``ingest_key`` — a crash in the
+    window between the data writes and mark() replays into the SAME
+    partitions instead of double-appending (duplicated weight rows
+    would silently inflate chunk norms and served scores; caught by
+    review). Cost per batch: O(batch tokens) — the same two artifacts
+    the bulk build writes, computed over the batch only."""
     from vectordb_explorations_spark.operators.ann import (
         random_hyperplane_lsh)
     from vectordb_explorations_spark.streaming.events import (
@@ -633,16 +660,23 @@ def maxsim_append_ingest(spark, docs_stream: DataFrame, base_dir: str,
         df, mark = _files_to_ingest(batch_df, base_dir, epoch_id)
         if df is None or df.isEmpty():
             return
+        key = mark.ingest_key
         # one tokenize pass per batch: weights checkpointed, the index
         # densifies from them (the maxsim_persist one-scan shape)
         cw = _chunk_weights(df, win, stride).localCheckpoint(eager=True)
-        cw.write.mode("append").parquet(f"{base_dir}/weights")
+        (cw.withColumn("ingest_key", F.lit(key))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_key").parquet(f"{base_dir}/weights"))
         (random_hyperplane_lsh(_densify_chunk_weights(cw),
                                num_tables=num_tables,
                                num_planes=num_planes, seed=seed,
                                dim=HASH_DIM, id_col="cid",
                                vec_col="embedding")
-         .write.mode("append").partitionBy("table_id", "bucket")
+         .withColumn("ingest_key", F.lit(key))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("table_id", "bucket", "ingest_key")
          .parquet(f"{base_dir}/index"))
         mark()
 

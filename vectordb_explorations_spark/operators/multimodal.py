@@ -171,13 +171,21 @@ def decode_image(payload: bytes) -> np.ndarray:
 def _decode_image_pil(payload: bytes) -> np.ndarray:
     """PIL-backed decode for the compressed-codec seam: (h, w, 3) uint8
     RGB for color modes, (h, w) uint8 for single-channel — the same
-    shape contract as the native netpbm/BMP paths."""
+    shape contract as the native netpbm/BMP paths. Library-specific
+    failures (UnidentifiedImageError is an OSError) re-raise as
+    ValueError so callers see the documented undecodable-payload
+    contract regardless of which libraries the environment carries —
+    without this, resize_images' fake-fallback except clause never
+    matched in Pillow-installed environments (caught by review)."""
     import io
 
-    img = _PIL_IMAGE.open(io.BytesIO(payload))
-    if img.mode in ("L", "1", "I;16", "I"):
-        return np.asarray(img.convert("L"), dtype=np.uint8)
-    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    try:
+        img = _PIL_IMAGE.open(io.BytesIO(payload))
+        if img.mode in ("L", "1", "I;16", "I"):
+            return np.asarray(img.convert("L"), dtype=np.uint8)
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except (OSError, SyntaxError) as e:
+        raise ValueError(f"payload not decodable by PIL: {e}") from e
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
@@ -226,11 +234,17 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 def _decode_audio_soundfile(payload: bytes) -> tuple[np.ndarray, int]:
     """soundfile-backed decode for the compressed-codec seam: always
     returns (n, channels) int16 to match the native PCM path's integer
-    sample contract (soundfile's float output is scaled back)."""
+    sample contract (soundfile's float output is scaled back).
+    Library-specific failures (LibsndfileError is a RuntimeError)
+    re-raise as ValueError so the documented undecodable-payload
+    contract holds regardless of environment (caught by review)."""
     import io
 
-    data, rate = _SOUNDFILE.read(io.BytesIO(payload), dtype="int16",
-                                 always_2d=True)
+    try:
+        data, rate = _SOUNDFILE.read(io.BytesIO(payload), dtype="int16",
+                                     always_2d=True)
+    except (RuntimeError, OSError) as e:
+        raise ValueError(f"payload not decodable by soundfile: {e}") from e
     return np.asarray(data), int(rate)
 
 

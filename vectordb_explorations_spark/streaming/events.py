@@ -201,7 +201,15 @@ def _files_to_ingest(batch_df: DataFrame, index_dir: str, epoch_id: int):
         key = _batch_key(batch_df, epoch_id)
         if _epoch_applied(index_dir, key):
             return None, None
-        return batch_df, lambda: _mark_epoch(index_dir, key)
+        mark = lambda: _mark_epoch(index_dir, key)  # noqa: E731
+        # ingest_key: a deterministic id for THIS ingest's content —
+        # sinks that need replay idempotence BETWEEN the data write and
+        # mark() (a crash window the marker alone cannot close) use it
+        # as a dynamic-overwrite partition key (latesim.maxsim_append_
+        # ingest), so a replay REPLACES its own rows instead of
+        # double-appending.
+        mark.ingest_key = key
+        return batch_df, mark
     keys = {f: "f" + hashlib.sha1(f.encode()).hexdigest()[:20]
             for f in files}
     todo = [f for f in files if not _epoch_applied(index_dir, keys[f])]
@@ -215,6 +223,8 @@ def _files_to_ingest(batch_df: DataFrame, index_dir: str, epoch_id: int):
         for f in todo:
             _mark_epoch(index_dir, keys[f])
 
+    mark.ingest_key = "k" + hashlib.sha1(
+        "|".join(todo).encode()).hexdigest()[:20]
     return df, mark
 
 
