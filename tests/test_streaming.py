@@ -514,9 +514,13 @@ def test_span_admission_cross_batch_and_replay(spark, tmp_path):
                 .parquet(str(d) + "/*.parquet"))
 
     state, results = str(tmp_path / "state"), str(tmp_path / "hits")
+
+    def read_hits():
+        return (spark.read.schema("doc_id long, dup_of long")
+                .option("recursiveFileLookup", "true").parquet(results))
+
     await_drained(span_admission_ingest(spark, stream(), state, results))
-    rows = [(r.doc_id, r.dup_of)
-            for r in spark.read.parquet(results).collect()]
+    rows = [(r.doc_id, r.dup_of) for r in read_hits().collect()]
     # doc 5 arrived after doc 100 → every shared window fp flags it
     # against 100; doc 200 shares nothing; doc 100 is the keeper → clean
     assert rows and set(r[0] for r in rows) == {5}
@@ -526,7 +530,19 @@ def test_span_admission_cross_batch_and_replay(spark, tmp_path):
 
     # replay: same files, fresh stream, same dirs → markers absorb it
     await_drained(span_admission_ingest(spark, stream(), state, results))
-    assert spark.read.parquet(results).count() == len(rows)
+    assert read_hits().count() == len(rows)
+
+    # crash-window replay: the hits and state landed but mark() never
+    # ran — the per-ingest overwrite must REPLACE rows (not re-append)
+    # and the self-pair guard must keep keepers from flagging
+    # themselves against their own just-persisted fingerprints
+    import glob
+
+    for marker in glob.glob(os.path.join(results, "_epoch_*")):
+        os.remove(marker)
+    await_drained(span_admission_ingest(spark, stream(), state, results))
+    after = [(r.doc_id, r.dup_of) for r in read_hits().collect()]
+    assert sorted(after) == sorted(rows)
 
 
 def test_multi_file_batch_regrouping_is_per_file_idempotent(spark, tmp_path):

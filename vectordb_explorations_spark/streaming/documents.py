@@ -159,11 +159,17 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
     the state table as (fp, first_doc). Hits land in ``results_dir`` as
     (doc_id, dup_of) rows, one per colliding (doc, fp).
 
-    Idempotence: results are marked PER SOURCE FILE
-    (streaming/events._files_to_ingest), so checkpoint-less replays are
-    no-ops even when a restart regroups files into different batches;
-    results are written BEFORE the state append, so the crash residual
-    window is the same one-batch re-append events.py documents.
+    Idempotence is two-layered (the maxsim_append_ingest discipline):
+    per-source-file markers (streaming/events._files_to_ingest) absorb
+    replays across restarts, AND each batch's hits land in their own
+    ``results_dir/<ingest_key>/`` subdirectory written with
+    mode('overwrite') — a replay in the crash window between the hit
+    write and mark() REPLACES its own rows instead of double-appending
+    (duplicate hit rows would inflate every n_fp_hits count). The
+    replay recompute is made state-advance-stable by the self-pair
+    guard on hits_old: if the crash happened AFTER the state append,
+    the batch's own fingerprints are already persisted and the keeper
+    would otherwise flag itself.
 
     Scale shape: state is one (md5, long) row per distinct corpus window
     fingerprint — ≈50 B x corpus tokens, the SAME budget as the batch
@@ -182,11 +188,16 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
     w = SUBSTRING_WINDOW if w is None else w
     state_schema = "fp string, first_doc long"
     hit_schema = "doc_id long, dup_of long"
-    for path, schema in ((state_dir, state_schema),
-                         (results_dir, hit_schema)):
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            (spark.createDataFrame([], schema)
-             .write.mode("overwrite").parquet(path))
+    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        (spark.createDataFrame([], state_schema)
+         .write.mode("overwrite").parquet(state_dir))
+    # results are nested one subdir per ingest (no '=', so readers see
+    # plain nesting, not hive partitions); the seed subdir gives
+    # schema-less readers a footer before any batch lands
+    seed = os.path.join(results_dir, "__seed__")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        (spark.createDataFrame([], hit_schema)
+         .write.mode("overwrite").parquet(seed))
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         bdf, mark = _files_to_ingest(batch_df, results_dir, epoch_id)
@@ -197,8 +208,13 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
                  .localCheckpoint(eager=True))  # one fingerprint pass,
         # reused by three branches below (hits x2 + state append)
         old = spark.read.schema(state_schema).parquet(state_dir)
+        # the self-pair guard makes the replay recompute STABLE: after a
+        # crash that landed the state append but not mark(), this
+        # batch's own fps are already in `old` with the batch keeper as
+        # first_doc — without the guard the keeper flags itself
         hits_old = (docfp.join(old, "fp")
-                    .select("doc_id", F.col("first_doc").alias("dup_of")))
+                    .select("doc_id", F.col("first_doc").alias("dup_of"))
+                    .where(F.col("doc_id") != F.col("dup_of")))
         batch_first = (docfp.groupBy("fp")
                        .agg(F.min("doc_id").alias("first_doc")))
         new_fps = batch_first.join(old, "fp", "left_anti")
@@ -206,7 +222,8 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
                     .where(F.col("doc_id") != F.col("first_doc"))
                     .select("doc_id", F.col("first_doc").alias("dup_of")))
         (hits_old.unionByName(hits_new)
-         .write.mode("append").parquet(results_dir))
+         .write.mode("overwrite")
+         .parquet(os.path.join(results_dir, mark.ingest_key)))
         new_fps.write.mode("append").parquet(state_dir)
         mark()
 
@@ -235,7 +252,8 @@ def streaming_span_admission_stats(spark: SparkSession,
     q = span_admission_ingest(spark, read_documents_stream(spark, sf_dir),
                               state, results)
     await_drained(q)
-    return (spark.read.schema("doc_id long, dup_of long").parquet(results)
+    return (spark.read.schema("doc_id long, dup_of long")
+            .option("recursiveFileLookup", "true").parquet(results)
             .groupBy("doc_id")
             .agg(F.min("dup_of").alias("dup_of"),
                  F.count(F.lit(1)).alias("n_fp_hits"))
