@@ -50,7 +50,7 @@ def test_incremental_index_refresh(spark, sf_dir):
     with tempfile.TemporaryDirectory() as d:
         q = SE.incremental_index_refresh(spark, sf_dir, d)
         q.awaitTermination(300)
-        idx = spark.read.parquet(d)
+        idx = spark.read.option("recursiveFileLookup", "true").parquet(d)
         n_emb = load_table(spark, "embeddings", sf_dir).count()
         assert idx.count() == n_emb * 8  # default num_tables
         assert set(idx.columns) == {"vec_id", "table_id", "bucket", "epoch"}
@@ -575,3 +575,22 @@ def test_multi_file_batch_regrouping_is_per_file_idempotent(spark, tmp_path):
     # full replay of the regrouped batch: everything marked -> no-op
     d3, _ = _files_to_ingest(spark.read.parquet(pa, pb), idx, 3)
     assert d3 is None
+
+
+def test_index_refresh_crash_window_replay_is_exact(spark, sf_dir):
+    """The per-ingest overwrite discipline on the LSH refresh sink: a
+    replay of a written-but-unmarked batch must REPLACE its rows (a
+    duplicated index row would put the same vec_id into a top-k twice)."""
+    import glob
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        SE.incremental_index_refresh(spark, sf_dir, d).awaitTermination(300)
+        read = lambda: (spark.read  # noqa: E731
+                        .option("recursiveFileLookup", "true").parquet(d))
+        before = read().count()
+        for marker in glob.glob(os.path.join(d, "_epoch_*")):
+            os.remove(marker)
+        SE.incremental_index_refresh(spark, sf_dir, d).awaitTermination(300)
+        assert read().count() == before

@@ -237,8 +237,15 @@ def _epoch_applied(index_dir: str, key: str) -> bool:
     makes replays no-ops; the key is the batch's source-file content
     hash (see _batch_key), so it survives epoch-counter restarts.
     Residual window: a crash between the data landing and the marker
-    re-appends that one batch on restart; recovery is the batch
-    rebuild, same as any multi-file sink without a transaction log."""
+    replays that one batch on restart. Sinks where a double-append
+    corrupts results route the replay into the SAME location via
+    ``mark.ingest_key`` — per-ingest subdir overwrite
+    (incremental_index_refresh, documents.span_admission_ingest) or
+    dynamic partition overwrite (latesim.maxsim_append_ingest) — so the
+    replay REPLACES its rows. The hive IVF/IVF-PQ appends keep the
+    documented append-only residual (duplicate code rows + inflated
+    sidecar N until the periodic re-train/rewrite that IS their
+    maintenance cycle recovers it)."""
     return os.path.exists(os.path.join(index_dir, f"_epoch_{key}"))
 
 
@@ -256,7 +263,12 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
     the streaming counterpart of the reference's online `Insert`
     (hnsw.cc:147-215), restated as bulk-append (SURVEY §0: Spark batch-
     builds indexes; it does not serve online point inserts). Epoch
-    markers make replayed micro-batches no-ops (see _epoch_applied).
+    markers make replayed micro-batches no-ops (see _epoch_applied),
+    and each batch's rows land in their own ``index_dir/<ingest_key>/``
+    subdirectory written with mode('overwrite') — a crash-window replay
+    REPLACES its rows instead of double-appending (a duplicated index
+    row puts the same vec_id into a top-k twice); read the index with
+    recursiveFileLookup.
     """
     from vectordb_explorations_spark.operators.ann import random_hyperplane_lsh
     from vectordb_explorations_spark.sources.catalog import (
@@ -271,7 +283,8 @@ def incremental_index_refresh(spark: SparkSession, sf_dir: str,
             return
         idx = random_hyperplane_lsh(df)
         (idx.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append").parquet(index_dir))
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, mark.ingest_key)))
         mark()
 
     return (stream.writeStream
@@ -396,7 +409,8 @@ def streaming_index_refresh_stats(spark: SparkSession,
     out = tempfile.mkdtemp(prefix="lsh_refresh_")
     q = incremental_index_refresh(spark, sf_dir, out)
     await_drained(q)
-    idx = spark.read.parquet(out)
+    idx = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(out))
     return idx.agg(F.count(F.lit(1)).alias("n_rows"),
                    F.count_distinct("table_id").alias("n_tables"),
                    F.count_distinct("vec_id").alias("n_vectors"))
