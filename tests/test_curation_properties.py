@@ -99,3 +99,38 @@ def test_round6_matches_oracle_r6_on_arbitrary_doubles(spark, xs):
     finally:
         con.close()
     assert got == want
+
+
+@CASES
+@given(docs_strategy)
+def test_gram_buckets_cross_engine_contract(spark, texts):
+    """The _gram_buckets / _gram_buckets_sql pair IS the cross-engine
+    contract dsir_select and source_kl_divergence hash against: on
+    arbitrary word-token documents (including empty, whitespace-only and
+    single-token edge docs, which Spark's descending sequence(1, 0) used
+    to crash) both engines must produce the IDENTICAL
+    (doc_id, source, bucket) multiset."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.sampling import (
+        DSIR_BUCKETS, _gram_buckets, _gram_buckets_sql)
+
+    edge = ["", "   ", "solo"]
+    all_texts = list(texts) + edge
+    sdf = spark.createDataFrame(
+        [(i, f"s{i % 3}", t) for i, t in enumerate(all_texts)],
+        "doc_id long, source string, text string")
+    got = sorted((r.doc_id, r.source, r.bucket)
+                 for r in _gram_buckets(sdf, DSIR_BUCKETS).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, source VARCHAR, "
+                "text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                    [(i, f"s{i % 3}", t)
+                     for i, t in enumerate(all_texts)])
+    want = sorted(map(tuple, con.execute(
+        f"WITH {_gram_buckets_sql(DSIR_BUCKETS)} "
+        "SELECT doc_id, source, bucket FROM gbkt").fetchall()))
+    con.close()
+    assert got == want
