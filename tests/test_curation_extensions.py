@@ -1,0 +1,157 @@
+"""Round-11 session-2 curation additions — planted-behavior tests.
+
+Oracle parity (exactness vs DuckDB) rides test_oracle_parity.py like every
+declared query; these pin the SEMANTICS on corpora built for the purpose:
+Gopher rules fire on the document shapes they name, CCNet buckets order by
+fluency, temperature scaling actually flattens, the planted outlier ranks
+first, and novelty distinguishes first copies from re-crawls.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_explorations_spark.operators.dedup import ngram_novelty  # noqa: E402
+from vectordb_explorations_spark.operators.featurize import (  # noqa: E402
+    embedding_outliers)
+from vectordb_explorations_spark.operators.sampling import (  # noqa: E402
+    temperature_mixture)
+from vectordb_explorations_spark.operators.textops import (  # noqa: E402
+    gopher_quality_signals, perplexity_buckets)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+
+
+# ---- gopher_quality_signals ----
+
+def test_gopher_rules_fire_on_their_shapes(spark):
+    good = " ".join(
+        ["the", "a"] + [f"word{i}" for i in range(28)])          # 30 words
+    short = "the a tiny doc"                                      # 4 words
+    spam = "the a " + " ".join(["spam ham"] * 14)                 # 30 words
+    symbols = "the a " + " ".join(["###"] * 28)                   # 30 words
+    docs = _docs(spark, [(0, "s", "en", good), (1, "s", "en", short),
+                         (2, "s", "en", spam), (3, "s", "en", symbols)])
+    out = {r.doc_id: r for r in gopher_quality_signals(docs).collect()}
+
+    assert out[0].keep and out[0].drop_reasons == ""
+    assert "too_few_words" in out[1].drop_reasons
+    assert "top_bigram_heavy" in out[2].drop_reasons
+    assert out[2].top2_char_frac > 0.2
+    assert "symbol_heavy" in out[3].drop_reasons
+    # '###' words carry no alphabetic character either
+    assert "non_alpha" in out[3].drop_reasons
+    assert not (out[1].keep or out[2].keep or out[3].keep)
+
+
+def test_gopher_stopword_floor(spark):
+    no_stops = " ".join(f"w{i}" for i in range(30))
+    docs = _docs(spark, [(0, "s", "en", no_stops)])
+    row = gopher_quality_signals(docs).collect()[0]
+    assert row.n_stop_distinct == 0
+    assert "stopword_poor" in row.drop_reasons
+
+
+# ---- perplexity_buckets ----
+
+def test_perplexity_thirds_order_by_fluency(spark):
+    common = "the data table row scan join"
+    rows = [(i, "s", "en", " ".join([common] * 4)) for i in range(6)]
+    rows += [(10 + i, "s", "en",
+              " ".join(f"rare{10 + i}x{j}" for j in range(24)))
+             for i in range(3)]
+    out = perplexity_buckets(_docs(spark, rows)).collect()
+    assert [r.bucket_idx for r in out] == [1, 2, 3]
+    assert [r.bucket for r in out] == ["head", "middle", "tail"]
+    assert [r.n_docs for r in out] == [3, 3, 3]
+    by = {r.bucket: r for r in out}
+    # fluent (common-vocabulary) docs are strictly more probable: every
+    # head perplexity below every tail perplexity
+    assert by["head"].max_ppl < by["tail"].min_ppl
+    # the gibberish docs all land in the tail: its floor is above the
+    # middle's ceiling too
+    assert by["middle"].max_ppl < by["tail"].min_ppl
+
+
+# ---- temperature_mixture ----
+
+def test_temperature_scaling_flattens_the_mix(spark):
+    rows = [(i, "big", "en", " ".join(["tok"] * 90)) for i in range(9)]
+    rows += [(100, "small", "en", " ".join(["tok"] * 90))]
+    out = {r.source: r for r in
+           temperature_mixture(_docs(spark, rows), alpha=0.5,
+                               budget_tokens=1000).collect()}
+    big, small = out["big"], out["small"]
+    assert big.natural_share == pytest.approx(0.9, abs=1e-6)
+    assert small.natural_share == pytest.approx(0.1, abs=1e-6)
+    # alpha=0.5: q_small = sqrt(.1)/(sqrt(.9)+sqrt(.1)) = 0.25
+    assert small.temp_share == pytest.approx(0.25, abs=1e-6)
+    assert big.temp_share == pytest.approx(0.75, abs=1e-6)
+    # flattening: the small source's share RISES, the big one's falls
+    assert small.temp_share > small.natural_share
+    assert big.temp_share < big.natural_share
+    assert small.temp_share + big.temp_share == pytest.approx(1.0, abs=1e-9)
+    # epochs = target / avail: small gets 250 tokens over 90 available
+    assert small.target_tokens == 250
+    assert small.epochs == pytest.approx(250.0 / 90.0, abs=1e-5)
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    rows = [(i, f"s{i % 2}", "en", " ".join(["tok"] * (10 + i)))
+            for i in range(6)]
+    out = temperature_mixture(_docs(spark, rows), alpha=1.0).collect()
+    for r in out:
+        assert r.temp_share == pytest.approx(r.natural_share, abs=1e-6)
+
+
+# ---- embedding_outliers ----
+
+def test_planted_outlier_ranks_first(spark):
+    dim = 4
+    rows = [(i, [0.1 * (i % 3)] * dim, "A") for i in range(10)]
+    rows.append((99, [25.0] * dim, "A"))
+    rows += [(200 + i, [1.0] * dim, "B") for i in range(3)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = embedding_outliers(emb, top_k=3).collect()
+    a = [r for r in out if r.label == "A"]
+    assert a[0].vec_id == 99 and a[0].rk == 1
+    assert a[0].z > 2.0                      # unambiguous outlier
+    assert len(a) == 3 and [r.rk for r in a] == [1, 2, 3]
+    # label B is degenerate (all identical): sd == 0 -> z is NULL, and
+    # every distance ties at 0 so ranks break by vec_id
+    b = [r for r in out if r.label == "B"]
+    assert all(r.z is None for r in b)
+    assert [r.vec_id for r in b] == [200, 201, 202]
+
+
+# ---- ngram_novelty ----
+
+def test_novelty_separates_first_copies_from_recrawls(spark):
+    base = [f"w{i}" for i in range(25)]
+    rows = [(0, "s", "en", " ".join(base)),
+            (1, "s", "en", " ".join(base)),                     # re-crawl
+            (2, "s", "en", " ".join(base + [f"new{j}" for j in range(10)]))]
+    out = {r.doc_id: r for r in
+           ngram_novelty(_docs(spark, rows), w=20).collect()}
+    assert out[0].novelty == 1.0             # the keeper: all windows first
+    assert out[1].novelty == 0.0             # verbatim re-crawl
+    # doc 2: 35 words -> 16 windows; the 6 windows inside the copied
+    # prefix match doc 0, the 10 spanning new tokens are novel
+    assert out[2].n_windows == 16
+    assert out[2].novel_windows == 10
+    assert out[2].novelty == 0.625
+
+
+def test_novelty_short_docs_absent_and_partitioning_invariant(spark):
+    rows = [(0, "s", "en", "too short to window"),
+            (1, "s", "en", " ".join(f"t{i}" for i in range(30)))]
+    docs = _docs(spark, rows)
+    out = ngram_novelty(docs, w=20).collect()
+    assert [r.doc_id for r in out] == [1]
+    again = ngram_novelty(docs.repartition(7), w=20).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -192,6 +192,39 @@ COMMENTARY = {
         "Gopher-style repetition filter: every metric is a per-row array "
         "expression over one tokenize — no explode, zero data-dependent "
         "shuffles (the only exchange is the declared output order)."),
+    "gopher_quality_signals": (
+        "Gopher A1.1 document-shape rules: pure per-row higher-order "
+        "expressions over one tokenize — no explode, zero data-dependent "
+        "shuffles. Gram arrays, per-distinct counts and the max count are "
+        "STAGED through projected columns (composed Column trees re-inline "
+        "sub-expressions on every reference; the naive composed argmin "
+        "re-ran the O(distinct x positions) count per candidate — "
+        "measured minutes vs sub-second staged)."),
+    "perplexity_buckets": (
+        "CCNet perplexity thirds: unigram_logprob's two combinable aggs + "
+        "zipf-bounded vocabulary join, then ONE lang-partitioned sort for "
+        "the deterministic ntile (ordered by rounded score + doc_id, never "
+        "float-summation order) and a combinable rollup to n_langs x 3 "
+        "rows."),
+    "temperature_mixture": (
+        "Temperature-scaled mixture: ONE map-side-combinable aggregation "
+        "keyed on source; both normalizations (token total, sum of "
+        "p^alpha) ride whole-frame windows over the |sources|-row result "
+        "— no second corpus scan (the dsir_select fit discipline)."),
+    "embedding_outliers": (
+        "Distance-to-centroid outlier audit: centroids are one posexplode "
+        "+ combinable grouped avg (|labels| x dim rows), re-assembled and "
+        "BROADCAST back; the distance is a per-row zip_with fold; moments "
+        "and top-k ride one label-partitioned window sort. Ranking is by "
+        "rounded distance (z is monotone within a label), so rank never "
+        "depends on float summation order."),
+    "ngram_novelty": (
+        "Per-doc novel-text share: one corpus scan emits compact (doc_id, "
+        "pos, md5) window rows (the span-family tokenize hoist); the "
+        "keeper rides min() over one fp-partitioned window (no groupBy-"
+        "then-join-back double scan); the rollup is a combinable count on "
+        "doc_id. Nothing quadratic — boilerplate-hot fingerprints cost "
+        "their row count, not their pair count."),
     "contamination_check": (
         "Eval-set decontamination: the eval slice's distinct 8-grams "
         "broadcast; training-doc k-grams stream through a map-side hash "

@@ -1808,3 +1808,61 @@ SELECT d.lang,
 FROM stripped s JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
 """
+
+
+# ---- per-document novel-text share (memorization / freshness audit) ----
+
+
+def ngram_novelty(docs: DataFrame, w: int = SUBSTRING_WINDOW) -> DataFrame:
+    """Per-document NOVEL-text share: the fraction of a doc's w-token
+    windows whose fingerprint first appears in this document (smallest
+    doc_id over the fingerprint's occurrence set) — the complement of the
+    "how much of this page is text the corpus already contains" question
+    that Lee et al. 2021 ask when measuring how much training text is
+    duplicated, and the per-doc number a curation pipeline thresholds to
+    drop near-verbatim re-crawls while keeping the first copy.
+
+    Relation to the rest of the span family: substring_dup_coverage
+    measures how much of a doc is duplicated ANYWHERE (symmetric — both
+    copies score high); novelty is keeper-oriented (the first copy stays
+    at 1.0, later copies fall toward 0.0), so the two views disagree
+    exactly on keepers, which is the curation-relevant distinction.
+
+    Scale shape (100 TB): ONE corpus scan emits compact (doc_id, pos,
+    md5) rows (_span_windows — the tokenize hoist documented there); the
+    keeper rides min() over one fp-partitioned window (same single-sort
+    shape as _duplicated_windows, avoiding the groupBy-then-join-back
+    twin that re-runs the tokenize+md5 explode); the per-doc rollup is a
+    combinable count keyed on doc_id. Nothing quadratic, no pair join —
+    boilerplate-hot fingerprints cost their row count, not their pair
+    count. Docs shorter than w tokens yield no windows and are absent
+    from the output (consistent with substring_dup_coverage's domain).
+    """
+    wins = _span_windows(docs, w)
+    w_all = (Window.partitionBy("fp")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    ann = wins.withColumn("keeper", F.min("doc_id").over(w_all))
+    novel = F.sum((F.col("keeper") == F.col("doc_id")).cast("long"))
+    n_wins = F.count(F.lit(1))
+    return (ann.groupBy("doc_id")
+            .agg(n_wins.alias("n_windows"),
+                 novel.alias("novel_windows"))
+            .select("doc_id", "n_windows", "novel_windows",
+                    round6(F.col("novel_windows").cast("double")
+                           / F.col("n_windows")).alias("novelty"))
+            .orderBy("doc_id"))
+
+
+def ngram_novelty_oracle(w: int = SUBSTRING_WINDOW) -> str:
+    return f"""
+WITH {_span_windows_duck(w).strip()},
+k AS (SELECT fp, min(doc_id) AS keeper FROM wins GROUP BY fp)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(CASE WHEN k.keeper = w.doc_id THEN 1 END) AS novel_windows,
+       {r6('count(CASE WHEN k.keeper = w.doc_id THEN 1 END)::DOUBLE'
+           ' / count(*)')} AS novelty
+FROM wins w JOIN k USING (fp)
+GROUP BY w.doc_id ORDER BY doc_id
+"""

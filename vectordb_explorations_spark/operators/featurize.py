@@ -23,7 +23,7 @@ driver pass, no fitted state, stable under any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
 
@@ -122,4 +122,94 @@ SELECT w.doc_id, w.dim_id, w.w,
        {r6('CAST(w.w AS DOUBLE) / n.norm')} AS w_norm
 FROM w JOIN n ON w.doc_id = n.doc_id
 ORDER BY w.doc_id, w.dim_id
+"""
+
+
+# ---- embedding-space outlier audit (distance-to-centroid z-score) ----
+
+EMB_OUTLIER_TOPK = 5
+
+
+def embedding_outliers(embeddings: DataFrame,
+                       top_k: int = EMB_OUTLIER_TOPK) -> DataFrame:
+    """Per-label embedding-space outliers: distance to the label's own
+    centroid, z-scored within the label, top-k furthest per label — the
+    mislabeled-example / corrupted-embedding audit a training-data
+    pipeline runs over any labeled embedding column (the quality twin of
+    cluster_balanced_sample's density question). Ranking is by rounded
+    distance (z is monotone in distance within a label, so the rank is
+    identical and never depends on float summation order); z itself is
+    reported for the thresholding use case.
+
+    Scale shape (100 TB): centroids are one posexplode + combinable
+    grouped avg (|labels| x dim rows — tiny), re-assembled into arrays
+    and broadcast back onto the corpus; the distance is a per-row
+    zip_with fold (left-to-right — deterministic, the hybrid.py
+    discipline); the per-label moments and top-k ride one
+    label-partitioned window sort. Centroid dims are 6-dp binary-rounded
+    BEFORE the distance so both engines fold bit-identical inputs."""
+    from vectordb_explorations_spark.functions.rounding import round6
+
+    cent = (embeddings
+            .select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+            .groupBy("label", "dim_idx")
+            .agg(round6(F.avg(F.col("v").cast("double"))).alias("c")))
+    carr = (cent.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "c"))),
+                lambda p: p["c"]).alias("cent")))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("cent"),
+                   lambda x, c: (x.cast("double") - c)
+                   * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, t: acc + t))
+    d = (embeddings.join(F.broadcast(carr), "label")
+         .select("label", "vec_id", round6(dist).alias("dist")))
+    wlab = Window.partitionBy("label")
+    worder = Window.partitionBy("label").orderBy(
+        F.col("dist").desc(), F.col("vec_id"))
+    s = (d.withColumn("m", F.avg("dist").over(wlab))
+         .withColumn("sd", F.stddev_pop("dist").over(wlab))
+         .withColumn("rk", F.row_number().over(worder)))
+    z = F.when(F.col("sd") > 0, round6((F.col("dist") - F.col("m"))
+                                       / F.col("sd")))
+    return (s.where(F.col("rk") <= int(top_k))
+            .select("label", "vec_id", "dist", z.alias("z"), "rk")
+            .orderBy("label", "rk"))
+
+
+def embedding_outliers_oracle(top_k: int = EMB_OUTLIER_TOPK) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+    from vectordb_explorations_spark.schemas import EMBEDDING_DIM
+
+    sq = ("(CAST(e.embedding[i] AS DOUBLE) - cent[i])"
+          " * (CAST(e.embedding[i] AS DOUBLE) - cent[i])")
+    return f"""
+WITH x AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim_idx,
+         unnest(embedding) AS v
+  FROM embeddings
+), c AS (
+  SELECT label, dim_idx, {r6('avg(CAST(v AS DOUBLE))')} AS mean_v
+  FROM x GROUP BY label, dim_idx
+), carr AS (
+  SELECT label, list(mean_v ORDER BY dim_idx) AS cent FROM c GROUP BY label
+), d AS (
+  SELECT e.label, e.vec_id,
+         {r6(f'sqrt(list_sum(list_transform(range(1, {EMBEDDING_DIM + 1}),'
+             f' i -> {sq})))')} AS dist
+  FROM embeddings e JOIN carr USING (label)
+), s AS (
+  SELECT label, vec_id, dist,
+         avg(dist) OVER (PARTITION BY label) AS m,
+         stddev_pop(dist) OVER (PARTITION BY label) AS sd,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS rk
+  FROM d
+)
+SELECT label, vec_id, dist,
+       CASE WHEN sd > 0 THEN {r6('(dist - m) / sd')} END AS z,
+       rk
+FROM s WHERE rk <= {int(top_k)} ORDER BY label, rk
 """

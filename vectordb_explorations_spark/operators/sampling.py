@@ -876,3 +876,80 @@ SELECT source, CAST(ns AS BIGINT) AS n_grams,
        {r6(f'SUM({p} * ln({p} / {q}))')} AS kl_divergence
 FROM t GROUP BY source, ns ORDER BY source
 """
+
+
+# ---- temperature-scaled source mixture (XLM-R / mT5 alpha-sampling) ----
+
+TEMP_MIX_ALPHA = 0.3   # the XLM-R / mT5 multilingual sampling exponent
+
+
+def temperature_mixture(docs: DataFrame,
+                        alpha: float = TEMP_MIX_ALPHA,
+                        budget_tokens: int = MIXTURE_BUDGET_TOKENS
+                        ) -> DataFrame:
+    """Temperature-scaled source weights (Conneau et al. 2020 / Xue et
+    al. 2021): instead of mixture_plan's LITERAL target weights, DERIVE
+    the mix from the corpus itself — q_i ∝ p_i^alpha, where p_i is the
+    source's natural token share and alpha < 1 flattens the distribution
+    (upsampling small high-quality sources, the published multilingual
+    recipe). Emits, per source: the natural share, the temperature-scaled
+    share, the token target under the budget, and the epoch factor the
+    scaled share implies (>1 = the source repeats).
+
+    Scale shape (100 TB): ONE map-side-combinable aggregation keyed on
+    source (|sources| groups); both normalizations (token total, sum of
+    p^alpha) ride whole-frame windows over the |sources|-row result —
+    no second corpus scan (the dsir_select fit discipline). Shares are
+    libm pow() outputs on inputs both engines hold bit-identically —
+    the same cross-engine contract ln/exp already certify in
+    unigram_logprob / dsir_select."""
+    from vectordb_explorations_spark.functions.rounding import round6
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    avail = (docs.select("source", n_tokens.alias("n_tokens"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("avail_tokens")))
+    wall = Window.partitionBy()
+    p = (F.col("avail_tokens").cast("double")
+         / F.sum("avail_tokens").over(wall).cast("double"))
+    scored = avail.withColumn("p", p).withColumn(
+        "pa", F.pow(F.col("p"), F.lit(float(alpha))))
+    q = F.col("pa") / F.sum("pa").over(wall)
+    target = q * F.lit(float(budget_tokens))
+    return (scored
+            .select("source", "n_docs", "avail_tokens",
+                    round6(F.col("p")).alias("natural_share"),
+                    round6(q).alias("temp_share"),
+                    F.floor(target).cast("long").alias("target_tokens"),
+                    round6(target / F.col("avail_tokens").cast("double"))
+                    .alias("epochs"))
+            .orderBy("source"))
+
+
+def temperature_mixture_oracle(alpha: float = TEMP_MIX_ALPHA,
+                               budget_tokens: int = MIXTURE_BUDGET_TOKENS
+                               ) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+
+    q = "(pa / sum(pa) OVER ())"
+    tgt = f"({q} * {float(budget_tokens)!r})"
+    return f"""
+WITH avail AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+), scored AS (
+  SELECT source, n_docs, avail_tokens,
+         avail_tokens::DOUBLE / sum(avail_tokens) OVER ()::DOUBLE AS p,
+         pow(avail_tokens::DOUBLE / sum(avail_tokens) OVER ()::DOUBLE,
+             {float(alpha)!r}) AS pa
+  FROM avail
+)
+SELECT source, n_docs, avail_tokens,
+       {r6('p')} AS natural_share,
+       {r6(q)} AS temp_share,
+       CAST(floor({tgt}) AS BIGINT) AS target_tokens,
+       {r6(f'{tgt} / avail_tokens::DOUBLE')} AS epochs
+FROM scored ORDER BY source
+"""

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
 
@@ -911,4 +911,272 @@ WITH ch AS (
 SELECT doc_id, n_chars, n_distinct_chars,
        round(ln(n_chars::DOUBLE) - s / n_chars, 6) AS entropy_nats
 FROM a ORDER BY doc_id
+"""
+
+
+# ---- Gopher/MassiveText document-shape quality rules ----
+
+# Rule thresholds follow Gopher (Rae et al. 2021, Appendix A1.1) except
+# where the published value would be degenerate on the synthetic fixture:
+# Gopher's 50-word minimum fails EVERY sf0.01 doc (10-99 words), so the
+# minimum is fixture-scaled to 20 (the rule SHAPE — a word-count floor —
+# is what the operator certifies); the stopword rule likewise checks the
+# fixture vocabulary's own stop list (it contains only 'the' and 'a' of
+# Gopher's eight) with the published >= 2 distinct-hits bound.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WORD_LEN_RANGE = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1        # '#' and '...' per word (Gopher A1.1)
+GOPHER_MIN_ALPHA_FRAC = 0.8          # words containing an alphabetic char
+GOPHER_MIN_STOP_HITS = 2             # distinct stop words present
+GOPHER_TOP2_MAX = 0.20               # chars in most frequent word 2-gram
+GOPHER_TOP3_MAX = 0.18               # chars in most frequent word 3-gram
+
+
+def gopher_quality_signals(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher/MassiveText document-shape rules (Rae et al.
+    2021, A1.1) — the word-shape and repetition-shape signals a corpus
+    filter thresholds BEFORE any model-based scoring: word-count bounds,
+    mean word length range, symbol-to-word ratio ('#' and '...'),
+    fraction of words containing an alphabetic character, distinct-
+    stopword floor, and the fraction of characters covered by the most
+    frequent word 2-gram / 3-gram. Emits every signal plus the composed
+    keep/drop verdict with pipe-joined firing reasons (the
+    quality_filter audit convention).
+
+    Complements (does not duplicate) the existing per-doc views:
+    text_stats thresholds uniqueness/stopword ratios, doc_repetition_
+    stats covers top-WORD share and duplicate bigram fraction; this
+    operator adds the character-coverage n-gram rules and word-shape
+    rules those skip. Gopher's duplicate-5..10-gram CHARACTER coverage
+    is served corpus-level by substring_dup_coverage (interval union,
+    dedup.py) rather than per-row.
+
+    Scale shape (100 TB): pure per-row higher-order-function
+    expressions over one hoisted tokenize — no explode, no shuffle
+    (the final orderBy is presentation). Top-n-gram counting is
+    O(distinct x positions) per row, bounded by document length — the
+    doc_repetition_stats trade, documented there. Each intermediate
+    (gram arrays, per-distinct counts, max count) is STAGED through a
+    projected column: composed Column expressions re-inline their
+    sub-expressions on every reference (interpreted HOFs don't CSE),
+    and the naive composed form re-ran the O(distinct x positions)
+    count inside the argmin lambda — measured minutes-per-500-rows vs
+    sub-second staged."""
+    staged = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("ws"))
+
+    # one-arg lambda factories: a `k=k` default-arg closure would make
+    # the lambda arity 2 and Spark's HOF binder would feed the second
+    # parameter the ELEMENT INDEX
+    def _count_in(grams_col):
+        return lambda g: F.size(F.filter(grams_col, lambda x: x == g))
+
+    def _field(name):
+        return lambda p: p[name]
+
+    def _field_eq(name, value_col):
+        return lambda p: p[name] == value_col
+
+    for k in (2, 3):
+        staged = staged.withColumn(f"g{k}", F.when(
+            F.size("ws") >= k,
+            F.expr(f"transform(sequence(0, size(ws) - {k}), "
+                   f"i -> concat_ws(' ', slice(ws, i + 1, {k})))")
+        ).otherwise(F.array().cast("array<string>")))
+        staged = staged.withColumn(f"dg{k}", F.array_distinct(F.col(f"g{k}")))
+        staged = staged.withColumn(f"cnt{k}", F.transform(
+            F.col(f"dg{k}"), _count_in(F.col(f"g{k}"))))
+        staged = staged.withColumn(f"mc{k}", F.array_max(F.col(f"cnt{k}")))
+        # argmin over the zipped (gram, count) pairs: lexicographic-min
+        # tie-break among equally frequent n-grams so both engines pick
+        # the same winner
+        staged = staged.withColumn(f"top{k}", F.array_min(F.transform(
+            F.filter(F.arrays_zip(F.col(f"dg{k}"), F.col(f"cnt{k}")),
+                     _field_eq(f"cnt{k}", F.col(f"mc{k}"))),
+            _field(f"dg{k}"))))
+
+    ws = F.col("ws")
+    n = F.size(ws)
+    nd = n.cast("double")
+    mean_len = (F.aggregate(ws, F.lit(0.0),
+                            lambda acc, w: acc + F.length(w).cast("double"))
+                / nd)
+    alpha_frac = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / nd
+    hash_cnt = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ell_cnt = ((F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("...")))) / 3)
+    symbol_ratio = (hash_cnt + ell_cnt).cast("double") / nd
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(ws), stop_arr))
+
+    def top_frac(k: int) -> F.Column:
+        return F.when(
+            n >= k,
+            F.col(f"mc{k}").cast("double") * F.length(F.col(f"top{k}"))
+            / F.length("text")
+        ).otherwise(F.lit(0.0))
+
+    m = staged.select(
+        "doc_id",
+        n.alias("n_words"),
+        round6(mean_len).alias("mean_word_len"),
+        round6(alpha_frac).alias("alpha_word_frac"),
+        round6(symbol_ratio).alias("symbol_ratio"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        round6(top_frac(2)).alias("top2_char_frac"),
+        round6(top_frac(3)).alias("top3_char_frac"))
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    reasons = F.concat_ws(
+        "|",
+        F.when(F.col("n_words") < GOPHER_MIN_WORDS, F.lit("too_few_words")),
+        F.when(F.col("n_words") > GOPHER_MAX_WORDS, F.lit("too_many_words")),
+        F.when((F.col("mean_word_len") < lo) | (F.col("mean_word_len") > hi),
+               F.lit("word_len_out_of_range")),
+        F.when(F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO,
+               F.lit("symbol_heavy")),
+        F.when(F.col("alpha_word_frac") < GOPHER_MIN_ALPHA_FRAC,
+               F.lit("non_alpha")),
+        F.when(F.col("n_stop_distinct") < GOPHER_MIN_STOP_HITS,
+               F.lit("stopword_poor")),
+        F.when(F.col("top2_char_frac") > GOPHER_TOP2_MAX,
+               F.lit("top_bigram_heavy")),
+        F.when(F.col("top3_char_frac") > GOPHER_TOP3_MAX,
+               F.lit("top_trigram_heavy")))
+    return (m.select("*", (reasons == "").alias("keep"),
+                     reasons.alias("drop_reasons"))
+            .orderBy("doc_id"))
+
+
+def _gopher_top_frac_duck(k: int) -> str:
+    grams = (f"CASE WHEN len(w) >= {k} THEN "
+             f"list_transform(range(1, len(w) - {k} + 2), "
+             f"i -> array_to_string(w[i:i+{k}-1], ' ')) ELSE [] END")
+    return f"""
+       CASE WHEN len(w) >= {k} THEN (
+         SELECT mc * length(list_min(list_filter(dg,
+                  g -> len(list_filter(grams, x -> x = g)) = mc)))::DOUBLE
+                / length(text)
+         FROM (SELECT {grams} AS grams) t1,
+              LATERAL (SELECT list_distinct(t1.grams) AS dg) t2,
+              LATERAL (SELECT list_max(list_transform(t2.dg,
+                         g -> len(list_filter(t1.grams, x -> x = g)))) AS mc) t3
+       ) ELSE 0.0 END"""
+
+
+def gopher_quality_signals_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    reasons = f"""concat_ws('|',
+         CASE WHEN n_words < {GOPHER_MIN_WORDS} THEN 'too_few_words' END,
+         CASE WHEN n_words > {GOPHER_MAX_WORDS} THEN 'too_many_words' END,
+         CASE WHEN mean_word_len < {lo} OR mean_word_len > {hi}
+              THEN 'word_len_out_of_range' END,
+         CASE WHEN symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO}
+              THEN 'symbol_heavy' END,
+         CASE WHEN alpha_word_frac < {GOPHER_MIN_ALPHA_FRAC}
+              THEN 'non_alpha' END,
+         CASE WHEN n_stop_distinct < {GOPHER_MIN_STOP_HITS}
+              THEN 'stopword_poor' END,
+         CASE WHEN top2_char_frac > {GOPHER_TOP2_MAX}
+              THEN 'top_bigram_heavy' END,
+         CASE WHEN top3_char_frac > {GOPHER_TOP3_MAX}
+              THEN 'top_trigram_heavy' END)"""
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         {r6('list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE)))'
+             ' / len(w)')} AS mean_word_len,
+         {r6("len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE"
+             " / len(w)")} AS alpha_word_frac,
+         {r6("((length(text) - length(replace(text, '#', '')))"
+             " + (length(text) - length(replace(text, '...', ''))) / 3)"
+             "::DOUBLE / len(w)")} AS symbol_ratio,
+         len(list_intersect(list_distinct(w), [{sw}])) AS n_stop_distinct,
+         {r6(_gopher_top_frac_duck(2))} AS top2_char_frac,
+         {r6(_gopher_top_frac_duck(3))} AS top3_char_frac
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+       n_stop_distinct, top2_char_frac, top3_char_frac,
+       {reasons} = '' AS keep,
+       {reasons} AS drop_reasons
+FROM m ORDER BY doc_id
+"""
+
+
+# ---- CCNet-style language-model perplexity bucketing ----
+
+PPL_BUCKETS = 3
+_PPL_BUCKET_NAMES = ["head", "middle", "tail"]
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): score every
+    document with a language-model perplexity, then split each language
+    into equal head/middle/tail thirds by score — head = most fluent,
+    tail = the segment a curation pipeline drops or down-samples. The LM
+    here is the engine's own corpus unigram model (unigram_logprob — the
+    KenLM stand-in that keeps the whole pipeline hash-checkable);
+    perplexity = exp(-avg token log-prob), computed from the 6-dp-rounded
+    avg_logp so both engines exponentiate IDENTICAL doubles, and the
+    bucket assignment orders by (rounded avg_logp DESC, doc_id) — a fully
+    deterministic ntile whose tie-break never depends on float summation
+    order.
+
+    Scale shape (100 TB): unigram_logprob's two combinable aggs + one
+    zipf-bounded vocabulary join; then ONE lang-partitioned sort for the
+    ntile (CCNet shards this per language; lang is the natural partition
+    key and per-lang skew is the corpus's own language mix — a real
+    deployment pre-buckets by (lang, hash-range) if one language
+    dominates) and a combinable rollup. Output is bounded at
+    n_langs x 3 rows."""
+    lp = unigram_logprob(docs)
+    scored = (lp.join(docs.select("doc_id", "lang"), "doc_id")
+              .withColumn("ppl", F.exp(-F.col("avg_logp"))))
+    order = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id"))
+    names = F.array(*[F.lit(b) for b in _PPL_BUCKET_NAMES])
+    b = (scored.withColumn("bucket_idx", F.ntile(PPL_BUCKETS).over(order))
+         .withColumn("bucket", F.element_at(names, F.col("bucket_idx"))))
+    return (b.groupBy("lang", "bucket_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 round6(F.min("ppl")).alias("min_ppl"),
+                 round6(F.max("ppl")).alias("max_ppl"),
+                 round6(F.avg("ppl")).alias("avg_ppl"))
+            .orderBy("lang", "bucket_idx"))
+
+
+def perplexity_buckets_oracle() -> str:
+    names = ", ".join(f"'{b}'" for b in _PPL_BUCKET_NAMES)
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+), tot AS (
+  SELECT sum(cnt)::DOUBLE AS total FROM c
+), p AS (
+  SELECT tok, ln(cnt / total) AS logp FROM c, tot
+), d AS (
+  SELECT doc_id, round(avg(logp), 6) AS avg_logp
+  FROM t JOIN p USING (tok) GROUP BY doc_id
+), s AS (
+  SELECT d.doc_id, docs.lang, d.avg_logp, exp(-d.avg_logp) AS ppl
+  FROM d JOIN documents docs USING (doc_id)
+), b AS (
+  SELECT lang, ppl,
+         ntile({PPL_BUCKETS}) OVER (
+           PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS bucket_idx
+  FROM s
+)
+SELECT lang, bucket_idx, ([{names}])[bucket_idx] AS bucket,
+       count(*) AS n_docs,
+       {r6('min(ppl)')} AS min_ppl,
+       {r6('max(ppl)')} AS max_ppl,
+       {r6('avg(ppl)')} AS avg_ppl
+FROM b GROUP BY lang, bucket_idx ORDER BY lang, bucket_idx
 """

@@ -936,6 +936,28 @@ QUERIES: dict[str, QueryFn] = {
     # max over doc chunks of cosine, candidate-bounded per term.
     "maxsim_chunk_topk": lambda s, d: LSIM.maxsim_chunk_topk(
         load_table(s, "documents", d)),
+    # Gopher/MassiveText document-shape quality rules (Rae et al. 2021
+    # A1.1): word-shape bounds + most-frequent-n-gram character coverage
+    # with the composed keep/drop verdict.
+    "gopher_quality_signals": lambda s, d: X.gopher_quality_signals(
+        load_table(s, "documents", d)),
+    # CCNet-style per-language head/middle/tail perplexity thirds over
+    # the engine's own corpus unigram LM (Wenzek et al. 2020).
+    "perplexity_buckets": lambda s, d: X.perplexity_buckets(
+        load_table(s, "documents", d)),
+    # temperature-scaled source mixture q_i ∝ p_i^alpha (XLM-R / mT5
+    # alpha-sampling) — the derived-mix twin of mixture_plan's literal mix.
+    "temperature_mixture": lambda s, d: SP.temperature_mixture(
+        load_table(s, "documents", d)),
+    # per-label embedding-space outlier audit: distance-to-centroid
+    # z-score, top-k furthest per label (mislabeled-example detection).
+    "embedding_outliers": lambda s, d: FZ.embedding_outliers(
+        load_table(s, "embeddings", d)),
+    # per-doc NOVEL-text share: fraction of w-token windows whose
+    # fingerprint first appears in this doc (Lee et al. 2021's novelty
+    # view; keeper-oriented complement of substring_dup_coverage).
+    "ngram_novelty": lambda s, d: D.ngram_novelty(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -966,6 +988,9 @@ _WINDOW_PRIORITY = [
     "maxsim_chunk_topk", "streaming_span_admission",
     "dsir_select", "cluster_balanced_sample",
     "mixture_plan", "source_kl_divergence", "split_leakage",
+    # --- round-11 extension wave (session 2): five more never-checked ---
+    "gopher_quality_signals", "perplexity_buckets", "temperature_mixture",
+    "embedding_outliers", "ngram_novelty",
     # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
     "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -982,10 +1007,10 @@ _WINDOW_PRIORITY = [
     # --- code changed this round: re-certify on the new shapes ---
     "substring_dup_coverage", "streaming_index_refresh",
     "streaming_ivfpq_refresh",
-    # --- oldest r09 greens (alphabetical fill) ---
-    "asof_join", "boilerplate_coverage", "clean_text", "cube_order_stats",
-    "customer_balance_tiles", "customer_first_orders",
-    "customers_with_open_orders", "customers_without_orders",
+    # --- oldest r09 greens (alphabetical fill; the five displaced by the
+    # --- session-2 additions move to the FRONT of the r12 queue — their
+    # --- r09 evidence stays within the two-round bound through r12) ---
+    "asof_join", "boilerplate_coverage", "clean_text",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1041,6 +1066,11 @@ ORACLES: dict[str, str] = {
     "lang_confusion": X.lang_confusion_oracle(),
     "boilerplate_ngrams": X.boilerplate_ngrams_oracle(),
     "boilerplate_coverage": X.boilerplate_coverage_oracle(),
+    "gopher_quality_signals": X.gopher_quality_signals_oracle(),
+    "perplexity_buckets": X.perplexity_buckets_oracle(),
+    "temperature_mixture": SP.temperature_mixture_oracle(),
+    "embedding_outliers": FZ.embedding_outliers_oracle(),
+    "ngram_novelty": D.ngram_novelty_oracle(),
     "weighted_sample": SP.weighted_sample_oracle(),
     "dsir_select": SP.dsir_select_oracle(),
     "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
