@@ -14,6 +14,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from vectordb_explorations_spark.operators.dedup import ngram_novelty  # noqa: E402
 from vectordb_explorations_spark.operators.featurize import (  # noqa: E402
     embedding_outliers)
@@ -155,3 +157,52 @@ def test_novelty_short_docs_absent_and_partitioning_invariant(spark):
     assert [r.doc_id for r in out] == [1]
     again = ngram_novelty(docs.repartition(7), w=20).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+# ---- retrieval_quality ----
+
+def test_retrieval_metrics_on_planted_geometry(spark):
+    from vectordb_explorations_spark.operators.knn import retrieval_quality
+    # query 0 (label A at origin): 10 same-label vectors nearby, then
+    # far wrong-label mass -> perfect metrics. query 100 (label C,
+    # isolated): nearest neighbors are all label B -> zero metrics.
+    rows = [(0, [0.0, 0.0], "A")]
+    rows += [(i, [0.1 * i, 0.0], "A") for i in range(1, 11)]
+    rows += [(50 + i, [100.0 + i, 0.0], "B") for i in range(12)]
+    rows.append((100, [103.5, 0.5], "C"))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.query_id: r for r in
+           retrieval_quality(emb, num_queries=1, k=10).collect()}
+    q0 = out[0]
+    assert q0.n_rel == 10 and q0.precision_at_k == 1.0
+    assert q0.mrr == 1.0 and q0.ndcg == 1.0
+
+    # make the isolated C vector the only query by id: rebuild with it first
+    emb2 = emb.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == 100, -1).otherwise(F.col("vec_id")))
+    qc = {r.query_id: r for r in
+          retrieval_quality(emb2, num_queries=1, k=10).collect()}[-1]
+    # no other C vector exists: nothing retrieved is relevant AND the
+    # ideal is empty -> every metric 0 by the r_total=0 guard
+    assert qc.n_rel == 0 and qc.mrr == 0.0 and qc.ndcg == 0.0
+
+
+def test_retrieval_rank_discount_orders_ndcg(spark):
+    from vectordb_explorations_spark.operators.knn import retrieval_quality
+    # two labels, one query each; both retrieve exactly one relevant hit
+    # but at rank 1 vs rank ~10: the earlier hit must score higher on
+    # both MRR and nDCG even though precision ties.
+    rows = [(0, [0.0, 0.0], "A"), (2, [1.0, 0.0], "A")]
+    # 8 wrong-label vectors sit between query 1 and its only relevant
+    # hit, pushing it to rank 9 (still inside the top-10 cut)
+    rows += [(10 + i, [51.0 + 0.1 * i, 0.0], "B") for i in range(8)]
+    rows.append((1, [50.0, 0.0], "C")); rows.append((3, [60.0, 0.0], "C"))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.query_id: r for r in
+           retrieval_quality(emb, num_queries=2, k=10).collect()}
+    early, late = out[0], out[1]
+    assert early.n_rel == late.n_rel == 1
+    assert early.mrr == 1.0
+    assert late.mrr == pytest.approx(1.0 / 9.0, abs=1e-6)
+    assert early.ndcg > late.ndcg

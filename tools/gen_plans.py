@@ -225,6 +225,14 @@ COMMENTARY = {
         "then-join-back double scan); the rollup is a combinable count on "
         "doc_id. Nothing quadratic — boilerplate-hot fingerprints cost "
         "their row count, not their pair count."),
+    "retrieval_quality": (
+        "IR evaluation harness: the bounded query side broadcasts, the "
+        "corpus streams through one query-keyed window rank "
+        "(WindowGroupLimit pushes the top-k map-side), metrics are one "
+        "combinable agg per query, and the |labels|-row corpus totals "
+        "broadcast back for the nDCG ideal. Nothing collects; the "
+        "expensive stage is the same scored scan knn_batch already "
+        "bounds."),
     "contamination_check": (
         "Eval-set decontamination: the eval slice's distinct 8-grams "
         "broadcast; training-doc k-grams stream through a map-side hash "

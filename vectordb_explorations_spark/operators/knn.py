@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vectordb_explorations_spark.operators.ann import collect_query_batch
+from vectordb_explorations_spark.functions.rounding import round6
 from vectordb_explorations_spark.functions.vectors import (
     array_lit_sql, l2_distance, l2_distance_sql)
 
@@ -345,3 +346,120 @@ def mutual_knn_pairs(vectors: DataFrame, k: int, id_bound: int,
             else F.col("dist"))
     return (out.select("id_a", "id_b", dist.alias("dist"))
             .orderBy("id_a", "id_b"))
+
+
+# ---- retrieval-quality evaluation (precision@k / MRR / nDCG) ----
+
+
+def retrieval_quality(vectors: DataFrame, num_queries: int, k: int,
+                      label_col: str = "label",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None) -> DataFrame:
+    """IR evaluation over the engine's own exact retrieval: take the
+    first ``num_queries`` vectors as the query workload (the
+    sample_queries convention), retrieve top-k foreign neighbors by L2,
+    score relevance as label agreement, and emit the standard metrics a
+    retrieval deployment tracks per query — precision@k, MRR (reciprocal
+    rank of the first relevant hit), DCG@k and nDCG@k (binary gains,
+    log2 position discount, ideal normalized by min(k, total relevant in
+    the corpus) so a label rarer than k is not penalized for physics).
+    This is the evaluation harness itself as a declared, hash-checked
+    query — the piece that grades any of the engine's ANN families
+    against exact retrieval on labeled data.
+
+    Determinism: the ranking orders by the RAW distance double + id
+    tie-break (the established cross-engine L2 contract); MRR is an
+    order-free max of rel/rank; the IDCG is a LEFT-TO-RIGHT fold over
+    sequence(1, min(k, R)); DCG is a grouped sum of k bounded terms
+    rounded at 6 dp (the grouped-avg precedent). log2 rides the same
+    libm cross-engine contract as ln/exp/pow in unigram_logprob /
+    dsir_select / temperature_mixture.
+
+    Scale shape (100 TB): the query side broadcasts (bounded by the
+    collect_query_batch discipline — here it never leaves the plan);
+    the corpus streams through ONE window rank keyed on query_id
+    (O(corpus x queries) scored rows, top-k pushed map-side via
+    WindowGroupLimit); per-label corpus totals are one combinable agg
+    joined back onto the |queries|-row frame. Nothing collects."""
+    qs = (vectors
+          .orderBy(F.col(id_col).asc())
+          .limit(num_queries)
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("query_vec"),
+                  F.col(label_col).alias("query_label")))
+    scored = (vectors.crossJoin(F.broadcast(qs))
+              .where(F.col(id_col) != F.col("query_id"))
+              .withColumn("dist", _dist(vec_col, "query_vec", dim)))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col(id_col).asc())
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    rel = (F.col(label_col) == F.col("query_label")).cast("int")
+    m = (top.groupBy("query_id", "query_label")
+         .agg(F.sum(rel).alias("n_rel"),
+              F.max(F.when(rel == 1, 1.0 / F.col("rank"))
+                    .otherwise(F.lit(0.0))).alias("mrr_raw"),
+              F.sum(F.when(rel == 1,
+                           1.0 / F.log2(F.col("rank") + F.lit(1.0)))
+                    .otherwise(F.lit(0.0))).alias("dcg_raw")))
+    # total relevant per label (minus the query itself), for the ideal
+    label_tot = (vectors.groupBy(F.col(label_col).alias("query_label"))
+                 .agg(F.count(F.lit(1)).alias("label_n")))
+    j = m.join(F.broadcast(label_tot), "query_label")
+    r_total = F.col("label_n") - 1
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), r_total)),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0))
+    ndcg = F.when(r_total > 0, round6(F.col("dcg_raw") / idcg)) \
+            .otherwise(F.lit(0.0))
+    return (j.select("query_id", "query_label", "n_rel",
+                     round6(F.col("n_rel").cast("double") / k)
+                     .alias("precision_at_k"),
+                     round6(F.col("mrr_raw")).alias("mrr"),
+                     round6(F.col("dcg_raw")).alias("dcg"),
+                     ndcg.alias("ndcg"))
+            .orderBy("query_id"))
+
+
+def retrieval_quality_oracle(num_queries: int, k: int) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, q.query_vec), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+  FROM embeddings ORDER BY vec_id LIMIT {num_queries}
+), top AS (
+  SELECT q.query_id, q.query_label, e.label,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {dist} ASC, e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+  QUALIFY rank <= {k}
+), m AS (
+  SELECT query_id, query_label,
+         sum(CASE WHEN label = query_label THEN 1 ELSE 0 END) AS n_rel,
+         max(CASE WHEN label = query_label THEN 1.0 / rank
+                  ELSE 0.0 END) AS mrr_raw,
+         sum(CASE WHEN label = query_label THEN 1.0 / log2(rank + 1.0)
+                  ELSE 0.0 END) AS dcg_raw
+  FROM top GROUP BY query_id, query_label
+), tot AS (
+  SELECT label AS query_label, count(*) AS label_n
+  FROM embeddings GROUP BY label
+)
+SELECT m.query_id, m.query_label, CAST(n_rel AS BIGINT) AS n_rel,
+       {r6(f'n_rel::DOUBLE / {k}')} AS precision_at_k,
+       {r6('mrr_raw')} AS mrr,
+       {r6('dcg_raw')} AS dcg,
+       CASE WHEN label_n - 1 > 0 THEN
+         {r6('dcg_raw / list_sum(list_transform('
+             f'range(1, least({k}, label_n - 1) + 1), '
+             'i -> 1.0 / log2(i::DOUBLE + 1.0)))')}
+       ELSE 0.0 END AS ndcg
+FROM m JOIN tot USING (query_label)
+ORDER BY query_id
+"""

@@ -958,6 +958,12 @@ QUERIES: dict[str, QueryFn] = {
     # view; keeper-oriented complement of substring_dup_coverage).
     "ngram_novelty": lambda s, d: D.ngram_novelty(
         load_table(s, "documents", d)),
+    # IR evaluation of the engine's own exact retrieval: precision@k /
+    # MRR / DCG / nDCG with label-agreement relevance — the harness that
+    # grades any ANN family against exact retrieval on labeled data.
+    "retrieval_quality": lambda s, d: K.retrieval_quality(
+        load_table(s, "embeddings", d), KNN_BATCH_QUERIES, KNN_K,
+        dim=EMBEDDING_DIM),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -990,7 +996,7 @@ _WINDOW_PRIORITY = [
     "mixture_plan", "source_kl_divergence", "split_leakage",
     # --- round-11 extension wave (session 2): five more never-checked ---
     "gopher_quality_signals", "perplexity_buckets", "temperature_mixture",
-    "embedding_outliers", "ngram_novelty",
+    "embedding_outliers", "ngram_novelty", "retrieval_quality",
     # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
     "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -1007,10 +1013,10 @@ _WINDOW_PRIORITY = [
     # --- code changed this round: re-certify on the new shapes ---
     "substring_dup_coverage", "streaming_index_refresh",
     "streaming_ivfpq_refresh",
-    # --- oldest r09 greens (alphabetical fill; the five displaced by the
+    # --- oldest r09 greens (alphabetical fill; the six displaced by the
     # --- session-2 additions move to the FRONT of the r12 queue — their
     # --- r09 evidence stays within the two-round bound through r12) ---
-    "asof_join", "boilerplate_coverage", "clean_text",
+    "asof_join", "boilerplate_coverage",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1071,6 +1077,8 @@ ORACLES: dict[str, str] = {
     "temperature_mixture": SP.temperature_mixture_oracle(),
     "embedding_outliers": FZ.embedding_outliers_oracle(),
     "ngram_novelty": D.ngram_novelty_oracle(),
+    "retrieval_quality": K.retrieval_quality_oracle(
+        KNN_BATCH_QUERIES, KNN_K),
     "weighted_sample": SP.weighted_sample_oracle(),
     "dsir_select": SP.dsir_select_oracle(),
     "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
