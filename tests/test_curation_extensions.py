@@ -206,3 +206,47 @@ def test_retrieval_rank_discount_orders_ndcg(spark):
     assert early.mrr == 1.0
     assert late.mrr == pytest.approx(1.0 / 9.0, abs=1e-6)
     assert early.ndcg > late.ndcg
+
+
+def test_grade_retrieval_composes_with_ann_families(spark, sf_dir):
+    """The evaluation harness grades an actual ANN family's output: run
+    IVF (full fan-out, so its ranking matches exact retrieval bit-for-
+    bit) through grade_retrieval and require metric equality with the
+    exact-path retrieval_quality — proving any (query_id, label, rank)
+    frame plugs into the same metrics."""
+    from pyspark.sql import Window
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_build, ivf_search)
+    from vectordb_explorations_spark.operators.knn import (
+        grade_retrieval, retrieval_quality, sample_queries)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = retrieval_quality(emb, num_queries=5, k=10).collect()
+
+    assigned, cents = ivf_build(emb, num_centroids=4)
+    qs = sample_queries(emb, 5)
+    hits = (ivf_search(assigned, cents, qs, k=11, nprobe=4)
+            .where(F.col("vec_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc())
+    ranked = (hits.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= 10))
+    labels = emb.select("vec_id", "label")
+    qlab = (emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("query_label")))
+    frame = (ranked.join(labels, "vec_id").join(qlab, "query_id")
+             .select("query_id", "query_label", "label", "rank"))
+    graded = grade_retrieval(frame, emb, k=10).collect()
+
+    assert [tuple(r) for r in graded] == [tuple(r) for r in exact[:5]]
+
+
+def test_grade_retrieval_requires_rank(spark):
+    import pytest as _pytest
+    from vectordb_explorations_spark.operators.knn import grade_retrieval
+    emb = spark.createDataFrame(
+        [(0, [0.0], "A")], ["vec_id", "embedding", "label"])
+    hits = spark.createDataFrame(
+        [(0, "A", "A")], ["query_id", "query_label", "label"])
+    with _pytest.raises(ValueError, match="rank"):
+        grade_retrieval(hits, emb, k=10)

@@ -393,9 +393,33 @@ def retrieval_quality(vectors: DataFrame, num_queries: int, k: int,
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
                                                F.col(id_col).asc())
     top = (scored.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= k))
+           .where(F.col("rank") <= k)
+           .select("query_id", "query_label", F.col(label_col), "rank"))
+    return grade_retrieval(top, vectors, k, label_col=label_col)
+
+
+def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
+                    label_col: str = "label") -> DataFrame:
+    """Grade ANY retrieval's ranked output with the retrieval_quality
+    metrics — the stage that lets the ANN families (LSH/IVF/HNSW/PQ/...)
+    plug into the same evaluation harness as exact retrieval.
+    ``hits`` must carry (query_id, query_label, <label_col>, rank) with
+    ``rank`` 1-based per query — rank by (dist, id) before calling (a
+    DataFrame has no reliable row order to derive position from, and
+    the metrics are position-weighted, so an implicit order would grade
+    silently wrong). ``vectors`` supplies the per-label corpus totals
+    for the nDCG ideal.
+
+    See retrieval_quality for the determinism and scale notes; this
+    function is its metric stage verbatim."""
+    if "rank" not in hits.columns:
+        raise ValueError(
+            "grade_retrieval: hits must carry a 1-based 'rank' column "
+            "(rank by (dist, id) before grading — the metrics are "
+            "position-weighted)")
     rel = (F.col(label_col) == F.col("query_label")).cast("int")
-    m = (top.groupBy("query_id", "query_label")
+    m = (hits.where(F.col("rank") <= k)
+         .groupBy("query_id", "query_label")
          .agg(F.sum(rel).alias("n_rel"),
               F.max(F.when(rel == 1, 1.0 / F.col("rank"))
                     .otherwise(F.lit(0.0))).alias("mrr_raw"),
