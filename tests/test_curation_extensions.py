@@ -250,3 +250,32 @@ def test_grade_retrieval_requires_rank(spark):
         [(0, "A", "A")], ["query_id", "query_label", "label"])
     with _pytest.raises(ValueError, match="rank"):
         grade_retrieval(hits, emb, k=10)
+
+
+# ---- hard_examples ----
+
+def test_hard_example_mining_picks_the_confusable_impostor(spark):
+    from vectordb_explorations_spark.operators.knn import hard_examples
+    # anchor 0 (label A): same-label vecs at 1.0 and 2.0, a wrong-label
+    # impostor at 1.5 — the hard negative must be the impostor (nearest
+    # wrong-label), the hard positive the 2.0 vector (farthest same-label
+    # inside top-k), NOT the 1.0 one.
+    rows = [(0, [0.0], "A"), (1, [1.0], "A"), (2, [2.0], "A"),
+            (3, [1.5], "B"), (4, [9.0], "B")]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_examples(emb, num_queries=1, k=4).collect()
+    r = out[0]
+    assert r.anchor_id == 0 and r.anchor_label == "A"
+    assert r.neg_id == 3 and r.neg_rank == 2 and r.neg_dist == 1.5
+    assert r.pos_id == 2 and r.pos_rank == 3 and r.pos_dist == 2.0
+
+
+def test_hard_example_mining_nulls_when_kind_missing(spark):
+    from vectordb_explorations_spark.operators.knn import hard_examples
+    # anchor 0's top-2 is all same-label: no negative inside k -> NULLs
+    rows = [(0, [0.0], "A"), (1, [1.0], "A"), (2, [2.0], "A"),
+            (3, [50.0], "B")]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    r = hard_examples(emb, num_queries=1, k=2).collect()[0]
+    assert r.neg_id is None and r.neg_rank is None and r.neg_dist is None
+    assert r.pos_id == 2 and r.pos_rank == 2

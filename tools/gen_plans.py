@@ -233,6 +233,13 @@ COMMENTARY = {
         "broadcast back for the nDCG ideal. Nothing collects; the "
         "expensive stage is the same scored scan knn_batch already "
         "bounds."),
+    "hard_examples": (
+        "Contrastive hard-example mining: the same broadcast-scored "
+        "neighborhood scan, then two row_number windows over the "
+        "k-bounded frame pick the nearest wrong-label and farthest "
+        "same-label candidates per anchor — O(anchors x k) rows after "
+        "the rank, left-joined back onto the anchor frame so missing "
+        "kinds surface as NULLs rather than dropped anchors."),
     "contamination_check": (
         "Eval-set decontamination: the eval slice's distinct 8-grams "
         "broadcast; training-doc k-grams stream through a map-side hash "

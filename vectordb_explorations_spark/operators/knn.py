@@ -487,3 +487,107 @@ SELECT m.query_id, m.query_label, CAST(n_rel AS BIGINT) AS n_rel,
 FROM m JOIN tot USING (query_label)
 ORDER BY query_id
 """
+
+
+# ---- contrastive hard-example mining (training data for encoders) ----
+
+
+def hard_examples(vectors: DataFrame, num_queries: int, k: int,
+                  label_col: str = "label",
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int | None = None) -> DataFrame:
+    """Mine contrastive training pairs from the retrieval neighborhood —
+    the standard curation step for training embedding models (sentence
+    encoders / rerankers): for each anchor, the HARD NEGATIVE is the
+    nearest wrong-label neighbor inside its top-k (the most confusable
+    impostor — random negatives are too easy to carry gradient), and the
+    HARD POSITIVE is the FARTHEST same-label neighbor still inside the
+    top-k (the most marginal example the encoder should still pull in).
+    Anchors missing either kind inside their top-k emit NULLs for it —
+    the miner's signal to widen k for that anchor, not a silent drop.
+
+    Determinism: the neighborhood ranks by (raw distance double, id) —
+    the established L2 contract; the per-anchor picks are row_number
+    windows over that rank (never over floats); distances round at 6 dp
+    in the projection only.
+
+    Scale shape (100 TB): identical to retrieval_quality's scored scan
+    — broadcast anchor batch, ONE window rank keyed on anchor
+    (WindowGroupLimit bounds it map-side), then two row_number windows
+    over the k-bounded frame (O(anchors x k) rows). Nothing collects."""
+    qs = (vectors
+          .orderBy(F.col(id_col).asc())
+          .limit(num_queries)
+          .select(F.col(id_col).alias("anchor_id"),
+                  F.col(vec_col).alias("query_vec"),
+                  F.col(label_col).alias("anchor_label")))
+    scored = (vectors.crossJoin(F.broadcast(qs))
+              .where(F.col(id_col) != F.col("anchor_id"))
+              .withColumn("dist", _dist(vec_col, "query_vec", dim)))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("dist").asc(),
+                                                F.col(id_col).asc())
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("anchor_id", "anchor_label",
+                   F.col(id_col).alias("cand_id"),
+                   F.col(label_col).alias("cand_label"),
+                   "dist", "rank"))
+    neg_w = Window.partitionBy("anchor_id").orderBy("rank")
+    pos_w = Window.partitionBy("anchor_id").orderBy(F.col("rank").desc())
+    neg = (top.where(F.col("cand_label") != F.col("anchor_label"))
+           .withColumn("rn", F.row_number().over(neg_w))
+           .where(F.col("rn") == 1)
+           .select("anchor_id",
+                   F.col("cand_id").alias("neg_id"),
+                   F.col("rank").alias("neg_rank"),
+                   F.round("dist", 6).alias("neg_dist")))
+    pos = (top.where(F.col("cand_label") == F.col("anchor_label"))
+           .withColumn("rn", F.row_number().over(pos_w))
+           .where(F.col("rn") == 1)
+           .select("anchor_id",
+                   F.col("cand_id").alias("pos_id"),
+                   F.col("rank").alias("pos_rank"),
+                   F.round("dist", 6).alias("pos_dist")))
+    anchors = qs.select("anchor_id", "anchor_label")
+    return (anchors
+            .join(neg, "anchor_id", "left")
+            .join(pos, "anchor_id", "left")
+            .select("anchor_id", "anchor_label",
+                    "neg_id", "neg_rank", "neg_dist",
+                    "pos_id", "pos_rank", "pos_dist")
+            .orderBy("anchor_id"))
+
+
+def hard_examples_oracle(num_queries: int, k: int) -> str:
+    dist = ("sqrt(list_sum(list_transform(list_zip(e.embedding, q.query_vec), "
+            "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, embedding AS query_vec,
+         label AS anchor_label
+  FROM embeddings ORDER BY vec_id LIMIT {num_queries}
+), top AS (
+  SELECT q.anchor_id, q.anchor_label, e.vec_id AS cand_id,
+         e.label AS cand_label, {dist} AS dist,
+         row_number() OVER (PARTITION BY q.anchor_id
+                            ORDER BY {dist} ASC, e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.anchor_id
+  QUALIFY rank <= {k}
+), neg AS (
+  SELECT anchor_id, cand_id AS neg_id, rank AS neg_rank,
+         round(dist, 6) AS neg_dist,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY rank) AS rn
+  FROM top WHERE cand_label <> anchor_label QUALIFY rn = 1
+), pos AS (
+  SELECT anchor_id, cand_id AS pos_id, rank AS pos_rank,
+         round(dist, 6) AS pos_dist,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY rank DESC) AS rn
+  FROM top WHERE cand_label = anchor_label QUALIFY rn = 1
+)
+SELECT q.anchor_id, q.anchor_label,
+       neg_id, neg_rank, neg_dist, pos_id, pos_rank, pos_dist
+FROM q LEFT JOIN neg USING (anchor_id) LEFT JOIN pos USING (anchor_id)
+ORDER BY q.anchor_id
+"""

@@ -964,6 +964,12 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_quality": lambda s, d: K.retrieval_quality(
         load_table(s, "embeddings", d), KNN_BATCH_QUERIES, KNN_K,
         dim=EMBEDDING_DIM),
+    # contrastive hard-example mining: per anchor, the nearest
+    # wrong-label neighbor (hard negative) and the farthest same-label
+    # neighbor inside its top-k (hard positive) — encoder training data.
+    "hard_examples": lambda s, d: K.hard_examples(
+        load_table(s, "embeddings", d), KNN_BATCH_QUERIES, KNN_K,
+        dim=EMBEDDING_DIM),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -997,6 +1003,7 @@ _WINDOW_PRIORITY = [
     # --- round-11 extension wave (session 2): five more never-checked ---
     "gopher_quality_signals", "perplexity_buckets", "temperature_mixture",
     "embedding_outliers", "ngram_novelty", "retrieval_quality",
+    "hard_examples",
     # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
     "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -1013,10 +1020,11 @@ _WINDOW_PRIORITY = [
     # --- code changed this round: re-certify on the new shapes ---
     "substring_dup_coverage", "streaming_index_refresh",
     "streaming_ivfpq_refresh",
-    # --- oldest r09 greens (alphabetical fill; the six displaced by the
-    # --- session-2 additions move to the FRONT of the r12 queue — their
-    # --- r09 evidence stays within the two-round bound through r12) ---
-    "asof_join", "boilerplate_coverage",
+    # --- oldest r09 greens (alphabetical fill; the seven displaced by
+    # --- the session-2 additions move to the FRONT of the r12 queue —
+    # --- their r09 evidence stays within the two-round bound through
+    # --- r12) ---
+    "asof_join",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1079,6 +1087,7 @@ ORACLES: dict[str, str] = {
     "ngram_novelty": D.ngram_novelty_oracle(),
     "retrieval_quality": K.retrieval_quality_oracle(
         KNN_BATCH_QUERIES, KNN_K),
+    "hard_examples": K.hard_examples_oracle(KNN_BATCH_QUERIES, KNN_K),
     "weighted_sample": SP.weighted_sample_oracle(),
     "dsir_select": SP.dsir_select_oracle(),
     "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
