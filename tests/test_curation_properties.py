@@ -134,3 +134,78 @@ def test_gram_buckets_cross_engine_contract(spark, texts):
         "SELECT doc_id, source, bucket FROM gbkt").fetchall()))
     con.close()
     assert got == want
+
+
+@CASES
+@given(docs_strategy)
+def test_gopher_signals_cross_engine_contract(spark, texts):
+    """gopher_quality_signals' full row — including the staged
+    top-n-gram char fractions with their lexicographic-min tie-break —
+    must match the DuckDB oracle on ARBITRARY word-token documents,
+    including empty / whitespace-only / single-token edge docs and the
+    pathological one-repeated-token shape where the standard Gopher
+    occurrence-count formula exceeds 1.0 (both engines must agree on
+    that too)."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.textops import (
+        gopher_quality_signals, gopher_quality_signals_oracle)
+
+    edge = ["", "   ", "solo", "z " * 30]
+    all_texts = list(texts) + edge
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(all_texts)],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in gopher_quality_signals(sdf).collect())
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        list(enumerate(all_texts)))
+        want = sorted(map(tuple, con.execute(
+            gopher_quality_signals_oracle()).fetchall()))
+    finally:
+        con.close()
+    assert got == want
+
+
+@CASES
+@given(st.lists(st.lists(word, min_size=1, max_size=30).map(" ".join),
+                min_size=1, max_size=8))
+def test_ngram_novelty_cross_engine_contract(spark, texts):
+    """ngram_novelty (w=5 so hypothesis-sized docs actually window) must
+    match the DuckDB oracle on arbitrary word-token documents — the
+    tiny 'abcde'-alphabet vocabulary makes window collisions COMMON, so
+    this exercises the keeper-attribution path far harder than the
+    fixture; sub-w docs must be absent from both engines."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.dedup import (
+        ngram_novelty, ngram_novelty_oracle)
+
+    w = 5
+    all_texts = list(texts) + ["", "one two three four"]  # sub-w edges
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(all_texts)],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in ngram_novelty(sdf, w=w).collect())
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        list(enumerate(all_texts)))
+        want = sorted(map(tuple, con.execute(
+            ngram_novelty_oracle(w=w)).fetchall()))
+    finally:
+        con.close()
+    assert got == want
+    # the keeper invariant on any corpus: every doc's novelty in [0, 1],
+    # and the smallest doc_id holding any duplicated fingerprint still
+    # scores novelty 1.0 when it is the corpus-wide first for ALL its
+    # windows (doc 0 by construction if present)
+    for _, n_win, novel, nov in got:
+        assert 0 <= novel <= n_win and 0.0 <= nov <= 1.0
+    if got and got[0][0] == 0:
+        assert got[0][3] == 1.0
