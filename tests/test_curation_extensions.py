@@ -279,3 +279,34 @@ def test_hard_example_mining_nulls_when_kind_missing(spark):
     r = hard_examples(emb, num_queries=1, k=2).collect()[0]
     assert r.neg_id is None and r.neg_rank is None and r.neg_dist is None
     assert r.pos_id == 2 and r.pos_rank == 2
+
+
+# ---- source_data_cards ----
+
+def test_data_cards_aggregate_the_planted_structure(spark):
+    from vectordb_explorations_spark.operators.sampling import (
+        source_data_cards)
+    base = ["the", "a"] + [f"word{i}" for i in range(28)]  # 30 words, keeps
+    rows = [(0, "dup_src", "en", " ".join(base)),
+            (1, "dup_src", "en", " ".join(base)),        # exact re-crawl
+            (2, "clean_src", "en", " ".join(
+                ["the", "a"] + [f"uniq{i}" for i in range(28)])),
+            (3, "short_src", "en", "tiny doc")]           # gopher-dropped
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "source", "lang", "text"])
+    out = {r.source: r for r in source_data_cards(docs).collect()}
+
+    dup = out["dup_src"]
+    assert dup.n_docs == 2 and dup.distinct_texts == 1
+    assert dup.exact_dup_rate == 0.5
+    assert dup.gopher_keep_rate == 1.0
+    # doc 0 keeps novelty 1.0, the verbatim re-crawl scores 0.0
+    assert dup.mean_novelty == 0.5
+
+    clean = out["clean_src"]
+    assert clean.exact_dup_rate == 0.0 and clean.mean_novelty == 1.0
+
+    short = out["short_src"]
+    assert short.gopher_keep_rate == 0.0
+    # below the novelty window: excluded from the mean, not zeroed
+    assert short.mean_novelty is None

@@ -233,6 +233,13 @@ COMMENTARY = {
         "broadcast back for the nDCG ideal. Nothing collects; the "
         "expensive stage is the same scored scan knn_batch already "
         "bounds."),
+    "source_data_cards": (
+        "Per-source data card composition: the gopher verdict frame is "
+        "shuffle-free per-row work, novelty adds the span family's one "
+        "fingerprint exchange, both join back on the stable doc_id, and "
+        "ONE combinable source-keyed aggregation ends the pipeline — the "
+        "count-distinct of sha256(text) is the only extra exchange and "
+        "carries 32-byte hashes, not documents."),
     "hard_examples": (
         "Contrastive hard-example mining: the same broadcast-scored "
         "neighborhood scan, then two row_number windows over the "

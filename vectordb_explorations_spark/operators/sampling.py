@@ -953,3 +953,82 @@ SELECT source, n_docs, avail_tokens,
        {r6(f'{tgt} / avail_tokens::DOUBLE')} AS epochs
 FROM scored ORDER BY source
 """
+
+
+# ---- per-source data cards (corpus report composition) ----
+
+
+def source_data_cards(docs: DataFrame) -> DataFrame:
+    """Per-source corpus data card — the one-row-per-source report a data
+    team publishes alongside a training corpus (the "datasheet" summary):
+    document and token volume, exact-duplicate rate (1 - distinct
+    sha256(text) share), Gopher-rule keep rate, and mean novel-text share
+    (ngram_novelty; docs shorter than the window are excluded from the
+    mean by the LEFT join's NULLs, which avg() skips in both engines).
+    Declared as ONE query so the driver hash-checks the session's
+    curation operators COMPOSED, not just in isolation (the
+    curation_pipeline_stats discipline).
+
+    Scale shape (100 TB): gopher verdicts are a shuffle-free per-row
+    frame; novelty adds the span family's one fingerprint exchange; both
+    join back on the stable doc_id (AQE broadcasts the narrow verdict
+    frames while they fit, hash-joins at scale); ONE combinable
+    aggregation keyed on source ends the pipeline — count-distinct of
+    the sha is the only extra exchange and it carries 32-byte hashes,
+    not documents."""
+    from vectordb_explorations_spark.functions.rounding import round6
+    from vectordb_explorations_spark.operators.dedup import ngram_novelty
+    from vectordb_explorations_spark.operators.textops import (
+        gopher_quality_signals)
+
+    base = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("sha"))
+    g = gopher_quality_signals(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("keep_i"))
+    nv = ngram_novelty(docs).select("doc_id", "novelty")
+    j = base.join(g, "doc_id").join(nv, "doc_id", "left")
+    agg = (j.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.countDistinct("sha").alias("distinct_texts"),
+                F.avg("keep_i").alias("keep_rate_raw"),
+                F.avg("novelty").alias("novelty_raw")))
+    return (agg.select(
+        "source", "n_docs", "total_tokens", "distinct_texts",
+        round6(F.lit(1.0) - F.col("distinct_texts").cast("double")
+               / F.col("n_docs")).alias("exact_dup_rate"),
+        round6(F.col("keep_rate_raw")).alias("gopher_keep_rate"),
+        round6(F.col("novelty_raw")).alias("mean_novelty"))
+        .orderBy("source"))
+
+
+def source_data_cards_oracle() -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+    from vectordb_explorations_spark.operators.dedup import (
+        ngram_novelty_oracle)
+    from vectordb_explorations_spark.operators.textops import (
+        gopher_quality_signals_oracle)
+
+    gq = gopher_quality_signals_oracle().strip()
+    nv = ngram_novelty_oracle().strip()
+    return f"""
+WITH gq AS ({gq}),
+nv AS ({nv}),
+base AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT b.source, count(*) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+       count(DISTINCT b.sha) AS distinct_texts,
+       {r6('1.0 - count(DISTINCT b.sha)::DOUBLE / count(*)')}
+         AS exact_dup_rate,
+       {r6('avg(CASE WHEN gq.keep THEN 1 ELSE 0 END)')}
+         AS gopher_keep_rate,
+       {r6('avg(nv.novelty)')} AS mean_novelty
+FROM base b JOIN gq USING (doc_id) LEFT JOIN nv USING (doc_id)
+GROUP BY b.source ORDER BY b.source
+"""

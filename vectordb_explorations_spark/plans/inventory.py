@@ -970,6 +970,11 @@ QUERIES: dict[str, QueryFn] = {
     "hard_examples": lambda s, d: K.hard_examples(
         load_table(s, "embeddings", d), KNN_BATCH_QUERIES, KNN_K,
         dim=EMBEDDING_DIM),
+    # per-source corpus data card: volume, exact-dup rate, Gopher keep
+    # rate, mean novelty — the session's curation operators COMPOSED
+    # into the datasheet summary a data team publishes.
+    "source_data_cards": lambda s, d: SP.source_data_cards(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -1003,7 +1008,7 @@ _WINDOW_PRIORITY = [
     # --- round-11 extension wave (session 2): five more never-checked ---
     "gopher_quality_signals", "perplexity_buckets", "temperature_mixture",
     "embedding_outliers", "ngram_novelty", "retrieval_quality",
-    "hard_examples",
+    "hard_examples", "source_data_cards",
     # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
     "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -1020,11 +1025,10 @@ _WINDOW_PRIORITY = [
     # --- code changed this round: re-certify on the new shapes ---
     "substring_dup_coverage", "streaming_index_refresh",
     "streaming_ivfpq_refresh",
-    # --- oldest r09 greens (alphabetical fill; the seven displaced by
-    # --- the session-2 additions move to the FRONT of the r12 queue —
-    # --- their r09 evidence stays within the two-round bound through
-    # --- r12) ---
-    "asof_join",
+    # --- (no fill slots remain: the session-2 additions displaced all
+    # --- eight alphabetically-first r09 fill rows, which move to the
+    # --- FRONT of the r12 queue — their r09 evidence stays within the
+    # --- two-round bound through r12) ---
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1088,6 +1092,7 @@ ORACLES: dict[str, str] = {
     "retrieval_quality": K.retrieval_quality_oracle(
         KNN_BATCH_QUERIES, KNN_K),
     "hard_examples": K.hard_examples_oracle(KNN_BATCH_QUERIES, KNN_K),
+    "source_data_cards": SP.source_data_cards_oracle(),
     "weighted_sample": SP.weighted_sample_oracle(),
     "dsir_select": SP.dsir_select_oracle(),
     "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
