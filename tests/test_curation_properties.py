@@ -209,3 +209,39 @@ def test_ngram_novelty_cross_engine_contract(spark, texts):
         assert 0 <= novel <= n_win and 0.0 <= nov <= 1.0
     if got and got[0][0] == 0:
         assert got[0][3] == 1.0
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["A", "B", "C"]),
+              st.lists(st.integers(min_value=-8, max_value=8),
+                       min_size=4, max_size=4)),
+    min_size=2, max_size=24))
+@settings(max_examples=10, deadline=None)
+def test_embedding_outliers_cross_engine_contract(spark, rows):
+    """embedding_outliers' full row — rounded centroid dims, the zip_with
+    distance fold, the per-label moments, the sd=0 NULL-z guard, and the
+    (dist DESC, vec_id) rank — must match the DuckDB oracle on arbitrary
+    small-integer vectors (exact float arithmetic, so ties and the
+    degenerate single-vector / identical-vector labels are COMMON —
+    exactly the paths the fixture's spread-out floats never hit)."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.featurize import (
+        embedding_outliers, embedding_outliers_oracle)
+
+    data = [(i, [float(x) for x in vec], lab)
+            for i, (lab, vec) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "vec_id long, embedding array<float>,"
+                                      " label string")
+    got = sorted(tuple(r) for r in embedding_outliers(sdf, top_k=3).collect())
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE embeddings "
+                    "(vec_id BIGINT, embedding FLOAT[], label VARCHAR)")
+        con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", data)
+        want = sorted(map(tuple, con.execute(
+            embedding_outliers_oracle(top_k=3, dim=4)).fetchall()))
+    finally:
+        con.close()
+    assert got == want

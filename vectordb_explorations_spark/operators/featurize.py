@@ -178,10 +178,12 @@ def embedding_outliers(embeddings: DataFrame,
             .orderBy("label", "rk"))
 
 
-def embedding_outliers_oracle(top_k: int = EMB_OUTLIER_TOPK) -> str:
+def embedding_outliers_oracle(top_k: int = EMB_OUTLIER_TOPK,
+                              dim: int | None = None) -> str:
     from vectordb_explorations_spark.functions.rounding import r6
     from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 
+    dim = EMBEDDING_DIM if dim is None else int(dim)
     sq = ("(CAST(e.embedding[i] AS DOUBLE) - cent[i])"
           " * (CAST(e.embedding[i] AS DOUBLE) - cent[i])")
     return f"""
@@ -197,7 +199,7 @@ WITH x AS (
   SELECT label, list(mean_v ORDER BY dim_idx) AS cent FROM c GROUP BY label
 ), d AS (
   SELECT e.label, e.vec_id,
-         {r6(f'sqrt(list_sum(list_transform(range(1, {EMBEDDING_DIM + 1}),'
+         {r6(f'sqrt(list_sum(list_transform(range(1, {dim + 1}),'
              f' i -> {sq})))')} AS dist
   FROM embeddings e JOIN carr USING (label)
 ), s AS (
