@@ -245,3 +245,46 @@ def test_embedding_outliers_cross_engine_contract(spark, rows):
     finally:
         con.close()
     assert got == want
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["A", "B"]),
+              st.lists(st.integers(min_value=-6, max_value=6),
+                       min_size=3, max_size=3)),
+    min_size=2, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_retrieval_and_hard_example_cross_engine_contracts(spark, rows):
+    """retrieval_quality (the MRR max, the DCG sum, the IDCG fold with
+    its r_total=0 guard — labels with a single member are common here)
+    and hard_examples (missing-kind NULLs, rank tie-breaks on equal
+    integer distances) must match their DuckDB oracles on arbitrary
+    small-integer vectors."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.knn import (
+        hard_examples, hard_examples_oracle, retrieval_quality,
+        retrieval_quality_oracle)
+
+    data = [(i, [float(x) for x in vec], lab)
+            for i, (lab, vec) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "vec_id long, embedding array<float>,"
+                                      " label string")
+    nq, k = min(4, len(data)), 5
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE embeddings "
+                    "(vec_id BIGINT, embedding FLOAT[], label VARCHAR)")
+        con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", data)
+        got_rq = sorted(tuple(r) for r in
+                        retrieval_quality(sdf, nq, k).collect())
+        want_rq = sorted(map(tuple, con.execute(
+            retrieval_quality_oracle(nq, k)).fetchall()))
+        got_he = sorted(tuple(r) for r in
+                        hard_examples(sdf, nq, k).collect())
+        want_he = sorted(map(tuple, con.execute(
+            hard_examples_oracle(nq, k)).fetchall()))
+    finally:
+        con.close()
+    assert got_rq == want_rq
+    assert got_he == want_he
