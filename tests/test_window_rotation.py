@@ -26,13 +26,22 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _last_green_rounds() -> dict[str, int]:
+    """Green = hash_match for hash-declared queries (everything with a
+    DuckDB oracle — the strong check); a rows-only pass counts as green
+    evidence ONLY for queries declared in ``NON_SQL_QUERIES``, where
+    rows-only is the strongest check the driver records (r11 verdict:
+    a weaker pass must not silently refresh freshness)."""
+    from vectordb_explorations_spark.plans import inventory
+
     last: dict[str, int] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
         rnd = int(m.group(1))
         for query, row in json.loads(path.read_text()).items():
-            green = row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None)
+            if query in inventory.NON_SQL_QUERIES:
+                green = row.get("rows_match") and row.get("err") is None
+            else:
+                green = bool(row.get("hash_match"))
             if green:
                 last[query] = max(last.get(query, 0), rnd)
     return last

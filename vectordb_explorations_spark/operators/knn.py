@@ -399,7 +399,8 @@ def retrieval_quality(vectors: DataFrame, num_queries: int, k: int,
 
 
 def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
-                    label_col: str = "label") -> DataFrame:
+                    label_col: str = "label",
+                    queries: DataFrame | None = None) -> DataFrame:
     """Grade ANY retrieval's ranked output with the retrieval_quality
     metrics — the stage that lets the ANN families (LSH/IVF/HNSW/PQ/...)
     plug into the same evaluation harness as exact retrieval.
@@ -410,6 +411,16 @@ def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
     silently wrong). ``vectors`` supplies the per-label corpus totals
     for the nDCG ideal.
 
+    No silent drops: the query universe is the distinct (query_id,
+    query_label) pairs of ``hits`` (BEFORE the rank<=k cut, so a query
+    whose hits all rank past k still grades), or the ``queries`` frame
+    when given — pass it when a family can return ZERO rows for a query
+    (an over-pruned ANN probe), otherwise that query would vanish from
+    the graded frame and bias every aggregate upward. Absent queries
+    score 0 across the board (zero retrieved = zero precision/MRR/DCG),
+    the hard_examples NULL-contract analog for metrics whose zero IS
+    the honest value.
+
     See retrieval_quality for the determinism and scale notes; this
     function is its metric stage verbatim."""
     if "rank" not in hits.columns:
@@ -417,6 +428,9 @@ def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
             "grade_retrieval: hits must carry a 1-based 'rank' column "
             "(rank by (dist, id) before grading — the metrics are "
             "position-weighted)")
+    universe = (queries.select("query_id", "query_label") if queries
+                is not None
+                else hits.select("query_id", "query_label").distinct())
     rel = (F.col(label_col) == F.col("query_label")).cast("int")
     m = (hits.where(F.col("rank") <= k)
          .groupBy("query_id", "query_label")
@@ -426,10 +440,17 @@ def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
               F.sum(F.when(rel == 1,
                            1.0 / F.log2(F.col("rank") + F.lit(1.0)))
                     .otherwise(F.lit(0.0))).alias("dcg_raw")))
-    # total relevant per label (minus the query itself), for the ideal
+    m = (universe.join(m, ["query_id", "query_label"], "left")
+         .select("query_id", "query_label",
+                 F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+                 F.coalesce("mrr_raw", F.lit(0.0)).alias("mrr_raw"),
+                 F.coalesce("dcg_raw", F.lit(0.0)).alias("dcg_raw")))
+    # total relevant per label (minus the query itself), for the ideal;
+    # left join so a query_label absent from the corpus grades 0, not
+    # a dropped row (r_total NULL -> the when() below falls to 0.0)
     label_tot = (vectors.groupBy(F.col(label_col).alias("query_label"))
                  .agg(F.count(F.lit(1)).alias("label_n")))
-    j = m.join(F.broadcast(label_tot), "query_label")
+    j = m.join(F.broadcast(label_tot), "query_label", "left")
     r_total = F.col("label_n") - 1
     idcg = F.aggregate(
         F.sequence(F.lit(1), F.least(F.lit(k), r_total)),

@@ -944,6 +944,15 @@ def gopher_quality_signals(docs: DataFrame) -> DataFrame:
     keep/drop verdict with pipe-joined firing reasons (the
     quality_filter audit convention).
 
+    top{2,3}_char_frac approximates Gopher's character coverage as
+    occurrence-count x gram-length / text-length, which over-counts
+    when the winning gram's occurrences OVERLAP (repeated-token runs
+    share characters); the value is capped at 1.0 so it stays a
+    fraction. An exact interval-union coverage is what
+    substring_dup_coverage computes corpus-level; per-row the capped
+    product is the standard cheap form (one multiply vs a per-row
+    interval merge) and thresholds identically on real text.
+
     Complements (does not duplicate) the existing per-doc views:
     text_stats thresholds uniqueness/stopword ratios, doc_repetition_
     stats covers top-WORD share and duplicate bigram fraction; this
@@ -1011,10 +1020,15 @@ def gopher_quality_signals(docs: DataFrame) -> DataFrame:
     n_stop_distinct = F.size(F.array_intersect(F.array_distinct(ws), stop_arr))
 
     def top_frac(k: int) -> F.Column:
+        # occurrence-count x gram-length over-counts overlapping repeats
+        # (grams share characters), so cap at 1.0 to stay a fraction —
+        # Gopher A1.1's metric is fraction-of-characters-COVERED, and a
+        # coverage can never exceed the document
         return F.when(
             n >= k,
-            F.col(f"mc{k}").cast("double") * F.length(F.col(f"top{k}"))
-            / F.length("text")
+            F.least(F.lit(1.0),
+                    F.col(f"mc{k}").cast("double") * F.length(F.col(f"top{k}"))
+                    / F.length("text"))
         ).otherwise(F.lit(0.0))
 
     m = staged.select(
@@ -1054,9 +1068,9 @@ def _gopher_top_frac_duck(k: int) -> str:
              f"i -> array_to_string(w[i:i+{k}-1], ' ')) ELSE [] END")
     return f"""
        CASE WHEN len(w) >= {k} THEN (
-         SELECT mc * length(list_min(list_filter(dg,
+         SELECT least(1.0, mc * length(list_min(list_filter(dg,
                   g -> len(list_filter(grams, x -> x = g)) = mc)))::DOUBLE
-                / length(text)
+                / length(text))
          FROM (SELECT {grams} AS grams) t1,
               LATERAL (SELECT list_distinct(t1.grams) AS dg) t2,
               LATERAL (SELECT list_max(list_transform(t2.dg,
