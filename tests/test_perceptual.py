@@ -1,0 +1,146 @@
+"""Perceptual near-dup (operators/perceptual.py): planted re-encode
+pairs, brightness/bit-depth invariance, negative controls, the packing
+convention, and the hot-bucket occupancy cap."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from vectordb_explorations_spark.operators.perceptual import (
+    AUDIO_N_SAMPLES, PHASH_SRC_H, PHASH_SRC_W, ahash_bits,
+    audio_contour_bits, _band_candidates, dedup_perceptual_audio,
+    dedup_perceptual_image, dhash_bits, encode_bmp, encode_wav16,
+    gray_int, image_hashes, audio_hashes, pack_words32,
+    perceptual_image_pairs, wav_header)
+
+ASSET_SCHEMA = T.StructType([T.StructField("asset_id", T.LongType()),
+                             T.StructField("payload", T.BinaryType())])
+
+
+def _rand_raster(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(PHASH_SRC_H, PHASH_SRC_W, 3),
+                        dtype=np.uint8).astype(np.uint8)
+
+
+def _p6_bytes(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def _assets(spark, payloads):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], ASSET_SCHEMA)
+
+
+# ---- planted re-encode: P6 -> BMP round-trip hashes identically ----
+
+def test_image_reencode_hashes_identical(spark):
+    img = _rand_raster(7)
+    rows = image_hashes(_assets(spark, [_p6_bytes(img),
+                                        encode_bmp(img)])).collect()
+    assert len(rows) == 2
+    a, b = sorted(rows, key=lambda r: r.asset_id)
+    assert (a.ah_w0, a.ah_w1, a.dh_w0, a.dh_w1) == \
+           (b.ah_w0, b.ah_w1, b.dh_w0, b.dh_w1)
+
+
+def test_audio_reencode_hashes_identical(spark):
+    rng = np.random.default_rng(11)
+    samples = rng.integers(0, 256, size=AUDIO_N_SAMPLES,
+                           dtype=np.uint8).astype(np.uint8)
+    wav8 = wav_header(AUDIO_N_SAMPLES, bits=8) + samples.tobytes()
+    wav16 = encode_wav16(samples.reshape(-1, 1))
+    rows = audio_hashes(_assets(spark, [wav8, wav16])).collect()
+    assert len(rows) == 2
+    assert rows[0].eh_w0 == rows[1].eh_w0
+
+
+# ---- perturbation invariance (the "perceptual" in the name) ----
+
+def test_brightness_shift_invariant():
+    img = _rand_raster(3)
+    img = np.clip(img, 0, 254)           # +1 must not clip
+    g0, g1 = gray_int(img), gray_int(img + 1)
+    assert np.array_equal(g1, g0 + 1)    # luma weights sum to 1000
+    assert np.array_equal(ahash_bits(g0), ahash_bits(g1))
+    assert np.array_equal(dhash_bits(g0), dhash_bits(g1))
+
+
+def test_audio_bitdepth_centering_exact():
+    rng = np.random.default_rng(5)
+    s8 = rng.integers(0, 256, size=AUDIO_N_SAMPLES, dtype=np.uint8)
+    s16 = ((s8.astype(np.int64) - 128) << 8).astype(np.int16)
+    b8 = audio_contour_bits(s8.reshape(-1, 1))
+    b16 = audio_contour_bits(s16.reshape(-1, 1))
+    assert np.array_equal(b8, b16)
+
+
+def test_audio_too_short_drops():
+    assert audio_contour_bits(np.zeros((AUDIO_N_SAMPLES - 1, 1),
+                                       dtype=np.uint8)) is None
+
+
+# ---- negative control: unrelated content does not pair ----
+
+def test_unrelated_images_do_not_pair(spark):
+    h = image_hashes(_assets(spark, [_p6_bytes(_rand_raster(s))
+                                     for s in range(8)]))
+    pairs = perceptual_image_pairs(h).collect()
+    assert pairs == []                   # 64 random bits: ham ~32
+
+
+# ---- packing convention (bq.py _pack_words MSB-first contract) ----
+
+def test_pack_words32_msb_first():
+    bits = np.zeros(64, dtype=np.int64)
+    bits[0] = 1                          # bit 0 -> position 31 of word 0
+    bits[63] = 1                         # bit 63 -> position 0 of word 1
+    assert pack_words32(bits) == [1 << 31, 1]
+
+
+# ---- hot-bucket occupancy cap ----
+
+def test_bucket_cap_drops_degenerate_buckets(spark):
+    # five identical hashes collide on every band: cap 4 kills the
+    # bucket entirely (no quadratic blowup), cap 5 admits all 10 pairs
+    rows = [(i, 42, 42) for i in range(5)]
+    h = spark.createDataFrame(rows, ["asset_id", "dh_w0", "dh_w1"])
+    assert _band_candidates(h, ["dh_w0", "dh_w1"], bucket_cap=4).count() == 0
+    assert _band_candidates(h, ["dh_w0", "dh_w1"], bucket_cap=5).count() == 10
+
+
+# ---- declared-query planted structure ----
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rng = np.random.default_rng(19)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint",
+             "grove", "harbor"]
+    texts = [" ".join(vocab[i] for i in rng.integers(0, 8, size=80))
+             for _ in range(3)]
+    return spark.createDataFrame(
+        [(i, "s", "en", t) for i, t in enumerate(texts)],
+        ["doc_id", "source", "lang", "text"])
+
+
+def test_declared_image_query_plants_reencode_pairs(planted_docs):
+    pairs = {(r.id_a, r.id_b): r for r in
+             dedup_perceptual_image(planted_docs).collect()}
+    for k in range(3):                   # every doc's (2k, 2k+1) pair
+        row = pairs[(2 * k, 2 * k + 1)]
+        assert row.ham_dhash == 0 and row.ham_ahash == 0
+
+
+def test_declared_audio_query_plants_reencode_pairs(planted_docs):
+    pairs = {(r.id_a, r.id_b): r for r in
+             dedup_perceptual_audio(planted_docs).collect()}
+    for k in range(3):
+        assert pairs[(2 * k, 2 * k + 1)].ham_contour == 0
+
+
+def test_short_docs_are_filtered(spark):
+    docs = spark.createDataFrame([(0, "s", "en", "too short")],
+                                 ["doc_id", "source", "lang", "text"])
+    assert dedup_perceptual_image(docs).count() == 0
+    assert dedup_perceptual_audio(docs).count() == 0

@@ -99,3 +99,69 @@ def test_boilerplate_ngrams_planted(spark):
     assert en.n_docs == 9
     assert en.n_flagged == 8
     assert 0.0 < en.avg_cov < 1.0
+
+
+# ---- deterministic BPE-apply (bpe_token_counts) ----
+
+def test_bpe_known_merge_sequences(spark):
+    """Pin the canonical merge walk for words the fixed table fully,
+    partially, and never covers: table->1 (t,a / ta,b / tab,l /
+    tabl,e), hash->1 (h,a / ha,s / has,h), query->3 (e,r then er,y),
+    row->1 (o,w then r,ow), stream->5 (only s,t fires), teeth->5 (no
+    merge matches)."""
+    from pyspark.sql import functions as F
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_word_tokens)
+
+    words = ["table", "hash", "query", "row", "stream", "teeth"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.n for r in
+           df.select("w", bpe_word_tokens(F.col("w")).alias("n")).collect()}
+    assert got == {"table": 1, "hash": 1, "query": 3, "row": 1,
+                   "stream": 5, "teeth": 5}
+
+
+def test_bpe_boundary_guard_blocks_cross_token_merge(spark):
+    """'tab' under merges [(t,a), (a,b)] must resolve to [ta, b] — a
+    single-space token stream would false-match 'a b' inside 'ta b'
+    and merge across the token boundary to 1."""
+    from pyspark.sql import functions as F
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_word_tokens)
+
+    df = spark.createDataFrame([("tab",)], ["w"])
+    n = df.select(bpe_word_tokens(
+        F.col("w"), merges=[("t", "a"), ("a", "b")]).alias("n")
+    ).collect()[0].n
+    assert n == 2
+
+
+def test_bpe_consecutive_merge_sites_same_pass(spark):
+    """'abab' under merge [(a,b)] -> [ab, ab]: the double-space
+    separator re-emits the boundary each replacement, so the second
+    site stays matchable in the same pass (a single-space form would
+    consume the shared space and miss it)."""
+    from pyspark.sql import functions as F
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_word_tokens)
+
+    df = spark.createDataFrame([("abab",)], ["w"])
+    n = df.select(bpe_word_tokens(
+        F.col("w"), merges=[("a", "b")]).alias("n")).collect()[0].n
+    assert n == 2
+
+
+def test_bpe_token_counts_per_source(spark):
+    docs = spark.createDataFrame([
+        (0, "sa", "table hash"),             # 1 + 1 bpe tokens
+        (1, "sa", "query"),                  # 3
+        (2, "sb", "teeth"),                  # 5
+    ], ["doc_id", "source", "text"])
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_token_counts)
+
+    out = {r.source: r for r in bpe_token_counts(docs).collect()}
+    sa, sb = out["sa"], out["sb"]
+    assert (sa.n_docs, sa.ws_tokens, sa.bpe_tokens) == (2, 3, 5)
+    assert round(sa.tokens_per_word, 6) == round(5 / 3, 6)
+    assert (sb.n_docs, sb.ws_tokens, sb.bpe_tokens) == (1, 1, 5)

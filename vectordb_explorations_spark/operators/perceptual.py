@@ -1,0 +1,575 @@
+"""Perceptual near-duplicate detection over multimodal BINARY columns —
+the last dedup modality (r11 verdict "What's missing" #1): every other
+dedup operator keys on text or text embeddings; real multimodal corpora
+are full of RE-ENCODED duplicates (the same image saved as PPM and BMP,
+the same audio at a different bit depth) that byte-level sha256 dedup
+can never see.
+
+Reference parity note: the reference (hnsw.cc) has no multimodal
+support at all; this extends the engine's north-star curation surface
+(BASELINE.json "dedup" / "multimodal columns" extend categories) with
+the standard public constructions:
+
+- **aHash** (average hash) and **dHash** (difference/gradient hash) for
+  images — downscale to a tiny grayscale grid, threshold against the
+  mean (aHash) or the horizontal neighbor (dHash); both are public
+  folklore algorithms (Krawetz 2011, "Looks Like It").
+- an **energy-contour hash** for audio — per-frame energy of the
+  centered PCM signal, one bit per consecutive-frame gradient — the
+  shape of Haitsma & Kalker's (2002) robust audio fingerprint reduced
+  to one band.
+
+Everything is INTEGER-exact end to end (integer grayscale, integer
+energies, strict comparisons, MSB-first 32-bit word packing shared with
+bq.py's convention), so the whole pipeline — synthesize, REAL codec
+decode, REAL re-encode, decode again, hash, band, Hamming verify — is
+hash-checkable against a DuckDB oracle that recomputes the hashes from
+the source text with baked-in pixel/sample positions.
+
+Why these hashes survive re-encoding: a lossless re-encode (PPM->BMP,
+8-bit->16-bit PCM) reproduces the exact pixel/sample values, so the
+hashes are bit-identical (the planted structure the declared queries
+verify); a lossy-but-mild perturbation (uniform brightness shift,
+volume scaling) moves every grid cell together, so the gradient bits
+and the against-the-mean bits are unchanged — pytest-pinned.
+
+Scale shape (100 TB): hashing is one narrow Arrow-batched pass over
+payload bytes (payloads never shuffle); candidate generation is the
+LSH-banding equi-join on compact (band_idx, band_val) integers (the
+minhash_lsh discipline — never all-pairs), with a bucket-occupancy cap
+(PHASH_BUCKET_CAP, the span-dedup 256 precedent) so degenerate hot
+buckets — every all-white scan page collides on the all-zero gradient
+word — cannot go quadratic; verification touches candidate pairs only,
+via two id-keyed joins against the compact hash frame.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from vectordb_explorations_spark.operators.multimodal import (
+    decode_audio, decode_image)
+
+# one 9x8 source raster serves BOTH image hashes: dHash reads all 9
+# columns (8 horizontal gradients per row x 8 rows = 64 bits), aHash
+# reads the nearest-neighbor 8x8 grid (x*9//8 == x for x < 8, i.e. the
+# left 8 columns — identity picks the oracle bakes in as literals)
+PHASH_SRC_W, PHASH_SRC_H = 9, 8
+PHASH_GRID = 8
+PHASH_IMG_MAX_HAMMING = 6       # of 64 dHash bits
+AUDIO_N_SAMPLES = 66            # 33 frames x AUDIO_FRAME samples
+AUDIO_FRAME = 2                 # samples per energy frame
+AUDIO_N_BITS = 32               # 33 frames -> 32 consecutive gradients
+AUDIO_SAMPLE_RATE = 8000
+AUDIO_MAX_HAMMING = 3           # of 32 contour bits
+# drop band buckets larger than this from candidate generation: a
+# degenerate constant payload (all-white image, silence) hashes to the
+# all-zero word and would pair quadratically — the span-dedup 256-doc
+# occupancy precedent (dedup.py), documented recall trade
+PHASH_BUCKET_CAP = 256
+
+IMG_HASH_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("ah_w0", T.LongType()),
+    T.StructField("ah_w1", T.LongType()),
+    T.StructField("dh_w0", T.LongType()),
+    T.StructField("dh_w1", T.LongType()),
+])
+
+AUDIO_HASH_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("eh_w0", T.LongType()),
+])
+
+
+# ---- integer kernels (shared by the Spark stage and the pytests) ----
+
+
+def gray_int(img: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma: (299 R + 587 G + 114 B) // 1000 — exact
+    in int64, so both engines and every codec path agree bit-for-bit.
+    Uniform brightness +1 on all channels shifts every cell by exactly
+    +1 (the weights sum to 1000), which is what makes aHash/dHash
+    brightness-invariant below."""
+    if img.ndim == 2:
+        return img.astype(np.int64)
+    r, g, b = (img[..., 0].astype(np.int64), img[..., 1].astype(np.int64),
+               img[..., 2].astype(np.int64))
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _nn_grid(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor downscale with the nn_resize index math
+    (yi = y*h//out_h) — the multimodal.py resize contract, so the
+    oracle's baked substring picks line up."""
+    h, w = gray.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return gray[np.ix_(yi, xi)]
+
+
+def ahash_bits(gray: np.ndarray, grid: int = PHASH_GRID) -> np.ndarray:
+    """aHash: bit d = 1 iff cell_d >= mean. Compared as
+    cell*grid^2 >= total — integer-exact, no float mean."""
+    g = _nn_grid(gray, grid, grid).reshape(-1)
+    return (g * g.size >= g.sum()).astype(np.int64)
+
+
+def dhash_bits(gray: np.ndarray, grid: int = PHASH_GRID) -> np.ndarray:
+    """dHash: resize to (grid+1) x grid, bit = right neighbor strictly
+    brighter. Invariant under any monotone per-pixel shift."""
+    g = _nn_grid(gray, grid + 1, grid)
+    return (g[:, 1:] > g[:, :-1]).reshape(-1).astype(np.int64)
+
+
+def pack_words32(bits: np.ndarray) -> list[int]:
+    """MSB-first 32-bit word packing — bit d lands at position
+    31 - (d % 32) of word d // 32, the bq.py _pack_words convention, so
+    band extraction is shiftright/mask on both engines."""
+    assert len(bits) % 32 == 0, len(bits)
+    out = []
+    for w in range(len(bits) // 32):
+        v = 0
+        for b in bits[w * 32:(w + 1) * 32]:
+            v = v * 2 + int(b)
+        out.append(v)
+    return out
+
+
+def audio_contour_bits(samples: np.ndarray,
+                       n_samples: int = AUDIO_N_SAMPLES,
+                       frame: int = AUDIO_FRAME) -> np.ndarray | None:
+    """Energy-contour bits over the first ``n_samples`` mono samples.
+    Samples are CENTERED to bit-depth-independent integers first —
+    uint8: s - 128; int16: s // 256 (floor) — so an 8-bit payload and
+    its exact 16-bit re-encode ((s-128) << 8) hash identically. Bit f =
+    energy(frame f+1) strictly greater than energy(frame f). Returns
+    None when the payload is too short to hash (the caller drops the
+    row — same contract as resize's too-short filter)."""
+    mono = samples[:, 0] if samples.ndim == 2 else samples
+    if mono.shape[0] < n_samples:
+        return None
+    if mono.dtype == np.uint8:
+        c = mono[:n_samples].astype(np.int64) - 128
+    else:
+        c = np.floor_divide(mono[:n_samples].astype(np.int64), 256)
+    e = (c * c).reshape(-1, frame).sum(axis=1)
+    return (e[1:] > e[:-1]).astype(np.int64)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder (bottom-up, BGR, 4-byte
+    row padding) — the re-encode half of the PPM->BMP round-trip that
+    multimodal.py's _decode_bmp reads back. Deterministic bytes."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    row_len = (w * 3 + 3) & ~3
+    data_size = row_len * h
+    header = (b"BM" + (54 + data_size).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + data_size.to_bytes(4, "little")
+              + b"\x00" * 16)
+    rows = []
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):      # bottom-up
+        rows.append(img[y, :, ::-1].astype(np.uint8).tobytes() + pad)  # BGR
+    return header + b"".join(rows)
+
+
+def wav_header(n_samples: int, bits: int = 8, channels: int = 1,
+               rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    """Canonical 44-byte PCM WAV header for a FIXED sample count — a
+    constant literal the Spark synthesis concatenates ahead of the
+    payload bytes (sizes are baked, nothing is data-dependent)."""
+    block = channels * bits // 8
+    n_bytes = n_samples * block
+    return (b"RIFF" + (36 + n_bytes).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + b"data" + n_bytes.to_bytes(4, "little"))
+
+
+def encode_wav16(samples: np.ndarray, rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    """Re-encode decoded samples as 16-bit signed PCM WAV. uint8 input
+    is center-scaled ((s - 128) << 8) — the exact re-quantization whose
+    floor-divide inverse audio_contour_bits applies, so the round-trip
+    hash is bit-identical."""
+    mono = samples[:, 0] if samples.ndim == 2 else samples
+    if mono.dtype == np.uint8:
+        pcm = ((mono.astype(np.int64) - 128) << 8).astype("<i2")
+    else:
+        pcm = mono.astype("<i2")
+    return wav_header(len(pcm), bits=16, rate=rate) + pcm.tobytes()
+
+
+# ---- Arrow-batched hash stages ----
+
+
+def image_hashes(assets: DataFrame, grid: int = PHASH_GRID) -> DataFrame:
+    """(asset_id, ah_w0, ah_w1, dh_w0, dh_w1) via the REAL image decode
+    (netpbm/BMP native paths — multimodal.decode_image). One narrow
+    mapInPandas pass; payload bytes never leave their partition. Rows
+    whose payload cannot hash (undecodable, or smaller than the grid)
+    are dropped — the resize_images too-short contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("asset_id", "ah_w0", "ah_w1",
+                                   "dh_w0", "dh_w1")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    gray = gray_int(decode_image(bytes(payload)))
+                except (ValueError, NotImplementedError, IndexError):
+                    continue
+                if gray.shape[0] < 1 or gray.shape[1] < 2:
+                    continue
+                ah = pack_words32(ahash_bits(gray, grid))
+                dh = pack_words32(dhash_bits(gray, grid))
+                out["asset_id"].append(aid)
+                out["ah_w0"].append(ah[0])
+                out["ah_w1"].append(ah[1])
+                out["dh_w0"].append(dh[0])
+                out["dh_w1"].append(dh[1])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=IMG_HASH_SCHEMA)
+
+
+def audio_hashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, eh_w0) via the REAL PCM WAV decode (RIFF walk —
+    multimodal.decode_audio). Same narrow one-pass shape as
+    image_hashes; too-short / undecodable payloads drop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"asset_id": [], "eh_w0": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    samples, _rate = decode_audio(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError):
+                    continue
+                bits = audio_contour_bits(samples)
+                if bits is None:
+                    continue
+                out["asset_id"].append(aid)
+                out["eh_w0"].append(pack_words32(bits)[0])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=AUDIO_HASH_SCHEMA)
+
+
+# ---- banding + Hamming verify (pure DataFrame ops) ----
+
+
+def _banded(hashes: DataFrame, words: list[str],
+            bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+    """(asset_id, band_idx, band_val): each 32-bit word splits into two
+    16-bit bands (shiftright / mask — exact for the nonnegative packed
+    words), then buckets larger than ``bucket_cap`` drop (hot-bucket
+    guard; the window count is per compact band key, never per
+    payload)."""
+    bands = []
+    for w in words:
+        bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
+        bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+    banded = hashes.select(
+        "asset_id", F.posexplode(F.array(*bands)).alias("band_idx",
+                                                        "band_val"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_val"))
+    return (banded.withColumn("bucket_n", n)
+            .where(F.col("bucket_n") <= bucket_cap)
+            .drop("bucket_n"))
+
+
+def _band_candidates(hashes: DataFrame, words: list[str],
+                     bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any 16-bit band —
+    the minhash banding_candidates shape: the self-join shuffles only
+    (asset_id, band_idx, band_val) integers, and the shuffle_hash hint
+    keeps AQE from broadcasting a corpus-sized banded side."""
+    banded = _banded(hashes, words, bucket_cap)
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.asset_id") < F.col("b.asset_id")))
+            .select(F.col("a.asset_id").alias("id_a"),
+                    F.col("b.asset_id").alias("id_b"))
+            .distinct())
+
+
+def _hamming_pairs(hashes: DataFrame, cand: DataFrame,
+                   words: list[str]) -> DataFrame:
+    """Join the candidate pairs back to the compact hash frame (twice,
+    id-keyed — AQE broadcasts when the hash frame fits) and compute the
+    per-word-XOR popcount Hamming distances."""
+    a = hashes.select(F.col("asset_id").alias("id_a"),
+                      *[F.col(w).alias(f"a_{w}") for w in words])
+    b = hashes.select(F.col("asset_id").alias("id_b"),
+                      *[F.col(w).alias(f"b_{w}") for w in words])
+    out = cand.join(a, "id_a").join(b, "id_b")
+    for w in words:
+        out = out.withColumn(
+            f"ham_{w}",
+            F.bit_count(F.col(f"a_{w}").bitwiseXOR(F.col(f"b_{w}"))))
+    return out
+
+
+def perceptual_image_pairs(hashes: DataFrame,
+                           max_hamming: int = PHASH_IMG_MAX_HAMMING,
+                           bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+    """Near-dup image pairs: band on the 64 dHash bits (4 x 16-bit
+    bands — any exact band match is a candidate, the LSH recall knob),
+    verify dHash Hamming <= max_hamming, report the aHash distance
+    alongside (the second-opinion signal a curation pipeline
+    thresholds)."""
+    cand = _band_candidates(hashes, ["dh_w0", "dh_w1"], bucket_cap)
+    out = _hamming_pairs(hashes, cand, ["dh_w0", "dh_w1", "ah_w0", "ah_w1"])
+    return (out.select(
+        "id_a", "id_b",
+        (F.col("ham_dh_w0") + F.col("ham_dh_w1")).alias("ham_dhash"),
+        (F.col("ham_ah_w0") + F.col("ham_ah_w1")).alias("ham_ahash"))
+        .where(F.col("ham_dhash") <= max_hamming)
+        .orderBy("id_a", "id_b"))
+
+
+def perceptual_audio_pairs(hashes: DataFrame,
+                           max_hamming: int = AUDIO_MAX_HAMMING,
+                           bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+    """Near-dup audio pairs: band on the 32 contour bits (2 x 16-bit
+    bands), verify Hamming <= max_hamming."""
+    cand = _band_candidates(hashes, ["eh_w0"], bucket_cap)
+    out = _hamming_pairs(hashes, cand, ["eh_w0"])
+    return (out.select("id_a", "id_b",
+                       F.col("ham_eh_w0").alias("ham_contour"))
+            .where(F.col("ham_contour") <= max_hamming)
+            .orderBy("id_a", "id_b"))
+
+
+# ---- declared-query synthesis: documents -> payload pairs ----
+#
+# The fixture carries no real blob columns, so the declared queries
+# synthesize them the resize_real_flat way: each document's ASCII
+# prefix becomes a REAL P6 raster / REAL 8-bit PCM WAV, and a second
+# asset per document is the REAL RE-ENCODE of the first (P6 -> BMP,
+# 8-bit -> 16-bit PCM) produced by decoding and re-encoding in the
+# Arrow stage — the planted re-encoded-duplicate structure a perceptual
+# dedup must find. asset_id = doc_id*2 (original) / doc_id*2+1
+# (re-encode), so the oracle can address both from the documents table.
+
+
+def _p6_assets(docs: DataFrame, src_w: int = PHASH_SRC_W,
+               src_h: int = PHASH_SRC_H) -> DataFrame:
+    n = src_w * src_h * 3
+    payload = F.encode(
+        F.concat(F.lit(f"P6\n{src_w} {src_h}\n255\n"),
+                 F.substring("text", 1, n)), "UTF-8")
+    # the n-char prefix must be pure ASCII so chars == bytes (the
+    # resize_real_flat round-5 guard; the oracle applies strlen=n too)
+    ascii_ok = F.length(F.encode(F.substring("text", 1, n), "UTF-8")) == n
+    return (docs.where((F.length("text") >= n) & ascii_ok)
+            .select((F.col("doc_id") * 2).alias("asset_id"),
+                    payload.alias("payload")))
+
+
+def _wav8_assets(docs: DataFrame,
+                 n_samples: int = AUDIO_N_SAMPLES) -> DataFrame:
+    payload = F.concat(F.lit(wav_header(n_samples, bits=8)),
+                       F.encode(F.substring("text", 1, n_samples), "UTF-8"))
+    ascii_ok = (F.length(F.encode(F.substring("text", 1, n_samples),
+                                  "UTF-8")) == n_samples)
+    return (docs.where((F.length("text") >= n_samples) & ascii_ok)
+            .select((F.col("doc_id") * 2).alias("asset_id"),
+                    payload.alias("payload")))
+
+
+def _with_reencodes(assets: DataFrame, modality: str) -> DataFrame:
+    """Union each asset with its real re-encode (decode -> re-encode in
+    one Arrow pass): P6 -> 24-bit BMP for images, 8-bit -> 16-bit PCM
+    for audio. The re-encode rides asset_id + 1 (odd ids)."""
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if modality == "image":
+                    enc = encode_bmp(decode_image(b))
+                else:
+                    samples, rate = decode_audio(b)
+                    enc = encode_wav16(samples, rate)
+                ids.append(aid + 1)
+                payloads.append(enc)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return assets.unionByName(assets.mapInPandas(run, schema=schema))
+
+
+def dedup_perceptual_image(docs: DataFrame,
+                           max_hamming: int = PHASH_IMG_MAX_HAMMING
+                           ) -> DataFrame:
+    """Declared query: synthesize a REAL P6 raster per (long-enough)
+    document plus its REAL BMP re-encode, hash both through the real
+    decoders, and emit the banded+verified near-dup pairs. Every
+    surviving document plants exactly one (2k, 2k+1) re-encode pair at
+    Hamming 0 on both hashes; any cross-document collisions the banding
+    surfaces ride the same verify. Cites hnsw.cc: none — north-star
+    extension (see module docstring for the public sources)."""
+    assets = _with_reencodes(_p6_assets(docs), "image")
+    return perceptual_image_pairs(image_hashes(assets), max_hamming)
+
+
+def dedup_perceptual_audio(docs: DataFrame,
+                           max_hamming: int = AUDIO_MAX_HAMMING
+                           ) -> DataFrame:
+    """Declared query: synthesize a REAL 8-bit PCM WAV per document
+    plus its REAL 16-bit re-encode, hash both through the real RIFF
+    decode, and emit banded+verified near-dup pairs (planted (2k, 2k+1)
+    re-encode pairs at Hamming 0)."""
+    assets = _with_reencodes(_wav8_assets(docs), "audio")
+    return perceptual_audio_pairs(audio_hashes(assets), max_hamming)
+
+
+# ---- DuckDB oracles ----
+#
+# The oracle recomputes the hashes FROM THE TEXT with every pixel /
+# sample position baked as a literal: gray(y,x) over the 9x8 raster is
+# three ascii() picks at offset (y*9+x)*3 + header, and the re-encode
+# asset (odd id) carries the SAME hash values by construction (lossless
+# round-trip — the invariant the Spark side actually exercises through
+# the codec kernels). Banding, the bucket cap, and the Hamming verify
+# are then plain SQL over the packed words.
+
+
+def _img_gray_sql(y: int, x: int) -> str:
+    off = (y * PHASH_SRC_W + x) * 3 + 1
+    return (f"(299*ascii(substr(body,{off},1)) + "
+            f"587*ascii(substr(body,{off + 1},1)) + "
+            f"114*ascii(substr(body,{off + 2},1))) // 1000")
+
+
+def _word_sql(bit_exprs: list[str]) -> str:
+    """MSB-first fold of 32 bit expressions into one BIGINT."""
+    assert len(bit_exprs) == 32
+    terms = [f"(CASE WHEN {e} THEN {1 << (31 - j)} ELSE 0 END)"
+             for j, e in enumerate(bit_exprs)]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _pairs_tail_sql(words: list[str], ham_out: dict[str, list[str]],
+                    verify_col: str, max_hamming: int,
+                    bucket_cap: int = PHASH_BUCKET_CAP) -> str:
+    """banded -> capped -> candidate pairs -> Hamming verify, shared by
+    both oracles. ``ham_out`` maps output column -> contributing
+    words."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT asset_id, {2 * i + half} AS band_idx, "
+        f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val FROM h"
+        for i, w in enumerate(words) for half in (0, 1))
+    hams = ",\n       ".join(
+        " + ".join(f"bit_count(xor(a.{w}, b.{w}))" for w in ws)
+        + f" AS {col}" for col, ws in ham_out.items())
+    return f"""
+banded AS ({band_rows}),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n
+    FROM banded)
+  WHERE bucket_n <= {bucket_cap}
+), cand AS (
+  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.asset_id < b.asset_id
+)
+SELECT id_a, id_b,
+       {hams}
+FROM cand JOIN h a ON a.asset_id = id_a JOIN h b ON b.asset_id = id_b
+WHERE {verify_col} <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_perceptual_image_oracle(
+        max_hamming: int = PHASH_IMG_MAX_HAMMING) -> str:
+    n = PHASH_SRC_W * PHASH_SRC_H * 3
+    grays = ",\n         ".join(
+        f"{_img_gray_sql(y, x)} AS g{y}_{x}"
+        for y in range(PHASH_SRC_H) for x in range(PHASH_SRC_W))
+    total = " + ".join(f"g{y}_{x}" for y in range(PHASH_GRID)
+                       for x in range(PHASH_GRID))
+    ah_bits = [f"g{d // 8}_{d % 8} * 64 >= atot" for d in range(64)]
+    dh_bits = [f"g{d // 8}_{d % 8 + 1} > g{d // 8}_{d % 8}"
+               for d in range(64)]
+    tail = _pairs_tail_sql(
+        ["dh_w0", "dh_w1"],
+        {"ham_dhash": ["dh_w0", "dh_w1"], "ham_ahash": ["ah_w0", "ah_w1"]},
+        "ham_dhash", max_hamming)
+    return f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {n}) AS body FROM documents
+  WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
+), g AS (
+  SELECT doc_id,
+         {grays}
+  FROM d
+), g2 AS (
+  SELECT *, ({total}) AS atot FROM g
+), h0 AS (
+  SELECT doc_id,
+         {_word_sql(ah_bits[:32])} AS ah_w0,
+         {_word_sql(ah_bits[32:])} AS ah_w1,
+         {_word_sql(dh_bits[:32])} AS dh_w0,
+         {_word_sql(dh_bits[32:])} AS dh_w1
+  FROM g2
+), h AS (  -- original (2k) and its lossless re-encode (2k+1): same hash
+  SELECT doc_id * 2 + v AS asset_id, ah_w0, ah_w1, dh_w0, dh_w1
+  FROM h0, (VALUES (0), (1)) t(v)
+), {tail.lstrip()}"""
+
+
+def dedup_perceptual_audio_oracle(
+        max_hamming: int = AUDIO_MAX_HAMMING) -> str:
+    n = AUDIO_N_SAMPLES
+    energies = ",\n         ".join(
+        "(" + " + ".join(
+            f"(ascii(substr(body,{f * AUDIO_FRAME + s + 1},1)) - 128)"
+            f" * (ascii(substr(body,{f * AUDIO_FRAME + s + 1},1)) - 128)"
+            for s in range(AUDIO_FRAME)) + f") AS e{f}"
+        for f in range(n // AUDIO_FRAME))
+    bits = [f"e{f + 1} > e{f}" for f in range(AUDIO_N_BITS)]
+    tail = _pairs_tail_sql(["eh_w0"], {"ham_contour": ["eh_w0"]},
+                           "ham_contour", max_hamming)
+    return f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {n}) AS body FROM documents
+  WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
+), e AS (
+  SELECT doc_id,
+         {energies}
+  FROM d
+), h0 AS (
+  SELECT doc_id, {_word_sql(bits)} AS eh_w0 FROM e
+), h AS (
+  SELECT doc_id * 2 + v AS asset_id, eh_w0
+  FROM h0, (VALUES (0), (1)) t(v)
+), {tail.lstrip()}"""

@@ -34,6 +34,7 @@ from vectordb_explorations_spark.operators import knn as K
 from vectordb_explorations_spark.operators import latesim as LSIM
 from vectordb_explorations_spark.operators import layout as L
 from vectordb_explorations_spark.operators import multimodal as M
+from vectordb_explorations_spark.operators import perceptual as PC
 from vectordb_explorations_spark.operators import quality as QA
 from vectordb_explorations_spark.operators import relational as R
 from vectordb_explorations_spark.operators import rerank as RR
@@ -975,6 +976,20 @@ QUERIES: dict[str, QueryFn] = {
     # into the datasheet summary a data team publishes.
     "source_data_cards": lambda s, d: SP.source_data_cards(
         load_table(s, "documents", d)),
+    # perceptual near-dup over multimodal BINARY columns (r11 verdict
+    # missing #1): each doc plants a REAL P6 raster / 8-bit PCM WAV and
+    # its REAL re-encode (BMP / 16-bit PCM); aHash+dHash / energy-
+    # contour hashes via the real codec decodes, LSH-banded candidates,
+    # Hamming verify — the dedup modality sha256 can never see.
+    "dedup_perceptual_image": lambda s, d: PC.dedup_perceptual_image(
+        load_table(s, "documents", d)),
+    "dedup_perceptual_audio": lambda s, d: PC.dedup_perceptual_audio(
+        load_table(s, "documents", d)),
+    # tokenizer-faithful token accounting (r11 verdict missing #2):
+    # per-source whitespace vs BPE-applied token budgets under the
+    # fixed literal merges table.
+    "bpe_token_counts": lambda s, d: X.bpe_token_counts(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -983,52 +998,48 @@ QUERIES: dict[str, QueryFn] = {
 # prose) and asserts the first-50 window below contains every query whose
 # evidence would otherwise become older than two rounds — the SURVEY §11
 # queue discipline as a checked invariant (r7 verdict item 8).
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Round-11 rotation (r10 verdict
-# item 3): the seven NEW never-checked queries lead (maxsim/span-admission
-# plus the late-round dsir_select / cluster_balanced_sample /
-# mixture_plan / source_kl_divergence / split_leakage); then the
-# full 32-row r08-evidence queue (3 rounds old by r11 — exactly the list
-# SURVEY §14 queued); then the rows whose CODE changed this round and
-# must re-certify on the new shapes — substring_dup_coverage (coverage
-# now rounds via the round6/r6 binary rounder per the r10 ADVICE),
-# streaming_index_refresh / streaming_ivfpq_refresh (epoch idempotence
-# is now marked PER SOURCE FILE, closing the multi-file regrouping
-# hazard) — then the oldest r09 greens (alphabetical, deterministic)
-# fill the remaining 8 slots. The r09 rows deferred to r12 stay
-# within the two-round evidence bound through r12's window, where they
-# lead the queue.
+# dict order IS the evidence schedule. Round-12 rotation (r11 verdict
+# item 1, SURVEY §16 queue): the three NEW never-checked queries lead
+# (perceptual image/audio near-dup, BPE token accounting); then the
+# full 46-row r09-evidence queue (3 rounds old by r12 — exactly the
+# list §16 queued, including the eight fill rows the r11 session-2
+# additions displaced); then the one code-changed row whose VALUES can
+# differ and must re-certify — gopher_quality_signals
+# (top2/top3_char_frac now capped at 1.0 per the r11 ADVICE). Two
+# other rows touched changed code but provably emit bit-identical
+# values and keep their r11 evidence (no slots remain for them):
+# retrieval_quality (grade_retrieval now left-joins the query universe
+# so absent queries grade 0 instead of dropping — but the exact path
+# gives every query exactly k hits, so the universe join fully matches
+# and every coalesce no-ops; in-session oracle parity re-verified) and
+# source_data_cards (consumes gopher's KEEP verdicts only, which the
+# 1.0 cap cannot flip: GOPHER_TOP2_MAX = 0.20 < 1.0, so any capped
+# value was already over the threshold; parity re-verified).
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
-    "maxsim_chunk_topk", "streaming_span_admission",
-    "dsir_select", "cluster_balanced_sample",
-    "mixture_plan", "source_kl_divergence", "split_leakage",
-    # --- round-11 extension wave (session 2): five more never-checked ---
-    "gopher_quality_signals", "perplexity_buckets", "temperature_mixture",
-    "embedding_outliers", "ngram_novelty", "retrieval_quality",
-    "hard_examples", "source_data_cards",
-    # --- latest driver evidence r08: the 32-row queue SURVEY §14 set ---
-    "doc_chunks", "doc_repetition_stats", "domain_mix_sample",
-    "event_prop_keys", "event_transitions", "event_value_histogram",
-    "event_value_percentiles", "events_gapfill", "events_hourly",
-    "events_session_window", "events_sliding_2h", "funnel_conversion",
-    "hashed_doc_embeddings", "knn_batch_blockwise", "knn_filtered",
-    "label_centroids", "mmr_diversified_topk", "multimodal_frames",
-    "multimodal_resize", "nation_customer_lists",
-    "priority_customer_counts", "quota_capped_search", "range_search",
-    "region_nation_rollcall", "salted_event_type_stats",
-    "sequence_pack_bins", "sq8_quantization", "streaming_near_dedup",
-    "supplier_nation_volume", "top_parts_by_revenue", "vector_elements",
-    "weighted_sample",
-    # --- code changed this round: re-certify on the new shapes ---
-    "substring_dup_coverage", "streaming_index_refresh",
-    "streaming_ivfpq_refresh",
-    # --- (no fill slots remain: the session-2 additions displaced all
-    # --- eight alphabetically-first r09 fill rows, which move to the
-    # --- FRONT of the r12 queue — their r09 evidence stays within the
-    # --- two-round bound through r12) ---
+    "dedup_perceptual_image", "dedup_perceptual_audio",
+    "bpe_token_counts",
+    # --- the 46-row r09-evidence queue (SURVEY §16, alphabetical) ---
+    "asof_join", "boilerplate_coverage", "clean_text",
+    "cube_order_stats", "customer_balance_tiles", "customer_first_orders",
+    "customers_with_open_orders", "customers_without_orders",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_simhash", "dedup_soft_weights", "distance_matrix_sample",
+    "doc_char_entropy", "doc_fingerprints", "doc_length_percentiles",
+    "events_json_stats", "events_variant_stats", "hybrid_rrf_search",
+    "knn_batch", "knn_classify", "knn_cosine", "knn_exact",
+    "knn_search_after", "lang_confusion", "lang_geomean_chars", "lang_id",
+    "large_volume_customers", "mask_pii", "moving_avg_daily_revenue",
+    "order_gaps", "orders_above_customer_avg", "pivot_flag_by_status",
+    "pricing_summary", "source_dup_matrix", "streaming_enrichment",
+    "top_customers_per_nation", "train_val_split_stats", "training_shards",
+    "unigram_logprob", "user_sessions", "vocab_stats", "zorder_layout",
+    # --- code changed this round, values can differ: re-certify ---
+    "gopher_quality_signals",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1093,6 +1104,9 @@ ORACLES: dict[str, str] = {
         KNN_BATCH_QUERIES, KNN_K),
     "hard_examples": K.hard_examples_oracle(KNN_BATCH_QUERIES, KNN_K),
     "source_data_cards": SP.source_data_cards_oracle(),
+    "dedup_perceptual_image": PC.dedup_perceptual_image_oracle(),
+    "dedup_perceptual_audio": PC.dedup_perceptual_audio_oracle(),
+    "bpe_token_counts": X.bpe_token_counts_oracle(),
     "weighted_sample": SP.weighted_sample_oracle(),
     "dsir_select": SP.dsir_select_oracle(),
     "cluster_balanced_sample": SP.cluster_balanced_sample_oracle(),
