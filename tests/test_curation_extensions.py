@@ -252,6 +252,38 @@ def test_grade_retrieval_requires_rank(spark):
         grade_retrieval(hits, emb, k=10)
 
 
+def test_grade_retrieval_grades_absent_queries_as_zero(spark):
+    """r11 ADVICE: a query with ZERO retrieved rows (an over-pruned ANN
+    probe) must grade 0 across the board, not vanish and bias the
+    aggregates upward. Also covers the all-hits-past-k case, which the
+    rank<=k cut used to silently drop even without a queries frame."""
+    from pyspark.sql import functions as F
+    from vectordb_explorations_spark.operators.knn import grade_retrieval
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)], "A" if i % 2 == 0 else "B") for i in range(6)],
+        ["vec_id", "embedding", "label"])
+    # query 0 retrieved one relevant hit at rank 1; query 1 retrieved
+    # nothing; query 2's only hit ranks past k
+    hits = spark.createDataFrame(
+        [(0, "A", "A", 1), (2, "B", "B", 4)],
+        ["query_id", "query_label", "label", "rank"])
+    queries = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "B")], ["query_id", "query_label"])
+    got = {r.query_id: r for r in
+           grade_retrieval(hits, emb, k=3, queries=queries).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0].n_rel == 1 and got[0].mrr == 1.0
+    for q in (1, 2):
+        assert (got[q].n_rel, got[q].precision_at_k, got[q].mrr,
+                got[q].dcg, got[q].ndcg) == (0, 0.0, 0.0, 0.0, 0.0)
+    # without a queries frame, the universe derives from hits PRE-cut:
+    # query 2 still grades (as zero), only query 1 is unknowable
+    got2 = {r.query_id: r for r in grade_retrieval(hits, emb, k=3).collect()}
+    assert set(got2) == {0, 2}
+    assert got2[2].n_rel == 0
+
+
 # ---- hard_examples ----
 
 def test_hard_example_mining_picks_the_confusable_impostor(spark):

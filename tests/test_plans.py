@@ -26,7 +26,11 @@ PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
                   # one scalar SQL tree (3072 terms) blew up Catalyst —
                   # the batched matmul kernel is the deliberate path
                   # (dedup.embedding_lsh_pairs docstring)
-                  "dedup_embedding_lsh"}
+                  "dedup_embedding_lsh",
+                  # real codec decode + re-encode kernels (perceptual.py):
+                  # the hashing stage is Arrow-batched by design; banding,
+                  # the occupancy cap, and the Hamming verify stay JVM-side
+                  "dedup_perceptual_image", "dedup_perceptual_audio"}
 
 
 def _plan(spark, sf_dir, name):

@@ -240,6 +240,28 @@ COMMENTARY = {
         "ONE combinable source-keyed aggregation ends the pipeline — the "
         "count-distinct of sha256(text) is the only extra exchange and "
         "carries 32-byte hashes, not documents."),
+    "dedup_perceptual_image": (
+        "Perceptual image near-dup: payloads synthesize in codegen "
+        "(encode/concat/substring), the REAL decode -> re-encode -> "
+        "decode -> aHash/dHash kernels run in two narrow Arrow stages "
+        "(payload bytes never shuffle), and everything after is compact "
+        "JVM work — the banding self-join shuffles only (asset_id, "
+        "band_idx, band_val) integers with the bucket-occupancy window "
+        "capping hot buckets, and the Hamming verify joins candidate "
+        "pairs back to the 5-column hash frame (AQE broadcasts it when "
+        "small). Never all-pairs; the minhash-LSH shape over 16-bit "
+        "integer band keys."),
+    "dedup_perceptual_audio": (
+        "Perceptual audio near-dup: same shape as the image path with "
+        "the 8->16-bit PCM re-encode and the 32-bit energy-contour hash "
+        "(one packed word, 2 bands)."),
+    "bpe_token_counts": (
+        "Tokenizer-faithful budgets: one corpus scan — explode to "
+        "words, sixteen literal codegen replaces apply the fixed merges "
+        "table per word, ONE combinable groupBy(source) count/sum, and "
+        "the per-source doc counts broadcast back. No Python, no second "
+        "pass; at 100 TB the cost is the scan plus a |sources|-row "
+        "exchange."),
     "hard_examples": (
         "Contrastive hard-example mining: the same broadcast-scored "
         "neighborhood scan, then two row_number windows over the "

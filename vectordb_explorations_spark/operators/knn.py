@@ -395,7 +395,10 @@ def retrieval_quality(vectors: DataFrame, num_queries: int, k: int,
     top = (scored.withColumn("rank", F.row_number().over(w))
            .where(F.col("rank") <= k)
            .select("query_id", "query_label", F.col(label_col), "rank"))
-    return grade_retrieval(top, vectors, k, label_col=label_col)
+    # the query frame IS the universe — grading stays one corpus pass
+    # (the hits-derived fallback would re-run the scored scan)
+    return grade_retrieval(top, vectors, k, label_col=label_col,
+                           queries=qs.select("query_id", "query_label"))
 
 
 def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
@@ -428,6 +431,11 @@ def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
             "grade_retrieval: hits must carry a 1-based 'rank' column "
             "(rank by (dist, id) before grading — the metrics are "
             "position-weighted)")
+    # Plan note: prefer passing ``queries`` — the universe then costs a
+    # bounded |queries|-row frame. The fallback derives it from hits
+    # with a distinct, which re-evaluates hits' lineage a second time
+    # unless the caller persisted it (acceptable for ad-hoc grading of
+    # a materialized hits frame; wrong for a fused pipeline).
     universe = (queries.select("query_id", "query_label") if queries
                 is not None
                 else hits.select("query_id", "query_label").distinct())
@@ -440,7 +448,9 @@ def grade_retrieval(hits: DataFrame, vectors: DataFrame, k: int,
               F.sum(F.when(rel == 1,
                            1.0 / F.log2(F.col("rank") + F.lit(1.0)))
                     .otherwise(F.lit(0.0))).alias("dcg_raw")))
-    m = (universe.join(m, ["query_id", "query_label"], "left")
+    # broadcast the metrics side: it is at most |universe| rows (one per
+    # graded query), and LEFT OUTER can only broadcast the build side
+    m = (universe.join(F.broadcast(m), ["query_id", "query_label"], "left")
          .select("query_id", "query_label",
                  F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
                  F.coalesce("mrr_raw", F.lit(0.0)).alias("mrr_raw"),
