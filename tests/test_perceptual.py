@@ -110,6 +110,31 @@ def test_bucket_cap_drops_degenerate_buckets(spark):
     assert _band_candidates(h, ["dh_w0", "dh_w1"], bucket_cap=5).count() == 10
 
 
+# ---- band-width auto policy ----
+
+def test_band_bits_auto_policy():
+    from vectordb_explorations_spark.operators.perceptual import (
+        PHASH_AUTO_WIDE_N, resolve_band_bits)
+
+    assert resolve_band_bits("auto", PHASH_AUTO_WIDE_N) == 16
+    assert resolve_band_bits("auto", PHASH_AUTO_WIDE_N + 1) == 32
+    assert resolve_band_bits(16, None) == 16
+    assert resolve_band_bits(32, None) == 32
+    with pytest.raises(ValueError, match="corpus_n"):
+        resolve_band_bits("auto", None)
+    with pytest.raises(ValueError, match="band_bits"):
+        resolve_band_bits(8, None)
+
+
+def test_wide_bands_still_find_reencode_pairs(spark):
+    # a Hamming-0 dup collides on EVERY band at every width; a ham-1
+    # pair is pigeonhole-guaranteed at 2x32 (one word untouched)
+    img = _rand_raster(23)
+    h = image_hashes(_assets(spark, [_p6_bytes(img), encode_bmp(img)]))
+    pairs = perceptual_image_pairs(h, band_bits=32).collect()
+    assert [(p.id_a, p.id_b, p.ham_dhash) for p in pairs] == [(0, 1, 0)]
+
+
 # ---- declared-query planted structure ----
 
 @pytest.fixture(scope="module")
@@ -137,6 +162,26 @@ def test_declared_audio_query_plants_reencode_pairs(planted_docs):
              dedup_perceptual_audio(planted_docs).collect()}
     for k in range(3):
         assert pairs[(2 * k, 2 * k + 1)].ham_contour == 0
+
+
+def test_perceptual_clusters_transitive(spark):
+    """Three identical-audio docs collapse to one cluster rooted at the
+    min doc_id (re-encode self-loops drop; cross-doc pairs propagate
+    transitively); the unrelated doc stays a singleton."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        dedup_perceptual_clusters)
+
+    rng = np.random.default_rng(31)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    same = " ".join(vocab[i] for i in rng.integers(0, 6, size=60))
+    other = " ".join(vocab[i] for i in rng.integers(0, 6, size=60))
+    docs = spark.createDataFrame(
+        [(0, "s", "en", same), (1, "s", "en", same), (2, "s", "en", same),
+         (3, "s", "en", other)],
+        ["doc_id", "source", "lang", "text"])
+    roots = {r.doc_id: r.root
+             for r in dedup_perceptual_clusters(docs).collect()}
+    assert roots == {0: 0, 1: 0, 2: 0, 3: 3}
 
 
 def test_short_docs_are_filtered(spark):

@@ -72,6 +72,21 @@ AUDIO_MAX_HAMMING = 3           # of 32 contour bits
 # all-zero word and would pair quadratically — the span-dedup 256-doc
 # occupancy precedent (dedup.py), documented recall trade
 PHASH_BUCKET_CAP = 256
+# band width policy: b-bit bands over uniform hashes draw
+# E = n_bands * N^2 / 2^(b+1) RANDOM candidate pairs, so a fixed width
+# is a fixture-scale knob that decays quadratically — the same fixed-
+# cap decay the latesim candidate bound and hnsw probe_shards exposed
+# (SURVEY §0 discipline: every fixed policy gets a corpus-adaptive
+# 'auto'). 16-bit bands (4 over the 64-bit dHash) maximize recall and
+# keep E trivial below ~100k assets; past PHASH_AUTO_WIDE_N 'auto'
+# widens to 32-bit bands: random collisions fall to ~N^2/2^33 while
+# every lossless re-encode / uniform-brightness dup (Hamming 0) still
+# collides on EVERY band, and pigeonhole still guarantees pairs within
+# Hamming 1 (2 bands). Pairs with larger Hamming spread across both
+# halves become probabilistic — the standard multi-index-hashing trade
+# (Norouzi et al. 2012); a corpus needing guaranteed ham<=6 recall at
+# billions of assets lengthens the HASH (larger grid), not the search.
+PHASH_AUTO_WIDE_N = 100_000
 
 IMG_HASH_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
@@ -277,17 +292,37 @@ def audio_hashes(assets: DataFrame) -> DataFrame:
 # ---- banding + Hamming verify (pure DataFrame ops) ----
 
 
+def resolve_band_bits(band_bits: int | str,
+                      corpus_n: int | None) -> int:
+    """The 'auto' policy: 16-bit bands below PHASH_AUTO_WIDE_N assets
+    (max recall, trivial random-collision volume), 32-bit above (see
+    the PHASH_AUTO_WIDE_N note). Explicit 16/32 pins the width — the
+    declared queries pin 16 so their oracles stay literal."""
+    if band_bits == "auto":
+        if corpus_n is None:
+            raise ValueError("band_bits='auto' needs corpus_n")
+        return 32 if corpus_n > PHASH_AUTO_WIDE_N else 16
+    if band_bits not in (16, 32):
+        raise ValueError(f"band_bits must be 16, 32 or 'auto': {band_bits}")
+    return int(band_bits)
+
+
 def _banded(hashes: DataFrame, words: list[str],
-            bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+            bucket_cap: int = PHASH_BUCKET_CAP,
+            band_bits: int = 16) -> DataFrame:
     """(asset_id, band_idx, band_val): each 32-bit word splits into two
     16-bit bands (shiftright / mask — exact for the nonnegative packed
-    words), then buckets larger than ``bucket_cap`` drop (hot-bucket
-    guard; the window count is per compact band key, never per
-    payload)."""
+    words) or stands whole as one 32-bit band, then buckets larger
+    than ``bucket_cap`` drop (hot-bucket guard; the window count is
+    per compact band key, never per payload)."""
     bands = []
     for w in words:
-        bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
-        bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+        if band_bits == 16:
+            bands.append(F.shiftright(F.col(w), 16)
+                         .bitwiseAND(F.lit(0xFFFF)))
+            bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+        else:
+            bands.append(F.col(w))
     banded = hashes.select(
         "asset_id", F.posexplode(F.array(*bands)).alias("band_idx",
                                                         "band_val"))
@@ -298,12 +333,13 @@ def _banded(hashes: DataFrame, words: list[str],
 
 
 def _band_candidates(hashes: DataFrame, words: list[str],
-                     bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing any 16-bit band —
-    the minhash banding_candidates shape: the self-join shuffles only
+                     bucket_cap: int = PHASH_BUCKET_CAP,
+                     band_bits: int = 16) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band — the
+    minhash banding_candidates shape: the self-join shuffles only
     (asset_id, band_idx, band_val) integers, and the shuffle_hash hint
     keeps AQE from broadcasting a corpus-sized banded side."""
-    banded = _banded(hashes, words, bucket_cap)
+    banded = _banded(hashes, words, bucket_cap, band_bits)
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_val") == F.col("b.band_val"))
@@ -332,13 +368,17 @@ def _hamming_pairs(hashes: DataFrame, cand: DataFrame,
 
 def perceptual_image_pairs(hashes: DataFrame,
                            max_hamming: int = PHASH_IMG_MAX_HAMMING,
-                           bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+                           bucket_cap: int = PHASH_BUCKET_CAP,
+                           band_bits: int | str = 16,
+                           corpus_n: int | None = None) -> DataFrame:
     """Near-dup image pairs: band on the 64 dHash bits (4 x 16-bit
-    bands — any exact band match is a candidate, the LSH recall knob),
-    verify dHash Hamming <= max_hamming, report the aHash distance
-    alongside (the second-opinion signal a curation pipeline
-    thresholds)."""
-    cand = _band_candidates(hashes, ["dh_w0", "dh_w1"], bucket_cap)
+    bands — any exact band match is a candidate, the LSH recall knob;
+    band_bits='auto' widens to 2 x 32-bit past PHASH_AUTO_WIDE_N
+    assets, see the module-top policy note), verify dHash Hamming <=
+    max_hamming, report the aHash distance alongside (the
+    second-opinion signal a curation pipeline thresholds)."""
+    cand = _band_candidates(hashes, ["dh_w0", "dh_w1"], bucket_cap,
+                            resolve_band_bits(band_bits, corpus_n))
     out = _hamming_pairs(hashes, cand, ["dh_w0", "dh_w1", "ah_w0", "ah_w1"])
     return (out.select(
         "id_a", "id_b",
@@ -350,10 +390,17 @@ def perceptual_image_pairs(hashes: DataFrame,
 
 def perceptual_audio_pairs(hashes: DataFrame,
                            max_hamming: int = AUDIO_MAX_HAMMING,
-                           bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+                           bucket_cap: int = PHASH_BUCKET_CAP,
+                           band_bits: int | str = 16,
+                           corpus_n: int | None = None) -> DataFrame:
     """Near-dup audio pairs: band on the 32 contour bits (2 x 16-bit
-    bands), verify Hamming <= max_hamming."""
-    cand = _band_candidates(hashes, ["eh_w0"], bucket_cap)
+    bands; band_bits='auto' collapses to the single whole-word band
+    past PHASH_AUTO_WIDE_N — exact-contour candidates only, the
+    first-stage trade a 32-bit fingerprint forces at scale: for
+    guaranteed near-miss recall on billions of clips, lengthen the
+    contour, not the search), verify Hamming <= max_hamming."""
+    cand = _band_candidates(hashes, ["eh_w0"], bucket_cap,
+                            resolve_band_bits(band_bits, corpus_n))
     out = _hamming_pairs(hashes, cand, ["eh_w0"])
     return (out.select("id_a", "id_b",
                        F.col("ham_eh_w0").alias("ham_contour"))
@@ -379,21 +426,24 @@ def _p6_assets(docs: DataFrame, src_w: int = PHASH_SRC_W,
     payload = F.encode(
         F.concat(F.lit(f"P6\n{src_w} {src_h}\n255\n"),
                  F.substring("text", 1, n)), "UTF-8")
-    # the n-char prefix must be pure ASCII so chars == bytes (the
-    # resize_real_flat round-5 guard; the oracle applies strlen=n too)
-    ascii_ok = F.length(F.encode(F.substring("text", 1, n), "UTF-8")) == n
-    return (docs.where((F.length("text") >= n) & ascii_ok)
+    return (docs.where(_prefix_eligible(n))
             .select((F.col("doc_id") * 2).alias("asset_id"),
                     payload.alias("payload")))
+
+
+def _prefix_eligible(n: int) -> F.Column:
+    """length >= n AND the n-char prefix is pure ASCII (chars == bytes
+    — the resize_real_flat round-5 guard; oracles apply the same
+    strlen(substr)=n)."""
+    return ((F.length("text") >= n)
+            & (F.length(F.encode(F.substring("text", 1, n), "UTF-8")) == n))
 
 
 def _wav8_assets(docs: DataFrame,
                  n_samples: int = AUDIO_N_SAMPLES) -> DataFrame:
     payload = F.concat(F.lit(wav_header(n_samples, bits=8)),
                        F.encode(F.substring("text", 1, n_samples), "UTF-8"))
-    ascii_ok = (F.length(F.encode(F.substring("text", 1, n_samples),
-                                  "UTF-8")) == n_samples)
-    return (docs.where((F.length("text") >= n_samples) & ascii_ok)
+    return (docs.where(_prefix_eligible(n_samples))
             .select((F.col("doc_id") * 2).alias("asset_id"),
                     payload.alias("payload")))
 
@@ -425,8 +475,9 @@ def _with_reencodes(assets: DataFrame, modality: str) -> DataFrame:
 
 
 def dedup_perceptual_image(docs: DataFrame,
-                           max_hamming: int = PHASH_IMG_MAX_HAMMING
-                           ) -> DataFrame:
+                           max_hamming: int = PHASH_IMG_MAX_HAMMING,
+                           band_bits: int | str = 16,
+                           corpus_n: int | None = None) -> DataFrame:
     """Declared query: synthesize a REAL P6 raster per (long-enough)
     document plus its REAL BMP re-encode, hash both through the real
     decoders, and emit the banded+verified near-dup pairs. Every
@@ -435,18 +486,21 @@ def dedup_perceptual_image(docs: DataFrame,
     surfaces ride the same verify. Cites hnsw.cc: none — north-star
     extension (see module docstring for the public sources)."""
     assets = _with_reencodes(_p6_assets(docs), "image")
-    return perceptual_image_pairs(image_hashes(assets), max_hamming)
+    return perceptual_image_pairs(image_hashes(assets), max_hamming,
+                                  band_bits=band_bits, corpus_n=corpus_n)
 
 
 def dedup_perceptual_audio(docs: DataFrame,
-                           max_hamming: int = AUDIO_MAX_HAMMING
-                           ) -> DataFrame:
+                           max_hamming: int = AUDIO_MAX_HAMMING,
+                           band_bits: int | str = 16,
+                           corpus_n: int | None = None) -> DataFrame:
     """Declared query: synthesize a REAL 8-bit PCM WAV per document
     plus its REAL 16-bit re-encode, hash both through the real RIFF
     decode, and emit banded+verified near-dup pairs (planted (2k, 2k+1)
     re-encode pairs at Hamming 0)."""
     assets = _with_reencodes(_wav8_assets(docs), "audio")
-    return perceptual_audio_pairs(audio_hashes(assets), max_hamming)
+    return perceptual_audio_pairs(audio_hashes(assets), max_hamming,
+                                  band_bits=band_bits, corpus_n=corpus_n)
 
 
 # ---- DuckDB oracles ----
@@ -506,6 +560,74 @@ SELECT id_a, id_b,
 FROM cand JOIN h a ON a.asset_id = id_a JOIN h b ON b.asset_id = id_b
 WHERE {verify_col} <= {max_hamming}
 ORDER BY id_a, id_b
+"""
+
+
+def dedup_perceptual_clusters(docs: DataFrame,
+                              max_hamming: int = AUDIO_MAX_HAMMING,
+                              max_iters: int = 20,
+                              band_bits: int | str = 16,
+                              corpus_n: int | None = None) -> DataFrame:
+    """Document-level perceptual dup clusters: two documents cluster
+    when ANY of their audio assets pair perceptually (the end-of-
+    pipeline view a curation run keeps — one representative per
+    cluster). Asset pairs collapse to doc pairs by asset_id >> 1 (the
+    re-encode planted pairs become self-loops and drop), then the
+    dedup family's min-label propagation (dedup.propagate_min_labels —
+    pointer-jumped, O(log diameter) rounds) assigns each root over the
+    payload-eligible doc universe. The audio contour is the clustering
+    signal because its 32-bit resolution yields genuine cross-document
+    collisions — exactly the transitive structure a cluster view
+    exists to resolve (the 64-bit image hash pairs are near-pure
+    re-encode self-loops on this fixture).
+
+    Scale shape: the banded pair join (see perceptual_audio_pairs) +
+    the same label-propagation loop dedup_clusters runs — each round
+    one keyed join + one min agg on the compact (doc, root) frame."""
+    from vectordb_explorations_spark.operators.dedup import (
+        propagate_min_labels)
+
+    pairs = dedup_perceptual_audio(docs, max_hamming,
+                                   band_bits=band_bits, corpus_n=corpus_n)
+    doc_pairs = (pairs.select(
+        F.shiftright("id_a", 1).alias("doc_id_a"),
+        F.shiftright("id_b", 1).alias("doc_id_b"))
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+        .distinct())
+    nodes = (docs.where(_prefix_eligible(AUDIO_N_SAMPLES))
+             .select("doc_id"))
+    return propagate_min_labels(nodes, doc_pairs, max_iters)
+
+
+def dedup_perceptual_clusters_oracle(
+        max_hamming: int = AUDIO_MAX_HAMMING) -> str:
+    """Transitive closure by recursive CTE over the audio pair oracle —
+    the dedup_clusters_oracle pattern on the perceptual graph."""
+    pairs_sql = dedup_perceptual_audio_oracle(max_hamming).strip()
+    n = AUDIO_N_SAMPLES
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+), dp AS (
+  SELECT DISTINCT id_a // 2 AS a, id_b // 2 AS b FROM pairs
+  WHERE id_a // 2 <> id_b // 2
+), edges AS (
+  SELECT a AS src, b AS dst FROM dp
+  UNION
+  SELECT b AS src, a AS dst FROM dp
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), docs_f AS (
+  SELECT doc_id FROM documents
+  WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS root
+FROM docs_f d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
 
