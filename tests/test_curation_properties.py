@@ -143,9 +143,10 @@ def test_gopher_signals_cross_engine_contract(spark, texts):
     top-n-gram char fractions with their lexicographic-min tie-break —
     must match the DuckDB oracle on ARBITRARY word-token documents,
     including empty / whitespace-only / single-token edge docs and the
-    pathological one-repeated-token shape where the standard Gopher
-    occurrence-count formula exceeds 1.0 (both engines must agree on
-    that too)."""
+    pathological one-repeated-token shape where the raw occurrence-
+    count formula over-counts overlapping repeats past 1.0 — capped at
+    1.0 in BOTH engines since r12 (the r11 ADVICE fix); both must agree
+    on the capped value too."""
     import duckdb
 
     from vectordb_explorations_spark.operators.textops import (
@@ -288,3 +289,76 @@ def test_retrieval_and_hard_example_cross_engine_contracts(spark, rows):
         con.close()
     assert got_rq == want_rq
     assert got_he == want_he
+
+
+@CASES
+@given(docs_strategy)
+def test_bpe_token_counts_cross_engine_contract(spark, texts):
+    """bpe_token_counts — the char-split, the double-space boundary
+    guard, all sixteen sequential merges, and the per-source rollup —
+    must match the DuckDB oracle on ARBITRARY word-token documents
+    (plus docs built from the merge table's own target words, where
+    every cascade fires)."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_token_counts, bpe_token_counts_oracle)
+
+    edge = ["table hash", "query row stream", "tab ta b erery"]
+    all_texts = list(texts) + edge
+    rows = [(i, f"s{i % 3}", t) for i, t in enumerate(all_texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(tuple(r) for r in bpe_token_counts(sdf).collect())
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents "
+                    "(doc_id BIGINT, source VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+        want = sorted(map(tuple, con.execute(
+            bpe_token_counts_oracle()).fetchall()))
+    finally:
+        con.close()
+    assert got == want
+
+
+# long enough that some docs clear the 216-char image payload prefix
+# and others don't (the filter edge is part of the contract)
+long_word = st.text(alphabet="abcdefgh", min_size=3, max_size=6)
+long_doc = st.lists(long_word, min_size=5, max_size=60).map(" ".join)
+long_docs_strategy = st.lists(long_doc, min_size=1, max_size=6)
+PCASES = settings(max_examples=6, deadline=None)
+
+
+@PCASES
+@given(long_docs_strategy)
+def test_perceptual_pairs_cross_engine_contract(spark, texts):
+    """The whole perceptual pipeline — payload synthesis filters, the
+    REAL P6/BMP and 8/16-bit WAV round-trips, integer luma, NN grid,
+    aHash/dHash/energy-contour bits, MSB-first packing, banding, the
+    occupancy cap, and the Hamming verify — must match the DuckDB
+    oracles (which recompute the hashes from text positions) on
+    arbitrary ASCII documents, including a planted duplicate pair."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.perceptual import (
+        dedup_perceptual_audio, dedup_perceptual_audio_oracle,
+        dedup_perceptual_image, dedup_perceptual_image_oracle)
+
+    all_texts = list(texts) + [texts[0]]        # planted cross-doc dup
+    rows = [(i, t) for i, t in enumerate(all_texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        for fn, oracle in ((dedup_perceptual_image,
+                            dedup_perceptual_image_oracle),
+                           (dedup_perceptual_audio,
+                            dedup_perceptual_audio_oracle)):
+            got = sorted(tuple(r) for r in fn(sdf).collect())
+            want = sorted(map(tuple, con.execute(oracle()).fetchall()))
+            assert got == want
+    finally:
+        con.close()
