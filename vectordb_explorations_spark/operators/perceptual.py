@@ -540,8 +540,8 @@ def _pairs_tail_sql(words: list[str], ham_out: dict[str, list[str]],
         f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val FROM h"
         for i, w in enumerate(words) for half in (0, 1))
     hams = ",\n       ".join(
-        " + ".join(f"bit_count(xor(a.{w}, b.{w}))" for w in ws)
-        + f" AS {col}" for col, ws in ham_out.items())
+        "CAST(" + " + ".join(f"bit_count(xor(a.{w}, b.{w}))" for w in ws)
+        + f" AS INT) AS {col}" for col, ws in ham_out.items())
     return f"""
 banded AS ({band_rows}),
 capped AS (

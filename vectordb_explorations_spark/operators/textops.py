@@ -745,7 +745,10 @@ WITH w AS (
 ), d AS (
   SELECT source, count(*) AS n_docs FROM documents GROUP BY source
 ), a AS (
-  SELECT source, count(*) AS ws_tokens, sum(tok_cnt) AS bpe_tokens
+  -- ::BIGINT: DuckDB sum(BIGINT) promotes to HUGEINT, which Spark
+  -- cannot emit (the typed-hash guard in test_oracle_parity)
+  SELECT source, count(*) AS ws_tokens,
+         sum(tok_cnt)::BIGINT AS bpe_tokens
   FROM t GROUP BY source
 )
 SELECT source, n_docs, ws_tokens, bpe_tokens,
