@@ -342,3 +342,22 @@ def test_data_cards_aggregate_the_planted_structure(spark):
     assert short.gopher_keep_rate == 0.0
     # below the novelty window: excluded from the mean, not zeroed
     assert short.mean_novelty is None
+
+
+# ---- bpe_sequence_pack (r13 queue) ----
+
+def test_bpe_sequence_pack_bin_math(spark):
+    """Pinned packing walk with hand-computed BPE lengths: 'table
+    hash'=2, 'query'=3, 'teeth'=5 under the baked merges; seq_len=4
+    puts docs 0-1 in bin 0 (cum 0, 2) and doc 2 in bin 1 (cum 5)."""
+    from vectordb_explorations_spark.operators.sampling import (
+        bpe_sequence_pack)
+
+    docs = spark.createDataFrame(
+        [(0, "en", "table hash"), (1, "en", "query"), (2, "en", "teeth")],
+        ["doc_id", "lang", "text"])
+    out = {(r.lang, r.bin_id): r
+           for r in bpe_sequence_pack(docs, seq_len=4).collect()}
+    b0, b1 = out[("en", 0)], out[("en", 1)]
+    assert (b0.n_docs, b0.bin_tokens, b0.first_doc, b0.last_doc) == (2, 5, 0, 1)
+    assert (b1.n_docs, b1.bin_tokens, b1.first_doc, b1.last_doc) == (1, 5, 2, 2)

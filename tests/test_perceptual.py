@@ -189,3 +189,28 @@ def test_short_docs_are_filtered(spark):
                                  ["doc_id", "source", "lang", "text"])
     assert dedup_perceptual_image(docs).count() == 0
     assert dedup_perceptual_audio(docs).count() == 0
+
+
+# ---- perceptual_hash_table (r13 queue) ----
+
+def test_hash_table_matches_kernels(spark, planted_docs):
+    """The flat per-doc fingerprint table must equal the NumPy kernels
+    run directly on the synthesized payloads."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        AUDIO_N_SAMPLES, PHASH_SRC_H, PHASH_SRC_W, perceptual_hash_table)
+
+    rows = {r.doc_id: r for r in perceptual_hash_table(planted_docs).collect()}
+    texts = {r.doc_id: r.text for r in planted_docs.collect()}
+    n_img = PHASH_SRC_W * PHASH_SRC_H * 3
+    for doc_id, text in texts.items():
+        raster = np.frombuffer(text[:n_img].encode(), dtype=np.uint8) \
+            .reshape(PHASH_SRC_H, PHASH_SRC_W, 3)
+        g = gray_int(raster)
+        ah = pack_words32(ahash_bits(g))
+        dh = pack_words32(dhash_bits(g))
+        samples = np.frombuffer(text[:AUDIO_N_SAMPLES].encode(),
+                                dtype=np.uint8).reshape(-1, 1)
+        eh = pack_words32(audio_contour_bits(samples))[0]
+        r = rows[doc_id]
+        assert (r.ah_w0, r.ah_w1, r.dh_w0, r.dh_w1, r.eh_w0) == \
+            (ah[0], ah[1], dh[0], dh[1], eh)

@@ -563,6 +563,56 @@ ORDER BY id_a, id_b
 """
 
 
+def perceptual_hash_table(docs: DataFrame) -> DataFrame:
+    """Per-document perceptual fingerprint table — the maintained
+    artifact a serving pipeline keys near-dup admission on (the
+    banded/pair views above are derived from exactly these words):
+    (doc_id, ah_w0, ah_w1, dh_w0, dh_w1, eh_w0) via the REAL P6 decode
+    and the REAL WAV decode of the document's synthesized payloads.
+    All-scalar columns, one row per eligible doc — the direct
+    hash-check surface for the hash KERNELS themselves (the pair
+    queries certify the banding+verify composition; this certifies
+    every packed word value).
+
+    Scale shape: two narrow Arrow passes (image, audio) joined on the
+    id — payload bytes never shuffle; the join carries 6 ints/row."""
+    img = image_hashes(
+        _p6_assets(docs).select(F.shiftright("asset_id", 1)
+                                .alias("asset_id"), "payload"))
+    aud = audio_hashes(
+        _wav8_assets(docs).select(F.shiftright("asset_id", 1)
+                                  .alias("asset_id"), "payload"))
+    return (img.withColumnRenamed("asset_id", "doc_id")
+            .join(aud.withColumnRenamed("asset_id", "doc_id"), "doc_id")
+            .orderBy("doc_id"))
+
+
+def perceptual_hash_table_oracle() -> str:
+    """Both hash CTEs keyed on doc_id, joined — the per-word literal
+    recomputation the pair oracles share."""
+    img = dedup_perceptual_image_oracle()
+    aud = dedup_perceptual_audio_oracle()
+
+    def keep_through_h0(sql: str) -> str:
+        # reuse everything up to and including the h0 CTE
+        return sql[:sql.index("), h AS (")] + ")"
+
+    img_cte = keep_through_h0(img).replace("WITH d AS", "d AS")
+    aud_cte = (keep_through_h0(aud)
+               .replace("WITH d AS", "d2 AS")
+               .replace("FROM d\n", "FROM d2\n")
+               .replace("h0 AS", "h0a AS")
+               .replace(" e AS ", " e2 AS ")
+               .replace("FROM e\n", "FROM e2\n"))
+    return f"""
+WITH {img_cte.strip()},
+{aud_cte.strip()}
+SELECT i.doc_id, ah_w0, ah_w1, dh_w0, dh_w1, eh_w0
+FROM h0 i JOIN h0a a ON a.doc_id = i.doc_id
+ORDER BY i.doc_id
+"""
+
+
 def dedup_perceptual_clusters(docs: DataFrame,
                               max_hamming: int = AUDIO_MAX_HAMMING,
                               max_iters: int = 20,

@@ -159,6 +159,70 @@ ORDER BY lang, bin_id
 """
 
 
+def bpe_sequence_pack(docs: DataFrame,
+                      seq_len: int = SEQ_PACK_LEN) -> DataFrame:
+    """sequence_pack_bins with TOKENIZER-FAITHFUL lengths: the packing
+    manifest a trainer actually consumes is in BPE tokens, and the
+    fixture corpus runs ~3.5 BPE tokens per whitespace token
+    (bpe_token_counts), so whitespace-packed bins overflow a real
+    seq_len by the same factor. Per-doc length is the BPE-applied
+    token count (textops.bpe_word_tokens) summed over the doc's words
+    as ONE per-row HOF expression — transform over split(text), fold —
+    so the plan shape is IDENTICAL to sequence_pack_bins: no explode,
+    no extra shuffle, one keyed window cumsum, one combinable agg.
+    Empty words (split artifacts) count 0 in both engines."""
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_word_tokens)
+
+    per_word = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.when(F.length(w) >= 1,
+                         bpe_word_tokens(w)).otherwise(F.lit(0)))
+    n_tokens = F.aggregate(per_word, F.lit(0),
+                           lambda acc, x: acc + x)
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+            .withColumn("bin_id", F.floor(cum_before / F.lit(seq_len)))
+            .groupBy("lang", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("bin_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("lang", "bin_id"))
+
+
+def bpe_sequence_pack_oracle(seq_len: int = SEQ_PACK_LEN) -> str:
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_word_tokens_sql)
+
+    tok = bpe_word_tokens_sql("w")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_sum(list_transform(string_split(text, ' '),
+                  w -> CASE WHEN length(w) >= 1 THEN {tok}
+                       ELSE 0 END)) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT lang, CAST(FLOOR(cum_before / {seq_len}.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
 # Default training-mix weights: downsample the over-represented head
 # language, keep the tail. Fractions are acceptance probabilities applied
 # as deterministic md5-prefix thresholds (same mechanism as split_column).

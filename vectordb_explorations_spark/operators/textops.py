@@ -732,6 +732,17 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
             .orderBy("source"))
 
 
+def bpe_word_tokens_sql(var: str = "w") -> str:
+    """DuckDB twin of :func:`bpe_word_tokens` as an expression over
+    ``var`` (a column or lambda variable): the char split, the
+    double-space boundary guard, the sequential merges, the final
+    token count."""
+    spaced = f"' ' || trim(regexp_replace({var}, '(.)', '\\1  ', 'g')) || ' '"
+    for a, b in BPE_MERGES:
+        spaced = f"replace({spaced}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"len(string_split(trim({spaced}), '  '))"
+
+
 def bpe_token_counts_oracle() -> str:
     spaced = "' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '"
     for a, b in BPE_MERGES:
