@@ -214,3 +214,34 @@ def test_hash_table_matches_kernels(spark, planted_docs):
         r = rows[doc_id]
         assert (r.ah_w0, r.ah_w1, r.dh_w0, r.dh_w1, r.eh_w0) == \
             (ah[0], ah[1], dh[0], dh[1], eh)
+
+
+# ---- perceptual_curation_cards (r13 queue) ----
+
+def test_curation_cards_compose_quality_and_dedup(spark):
+    """Planted composition: docs 0 and 1 are perceptual duplicates
+    (identical text; doc 1's cluster root is 0, so only doc 1 counts as
+    a dup), doc 2 is clean and Gopher-keepable, doc 3 is Gopher-dropped
+    (too few words) AND payload-ineligible (short) — so n_eligible
+    excludes it and the final kept rate reflects both verdicts."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        perceptual_curation_cards)
+
+    rng = np.random.default_rng(43)
+    vocab = ["the", "a", "bridge", "copper", "delta", "ember", "flint",
+             "grove"]
+    same = " ".join(vocab[i] for i in rng.integers(0, 8, size=60))
+    clean = " ".join(vocab[i] for i in rng.integers(0, 8, size=60))
+    docs = spark.createDataFrame(
+        [(0, "s", same), (1, "s", same), (2, "s", clean),
+         (3, "s", "tiny doc")],
+        ["doc_id", "source", "text"])
+    row = perceptual_curation_cards(docs).collect()[0]
+    assert (row.n_docs, row.n_eligible) == (4, 3)
+    # gopher: docs 0-2 keep (60 words, stopwords present), doc 3 drops
+    assert row.gopher_keep_rate == 0.75
+    # dup among eligible: doc 1 only (root 0), docs 0/2 are their own
+    # roots -> 1/3
+    assert row.perceptual_dup_rate == round(1 / 3, 6)
+    # final: keep AND not dup -> docs 0 and 2 -> 2/4
+    assert row.kept_rate == 0.5

@@ -52,6 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
+from vectordb_explorations_spark.functions.rounding import round6
 from vectordb_explorations_spark.operators.multimodal import (
     decode_audio, decode_image)
 
@@ -501,6 +502,79 @@ def dedup_perceptual_audio(docs: DataFrame,
     assets = _with_reencodes(_wav8_assets(docs), "audio")
     return perceptual_audio_pairs(audio_hashes(assets), max_hamming,
                                   band_bits=band_bits, corpus_n=corpus_n)
+
+
+def perceptual_curation_cards(docs: DataFrame,
+                              max_hamming: int = AUDIO_MAX_HAMMING
+                              ) -> DataFrame:
+    """Per-source multimodal curation card — the quality and perceptual-
+    dedup verdicts COMPOSED into the summary a data team publishes (the
+    source_data_cards discipline: certify the composition, not just the
+    parts): document volume, payload-eligible share, Gopher keep rate,
+    perceptual dup rate among eligible docs (cluster root != self), and
+    the final kept rate (Gopher keep AND not a perceptual dup). Every
+    rate is an exact integer-count ratio rounded once at 6 dp — never a
+    float running sum, so both engines agree bit-for-bit.
+
+    Scale shape: gopher is per-row work, the cluster side is the banded
+    pair graph + label propagation (see dedup_perceptual_clusters), and
+    the composition is two doc_id-keyed joins + ONE combinable
+    source-keyed aggregation."""
+    from vectordb_explorations_spark.operators.textops import (
+        gopher_quality_signals)
+
+    g = gopher_quality_signals(docs).select("doc_id", "keep")
+    cl = (dedup_perceptual_clusters(docs, max_hamming)
+          .select("doc_id", (F.col("root") != F.col("doc_id"))
+                  .alias("is_dup")))
+    j = (docs.select("doc_id", "source")
+         .join(g, "doc_id", "left")
+         .join(cl, "doc_id", "left"))
+    n = F.count(F.lit(1))
+    n_elig = F.count("is_dup")
+    n_keep = F.count(F.when(F.col("keep"), 1))
+    n_dup = F.count(F.when(F.col("is_dup"), 1))
+    n_final = F.count(F.when(F.col("keep")
+                             & ~F.coalesce("is_dup", F.lit(False)), 1))
+    return (j.groupBy("source")
+            .agg(n.alias("n_docs"),
+                 n_elig.alias("n_eligible"),
+                 round6(n_keep.cast("double") / n).alias("gopher_keep_rate"),
+                 F.when(n_elig > 0,
+                        round6(n_dup.cast("double") / n_elig))
+                 .alias("perceptual_dup_rate"),
+                 round6(n_final.cast("double") / n).alias("kept_rate"))
+            .orderBy("source"))
+
+
+def perceptual_curation_cards_oracle(
+        max_hamming: int = AUDIO_MAX_HAMMING) -> str:
+    from vectordb_explorations_spark.functions.rounding import r6
+    from vectordb_explorations_spark.operators.textops import (
+        gopher_quality_signals_oracle)
+
+    gop = gopher_quality_signals_oracle().strip()
+    clus = dedup_perceptual_clusters_oracle(max_hamming).strip()
+    return f"""
+WITH gop AS ({gop}),
+clus AS ({clus})
+SELECT d.source,
+       count(*) AS n_docs,
+       count(c.doc_id) AS n_eligible,
+       {r6('count(CASE WHEN g.keep THEN 1 END)::DOUBLE / count(*)')}
+         AS gopher_keep_rate,
+       CASE WHEN count(c.doc_id) > 0 THEN
+         {r6('count(CASE WHEN c.root <> c.doc_id THEN 1 END)::DOUBLE'
+            ' / count(c.doc_id)')}
+       END AS perceptual_dup_rate,
+       {r6("count(CASE WHEN g.keep AND COALESCE(c.root <> c.doc_id, FALSE)"
+          " = FALSE THEN 1 END)::DOUBLE / count(*)")} AS kept_rate
+FROM documents d
+LEFT JOIN gop g ON g.doc_id = d.doc_id
+LEFT JOIN clus c ON c.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
 
 
 # ---- DuckDB oracles ----
