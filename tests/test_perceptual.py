@@ -245,3 +245,27 @@ def test_curation_cards_compose_quality_and_dedup(spark):
     assert row.perceptual_dup_rate == round(1 / 3, 6)
     # final: keep AND not dup -> docs 0 and 2 -> 2/4
     assert row.kept_rate == 0.5
+
+
+# ---- perceptual_incremental (r13 queue) ----
+
+def test_incremental_rejects_reingested_image(spark):
+    """Planted admission: split = floor(3/2)+1 = 2, so docs 0-1 are the
+    corpus and docs 2-3 the batch. Doc 2 re-ingests doc 0's image
+    (identical text -> Hamming 0 vs old doc 0) and must be rejected
+    with that match; doc 3 is new content and must be admitted."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        perceptual_incremental)
+
+    rng = np.random.default_rng(53)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    mk = lambda: " ".join(vocab[i] for i in rng.integers(0, 6, size=60))
+    t0, t1, t3 = mk(), mk(), mk()
+    docs = spark.createDataFrame(
+        [(0, "s", t0), (1, "s", t1), (2, "s", t0), (3, "s", t3)],
+        ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in perceptual_incremental(docs).collect()}
+    assert set(out) == {2, 3}
+    assert not out[2].admitted
+    assert out[2].matched_old == 0 and out[2].best_hamming == 0
+    assert out[3].admitted and out[3].matched_old is None

@@ -687,6 +687,136 @@ ORDER BY i.doc_id
 """
 
 
+def perceptual_incremental(docs: DataFrame,
+                           max_hamming: int = PHASH_IMG_MAX_HAMMING,
+                           bucket_cap: int = PHASH_BUCKET_CAP,
+                           band_bits: int | str = 16,
+                           corpus_n: int | None = None) -> DataFrame:
+    """Incremental-ingest perceptual admission: admit a NEW batch of
+    image documents against the EXISTING corpus — the daily-crawl stage
+    for the multimodal columns (a re-encoded or lightly-perturbed image
+    already ingested is rejected; new-vs-new dups are the batch's own
+    pair pass, out of scope here, the incremental_dedup convention).
+    The batch is modeled deterministically as doc_id >=
+    floor(max(doc_id)/2)+1 so the same split exists in the oracle.
+
+    Plan shape mirrors incremental_dedup (dedup.py): ONE shared banded
+    frame over the per-doc image dHash words with the side split as a
+    JOIN PREDICATE (a.is_new > b.is_new — new x old only, never
+    old x old), the occupancy cap applied BEFORE the join, Hamming
+    verify on candidates via two id-keyed joins to the compact hash
+    frame, best match per new doc by (hamming ASC, old_id ASC). At
+    real scale the old side IS the persisted perceptual_hash_table —
+    banding keys are maintained incrementally and the corpus hash pass
+    is paid once ever. Output: one row per NEW payload-eligible doc
+    with its admission verdict."""
+    split = int(docs.agg(F.floor(F.max("doc_id") / 2) + 1).first()[0])
+    h = image_hashes(
+        _p6_assets(docs).select(F.shiftright("asset_id", 1)
+                                .alias("asset_id"), "payload")) \
+        .withColumnRenamed("asset_id", "doc_id")
+    bb = resolve_band_bits(band_bits, corpus_n)
+    bands = []
+    for w in ("dh_w0", "dh_w1"):
+        if bb == 16:
+            bands.append(F.shiftright(F.col(w), 16)
+                         .bitwiseAND(F.lit(0xFFFF)))
+            bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+        else:
+            bands.append(F.col(w))
+    banded = (h.select("doc_id",
+                       F.posexplode(F.array(*bands)).alias("band_idx",
+                                                           "band_val"))
+              .withColumn("is_new", F.col("doc_id") >= split))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("band_idx",
+                                                    "band_val"))
+    banded = (banded.withColumn("bucket_n", occ)
+              .where(F.col("bucket_n") <= bucket_cap).drop("bucket_n"))
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.is_new").cast("int")
+                      > F.col("b.is_new").cast("int")))
+            .select(F.col("a.doc_id").alias("new_id"),
+                    F.col("b.doc_id").alias("old_id"))
+            .distinct())
+    hn = h.select(F.col("doc_id").alias("new_id"),
+                  F.col("dh_w0").alias("n_w0"), F.col("dh_w1").alias("n_w1"))
+    ho = h.select(F.col("doc_id").alias("old_id"),
+                  F.col("dh_w0").alias("o_w0"), F.col("dh_w1").alias("o_w1"))
+    ver = (cand.join(hn, "new_id").join(ho, "old_id")
+           .select("new_id", "old_id",
+                   (F.bit_count(F.col("n_w0").bitwiseXOR(F.col("o_w0")))
+                    + F.bit_count(F.col("n_w1").bitwiseXOR(F.col("o_w1"))))
+                   .alias("ham"))
+           .where(F.col("ham") <= max_hamming))
+    w = Window.partitionBy("new_id").orderBy(F.col("ham").asc(),
+                                             F.col("old_id").asc())
+    best = (ver.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("matched_old"),
+                    F.col("ham").alias("best_hamming")))
+    new_docs = (docs.where(_prefix_eligible(PHASH_SRC_W * PHASH_SRC_H * 3)
+                           & (F.col("doc_id") >= split))
+                .select("doc_id", "source"))
+    return (new_docs.join(best, new_docs.doc_id == best.new_id, "left")
+            .select("doc_id", "source",
+                    F.col("matched_old").isNull().alias("admitted"),
+                    "matched_old", "best_hamming")
+            .orderBy("doc_id"))
+
+
+def perceptual_incremental_oracle(
+        max_hamming: int = PHASH_IMG_MAX_HAMMING,
+        bucket_cap: int = PHASH_BUCKET_CAP) -> str:
+    img = dedup_perceptual_image_oracle()
+    img_cte = img[:img.index("), h AS (")].replace("WITH d AS", "d AS") + ")"
+    n = PHASH_SRC_W * PHASH_SRC_H * 3
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {2 * i + half} AS band_idx, "
+        f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val FROM h0"
+        for i, w in enumerate(("dh_w0", "dh_w1")) for half in (0, 1))
+    return f"""
+WITH {img_cte.strip()},
+split AS (
+  SELECT CAST(floor(max(doc_id) / 2) + 1 AS BIGINT) AS s FROM documents
+), banded AS ({band_rows}),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n
+    FROM banded)
+  WHERE bucket_n <= {bucket_cap}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  CROSS JOIN split
+  WHERE a.doc_id >= split.s AND b.doc_id < split.s
+), ver AS (
+  SELECT new_id, old_id,
+         CAST(bit_count(xor(hn.dh_w0, ho.dh_w0))
+              + bit_count(xor(hn.dh_w1, ho.dh_w1)) AS INT) AS ham
+  FROM cand JOIN h0 hn ON hn.doc_id = new_id
+            JOIN h0 ho ON ho.doc_id = old_id
+), best AS (
+  SELECT new_id, old_id, ham,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY ham ASC, old_id ASC) AS rn
+  FROM ver WHERE ham <= {max_hamming}
+)
+SELECT d.doc_id, d.source,
+       (b.new_id IS NULL) AS admitted,
+       b.old_id AS matched_old,
+       b.ham AS best_hamming
+FROM documents d
+CROSS JOIN split
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id >= split.s
+  AND length(d.text) >= {n} AND strlen(substr(d.text, 1, {n})) = {n}
+ORDER BY d.doc_id
+"""
+
+
 def dedup_perceptual_clusters(docs: DataFrame,
                               max_hamming: int = AUDIO_MAX_HAMMING,
                               max_iters: int = 20,
