@@ -594,3 +594,48 @@ def test_index_refresh_crash_window_replay_is_exact(spark, sf_dir):
             os.remove(marker)
         SE.incremental_index_refresh(spark, sf_dir, d).awaitTermination(300)
         assert read().count() == before
+
+
+def test_streaming_perceptual_cross_batch_state(spark, tmp_path):
+    """The perceptual admission twin of the near-dedup cross-batch
+    test: a RE-UPLOAD arriving in batch 2 (identical image content,
+    smaller doc_id) is flagged against batch 1's representative on
+    every dHash band; unrelated content is never flagged."""
+    import os
+    import time
+    import uuid
+
+    import numpy as np
+
+    from vectordb_explorations_spark.streaming.documents import (
+        perceptual_dup_stream)
+    from vectordb_explorations_spark.streaming.events import run_to_memory
+
+    rng = np.random.default_rng(61)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    mk = lambda: " ".join(vocab[i] for i in rng.integers(0, 6, size=60))
+    same, other = mk(), mk()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    d = tmp_path / "pdocs_stream"
+    d.mkdir()
+    spark.createDataFrame([(100, same, "en", "web", len(same))], schema) \
+        .coalesce(1).write.parquet(str(d / "b1.parquet"))
+    spark.createDataFrame([(5, same, "en", "web", len(same)),
+                           (200, other, "en", "web", len(other))], schema) \
+        .coalesce(1).write.parquet(str(d / "b2.parquet"))
+    now = time.time()
+    for i, sub in enumerate(("b1.parquet", "b2.parquet")):
+        for root, _, files in os.walk(d / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d) + "/*.parquet"))
+    name = f"spcd_test_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(perceptual_dup_stream(stream), name, "append")
+    q.awaitTermination(120)
+    rows = {(r.doc_id, r.dup_of) for r in spark.table(name).collect()}
+    assert (5, 100) in rows
+    assert all(did != 100 for did, _ in rows)
+    assert sum(1 for did, _ in rows if did == 5) == 1  # set of 4 bands -> one distinct pair

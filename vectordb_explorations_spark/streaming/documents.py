@@ -290,3 +290,133 @@ d AS (SELECT b.doc_id, f.first_doc
 SELECT doc_id, min(first_doc) AS dup_of, count(*) AS n_band_hits
 FROM d GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---- streaming perceptual admission (round 12; r13 declaration) ----
+
+PERC_BAND_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("band_idx", T.IntegerType()),
+    T.StructField("band_val", T.LongType()),
+])
+
+
+def perceptual_dup_stream(docs: DataFrame,
+                          state_ttl_ms: int | None = None) -> DataFrame:
+    """Online perceptual admission for the image column: the streaming
+    twin of operators/perceptual.py's pair path, shaped exactly like
+    near_dup_stream — synthesize the P6 payload per arriving doc,
+    REAL-decode + dHash it in one Arrow pass (mapInPandas runs
+    per-batch on a stream), split the 64 bits into four 16-bit band
+    values, and remember the FIRST doc admitted per (band_idx,
+    band_val): later arrivals sharing any band emit (doc_id, dup_of).
+    A re-encoded or brightness-shifted re-upload hashes identically
+    and is flagged on every band.
+
+    State is ONE long per occupied band value — the first-seen state
+    IS the hot-bucket guard here (a degenerate all-same-texture flood
+    collides into existing keys instead of pairing quadratically);
+    state_ttl_ms bounds growth exactly as near_dup_stream documents
+    (sliding-window eviction)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vectordb_explorations_spark.operators.perceptual import (
+        _p6_assets, image_hashes)
+
+    h = image_hashes(
+        _p6_assets(docs).select(F.shiftright("asset_id", 1)
+                                .alias("asset_id"), "payload")) \
+        .withColumnRenamed("asset_id", "doc_id")
+    bands = []
+    for w in ("dh_w0", "dh_w1"):
+        bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
+        bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+    banded = h.select("doc_id",
+                      F.posexplode(F.array(*bands)).alias("band_idx",
+                                                          "band_val"))
+
+    # first-seen state update — duplicated from near_dup_stream rather
+    # than factored out: that closure belongs to a certified declared
+    # query and the r12 evidence window has no re-cert slot (SURVEY
+    # §17); fold the two together when near_dup_stream next re-certifies
+    def update(key, pdf_iter, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in pdf_iter:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        if state.exists:
+            first = int(state.get[0])
+            dups = sorted(ids)
+        else:
+            first = min(ids)
+            dups = sorted(x for x in ids if x != first)
+            state.update((first,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if dups:
+            yield pd.DataFrame({"doc_id": dups, "dup_of": first})
+
+    return (banded.groupBy("band_idx", "band_val")
+            .applyInPandasWithState(
+                update,
+                outputStructType=NEAR_DUP_SCHEMA,
+                stateStructType=_BAND_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if state_ttl_ms is not None
+                             else GroupStateTimeout.NoTimeout)))
+
+
+def streaming_perceptual_dedup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Declared correctness pin for the streaming perceptual path
+    (r13 queue): drain the fixture documents (one file -> one
+    micro-batch, so first-arrived == min doc_id and the result is
+    batch-derivable) into a uniquely-named memory sink, then report
+    per flagged doc its representative and how many bands collided.
+    The oracle recomputes the image dHash banding from baked text
+    positions."""
+    import uuid
+
+    from vectordb_explorations_spark.sources.catalog import (
+        ensure_package_on_workers)
+    from vectordb_explorations_spark.streaming.events import (
+        await_drained, run_to_memory)
+
+    ensure_package_on_workers(spark)
+    name = f"spcd_{uuid.uuid4().hex[:12]}"
+    q = run_to_memory(
+        perceptual_dup_stream(read_documents_stream(spark, sf_dir)),
+        name, "append")
+    await_drained(q)
+    return (spark.table(name)
+            .groupBy("doc_id")
+            .agg(F.min("dup_of").alias("dup_of"),
+                 F.count(F.lit(1)).alias("n_band_hits"))
+            .orderBy("doc_id"))
+
+
+def streaming_perceptual_dedup_oracle() -> str:
+    from vectordb_explorations_spark.operators.perceptual import (
+        dedup_perceptual_image_oracle)
+
+    img = dedup_perceptual_image_oracle()
+    img_cte = img[:img.index("), h AS (")].replace("WITH d AS", "d AS") + ")"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {2 * i + half} AS band_idx, "
+        f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val FROM h0"
+        for i, w in enumerate(("dh_w0", "dh_w1")) for half in (0, 1))
+    return f"""
+WITH {img_cte.strip()},
+banded AS ({band_rows}),
+firsts AS (SELECT band_idx, band_val, min(doc_id) AS first_doc
+           FROM banded GROUP BY band_idx, band_val),
+flg AS (SELECT b.doc_id, f.first_doc
+        FROM banded b JOIN firsts f USING (band_idx, band_val)
+        WHERE b.doc_id > f.first_doc)
+SELECT doc_id, min(first_doc) AS dup_of, count(*) AS n_band_hits
+FROM flg GROUP BY doc_id ORDER BY doc_id
+"""
