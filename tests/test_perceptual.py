@@ -269,3 +269,33 @@ def test_incremental_rejects_reingested_image(spark):
     assert not out[2].admitted
     assert out[2].matched_old == 0 and out[2].best_hamming == 0
     assert out[3].admitted and out[3].matched_old is None
+
+
+# ---- persisted admission substrate (serving face) ----
+
+def test_persisted_admission_prunes_and_rejects(spark, tmp_path):
+    """The serving face: build the substrate from the corpus, admit a
+    batch containing one re-ingest (rejected at Hamming 0 with the
+    right match) and one new doc (admitted); the substrate read must
+    carry PartitionFilters (file-listing pruning) on band_idx/bucket."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        perceptual_admit_persisted, perceptual_persist)
+
+    rng = np.random.default_rng(71)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    mk = lambda: " ".join(vocab[i] for i in rng.integers(0, 6, size=60))
+    corpus_texts = [mk() for _ in range(6)]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"])
+    base = str(tmp_path / "perc_substrate")
+    perceptual_persist(corpus, base)
+
+    batch = spark.createDataFrame(
+        [(100, corpus_texts[2]), (101, mk())], ["doc_id", "text"])
+    out = perceptual_admit_persisted(spark, base, batch)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band_idx" in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert not rows[100].admitted
+    assert rows[100].matched_old == 2 and rows[100].best_hamming == 0
+    assert rows[101].admitted and rows[101].matched_old is None

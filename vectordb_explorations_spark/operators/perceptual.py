@@ -817,6 +817,106 @@ ORDER BY d.doc_id
 """
 
 
+PHASH_PERSIST_BUCKETS = 256
+
+
+def perceptual_persist(docs: DataFrame, base_dir: str,
+                       buckets: int = PHASH_PERSIST_BUCKETS) -> None:
+    """Build + persist the perceptual admission substrate ONCE — the
+    ivf/hnsw/maxsim partitioned-serving discipline applied to the
+    image fingerprints: the per-doc dHash table exploded to its four
+    16-bit band values and hive-partitioned by (band_idx, bucket =
+    band_val % buckets), each row carrying the full packed words so
+    the Hamming verify runs inside the pruned partitions. An admission
+    batch touches at most 4 x buckets directories REGARDLESS of corpus
+    size — the pruned-read bound that makes daily-crawl admission
+    corpus-size-independent at the file listing.
+
+    Incremental maintenance: a plain engine table — append new docs'
+    band rows per batch (the banding is stateless, so appended rows
+    bucket consistently)."""
+    h = image_hashes(
+        _p6_assets(docs).select(F.shiftright("asset_id", 1)
+                                .alias("asset_id"), "payload")) \
+        .withColumnRenamed("asset_id", "doc_id")
+    bands = []
+    for w in ("dh_w0", "dh_w1"):
+        bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
+        bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+    banded = h.select(
+        "doc_id", "dh_w0", "dh_w1",
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
+    (banded.withColumn("bucket", F.col("band_val") % buckets)
+     .write.mode("overwrite")
+     .partitionBy("band_idx", "bucket")
+     .parquet(base_dir))
+
+
+def perceptual_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
+                               max_hamming: int = PHASH_IMG_MAX_HAMMING,
+                               buckets: int = PHASH_PERSIST_BUCKETS
+                               ) -> DataFrame:
+    """Admit a NEW batch against the persisted substrate: the batch's
+    hashes band locally, their distinct (band_idx, bucket) probe pairs
+    resolve driver-side (BOUNDED: at most 4 x buckets = 1024 pairs
+    whatever the batch size), and the substrate read carries the
+    band_idx/bucket isin conjuncts the FILE LISTING prunes on
+    (PartitionFilters — plan-asserted in tests) plus the packed-key
+    isin that keeps the probe exact within the pruned rectangles (the
+    maxsim 504-leg OR-chain lesson). Candidates equi-join on the full
+    band value, verify Hamming inside the pruned rows, best match by
+    (hamming ASC, old doc_id ASC). Output: one row per payload-eligible
+    batch doc with its admission verdict — the serving twin of
+    perceptual_incremental's batch-internal split."""
+    nh = image_hashes(
+        _p6_assets(new_docs).select(F.shiftright("asset_id", 1)
+                                    .alias("asset_id"), "payload")) \
+        .withColumnRenamed("asset_id", "new_id")
+    bands = []
+    for w in ("dh_w0", "dh_w1"):
+        bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
+        bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+    nb = (nh.select("new_id",
+                    F.col("dh_w0").alias("n_w0"),
+                    F.col("dh_w1").alias("n_w1"),
+                    F.posexplode(F.array(*bands)).alias("band_idx",
+                                                        "band_val"))
+          .withColumn("bucket", F.col("band_val") % buckets))
+    probe = {(int(r["band_idx"]), int(r["bucket"]))
+             for r in nb.select("band_idx", "bucket").distinct().collect()}
+    idx = spark.read.parquet(base_dir)
+    pred = (F.col("band_idx").isin(sorted({b for b, _ in probe}))
+            & F.col("bucket").isin(sorted({k for _, k in probe}))
+            & (F.col("band_idx") * buckets + F.col("bucket")).isin(
+                sorted(b * buckets + k for b, k in probe)))
+    old = (idx.where(pred)
+           .select(F.col("doc_id").alias("old_id"),
+                   F.col("dh_w0").alias("o_w0"),
+                   F.col("dh_w1").alias("o_w1"),
+                   "band_idx", "band_val"))
+    ver = (nb.join(old, ["band_idx", "band_val"])
+           .select("new_id", "old_id",
+                   (F.bit_count(F.col("n_w0").bitwiseXOR(F.col("o_w0")))
+                    + F.bit_count(F.col("n_w1").bitwiseXOR(F.col("o_w1"))))
+                   .alias("ham"))
+           .where(F.col("ham") <= max_hamming)
+           .distinct())
+    w = Window.partitionBy("new_id").orderBy(F.col("ham").asc(),
+                                             F.col("old_id").asc())
+    best = (ver.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("matched_old"),
+                    F.col("ham").alias("best_hamming")))
+    eligible = (new_docs.where(
+        _prefix_eligible(PHASH_SRC_W * PHASH_SRC_H * 3))
+        .select("doc_id"))
+    return (eligible.join(best, eligible.doc_id == best.new_id, "left")
+            .select("doc_id",
+                    F.col("matched_old").isNull().alias("admitted"),
+                    "matched_old", "best_hamming")
+            .orderBy("doc_id"))
+
+
 def dedup_perceptual_clusters(docs: DataFrame,
                               max_hamming: int = AUDIO_MAX_HAMMING,
                               max_iters: int = 20,
