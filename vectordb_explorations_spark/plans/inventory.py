@@ -1202,3 +1202,46 @@ ORACLES: dict[str, str] = {
     "source_dup_matrix": D.source_dup_matrix_oracle(),
     "late_supplier_blame": A.LATE_SUPPLIER_BLAME_ORACLE,
 }
+
+
+# ---- round-13 staging (NOT declared: the r12 window had no free slot,
+# ---- SURVEY §17) -------------------------------------------------------
+#
+# Six operators built, oracle-twinned, pytest-pinned and parity-verified
+# in round 12, queued to DECLARE in round 13: move each entry into
+# QUERIES / ORACLES (never-checked rows lead the window) and rotate
+# _WINDOW_PRIORITY per the §17 queue. tests/test_staged_queries.py runs
+# the same oracle compare the driver does on every staged pair each
+# suite run, so these cannot rot between rounds. The driver never sees
+# these dicts.
+STAGED_QUERIES: dict = {
+    # doc-level connected components over the perceptual pair graph
+    "dedup_perceptual_clusters": lambda s, d: PC.dedup_perceptual_clusters(
+        load_table(s, "documents", d)),
+    # the flat per-doc fingerprint table: direct hash-check of the
+    # aHash/dHash/energy-contour kernels, word by word
+    "perceptual_hash_table": lambda s, d: PC.perceptual_hash_table(
+        load_table(s, "documents", d)),
+    # incremental-ingest perceptual admission (batch = upper id half)
+    "perceptual_incremental": lambda s, d: PC.perceptual_incremental(
+        load_table(s, "documents", d)),
+    # per-source composition of Gopher verdicts with perceptual clusters
+    "perceptual_curation_cards": lambda s, d: PC.perceptual_curation_cards(
+        load_table(s, "documents", d)),
+    # online first-seen admission over the image dHash bands
+    "streaming_perceptual_dedup": SD.streaming_perceptual_dedup,
+    # sequence packing with tokenizer-faithful BPE lengths
+    "bpe_sequence_pack": lambda s, d: SP.bpe_sequence_pack(
+        load_table(s, "documents", d)),
+}
+
+STAGED_ORACLES: dict = {
+    "dedup_perceptual_clusters": PC.dedup_perceptual_clusters_oracle(),
+    "perceptual_hash_table": PC.perceptual_hash_table_oracle(),
+    "perceptual_incremental": PC.perceptual_incremental_oracle(),
+    "perceptual_curation_cards": PC.perceptual_curation_cards_oracle(),
+    "streaming_perceptual_dedup": SD.streaming_perceptual_dedup_oracle(),
+    "bpe_sequence_pack": SP.bpe_sequence_pack_oracle(),
+}
+assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
+assert not set(STAGED_QUERIES) & set(QUERIES)
