@@ -619,6 +619,27 @@ def main() -> None:
         sum(len(ms_exact[q] & ms_band.get(q, set())) / len(ms_exact[q])
             for q in ms_exact) / len(ms_exact), 4)
 
+    # perceptual persisted-admission face (r12 verdict item 5): the
+    # daily-crawl serving shape — substrate built ONCE from the corpus
+    # image fingerprints (build row, the corpus-hash pass paid once
+    # ever), then an admission batch served from the file-listing-
+    # pruned hive layout (serving row; at most 4 x 256 directories
+    # touched regardless of corpus size — SCALE_NOTES measured it
+    # near-flat across a 300x corpus jump). First measured round (r13)
+    # becomes the binding baseline per BASELINE.md protocol.
+    from pyspark.sql import functions as SF_FN
+    from vectordb_explorations_spark.operators import perceptual as PCB
+    perc_path = "/tmp/bench_perceptual_substrate"
+    bench_build("index_build_perceptual",
+                lambda: PCB.perceptual_persist(docs, perc_path))
+    extras["index_bytes_perceptual"] = _dir_bytes(perc_path)
+    perc_batch = (docs.orderBy(SF_FN.col("doc_id").desc()).limit(64)
+                  .cache())
+    perc_batch.count()
+    bench("perceptual_admit_persisted",
+          lambda: _force(PCB.perceptual_admit_persisted(spark, perc_path,
+                                                        perc_batch)))
+
     li = load_table(spark, "lineitem", SF_DIR)
     bench("pricing_summary", lambda: _force(R.pricing_summary(li)))
     bench("region_revenue", lambda: _force(R.region_revenue(
@@ -648,9 +669,12 @@ def main() -> None:
     # BENCH_LOCAL.json at the repo root (committed per round), so
     # nothing is evidence-lost even if stdout truncates. value is
     # recomputable as sum(queries) if the front ever truncates anyway.
+    # Explicit prefixes, not a substring test: a future bulky extras key
+    # merely CONTAINING 'load' (say payload_bytes) must not ride in the
+    # truncation-protected tail (r12 ADVICE).
     tail_keys = [k for k in extras
-                 if k.startswith("calib_") or k.startswith("recall_")
-                 or "load" in k or k.startswith("cpu_cores")]
+                 if k.startswith(("calib_", "recall_", "loadavg_",
+                                  "load_gate", "cpu_cores"))]
     bulky = {k: v for k, v in extras.items() if k not in set(tail_keys)}
     out = {
         "metric": "headline_queries_total_wall",
@@ -661,10 +685,38 @@ def main() -> None:
         **{k: extras[k] for k in tail_keys},
         "queries": timings,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
-        json.dump(out, f)
+    _write_bench_local(out, extras)
     print(json.dumps(out, separators=(",", ":")))
+
+
+def _write_bench_local(out: dict, extras: dict) -> None:
+    """BENCH_LOCAL.json commit policy (r12 verdict item 7; BASELINE.md
+    "Which record is binding"): the committed record is the builder's
+    certified QUIET-box run. A degraded run — load gate exceeded, or
+    one that had to wait out external load — must not silently replace
+    an existing clean record in the working tree; it still prints to
+    stdout and the driver still captures it. Force with
+    SPARK_GRAFT_FORCE_BENCH_LOCAL=1 (or delete the file first)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    degraded = ("load_gate" in extras or "load_gate_waited_sec" in extras
+                or "cpu_contention" in str(extras.get("load_gate", "")))
+    if (degraded and os.path.exists(path)
+            and os.environ.get("SPARK_GRAFT_FORCE_BENCH_LOCAL") != "1"):
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = None
+        if existing is not None and "load_gate" not in existing \
+                and "load_gate_waited_sec" not in existing:
+            print("NOTE: degraded run (load gate) — keeping the existing "
+                  "clean BENCH_LOCAL.json; set "
+                  "SPARK_GRAFT_FORCE_BENCH_LOCAL=1 to overwrite",
+                  file=sys.stderr)
+            return
+    with open(path, "w") as f:
+        json.dump(out, f)
 
 
 if __name__ == "__main__":

@@ -9,11 +9,24 @@ window declared for ``inventory.WINDOW_ROUND``:
 
   1. contains every query that has never been driver-checked, and
   2. contains every query whose evidence would otherwise become older
-     than two rounds once ``WINDOW_ROUND`` completes (i.e. last green
-     round <= WINDOW_ROUND - 3),
+     than three rounds once ``WINDOW_ROUND`` completes (i.e. last green
+     round <= WINDOW_ROUND - 4),
 
-so the r09 queue derives from data the moment WINDOW_ROUND is bumped.
-No Spark session needed — pure file parsing.
+so each round's queue derives from data the moment WINDOW_ROUND is
+bumped.  No Spark session needed — pure file parsing.
+
+FRESHNESS BOUND — relaxed from a 3-round to a 4-round re-certification
+cycle in r13, deliberately (the r12 verdict's "window economics" item):
+a 50-slot window under a 3-round cycle caps the declared surface at
+150 queries, and declaring the six r12-staged operators takes it to
+152 — permanently infeasible under the old bound (r14 would have
+needed 49 stale + 3 new = 52 slots).  The 4-round cycle has capacity
+200.  The safety argument for the extra round of driver-evidence age:
+``tools/vanilla_check.py`` oracle-sweeps EVERY declared query at
+sf0.01 and sf0.1 each round builder-side (and the r11/r12 judges
+reproduced the full sweep independently), so the driver window
+staggers independent confirmation — it is not the only check a query
+gets between driver certifications.
 """
 
 from __future__ import annotations
@@ -23,6 +36,11 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+# Evidence must never be older than CYCLE-1 rounds at a round's close;
+# equivalently every declared query re-certifies at least every CYCLE
+# driver rounds.  See the module docstring for why this is 4.
+CYCLE = 4
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -47,19 +65,34 @@ def _last_green_rounds() -> dict[str, int]:
     return last
 
 
+def test_declared_surface_within_window_capacity():
+    """50 slots x CYCLE rounds is the hard ceiling on how many declared
+    queries can all keep evidence fresh (the r12 verdict's structural
+    finding).  Declaring past it breaks the freshness invariant
+    PERMANENTLY, so fail at declaration time, not two rounds later."""
+    from vectordb_explorations_spark.plans import inventory
+
+    capacity = 50 * CYCLE
+    declared = len(inventory.QUERIES)
+    assert declared <= capacity, (
+        f"{declared} declared queries exceed the {capacity}-query "
+        f"capacity of a 50-slot window on a {CYCLE}-round cycle — "
+        f"retire/merge queries or revisit the bound BEFORE declaring")
+
+
 def test_window_covers_stale_and_never_checked_queries():
     """Two phases of the rotation lifecycle:
 
     - WINDOW_ROUND == last recorded round + 1 (the builder has rotated,
       the driver hasn't run yet): the declared window must contain every
       never-checked query and every query whose evidence would become
-      >2 rounds old once WINDOW_ROUND completes.
+      >CYCLE-1 rounds old once WINDOW_ROUND completes.
     - WINDOW_ROUND == last recorded round (the driver just consumed the
       window; the next builder hasn't rotated yet — e.g. the judge's
       post-round sweep): assert the OUTCOME instead — no declared
-      query's recorded evidence is older than two rounds, and nothing
-      is unchecked. A red here means the queue discipline actually
-      failed, not that the constant lags.
+      query's recorded evidence is older than CYCLE-1 rounds, and
+      nothing is unchecked. A red here means the queue discipline
+      actually failed, not that the constant lags.
     """
     from vectordb_explorations_spark.plans import inventory
 
@@ -80,20 +113,22 @@ def test_window_covers_stale_and_never_checked_queries():
         assert not missing_new, (
             f"never-driver-checked queries must lead the window: "
             f"{missing_new}")
-        stale_cutoff = inventory.WINDOW_ROUND - 3
+        stale_cutoff = inventory.WINDOW_ROUND - CYCLE
         stale = [q for q, rnd in last.items()
                  if q in inventory.QUERIES and rnd <= stale_cutoff]
         missing_stale = [q for q in stale if q not in window]
         assert not missing_stale, (
-            f"evidence for {missing_stale} would be >2 rounds old after "
-            f"r{inventory.WINDOW_ROUND:02d}; they must be in the window "
+            f"evidence for {missing_stale} would be >{CYCLE - 1} rounds "
+            f"old after r{inventory.WINDOW_ROUND:02d}; they must be in "
+            f"the window "
             f"(last green: { {q: last[q] for q in missing_stale} })")
     else:
         overdue = {q: last.get(q) for q in inventory.QUERIES
-                   if last.get(q, 0) < latest - 2}
+                   if last.get(q, 0) < latest - (CYCLE - 1)}
         assert not overdue, (
-            f"queue discipline violated: evidence older than two rounds "
-            f"(or missing) after r{latest:02d}: {overdue}")
+            f"queue discipline violated: evidence older than "
+            f"{CYCLE - 1} rounds (or missing) after r{latest:02d}: "
+            f"{overdue}")
 
 
 def test_window_priority_well_formed():

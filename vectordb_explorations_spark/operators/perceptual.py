@@ -603,16 +603,86 @@ def _word_sql(bit_exprs: list[str]) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+def _band16_rows_sql(words: list[str], src: str, id_col: str) -> str:
+    """UNION ALL band projection: each 32-bit word of ``src`` splits
+    into its high/low 16-bit band values — the SQL twin of the engine's
+    shiftright/bitwiseAND banding, with the source CTE and id column as
+    explicit parameters (shared by the pair tails, the incremental
+    oracle and the streaming oracle; r12 ADVICE: builders, not string
+    surgery on rendered SQL)."""
+    return " UNION ALL ".join(
+        f"SELECT {id_col}, {2 * i + half} AS band_idx, "
+        f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val "
+        f"FROM {src}"
+        for i, w in enumerate(words) for half in (0, 1))
+
+
+def _img_hash_ctes(d: str = "d", g: str = "g", g2: str = "g2",
+                   h0: str = "h0") -> str:
+    """CTE fragment (no WITH keyword) recomputing the per-doc image
+    hash words from baked text positions into
+    ``{h0}(doc_id, ah_w0, ah_w1, dh_w0, dh_w1)``. Every CTE alias is an
+    explicit parameter so composing oracles rename by argument instead
+    of editing rendered SQL (r12 ADVICE)."""
+    n = PHASH_SRC_W * PHASH_SRC_H * 3
+    grays = ",\n         ".join(
+        f"{_img_gray_sql(y, x)} AS g{y}_{x}"
+        for y in range(PHASH_SRC_H) for x in range(PHASH_SRC_W))
+    total = " + ".join(f"g{y}_{x}" for y in range(PHASH_GRID)
+                       for x in range(PHASH_GRID))
+    ah_bits = [f"g{b // 8}_{b % 8} * 64 >= atot" for b in range(64)]
+    dh_bits = [f"g{b // 8}_{b % 8 + 1} > g{b // 8}_{b % 8}"
+               for b in range(64)]
+    return f"""{d} AS (
+  SELECT doc_id, substr(text, 1, {n}) AS body FROM documents
+  WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
+), {g} AS (
+  SELECT doc_id,
+         {grays}
+  FROM {d}
+), {g2} AS (
+  SELECT *, ({total}) AS atot FROM {g}
+), {h0} AS (
+  SELECT doc_id,
+         {_word_sql(ah_bits[:32])} AS ah_w0,
+         {_word_sql(ah_bits[32:])} AS ah_w1,
+         {_word_sql(dh_bits[:32])} AS dh_w0,
+         {_word_sql(dh_bits[32:])} AS dh_w1
+  FROM {g2}
+)"""
+
+
+def _aud_hash_ctes(d: str = "d", e: str = "e", h0: str = "h0") -> str:
+    """CTE fragment recomputing the per-doc audio energy-contour hash
+    into ``{h0}(doc_id, eh_w0)`` — alias-parameterized like
+    ``_img_hash_ctes``."""
+    n = AUDIO_N_SAMPLES
+    energies = ",\n         ".join(
+        "(" + " + ".join(
+            f"(ascii(substr(body,{f * AUDIO_FRAME + s + 1},1)) - 128)"
+            f" * (ascii(substr(body,{f * AUDIO_FRAME + s + 1},1)) - 128)"
+            for s in range(AUDIO_FRAME)) + f") AS e{f}"
+        for f in range(n // AUDIO_FRAME))
+    bits = [f"e{f + 1} > e{f}" for f in range(AUDIO_N_BITS)]
+    return f"""{d} AS (
+  SELECT doc_id, substr(text, 1, {n}) AS body FROM documents
+  WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
+), {e} AS (
+  SELECT doc_id,
+         {energies}
+  FROM {d}
+), {h0} AS (
+  SELECT doc_id, {_word_sql(bits)} AS eh_w0 FROM {e}
+)"""
+
+
 def _pairs_tail_sql(words: list[str], ham_out: dict[str, list[str]],
                     verify_col: str, max_hamming: int,
                     bucket_cap: int = PHASH_BUCKET_CAP) -> str:
     """banded -> capped -> candidate pairs -> Hamming verify, shared by
     both oracles. ``ham_out`` maps output column -> contributing
     words."""
-    band_rows = " UNION ALL ".join(
-        f"SELECT asset_id, {2 * i + half} AS band_idx, "
-        f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val FROM h"
-        for i, w in enumerate(words) for half in (0, 1))
+    band_rows = _band16_rows_sql(words, "h", "asset_id")
     hams = ",\n       ".join(
         "CAST(" + " + ".join(f"bit_count(xor(a.{w}, b.{w}))" for w in ws)
         + f" AS INT) AS {col}" for col, ws in ham_out.items())
@@ -663,24 +733,12 @@ def perceptual_hash_table(docs: DataFrame) -> DataFrame:
 
 def perceptual_hash_table_oracle() -> str:
     """Both hash CTEs keyed on doc_id, joined — the per-word literal
-    recomputation the pair oracles share."""
-    img = dedup_perceptual_image_oracle()
-    aud = dedup_perceptual_audio_oracle()
-
-    def keep_through_h0(sql: str) -> str:
-        # reuse everything up to and including the h0 CTE
-        return sql[:sql.index("), h AS (")] + ")"
-
-    img_cte = keep_through_h0(img).replace("WITH d AS", "d AS")
-    aud_cte = (keep_through_h0(aud)
-               .replace("WITH d AS", "d2 AS")
-               .replace("FROM d\n", "FROM d2\n")
-               .replace("h0 AS", "h0a AS")
-               .replace(" e AS ", " e2 AS ")
-               .replace("FROM e\n", "FROM e2\n"))
+    recomputation the pair oracles share, composed from the
+    alias-parameterized builders (r12 ADVICE: no splicing of rendered
+    SQL)."""
     return f"""
-WITH {img_cte.strip()},
-{aud_cte.strip()}
+WITH {_img_hash_ctes()},
+{_aud_hash_ctes(d="d2", e="e2", h0="h0a")}
 SELECT i.doc_id, ah_w0, ah_w1, dh_w0, dh_w1, eh_w0
 FROM h0 i JOIN h0a a ON a.doc_id = i.doc_id
 ORDER BY i.doc_id
@@ -709,8 +767,14 @@ def perceptual_incremental(docs: DataFrame,
     real scale the old side IS the persisted perceptual_hash_table —
     banding keys are maintained incrementally and the corpus hash pass
     is paid once ever. Output: one row per NEW payload-eligible doc
-    with its admission verdict."""
-    split = int(docs.agg(F.floor(F.max("doc_id") / 2) + 1).first()[0])
+    with its admission verdict.
+
+    The batch split stays INSIDE the plan as a broadcast single-row
+    aggregate (the oracle's split CTE shape) — no driver-side action at
+    query-construction time, and an empty documents table yields an
+    empty result instead of a TypeError (r12 ADVICE)."""
+    split_df = docs.agg((F.floor(F.max("doc_id") / 2) + 1)
+                        .cast("long").alias("split_id"))
     h = image_hashes(
         _p6_assets(docs).select(F.shiftright("asset_id", 1)
                                 .alias("asset_id"), "payload")) \
@@ -727,7 +791,9 @@ def perceptual_incremental(docs: DataFrame,
     banded = (h.select("doc_id",
                        F.posexplode(F.array(*bands)).alias("band_idx",
                                                            "band_val"))
-              .withColumn("is_new", F.col("doc_id") >= split))
+              .crossJoin(F.broadcast(split_df))
+              .withColumn("is_new", F.col("doc_id") >= F.col("split_id"))
+              .drop("split_id"))
     occ = F.count(F.lit(1)).over(Window.partitionBy("band_idx",
                                                     "band_val"))
     banded = (banded.withColumn("bucket_n", occ)
@@ -756,8 +822,9 @@ def perceptual_incremental(docs: DataFrame,
             .where(F.col("rn") == 1)
             .select("new_id", F.col("old_id").alias("matched_old"),
                     F.col("ham").alias("best_hamming")))
-    new_docs = (docs.where(_prefix_eligible(PHASH_SRC_W * PHASH_SRC_H * 3)
-                           & (F.col("doc_id") >= split))
+    new_docs = (docs.crossJoin(F.broadcast(split_df))
+                .where(_prefix_eligible(PHASH_SRC_W * PHASH_SRC_H * 3)
+                       & (F.col("doc_id") >= F.col("split_id")))
                 .select("doc_id", "source"))
     return (new_docs.join(best, new_docs.doc_id == best.new_id, "left")
             .select("doc_id", "source",
@@ -769,15 +836,10 @@ def perceptual_incremental(docs: DataFrame,
 def perceptual_incremental_oracle(
         max_hamming: int = PHASH_IMG_MAX_HAMMING,
         bucket_cap: int = PHASH_BUCKET_CAP) -> str:
-    img = dedup_perceptual_image_oracle()
-    img_cte = img[:img.index("), h AS (")].replace("WITH d AS", "d AS") + ")"
     n = PHASH_SRC_W * PHASH_SRC_H * 3
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {2 * i + half} AS band_idx, "
-        f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val FROM h0"
-        for i, w in enumerate(("dh_w0", "dh_w1")) for half in (0, 1))
+    band_rows = _band16_rows_sql(["dh_w0", "dh_w1"], "h0", "doc_id")
     return f"""
-WITH {img_cte.strip()},
+WITH {_img_hash_ctes()},
 split AS (
   SELECT CAST(floor(max(doc_id) / 2) + 1 AS BIGINT) AS s FROM documents
 ), banded AS ({band_rows}),
@@ -987,37 +1049,13 @@ ORDER BY d.doc_id
 
 def dedup_perceptual_image_oracle(
         max_hamming: int = PHASH_IMG_MAX_HAMMING) -> str:
-    n = PHASH_SRC_W * PHASH_SRC_H * 3
-    grays = ",\n         ".join(
-        f"{_img_gray_sql(y, x)} AS g{y}_{x}"
-        for y in range(PHASH_SRC_H) for x in range(PHASH_SRC_W))
-    total = " + ".join(f"g{y}_{x}" for y in range(PHASH_GRID)
-                       for x in range(PHASH_GRID))
-    ah_bits = [f"g{d // 8}_{d % 8} * 64 >= atot" for d in range(64)]
-    dh_bits = [f"g{d // 8}_{d % 8 + 1} > g{d // 8}_{d % 8}"
-               for d in range(64)]
     tail = _pairs_tail_sql(
         ["dh_w0", "dh_w1"],
         {"ham_dhash": ["dh_w0", "dh_w1"], "ham_ahash": ["ah_w0", "ah_w1"]},
         "ham_dhash", max_hamming)
     return f"""
-WITH d AS (
-  SELECT doc_id, substr(text, 1, {n}) AS body FROM documents
-  WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
-), g AS (
-  SELECT doc_id,
-         {grays}
-  FROM d
-), g2 AS (
-  SELECT *, ({total}) AS atot FROM g
-), h0 AS (
-  SELECT doc_id,
-         {_word_sql(ah_bits[:32])} AS ah_w0,
-         {_word_sql(ah_bits[32:])} AS ah_w1,
-         {_word_sql(dh_bits[:32])} AS dh_w0,
-         {_word_sql(dh_bits[32:])} AS dh_w1
-  FROM g2
-), h AS (  -- original (2k) and its lossless re-encode (2k+1): same hash
+WITH {_img_hash_ctes()},
+h AS (  -- original (2k) and its lossless re-encode (2k+1): same hash
   SELECT doc_id * 2 + v AS asset_id, ah_w0, ah_w1, dh_w0, dh_w1
   FROM h0, (VALUES (0), (1)) t(v)
 ), {tail.lstrip()}"""
@@ -1025,27 +1063,11 @@ WITH d AS (
 
 def dedup_perceptual_audio_oracle(
         max_hamming: int = AUDIO_MAX_HAMMING) -> str:
-    n = AUDIO_N_SAMPLES
-    energies = ",\n         ".join(
-        "(" + " + ".join(
-            f"(ascii(substr(body,{f * AUDIO_FRAME + s + 1},1)) - 128)"
-            f" * (ascii(substr(body,{f * AUDIO_FRAME + s + 1},1)) - 128)"
-            for s in range(AUDIO_FRAME)) + f") AS e{f}"
-        for f in range(n // AUDIO_FRAME))
-    bits = [f"e{f + 1} > e{f}" for f in range(AUDIO_N_BITS)]
     tail = _pairs_tail_sql(["eh_w0"], {"ham_contour": ["eh_w0"]},
                            "ham_contour", max_hamming)
     return f"""
-WITH d AS (
-  SELECT doc_id, substr(text, 1, {n}) AS body FROM documents
-  WHERE length(text) >= {n} AND strlen(substr(text, 1, {n})) = {n}
-), e AS (
-  SELECT doc_id,
-         {energies}
-  FROM d
-), h0 AS (
-  SELECT doc_id, {_word_sql(bits)} AS eh_w0 FROM e
-), h AS (
+WITH {_aud_hash_ctes()},
+h AS (
   SELECT doc_id * 2 + v AS asset_id, eh_w0
   FROM h0, (VALUES (0), (1)) t(v)
 ), {tail.lstrip()}"""

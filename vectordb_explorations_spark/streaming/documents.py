@@ -49,6 +49,43 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir))
 
 
+def _first_seen_update(state_ttl_ms: int | None):
+    """The shared first-seen-per-band state closure behind both online
+    admission streams (MinHash bands, perceptual dHash bands): remember
+    the first doc admitted for the group key, emit (doc_id, dup_of) for
+    every other arrival. The representative itself is excluded in BOTH
+    branches — an at-least-once source replaying the first-seen doc
+    must not emit a (first, first) self-duplicate row (r12 ADVICE; the
+    two copies are now folded as the r12 staging comment promised,
+    legal this round because every consuming query re-certifies in the
+    r13 window)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdf_iter, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict — the next arrival in this band
+            # re-admits a fresh representative
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in pdf_iter:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        if state.exists:
+            first = int(state.get[0])
+        else:
+            first = min(ids)
+            state.update((first,))
+        dups = sorted(x for x in ids if x != first)
+        if state_ttl_ms is not None:
+            # sliding window: any arrival keeps the band's state alive
+            state.setTimeoutDuration(state_ttl_ms)
+        if dups:
+            yield pd.DataFrame({"doc_id": dups, "dup_of": first})
+
+    return update
+
+
 def near_dup_stream(docs: DataFrame,
                     num_hashes: int = NUM_HASHES,
                     band_size: int = BAND_SIZE,
@@ -73,33 +110,12 @@ def near_dup_stream(docs: DataFrame,
     old content past the window is re-admitted as a fresh representative
     rather than flagged against state that would otherwise never die).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     banded = banded_keys(minhash_signatures_stateless(docs, num_hashes),
                          num_hashes, band_size)
 
-    def update(key, pdf_iter, state: GroupState):
-        if state_ttl_ms is not None and state.hasTimedOut:
-            # idle past the TTL: evict — the next arrival in this band
-            # re-admits a fresh representative
-            state.remove()
-            return
-        ids: list[int] = []
-        for pdf in pdf_iter:
-            ids.extend(int(x) for x in pdf["doc_id"])
-        if state.exists:
-            first = int(state.get[0])
-            dups = sorted(ids)
-        else:
-            first = min(ids)
-            dups = sorted(x for x in ids if x != first)
-            state.update((first,))
-        if state_ttl_ms is not None:
-            # sliding window: any arrival keeps the band's state alive
-            state.setTimeoutDuration(state_ttl_ms)
-        if dups:
-            yield pd.DataFrame({"doc_id": dups, "dup_of": first})
+    update = _first_seen_update(state_ttl_ms)
 
     return (banded.groupBy("band_idx", "band_key")
             .applyInPandasWithState(
@@ -318,8 +334,7 @@ def perceptual_dup_stream(docs: DataFrame,
     collides into existing keys instead of pairing quadratically);
     state_ttl_ms bounds growth exactly as near_dup_stream documents
     (sliding-window eviction)."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from vectordb_explorations_spark.operators.perceptual import (
         _p6_assets, image_hashes)
@@ -336,28 +351,7 @@ def perceptual_dup_stream(docs: DataFrame,
                       F.posexplode(F.array(*bands)).alias("band_idx",
                                                           "band_val"))
 
-    # first-seen state update — duplicated from near_dup_stream rather
-    # than factored out: that closure belongs to a certified declared
-    # query and the r12 evidence window has no re-cert slot (SURVEY
-    # §17); fold the two together when near_dup_stream next re-certifies
-    def update(key, pdf_iter, state: GroupState):
-        if state_ttl_ms is not None and state.hasTimedOut:
-            state.remove()
-            return
-        ids: list[int] = []
-        for pdf in pdf_iter:
-            ids.extend(int(x) for x in pdf["doc_id"])
-        if state.exists:
-            first = int(state.get[0])
-            dups = sorted(ids)
-        else:
-            first = min(ids)
-            dups = sorted(x for x in ids if x != first)
-            state.update((first,))
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
-        if dups:
-            yield pd.DataFrame({"doc_id": dups, "dup_of": first})
+    update = _first_seen_update(state_ttl_ms)
 
     return (banded.groupBy("band_idx", "band_val")
             .applyInPandasWithState(
@@ -401,16 +395,11 @@ def streaming_perceptual_dedup(spark: SparkSession,
 
 def streaming_perceptual_dedup_oracle() -> str:
     from vectordb_explorations_spark.operators.perceptual import (
-        dedup_perceptual_image_oracle)
+        _band16_rows_sql, _img_hash_ctes)
 
-    img = dedup_perceptual_image_oracle()
-    img_cte = img[:img.index("), h AS (")].replace("WITH d AS", "d AS") + ")"
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {2 * i + half} AS band_idx, "
-        f"{w} {'// 65536' if half == 0 else '% 65536'} AS band_val FROM h0"
-        for i, w in enumerate(("dh_w0", "dh_w1")) for half in (0, 1))
+    band_rows = _band16_rows_sql(["dh_w0", "dh_w1"], "h0", "doc_id")
     return f"""
-WITH {img_cte.strip()},
+WITH {_img_hash_ctes()},
 banded AS ({band_rows}),
 firsts AS (SELECT band_idx, band_val, min(doc_id) AS first_doc
            FROM banded GROUP BY band_idx, band_val),
