@@ -84,6 +84,55 @@ def test_short_docs_never_band_collide(spark):
     assert duck_pairs == spark_pairs
 
 
+def test_banding_occupancy_cap_bounds_hot_band(spark):
+    """Planted hot band (r12 verdict item 2): a boilerplate template
+    shared verbatim by more docs than the cap must contribute ZERO
+    candidate pairs (its band buckets drop before the self-join), while
+    an ordinary near-dup pair in the same corpus still surfaces; the
+    capped DuckDB CTE chain agrees bit-for-bit; warn_over_cap=True
+    raises the RuntimeWarning naming the dropped buckets."""
+    import warnings
+
+    import duckdb
+
+    template = ("we use cookies to improve your experience accept all "
+                "cookies to continue reading this very important page")
+    pair = "the quick brown fox jumps over the lazy dog tonight"
+    rows = ([(i, template, "en", len(template)) for i in range(1, 7)]
+            + [(101, pair, "en", len(pair)),
+               (102, pair + " again", "en", len(pair) + 6)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+
+    capped = {(r.doc_id_a, r.doc_id_b)
+              for r in D.banding_candidates(docs, bucket_cap=4).collect()}
+    assert all(a > 100 and b > 100 for a, b in capped), capped
+    assert (101, 102) in capped
+
+    # the hot neighborhood IS paired when the cap admits it
+    uncapped = {(r.doc_id_a, r.doc_id_b)
+                for r in D.banding_candidates(docs, bucket_cap=256)
+                .collect()}
+    assert (1, 2) in uncapped
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+    duck = set(map(tuple, con.execute(
+        f"WITH {D._banding_cand_ctes(bucket_cap=4)} "
+        f"SELECT doc_id_a, doc_id_b FROM cand").fetchall()))
+    con.close()
+    assert duck == capped
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.banding_candidates(docs, bucket_cap=4, warn_over_cap=True)
+        assert any("occupancy cap" in str(w.message)
+                   and issubclass(w.category, RuntimeWarning)
+                   for w in caught)
+
+
 def test_incremental_dedup_rejects_copies_admits_fresh(spark):
     """Planted semantics: a new doc that near-copies an old doc is
     rejected with that old doc as its match; a fresh new doc is admitted;

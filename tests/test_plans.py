@@ -30,7 +30,12 @@ PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
                   # real codec decode + re-encode kernels (perceptual.py):
                   # the hashing stage is Arrow-batched by design; banding,
                   # the occupancy cap, and the Hamming verify stay JVM-side
-                  "dedup_perceptual_image", "dedup_perceptual_audio"}
+                  "dedup_perceptual_image", "dedup_perceptual_audio",
+                  # r13 declarations sharing those same Arrow hash
+                  # kernels (everything downstream of the decode —
+                  # banding, caps, joins, label propagation — is JVM)
+                  "dedup_perceptual_clusters", "perceptual_hash_table",
+                  "perceptual_incremental", "perceptual_curation_cards"}
 
 
 def _plan(spark, sf_dir, name):
