@@ -345,6 +345,36 @@ def main() -> None:
           lambda: _force(ivf_search(ivf_state["assigned"], ivf_state["cents"],
                                     queries, K, nprobe=8)))
 
+    # cosine serving contract (r12 verdict item 4): the SAME IVF family
+    # made metric-complete by unit-normalizing the corpus at ingest and
+    # the queries at search time — L2 on unit vectors IS cosine
+    # (functions/vectors.l2_normalize; pinned by
+    # tests/test_ann.py::test_cosine_serving_contract_*). Build pays
+    # one extra normalize projection over the corpus; first measured
+    # round (r13) becomes the binding baseline.
+    from pyspark.sql import Window as PWindow
+    from pyspark.sql import functions as PF
+    from vectordb_explorations_spark.functions.vectors import (
+        cosine_similarity_sql, l2_normalize)
+
+    ivfc_state = {}
+
+    def build_ivf_cosine():
+        n_emb = l2_normalize(emb).cache()
+        n_emb.count()
+        assigned, cents = ivf_build(n_emb, num_centroids=16)
+        assigned = assigned.cache()
+        assigned.count()
+        ivfc_state["assigned"], ivfc_state["cents"] = assigned, cents
+
+    bench_build("index_build_ivf_cosine", build_ivf_cosine)
+    norm_queries = l2_normalize(queries, "query_vec").cache()
+    norm_queries.count()
+    bench("ann_ivf_cosine_batch100",
+          lambda: _force(ivf_search(ivfc_state["assigned"],
+                                    ivfc_state["cents"],
+                                    norm_queries, K, nprobe=8)))
+
     from vectordb_explorations_spark.operators import pq as PQ
 
     pq_state = {}
@@ -545,6 +575,20 @@ def main() -> None:
     extras["recall_ivf_at_10"] = round(
         recall_at_k(ivf_search(ivf_state["assigned"], ivf_state["cents"],
                                queries, K, nprobe=8), exact, K), 4)
+    # cosine recall graded against an INDEPENDENT raw-vector cosine
+    # ranking (scale-invariant) — the contract is measured against
+    # cosine itself, not against the normalized-L2 frame it rides on
+    cs_expr = PF.expr(cosine_similarity_sql("embedding", "query_vec", 64))
+    cw = PWindow.partitionBy("query_id").orderBy(PF.col("cs").desc(),
+                                                 PF.col("vec_id"))
+    cos_exact = (emb.crossJoin(PF.broadcast(queries))
+                 .select("query_id", "vec_id", cs_expr.alias("cs"))
+                 .withColumn("rank", PF.row_number().over(cw))
+                 .where(PF.col("rank") <= K)).cache()
+    cos_exact.count()
+    extras["recall_ivf_cosine_at_10"] = round(
+        recall_at_k(ivf_search(ivfc_state["assigned"], ivfc_state["cents"],
+                               norm_queries, K, nprobe=8), cos_exact, K), 4)
     extras["recall_sq8_at_10"] = round(
         recall_at_k(SQ2.sq_search(sq_state["codes"], sq_state["mins"],
                                   sq_state["maxs"], queries, K,

@@ -655,3 +655,74 @@ def test_hnsw_partitioned_fixed_low_probe_warns(spark, sf_dir, tmp_path):
         hnsw_probe_partitioned(spark, path, queries, 5,
                                probe_shards=2).collect()
     idx.unpersist()
+
+
+def _exact_cosine_topk(emb, qs, k):
+    """Independent cosine baseline: rank by cosine on the RAW vectors
+    (scale-invariant), id tie-break — no normalization involved, so the
+    contract tests below can't be circular."""
+    from pyspark.sql import Window
+
+    from vectordb_explorations_spark.functions.vectors import (
+        cosine_similarity)
+
+    scored = (emb.crossJoin(F.broadcast(qs))
+              .select("query_id", "vec_id",
+                      cosine_similarity(F.col("query_vec"),
+                                        F.col("embedding")).alias("cs")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def test_cosine_serving_contract_exact(spark, sf_dir):
+    """The l2_normalize serving contract (r12 verdict item 4), exact
+    half: L2 top-k over unit-normalized corpus+queries must return the
+    SAME per-query neighbor sets as raw-vector cosine ranking
+    (|a-b|^2 = 2 - 2cos on unit vectors)."""
+    from vectordb_explorations_spark.functions.vectors import l2_normalize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, NUM_Q)
+    via_l2 = knn_join(l2_normalize(emb), l2_normalize(qs, "query_vec"), K)
+    assert recall_at_k(via_l2, _exact_cosine_topk(emb, qs, K), K) == 1.0
+
+
+def test_cosine_serving_contract_ivf(spark, sf_dir):
+    """Approximate half: an IVF index BUILT on the normalized corpus and
+    probed with normalized queries serves cosine top-k at the family's
+    own L2 recall gate — the metric-completeness path for every L2
+    index family."""
+    from vectordb_explorations_spark.functions.vectors import l2_normalize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, NUM_Q)
+    n_emb = l2_normalize(emb).cache()
+    n_emb.count()
+    assigned, cents = ivf_build(n_emb, num_centroids=8)
+    approx = ivf_search(assigned, cents, l2_normalize(qs, "query_vec"),
+                        K, nprobe=4)
+    assert recall_at_k(approx, _exact_cosine_topk(emb, qs, K), K) >= 0.85
+    n_emb.unpersist()
+
+
+def test_l2_normalize_semantics(spark):
+    """Unit norms, zero-vector passthrough, float element type, and the
+    staged-projection shape (no per-element norm re-inline)."""
+    import math
+
+    from vectordb_explorations_spark.functions.vectors import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [0.0, -2.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r.vec_id: list(r.embedding)
+            for r in l2_normalize(df).collect()}
+    assert rows[1] == [pytest.approx(0.6), pytest.approx(0.8)]
+    assert rows[2] == [0.0, 0.0]
+    assert rows[3][1] == pytest.approx(-1.0)
+    norm = math.sqrt(sum(x * x for x in rows[1]))
+    assert norm == pytest.approx(1.0, abs=1e-6)
+    out = l2_normalize(df)
+    assert dict(out.dtypes)["embedding"] == "array<float>"

@@ -139,6 +139,46 @@ def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot_product(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
+def l2_normalize(df, vec_col: str = "embedding",
+                 dim: int | None = None, out_col: str | None = None):
+    """Unit-normalize a vector column — the COSINE / INNER-PRODUCT
+    SERVING CONTRACT for every L2 index family (r12 verdict item 4).
+
+    For unit vectors, ``|a-b|^2 = 2 - 2*cos(a,b)``: L2 distance is a
+    strictly decreasing function of cosine similarity, so ANY L2 index
+    (IVF, HNSW, PQ, SQ8, BQ1, cascade — all of operators/ann.py and
+    friends) serves cosine top-k EXACTLY by (1) normalizing the corpus
+    through this helper at ingest, before the index build, and (2)
+    normalizing each query vector the same way at search time. The
+    same holds for inner product on corpora where IP ranking is
+    wanted under unit-query semantics. The reference has no such
+    contract because L2 is its only metric (hnsw.cc:74-83; SURVEY
+    §1.5); exact cosine retrieval (knn_cosine, hybrid's vector
+    channel) is unaffected — this is the path that makes the
+    APPROXIMATE families metric-complete. Pinned by
+    tests/test_ann.py::test_cosine_serving_contract_* and benched as
+    recall_ivf_cosine_at_10.
+
+    Zero vectors pass through unchanged (cosine is undefined for
+    them; keeping them finite beats emitting NULL/Inf into an index
+    build). The norm is STAGED through a projection rather than
+    composed into the transform lambda — a composed Column HOF
+    re-inlines the full 2*dim-term norm tree per element (no CSE).
+    Output elements stay FLOAT so the column's schema (and any
+    downstream Arrow kernel's dtype) is unchanged."""
+    out = out_col or vec_col
+    norm = l2_norm(F.col(vec_col), dim)
+    return (df.withColumn("_l2n", norm)
+            .withColumn(
+                out,
+                F.when(F.col("_l2n") > 0.0,
+                       F.transform(F.col(vec_col),
+                                   lambda x: (_d(x) / F.col("_l2n"))
+                                   .cast("float")))
+                .otherwise(F.col(vec_col)))
+            .drop("_l2n"))
+
+
 def compat_distance(left: Column, right: Column) -> Column:
     """The reference's mismatched-dimension distance semantics (SURVEY §1.4):
     the LEFT operand drives the loop (hnsw.cc:76); out-of-range reads of the
