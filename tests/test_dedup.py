@@ -161,6 +161,39 @@ def test_incremental_dedup_rejects_copies_admits_fresh(spark):
     assert not out[5]["admitted"] and out[5]["matched_old"] == 2
 
 
+def test_minhash_persisted_admission_bit_equals_in_memory(spark, sf_dir,
+                                                          tmp_path):
+    """The persisted banded-frame face (r12 verdict item 6): build the
+    substrate from the corpus' lower id half, admit the upper half, and
+    the verdicts must BIT-EQUAL incremental_dedup on the whole fixture
+    (same split rule) — every column including the 6-dp jaccard. Also
+    pins the empty-batch shape and that the banded face read prunes
+    partitions (file listing, not post-scan filter)."""
+    docs = load_table(spark, "documents", sf_dir)
+    split = int(docs.agg(F.floor(F.max("doc_id") / 2) + 1).first()[0])
+    old_docs = docs.where(F.col("doc_id") < split)
+    new_docs = docs.where(F.col("doc_id") >= split)
+
+    base = str(tmp_path / "minhash_substrate")
+    D.minhash_persist(old_docs, base)
+    got = D.minhash_admit_persisted(spark, base, new_docs)
+    want = D.incremental_dedup(docs)
+    assert got.columns == want.columns
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in want.collect()]
+
+    # partition pruning must reach the banded face's file listing
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    m = _re.search(r"SelectedBucketsCount|PartitionFilters: \[[^\]]", plan)
+    assert m is not None, "banded-face scan shows no partition filters"
+
+    empty = D.minhash_admit_persisted(
+        spark, base, new_docs.where(F.lit(False)))
+    assert empty.count() == 0
+    assert empty.columns == want.columns
+
+
 def test_incremental_dedup_split_covers_new_half(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     n = docs.count()

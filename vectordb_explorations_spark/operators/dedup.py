@@ -821,6 +821,154 @@ def incremental_dedup(docs: DataFrame,
             .orderBy("doc_id"))
 
 
+MINHASH_PERSIST_BUCKETS = 256
+
+
+def minhash_persist(docs: DataFrame, base_dir: str,
+                    num_hashes: int = NUM_HASHES,
+                    band_size: int = BAND_SIZE,
+                    buckets: int = MINHASH_PERSIST_BUCKETS) -> None:
+    """Build + persist the MinHash admission substrate ONCE — the
+    serving design the banding_candidates docstring has promised since
+    r10 ("persist the banded frame ... pays the signature pass once"),
+    now built (r12 verdict item 6) on the ivf/maxsim/perceptual
+    partitioned-serving discipline. TWO faces, both written in one
+    build from one signature pass:
+
+    - ``{base_dir}/bands``: the NARROW banded frame (doc_id, band_key)
+      hive-partitioned by (band_idx, bucket) where bucket = the
+      band_key's first 4 hex chars as an int mod ``buckets`` — a
+      stateless, engine-portable route (md5 prefixes are uniform), so
+      incremental appends bucket consistently. An admission batch's
+      probe touches at most n_bands x buckets directories REGARDLESS
+      of corpus size.
+    - ``{base_dir}/sh``: the per-doc hashed-shingle sets partitioned by
+      sh_bucket = doc_id % buckets, so the exact-Jaccard verify reads
+      only the candidate old docs' buckets. Kept SEPARATE from the
+      banded face deliberately: folding sh into the band rows (the
+      perceptual discipline, where the carried state is two longs)
+      would store every shingle set n_bands times — corpus-scale
+      duplication for nothing, since candidates are few at admission
+      time and their buckets prune.
+
+    Incremental maintenance: plain engine tables — append the new
+    batch's band/sh rows after each admitted batch (both routes are
+    stateless functions of the row)."""
+    sig = minhash_signatures(docs, num_hashes)
+    banded = banded_keys(sig, num_hashes, band_size)
+    # repartition on the partition columns BEFORE the write: without it
+    # every one of the writer's input partitions drops a file into every
+    # (band_idx, bucket) directory — measured 32 files/dir = 33k files
+    # at 100k docs, and the probe's admission read spent its whole
+    # budget on listings/opens. One file per directory is the
+    # file-count floor for a hive layout.
+    (banded.withColumn(
+        "bucket",
+        F.conv(F.substring("band_key", 1, 4), 16, 10).cast("long")
+        % buckets)
+     .repartition("band_idx", "bucket")
+     .write.mode("overwrite").partitionBy("band_idx", "bucket")
+     .parquet(f"{base_dir}/bands"))
+    (_shingle_sets(docs)
+     .withColumn("sh_bucket", F.col("doc_id") % buckets)
+     .repartition("sh_bucket")
+     .write.mode("overwrite").partitionBy("sh_bucket")
+     .parquet(f"{base_dir}/sh"))
+
+
+def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
+                            num_hashes: int = NUM_HASHES,
+                            band_size: int = BAND_SIZE,
+                            threshold: float = JACCARD_THRESHOLD,
+                            buckets: int = MINHASH_PERSIST_BUCKETS,
+                            bucket_cap: int = BANDING_BUCKET_CAP
+                            ) -> DataFrame:
+    """Admit a NEW batch against the persisted substrate — the serving
+    twin of ``incremental_dedup`` (bit-equal verdicts when the batch is
+    the corpus' upper id half; pinned in tests/test_dedup.py). The
+    batch's band keys resolve their distinct (band_idx, bucket) probe
+    pairs driver-side (BOUNDED: at most n_bands x buckets = 1024
+    whatever the batch size — the perceptual_admit_persisted
+    discipline), the banded face read carries the band_idx/bucket isin
+    conjuncts the FILE LISTING prunes on plus the combined-key isin
+    that keeps the probe exact inside the pruned rectangles; candidate
+    old docs' shingle sets load from the sh face pruned the same way
+    (their doc-id buckets are a second bounded collect, <= ``buckets``
+    values). Old band groups over ``bucket_cap`` drop before the join
+    (the BANDING_BUCKET_CAP hot-bucket guard; identical results
+    whenever no group exceeds the cap, which the in-memory path
+    implicitly assumes). Verify is the same 6-dp exact Jaccard, best
+    match by (jaccard DESC, old_id ASC). The corpus signature pass is
+    paid at BUILD time, once ever — an admission run scans only the
+    batch plus the pruned buckets."""
+    sh_new = _shingle_sets(new_docs)
+    banded_new = (banded_keys(minhash_signatures(new_docs, num_hashes),
+                              num_hashes, band_size)
+                  .withColumn(
+                      "bucket",
+                      F.conv(F.substring("band_key", 1, 4), 16, 10)
+                      .cast("long") % buckets))
+    probe = {(int(r["band_idx"]), int(r["bucket"]))
+             for r in banded_new.select("band_idx", "bucket")
+             .distinct().collect()}
+    if not probe:
+        return (new_docs.select(
+            "doc_id", "lang", F.lit(True).alias("admitted"),
+            F.lit(None).cast("long").alias("matched_old"),
+            F.lit(None).cast("double").alias("best_jaccard"))
+            .orderBy("doc_id"))
+    idx = spark.read.parquet(f"{base_dir}/bands")
+    pred = (F.col("band_idx").isin(sorted({b for b, _ in probe}))
+            & F.col("bucket").isin(sorted({k for _, k in probe}))
+            & (F.col("band_idx") * buckets + F.col("bucket")).isin(
+                sorted(b * buckets + k for b, k in probe)))
+    old = idx.where(pred)
+    occ = F.count(F.lit(1)).over(Window.partitionBy("band_idx",
+                                                    "band_key"))
+    old = (old.withColumn("bucket_n", occ)
+           .where(F.col("bucket_n") <= int(bucket_cap))
+           .select(F.col("doc_id").alias("old_id"), "band_idx",
+                   "band_key"))
+    # localCheckpoint before the bucket collect: the collect below and
+    # the verify both consume cand, and without materialization the
+    # substrate probe join would execute TWICE per admission (measured
+    # — it doubled the serving time in the 100k probe)
+    cand = (banded_new.select(F.col("doc_id").alias("new_id"),
+                              "band_idx", "band_key")
+            .join(old, ["band_idx", "band_key"])
+            .select("new_id", "old_id")
+            .distinct()
+            .localCheckpoint())
+    old_buckets = sorted({int(r["b"]) for r in
+                          cand.select((F.col("old_id") % buckets)
+                                      .alias("b")).distinct().collect()})
+    sh_old = (spark.read.parquet(f"{base_dir}/sh")
+              .where(F.col("sh_bucket").isin(old_buckets))
+              if old_buckets else
+              spark.read.parquet(f"{base_dir}/sh").limit(0))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    ver = (cand
+           .join(sh_new.select(F.col("doc_id").alias("new_id"),
+                               F.col("sh").alias("sh_a")), "new_id")
+           .join(sh_old.select(F.col("doc_id").alias("old_id"),
+                               F.col("sh").alias("sh_b")), "old_id")
+           .select("new_id", "old_id", round6(jac).alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(),
+                                             F.col("old_id").asc())
+    best = (ver.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("matched_old"),
+                    F.col("jaccard").alias("best_jaccard")))
+    out_docs = new_docs.select("doc_id", "lang")
+    return (out_docs.join(best, out_docs.doc_id == best.new_id, "left")
+            .select("doc_id", "lang",
+                    F.col("matched_old").isNull().alias("admitted"),
+                    "matched_old", "best_jaccard")
+            .orderBy("doc_id"))
+
+
 def incremental_dedup_oracle(num_hashes: int = NUM_HASHES,
                              band_size: int = BAND_SIZE,
                              threshold: float = JACCARD_THRESHOLD) -> str:
