@@ -167,8 +167,14 @@ def test_persisted_substrate_matches_in_memory_banded(spark, tmp_path):
     mem = LS.maxsim_chunk_topk_banded(docs)
     assert sorted(map(tuple, served.collect())) == \
         sorted(map(tuple, mem.collect()))
-    # the bucket filter reaches the file listing (partition pruning)
-    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the bucket filter reaches the file listing (partition pruning) —
+    # asserted on the LAZY candidate frame: the serve path
+    # localCheckpoints it (the probe fed two semi-joins and executed
+    # twice, r13), which hides the index scan from the serve plan
+    cands = LS._persisted_candidates(
+        spark, base, LS.MAXSIM_QUERIES, LS.MAXSIM_LSH_TABLES,
+        LS.MAXSIM_LSH_PLANES, LS.MAXSIM_LSH_SEED)
+    plan = cands._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "table_id" in plan
 
 

@@ -585,6 +585,26 @@ def maxsim_banded_persisted(spark, base_dir: str,
     (columnar ints — no tokenize, no md5), and the shared scorer
     finishes. Identical scores to the exact face for every returned doc
     (pinned in tests); recall-gated like every ANN face."""
+    # localCheckpoint: the scorer consumes cands TWICE (the weight-table
+    # semi-join and the final per-query semi-join) and Spark 4.1.2 does
+    # not reuse the identical child subtree, so without materialization
+    # the pruned index probe executed twice per serve — measured ~1 s of
+    # the ~4 s sf0.1 row (r12 verdict item 3 bisect). The frame is
+    # BOUNDED: (query_id, doc_id) candidates only. Partition pruning is
+    # plan-asserted on the LAZY frame below (the checkpoint hides the
+    # scan from the serve plan).
+    cands = _persisted_candidates(spark, base_dir, queries, num_tables,
+                                  num_planes, seed).localCheckpoint()
+    cw = spark.read.parquet(f"{base_dir}/weights")
+    return _maxsim_from_weights(spark, cw, queries, cands=cands, top=top)
+
+
+def _persisted_candidates(spark, base_dir: str,
+                          queries: tuple[tuple[int, tuple[str, ...]], ...],
+                          num_tables: int, num_planes: int,
+                          seed: int) -> DataFrame:
+    """The LAZY pruned candidate probe behind maxsim_banded_persisted —
+    kept separate so tests can assert PartitionFilters on its plan."""
     term_buckets = _term_bucket_df(spark, queries, num_tables,
                                    num_planes, seed)
     pairs = {(r["table_id"], r["bucket"])
@@ -601,12 +621,10 @@ def maxsim_banded_persisted(spark, base_dir: str,
             & F.col("bucket").isin(sorted({b for _, b in pairs}))
             & (F.col("table_id") * pack + F.col("bucket")).isin(
                 sorted(t * pack + b for t, b in pairs)))
-    cands = (idx.where(pred)
-             .join(F.broadcast(term_buckets), ["table_id", "bucket"])
-             .select("query_id", _cid_doc().alias("doc_id"))
-             .distinct())
-    cw = spark.read.parquet(f"{base_dir}/weights")
-    return _maxsim_from_weights(spark, cw, queries, cands=cands, top=top)
+    return (idx.where(pred)
+            .join(F.broadcast(term_buckets), ["table_id", "bucket"])
+            .select("query_id", _cid_doc().alias("doc_id"))
+            .distinct())
 
 
 def maxsim_query_from_text(texts: "list[str] | tuple[str, ...]",
