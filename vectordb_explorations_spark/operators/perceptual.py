@@ -908,7 +908,12 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
     banded = h.select(
         "doc_id", "dh_w0", "dh_w1",
         F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
+    # repartition on the partition columns first: one file per occupied
+    # directory instead of one per writer task per directory (the
+    # minhash_persist probe measured the multi-file layout burying the
+    # pruned read in listings/opens — r13)
     (banded.withColumn("bucket", F.col("band_val") % buckets)
+     .repartition("band_idx", "bucket")
      .write.mode("overwrite")
      .partitionBy("band_idx", "bucket")
      .parquet(base_dir))
@@ -938,12 +943,18 @@ def perceptual_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
     for w in ("dh_w0", "dh_w1"):
         bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
         bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
+    # localCheckpoint: nb feeds the driver-side probe collect AND the
+    # candidate join below, and Spark re-executes identical subtrees —
+    # without it the batch's Arrow decode+hash pass ran twice per
+    # admission (the maxsim/minhash serve lesson, r13). Bounded: the
+    # admission batch's band rows only.
     nb = (nh.select("new_id",
                     F.col("dh_w0").alias("n_w0"),
                     F.col("dh_w1").alias("n_w1"),
                     F.posexplode(F.array(*bands)).alias("band_idx",
                                                         "band_val"))
-          .withColumn("bucket", F.col("band_val") % buckets))
+          .withColumn("bucket", F.col("band_val") % buckets)
+          .localCheckpoint())
     probe = {(int(r["band_idx"]), int(r["bucket"]))
              for r in nb.select("band_idx", "bucket").distinct().collect()}
     idx = spark.read.parquet(base_dir)
