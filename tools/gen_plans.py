@@ -262,6 +262,25 @@ COMMENTARY = {
         "the per-source doc counts broadcast back. No Python, no second "
         "pass; at 100 TB the cost is the scan plus a |sources|-row "
         "exchange."),
+    "perceptual_hash_table": (
+        "Per-doc fingerprint table: the image and audio Arrow hash "
+        "stages run once each over codegen-synthesized payloads, then "
+        "join on doc_id — six ints per row through the join, payload "
+        "bytes never shuffle. The direct hash-check surface for the "
+        "kernels the pair queries compose."),
+    "perceptual_incremental": (
+        "Incremental perceptual admission: ONE shared banded frame over "
+        "the per-doc dHash words with the batch split attached as a "
+        "broadcast single-row aggregate (no driver-side action at "
+        "plan-construction time) and the side split as a JOIN PREDICATE "
+        "— new x old only, never old x old; occupancy cap before the "
+        "join, Hamming verify on two id-keyed joins to the compact hash "
+        "frame, best match by (hamming, old_id) window."),
+    "bpe_sequence_pack": (
+        "Sequence packing with tokenizer-faithful lengths: the BPE merge "
+        "table applies as ONE per-row HOF fold inside the length "
+        "expression — no explode, no extra shuffle vs the plain packer; "
+        "the greedy bin walk is a per-source window scan."),
     "hard_examples": (
         "Contrastive hard-example mining: the same broadcast-scored "
         "neighborhood scan, then two row_number windows over the "
