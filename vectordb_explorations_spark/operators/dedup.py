@@ -902,12 +902,18 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
     paid at BUILD time, once ever — an admission run scans only the
     batch plus the pruned buckets."""
     sh_new = _shingle_sets(new_docs)
+    # localCheckpoint: the batch's banded frame feeds the driver-side
+    # probe collect AND the candidate join, and Spark re-executes
+    # identical subtrees — without it the batch signature pass runs
+    # twice per admission (the same mechanism fixed in the maxsim and
+    # perceptual serves this round). Bounded: batch band rows only.
     banded_new = (banded_keys(minhash_signatures(new_docs, num_hashes),
                               num_hashes, band_size)
                   .withColumn(
                       "bucket",
                       F.conv(F.substring("band_key", 1, 4), 16, 10)
-                      .cast("long") % buckets))
+                      .cast("long") % buckets)
+                  .localCheckpoint())
     probe = {(int(r["band_idx"]), int(r["bucket"]))
              for r in banded_new.select("band_idx", "bucket")
              .distinct().collect()}
