@@ -707,6 +707,98 @@ def test_cosine_serving_contract_ivf(spark, sf_dir):
     n_emb.unpersist()
 
 
+def test_cosine_serving_contract_hnsw(spark, sf_dir):
+    """The contract on the flagship family: an HNSW graph built over
+    the normalized corpus serves cosine top-k at its own L2 recall
+    gate (the reference's greedy walk needs no metric change — only
+    the ingest/query normalization the contract documents)."""
+    from vectordb_explorations_spark.functions.vectors import l2_normalize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, NUM_Q)
+    n_emb = l2_normalize(emb).cache()
+    n_emb.count()
+    idx = hnsw_build(n_emb, num_shards=4)
+    approx = hnsw_search(idx, l2_normalize(qs, "query_vec"), K,
+                         ef_search=64)
+    assert recall_at_k(approx, _exact_cosine_topk(emb, qs, K), K) >= 0.9
+    n_emb.unpersist()
+
+
+def _exact_ip_topk(emb, qs, k):
+    """Independent inner-product baseline on the RAW vectors."""
+    from pyspark.sql import Window
+
+    from vectordb_explorations_spark.functions.vectors import dot_product
+
+    scored = (emb.crossJoin(F.broadcast(qs))
+              .select("query_id", "vec_id",
+                      dot_product(F.col("query_vec"),
+                                  F.col("embedding")).alias("ip")))
+    w = Window.partitionBy("query_id").orderBy(F.col("ip").desc(),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def test_mips_serving_contract_exact(spark, sf_dir):
+    """The mips_augment reduction, exact half: L2 top-k in the
+    augmented dim+1 space (corpus padded with sqrt(M^2-|x|^2), queries
+    with 0) must return the SAME per-query neighbor sets as raw
+    inner-product ranking."""
+    from vectordb_explorations_spark.functions.vectors import (
+        mips_augment, mips_pad_query)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, NUM_Q)
+    via_l2 = knn_join(mips_augment(emb), mips_pad_query(qs), K)
+    assert recall_at_k(via_l2, _exact_ip_topk(emb, qs, K), K) == 1.0
+
+
+def test_mips_serving_contract_ivf(spark, sf_dir):
+    """Approximate half: IVF built on the augmented corpus and probed
+    with padded queries serves MIPS top-k at the family's recall
+    gate."""
+    from vectordb_explorations_spark.functions.vectors import (
+        mips_augment, mips_pad_query)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = sample_queries(emb, NUM_Q)
+    a_emb = mips_augment(emb).cache()
+    a_emb.count()
+    assigned, cents = ivf_build(a_emb, num_centroids=8)
+    approx = ivf_search(assigned, cents, mips_pad_query(qs), K, nprobe=4)
+    assert recall_at_k(approx, _exact_ip_topk(emb, qs, K), K) >= 0.85
+    a_emb.unpersist()
+
+
+def test_mips_augment_semantics(spark):
+    """Augmented norms all equal the corpus max norm; the max-norm row
+    pads with exactly 0; query pad appends one 0.0; dtype stays
+    float."""
+    import math
+
+    from vectordb_explorations_spark.functions.vectors import (
+        mips_augment, mips_pad_query)
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r.vec_id: list(r.embedding)
+            for r in mips_augment(df).collect()}
+    assert all(len(v) == 3 for v in rows.values())
+    for v in rows.values():
+        assert math.sqrt(sum(x * x for x in v)) == pytest.approx(5.0,
+                                                                 abs=1e-5)
+    assert rows[1][2] == 0.0
+    out = mips_augment(df)
+    assert dict(out.dtypes)["embedding"] == "array<float>"
+    q = spark.createDataFrame([(0, [1.0, 2.0])],
+                              "query_id long, query_vec array<float>")
+    qr = mips_pad_query(q).collect()[0]
+    assert list(qr.query_vec) == [1.0, 2.0, 0.0]
+
+
 def test_l2_normalize_semantics(spark):
     """Unit norms, zero-vector passthrough, float element type, and the
     staged-projection shape (no per-element norm re-inline)."""

@@ -179,6 +179,50 @@ def l2_normalize(df, vec_col: str = "embedding",
             .drop("_l2n"))
 
 
+def mips_augment(df, vec_col: str = "embedding",
+                 dim: int | None = None, out_col: str | None = None):
+    """Corpus-side MIPS -> L2 reduction — the INNER-PRODUCT SERVING
+    CONTRACT for the L2 index families, completing the metric trio
+    (L2 native, cosine via ``l2_normalize``, IP via this): augment
+    every corpus vector x to [x ; sqrt(M^2 - |x|^2)] where M is the
+    corpus' maximum norm (the classic order-preserving transform —
+    Bachrach et al. 2014). For a query padded with a ZERO last
+    coordinate (``mips_pad_query``),
+
+        |q_hat - x_hat|^2 = |q|^2 + M^2 - 2<q, x>,
+
+    constant in x except the inner product — so L2 nearest neighbors
+    in the augmented dim+1 space ARE the maximum-inner-product
+    vectors, and any L2 family (IVF/HNSW/PQ/...) serves MIPS by
+    building on the augmented corpus and padding queries. Exact IP
+    retrieval is the staged ``knn_ip`` query; pinned by
+    tests/test_ann.py::test_mips_serving_contract_*.
+
+    The corpus max rides a broadcast single-row aggregate (lazy — no
+    driver action); the pad is clamped at 0 against float roundoff on
+    the max-norm row itself; elements stay FLOAT."""
+    out = out_col or vec_col
+    nd = df.withColumn("_mips_n", l2_norm(F.col(vec_col), dim))
+    mx = nd.agg(F.max("_mips_n").alias("_mips_m"))
+    pad = F.sqrt(F.greatest(
+        F.col("_mips_m") * F.col("_mips_m")
+        - F.col("_mips_n") * F.col("_mips_n"), F.lit(0.0)))
+    return (nd.crossJoin(F.broadcast(mx))
+            .withColumn(out, F.concat(F.col(vec_col),
+                                      F.array(pad.cast("float"))))
+            .drop("_mips_n", "_mips_m"))
+
+
+def mips_pad_query(df, vec_col: str = "query_vec",
+                   out_col: str | None = None):
+    """Query-side half of the MIPS contract: append the zero
+    coordinate that makes augmented-L2 rank by inner product."""
+    out = out_col or vec_col
+    return df.withColumn(
+        out, F.concat(F.col(vec_col),
+                      F.array(F.lit(0.0).cast("float"))))
+
+
 def compat_distance(left: Column, right: Column) -> Column:
     """The reference's mismatched-dimension distance semantics (SURVEY §1.4):
     the LEFT operand drives the loop (hnsw.cc:76); out-of-range reads of the

@@ -155,6 +155,39 @@ LIMIT {KNN_K}
 """
 
 
+def q_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product top-k (descending) — the third retrieval metric
+    (L2: knn_exact, cosine: knn_cosine); MIPS is what un-normalized
+    recommendation/two-tower embeddings rank by. Same
+    TakeOrderedAndProject shape as q_knn_exact; the approximate
+    families reach this metric through the mips_augment reduction
+    (functions/vectors.py)."""
+    from vectordb_explorations_spark.functions.vectors import (
+        array_lit_sql, dot_product_sql)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    ip = F.expr(dot_product_sql("embedding", array_lit_sql(qvec),
+                                EMBEDDING_DIM))
+    # order by the RAW product (matching the oracle's ORDER BY), round
+    # only in the projection — the knn_cosine tie discipline
+    return (emb.select("vec_id", ip.alias("_raw"))
+            .orderBy(F.col("_raw").desc(), F.col("vec_id"))
+            .limit(KNN_K)
+            .select("vec_id", F.round("_raw", 6).alias("ip")))
+
+
+def _oracle_knn_ip() -> str:
+    dot = ("list_sum(list_transform(list_zip(e.embedding, q.qv), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id, round({dot}, 6) AS ip
+FROM embeddings e CROSS JOIN q
+ORDER BY {dot} DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted k-NN: each probe searches only vectors sharing its label —
     the facet is the broadcast-join KEY, so non-matching vectors drop
@@ -1256,8 +1289,15 @@ ORACLES: dict[str, str] = {
 # does on every staged pair each suite run, so staged work cannot rot
 # between rounds. Declaring = moving the entries into QUERIES / ORACLES
 # and rotating _WINDOW_PRIORITY. The driver never sees these dicts.
-STAGED_QUERIES: dict = {}
+STAGED_QUERIES: dict = {
+    # exact inner-product top-k — the third retrieval metric (r13
+    # build, r14 declaration; the MIPS serving path for the
+    # approximate families is the mips_augment contract, pytest-pinned)
+    "knn_ip": q_knn_ip,
+}
 
-STAGED_ORACLES: dict = {}
+STAGED_ORACLES: dict = {
+    "knn_ip": _oracle_knn_ip(),
+}
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
