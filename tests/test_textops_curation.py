@@ -165,3 +165,47 @@ def test_bpe_token_counts_per_source(spark):
     assert (sa.n_docs, sa.ws_tokens, sa.bpe_tokens) == (2, 3, 5)
     assert round(sa.tokens_per_word, 6) == round(5 / 3, 6)
     assert (sb.n_docs, sb.ws_tokens, sb.bpe_tokens) == (1, 1, 5)
+
+
+def test_bpe_learn_merges_planted(spark):
+    """Hand-computed trainer run: the dominant pair wins rank 1, the
+    LEARNED token participates in rank 2 (the cascade), rank 3 takes
+    the remaining pair, and the trainer STOPS when the corpus runs out
+    of pairs (3 rows, not n_merges)."""
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_learn_merges)
+
+    rows = [(1, "abab abab abab"), (2, "cd cd")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=8).collect()]
+    # abab x3: pairs (a,b) 2/word, (b,a) 1/word -> (a,b)=6 wins;
+    # rewrite 'ab ab': (ab,ab)=3 wins rank 2 -> 'abab';
+    # cd x2: (c,d)=2 wins rank 3; then no pairs remain.
+    assert got == [(1, "a", "b", 6), (2, "ab", "ab", 3),
+                   (3, "c", "d", 2)]
+
+
+def test_bpe_learn_merges_tie_break(spark):
+    """Equal-count pairs resolve by (lhs ASC, rhs ASC) — the
+    deterministic tie the oracle replays."""
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_learn_merges)
+
+    docs = spark.createDataFrame([(1, "xy yx")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=1).collect()]
+    assert got == [(1, "x", "y", 1)]
+
+
+def test_bpe_learn_merges_head_matches_fixture_table(spark):
+    """The baked BPE_MERGES table's non-cascade head was derived from
+    the gate-scale fixture (sf0.01 — the smoke corpus ranks rank-2+
+    differently) — the trainer must re-derive it: rank 1-5 equal the
+    table's first five merges."""
+    from vectordb_explorations_spark.operators.textops import (
+        BPE_MERGES, bpe_learn_merges)
+    from vectordb_explorations_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    got = [(r["lhs"], r["rhs"])
+           for r in bpe_learn_merges(docs, n_merges=5).collect()]
+    assert got == BPE_MERGES[:5]

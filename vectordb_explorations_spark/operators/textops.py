@@ -769,6 +769,125 @@ ORDER BY source
 """
 
 
+# ---- deterministic BPE merge LEARNING ----
+#
+# bpe_pair_stats counts the trainer's FIRST-merge statistics and
+# bpe_token_counts APPLIES a fixed table; this learns the table itself —
+# the canonical BPE training loop (Sennrich et al. 2016) run for a fixed
+# number of ranks: count adjacent symbol pairs over the word-frequency
+# dictionary, merge the most frequent pair (count DESC, pair ASC
+# tie-break — fully deterministic), repeat on the rewritten symbols.
+
+BPE_LEARN_RANKS = 8
+
+
+def _spaced_expr(col: F.Column) -> F.Column:
+    """' t  e  x  t ' initial symbol stream (the _bpe_spaced form,
+    before any merges)."""
+    return F.concat(F.lit(" "),
+                    F.trim(F.regexp_replace(col, "(.)", "$1  ")),
+                    F.lit(" "))
+
+
+def bpe_learn_merges(docs: DataFrame,
+                     n_merges: int = BPE_LEARN_RANKS) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus:
+    (merge_rank, lhs, rhs, pair_count) — the trainer half that
+    completes the tokenizer story (stats -> LEARN -> apply).
+
+    Shape per rank over the DISTINCT-WORD frequency dictionary (the
+    classic trainer state — corpus text is scanned ONCE to build it,
+    every iteration after touches only |vocab| rows): stage the symbol
+    array through a projection (HOFs re-inline composed expressions),
+    explode adjacent pairs weighted by word count, one combinable
+    groupBy agg, a deterministic 1-row argmax, then ONE literal
+    replace (the double-space boundary guard from _bpe_spaced, with
+    the learned pair as broadcast columns). Each iteration
+    localCheckpoints — the propagate_min_labels discipline: without
+    it every rank's argmax re-executes all previous ranks' subtrees
+    (Spark reuses no identical children) and the plan grows
+    exponentially in rank. At 100 TB the dictionary is the zipf
+    vocabulary (millions of rows, not the corpus), so eight bounded
+    iterations are flat.
+
+    Stops early if the corpus runs out of pairs (ranks simply end —
+    the oracle's empty-CTE cascade matches)."""
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.length("w") >= 1))
+    wf = (words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+          .select(_spaced_expr(F.col("w")).alias("sp"), "wc")
+          .localCheckpoint())
+    spark = docs.sparkSession
+    out_schema = ("merge_rank int, lhs string, rhs string, "
+                  "pair_count bigint")
+    ranks = []
+    for r in range(1, n_merges + 1):
+        syms = wf.withColumn("s", F.split(F.trim(F.col("sp")), "  "))
+        pair_arr = F.when(
+            F.size("s") >= 2,
+            F.expr("transform(sequence(1, size(s) - 1), i -> "
+                   "struct(element_at(s, i) AS lhs, "
+                   "element_at(s, i + 1) AS rhs))")
+        ).otherwise(F.expr(
+            "CAST(array() AS array<struct<lhs:string,rhs:string>>)"))
+        top = (syms.select(F.explode(pair_arr).alias("p"), "wc")
+               .groupBy("p.lhs", "p.rhs")
+               .agg(F.sum("wc").alias("pair_count"))
+               .orderBy(F.col("pair_count").desc(), F.col("lhs").asc(),
+                        F.col("rhs").asc())
+               .limit(1)
+               .select(F.lit(r).alias("merge_rank"), "lhs", "rhs",
+                       "pair_count")
+               .localCheckpoint())
+        if top.count() == 0:
+            break
+        ranks.append(top)
+        wf = (wf.crossJoin(F.broadcast(top.select("lhs", "rhs")))
+              .select(F.replace(
+                  F.col("sp"),
+                  F.concat(F.lit(" "), F.col("lhs"), F.lit("  "),
+                           F.col("rhs"), F.lit(" ")),
+                  F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"),
+                           F.lit(" "))).alias("sp"), "wc")
+              .localCheckpoint())
+    if not ranks:
+        return spark.createDataFrame([], out_schema)
+    out = ranks[0]
+    for t in ranks[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("merge_rank")
+
+
+def bpe_learn_merges_oracle(n_merges: int = BPE_LEARN_RANKS) -> str:
+    """Unrolled CTE chain — one (count, argmax, rewrite) block per
+    rank, mechanically generated so the blocks cannot drift from each
+    other (the r12 ADVICE builder discipline)."""
+    spaced0 = ("' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) "
+               "|| ' '")
+    blocks = [f"""w0 AS (
+  SELECT {spaced0} AS sp, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 1 GROUP BY w)"""]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        blocks.append(f"""c{r} AS (
+  SELECT s[u.i] AS lhs, s[u.i + 1] AS rhs, sum(wc)::BIGINT AS pair_count
+  FROM (SELECT string_split(trim(sp), '  ') AS s, wc FROM w{p}) t,
+       unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY lhs, rhs),
+m{r} AS (
+  SELECT {r} AS merge_rank, lhs, rhs, pair_count FROM c{r}
+  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+w{r} AS (
+  SELECT replace(sp, ' ' || lhs || '  ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS sp, wc
+  FROM w{p} CROSS JOIN m{r})""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}"
+                                 for r in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT * FROM ({union}) ORDER BY merge_rank\n")
+
+
 def lang_confusion(docs: DataFrame) -> DataFrame:
     """Language-ID evaluation: confusion counts of the fixture's labeled
     language vs the marker-based prediction, with per-cell share of the

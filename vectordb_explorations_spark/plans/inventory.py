@@ -1294,10 +1294,17 @@ STAGED_QUERIES: dict = {
     # build, r14 declaration; the MIPS serving path for the
     # approximate families is the mips_augment contract, pytest-pinned)
     "knn_ip": q_knn_ip,
+    # deterministic BPE merge learning — the trainer half that
+    # completes the tokenizer story (stats -> LEARN -> apply); the
+    # propagate_min_labels iterative discipline, oracle as unrolled
+    # per-rank CTE blocks
+    "bpe_learn_merges": lambda s, d: X.bpe_learn_merges(
+        load_table(s, "documents", d)),
 }
 
 STAGED_ORACLES: dict = {
     "knn_ip": _oracle_knn_ip(),
+    "bpe_learn_merges": X.bpe_learn_merges_oracle(),
 }
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
