@@ -362,3 +362,34 @@ def test_perceptual_pairs_cross_engine_contract(spark, texts):
             assert got == want
     finally:
         con.close()
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="abcde", min_size=1,
+                                 max_size=5),
+                         min_size=1, max_size=12).map(" ".join),
+                min_size=1, max_size=5))
+def test_bpe_learn_merges_cross_engine_contract(spark, texts):
+    """The full trainer loop — dictionary build, weighted pair counts,
+    the (count DESC, pair ASC) argmax, the boundary-guarded rewrite,
+    the early stop — must match the unrolled-CTE DuckDB oracle rank
+    for rank on ARBITRARY small-alphabet corpora (a 5-letter alphabet
+    forces heavy pair collisions, cascades, and ties)."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_learn_merges, bpe_learn_merges_oracle)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(sdf).collect()]
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = [tuple(r) for r in
+                con.execute(bpe_learn_merges_oracle()).fetchall()]
+    finally:
+        con.close()
+    assert got == want
