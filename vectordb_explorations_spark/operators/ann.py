@@ -942,6 +942,81 @@ def ivf_append_partitioned(path: str, centroids: np.ndarray,
      .write.mode("append").partitionBy("list_id").parquet(path))
 
 
+def ivf_delete_partitioned(spark, path: str,
+                           delete_ids: "list[int] | DataFrame",
+                           centroids: np.ndarray | None = None,
+                           assign_n: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           delete_vectors: DataFrame | None = None) -> int:
+    """Delete vectors by id from the persisted IVF layout, rewriting
+    ONLY the list directories that contain them — the missing third of
+    the index lifecycle (persist / append / probe / DELETE; GDPR
+    erasure and recrawl-replacement both need it). Returns the number
+    of index rows removed (assign_n replicas of one id count once
+    each).
+
+    Locating the victims: with ``delete_vectors`` (an (id, vector)
+    frame) their lists come from routing against the FROZEN centroids
+    exactly as the build/append did (``ivf_assign`` — same code path,
+    same assign_n, so ALL replicas are found): O(batch), zero index
+    reads. With ids only, ONE narrow scan of (vec_id, list_id) locates
+    them — column pruning means the embedding bytes are never read,
+    so even this path reads a few percent of the index's footprint.
+
+    Rewrite discipline: the touched lists' SURVIVOR rows are
+    localCheckpointed (bounded: nprobe-like fraction of the index;
+    Spark refuses to overwrite a path it is still reading from), then
+    written with ``partitionOverwriteMode=dynamic`` so untouched list
+    directories keep their exact bytes (pinned by tests). A list whose
+    rows are ALL deleted would be invisible to a dynamic overwrite
+    (no partition in the output -> old files survive), so emptied
+    list directories are removed explicitly via the Hadoop FS API."""
+    idx = spark.read.parquet(path)
+    if delete_vectors is not None:
+        if centroids is None:
+            raise ValueError("delete_vectors routing needs the index's "
+                             "frozen centroids")
+        routed = ivf_assign(delete_vectors, centroids, assign_n=assign_n,
+                            vec_col=vec_col)
+        touched = sorted({int(r["list_id"]) for r in
+                          routed.select("list_id").distinct().collect()})
+        ids = sorted({r[0] for r in
+                      delete_vectors.select(id_col).distinct().collect()})
+    else:
+        if isinstance(delete_ids, DataFrame):
+            ids = sorted({r[0] for r in
+                          delete_ids.select(id_col).distinct().collect()})
+        else:
+            ids = sorted(set(int(i) for i in delete_ids))
+        if not ids:
+            return 0
+        touched = sorted({int(r["list_id"]) for r in
+                          idx.where(F.col(id_col).isin(ids))
+                          .select("list_id").distinct().collect()})
+    if not touched:
+        return 0
+    touched_rows = idx.where(F.col("list_id").isin(touched))
+    n_removed = touched_rows.where(F.col(id_col).isin(ids)).count()
+    survivors = (touched_rows.where(~F.col(id_col).isin(ids))
+                 .select(id_col, vec_col, "list_id")
+                 .localCheckpoint())
+    kept_lists = {int(r["list_id"]) for r in
+                  survivors.select("list_id").distinct().collect()}
+    if kept_lists:
+        (survivors.repartition("list_id")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("list_id").parquet(path))
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    for li in sorted(set(touched) - kept_lists):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/list_id={li}"),
+                  True)
+    return n_removed
+
+
 def ivf_probe_partitioned(spark, path: str, centroids: np.ndarray,
                           queries: DataFrame, k: int, nprobe: int = 8,
                           id_col: str = "vec_id", vec_col: str = "embedding",
