@@ -896,3 +896,62 @@ def test_ivf_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
     a2 = sorted(tuple(r) for r in spark.read.parquet(path2)
                 .select("vec_id", "list_id").collect())
     assert a1 == a2
+
+
+def test_hnsw_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
+    """Erasure on the shard-partitioned HNSW layout: victims leave the
+    graphs (probes never return them), untouched shard directories
+    keep their exact files, a fully-emptied shard's directory
+    disappears, and the count returned equals the replica-aware
+    membership removed."""
+    import os
+    import pickle
+
+    from vectordb_explorations_spark.operators.hnsw import (
+        hnsw_delete_partitioned, hnsw_persist_partitioned,
+        hnsw_probe_partitioned)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans")
+    path = str(tmp_path / "hnsw_del_idx")
+    hnsw_persist_partitioned(idx, path)
+
+    members = {}
+    for r in spark.read.parquet(path).select("shard", "blob").collect():
+        members[int(r["shard"])] = set(
+            int(i) for i in pickle.loads(r["blob"]).ids)
+    smallest = min(members, key=lambda s: len(members[s]))
+    other = next(s for s in members if s != smallest)
+    extra = sorted(members[other] - members[smallest])[0]
+    victims = sorted(members[smallest] | {extra})
+    expected = sum(len(members[s] & set(victims)) for s in members)
+    untouched = [s for s in members
+                 if not (members[s] & set(victims))]
+
+    def dir_state(p):
+        return {os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(p) for f in fs
+                if f.endswith(".parquet")}
+
+    before = dir_state(path)
+    n = hnsw_delete_partitioned(spark, path, victims)
+    assert n == expected
+
+    after = dir_state(path)
+    for fp, sz in before.items():
+        sh = int(fp.split("shard=")[1].split(os.sep)[0])
+        if sh in untouched:
+            assert fp in after and after[fp] == sz, fp
+    assert not os.path.isdir(os.path.join(path, f"shard={smallest}"))
+
+    remaining = set()
+    for r in spark.read.parquet(path).select("blob").collect():
+        remaining |= {int(i) for i in pickle.loads(r["blob"]).ids}
+    assert not (remaining & set(victims))
+    assert remaining
+
+    qs = sample_queries(emb, 5)
+    got = hnsw_probe_partitioned(spark, path, qs, K, probe_shards=3)
+    got_ids = {r["vec_id"] for r in got.collect()}
+    assert not (got_ids & set(victims))
+    assert got_ids

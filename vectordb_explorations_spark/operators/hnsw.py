@@ -804,6 +804,107 @@ def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
                        probe_shards=probe_shards)
 
 
+def hnsw_delete_partitioned(spark, path: str, delete_ids,
+                            seed: int = 42,
+                            id_col: str = "vec_id") -> int:
+    """Delete vectors by id from the shard-partitioned HNSW layout —
+    the erasure half of the maintenance pair (hnsw_append_partitioned
+    adds; this removes; both rewrite ONLY touched shards). Returns the
+    number of graph entries removed (a replicated id counts once per
+    shard that held it).
+
+    Locate: ids live inside the pickled graph blobs, not index rows,
+    so membership needs one Arrow pass that unpickles each shard's
+    blob and counts victims — O(index blobs), the same unit cost as
+    any shard rebuild, and the pass reads only (shard, blob). Rebuild:
+    touched shards re-run the deterministic bulk build over their
+    SURVIVORS with the shard's own recorded hyperparameters and
+    seed + shard (identical to the append discipline, so a delete
+    followed by re-append of the same rows reproduces the append-only
+    graph bit for bit); untouched shard directories keep their exact
+    files (dynamic partition overwrite); a fully-emptied shard's
+    directory is removed explicitly — a dynamic overwrite cannot see
+    it. ``seed`` must match the build's."""
+    victims = sorted({int(i) for i in delete_ids})
+    if not victims:
+        return 0
+    full = spark.read.parquet(path)
+    vict_arr = np.asarray(victims, dtype=np.int64)
+    bc = spark.sparkContext.broadcast(vict_arr)
+
+    count_schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n_victims", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+    ])
+
+    def locate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g: HnswGraph = pickle.loads(r["blob"])
+                ids = np.asarray(g.ids, dtype=np.int64)
+                rows.append((int(r["shard"]),
+                             int(np.isin(ids, v).sum()), int(len(ids))))
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=["shard", "n_victims",
+                                            "n_total"])
+
+    located = (full.select("shard", "blob")
+               .mapInPandas(locate, schema=count_schema).collect())
+    touched = sorted(r["shard"] for r in located if r["n_victims"])
+    n_removed = sum(int(r["n_victims"]) for r in located)
+    emptied = sorted(r["shard"] for r in located
+                     if r["n_victims"] and r["n_victims"] == r["n_total"])
+    if not touched:
+        return 0
+
+    def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                g_old: HnswGraph = pickle.loads(r["blob"])
+                ids = np.asarray(g_old.ids, dtype=np.int64)
+                keep = ~np.isin(ids, v)
+                if not keep.any():
+                    continue
+                kept_ids = ids[keep]
+                kept_vecs = g_old.vectors[: g_old.n][keep]
+                order = np.argsort(kept_ids, kind="stable")
+                shard = int(r["shard"])
+                g = HnswGraph(dim=g_old.dim, m=g_old.m,
+                              ef_construction=g_old.ef_construction,
+                              seed=seed + shard)
+                g.bulk_add(kept_ids[order], kept_vecs[order])
+                yield pd.DataFrame({
+                    "shard": [shard], "n_vectors": [len(kept_ids)],
+                    "max_level": [g.max_level],
+                    "blob": [pickle.dumps(g, protocol=4)],
+                    "centroid": [r["centroid"]],
+                })
+
+    rebuilt = (full.where(F.col("shard").isin(touched))
+               .select("shard", "blob", "centroid")
+               .mapInPandas(rebuild, schema=INDEX_SCHEMA)
+               .localCheckpoint(eager=True))
+    from vectordb_explorations_spark.sources.sinks import (
+        overwrite_partitions)
+    try:
+        if set(touched) - set(emptied):
+            overwrite_partitions(rebuilt, path, ["shard"])
+    finally:
+        rebuilt.unpersist()
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    for sh in emptied:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/shard={sh}"),
+                  True)
+    return n_removed
+
+
 def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
                             assign_n: int = 2, seed: int = 42,
                             id_col: str = "vec_id",
