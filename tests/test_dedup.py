@@ -474,3 +474,51 @@ def test_source_span_matrix_attributes_pairs_to_sources(spark):
            for r in source_span_matrix(docs, w=5).collect()}
     assert got[("cc", "web")] == 2   # docs 0-1 and 1-2
     assert got[("cc", "cc")] == 1    # docs 0-2
+
+
+def test_minhash_delete_persisted_forgets_document(spark, tmp_path):
+    """The GDPR contract on the persisted MinHash substrate: a batch
+    doc copying an ingested doc is rejected; after erasing that doc
+    from the substrate the SAME batch is admitted (nothing remembers
+    it); untouched bucket directories keep their exact files."""
+    import os
+
+    base_txt = ("the quick brown fox jumps over the lazy dog while "
+                "rain falls softly on the quiet gray town tonight")
+    other = ("entirely different prose about columnar execution "
+             "engines and vectorized query compilation pipelines")
+    old = spark.createDataFrame(
+        [(0, "en", base_txt, len(base_txt)),
+         (1, "en", other, len(other))],
+        "doc_id long, lang string, text string, n_chars int")
+    batch = spark.createDataFrame(
+        [(10, "en", base_txt, len(base_txt))],
+        "doc_id long, lang string, text string, n_chars int")
+    base = str(tmp_path / "mh_gdpr")
+    D.minhash_persist(old, base)
+
+    first = D.minhash_admit_persisted(spark, base, batch).collect()[0]
+    assert not first["admitted"] and first["matched_old"] == 0
+
+    def dir_state(p):
+        return {os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(p) for f in fs
+                if f.endswith(".parquet")}
+
+    before = dir_state(base)
+    n = D.minhash_delete_persisted(spark, base, [0])
+    # NUM_BANDS band rows + 1 shingle-set row
+    assert n == D.NUM_BANDS + 1
+
+    second = D.minhash_admit_persisted(spark, base, batch).collect()[0]
+    assert second["admitted"] and second["matched_old"] is None
+
+    # doc 1's rows live in different buckets; its files must be intact
+    after = dir_state(base)
+    survivor_buckets = {r["bucket"] for r in
+                        spark.read.parquet(f"{base}/bands")
+                        .select("bucket").collect()}
+    assert survivor_buckets  # doc 1 still indexed
+    kept = [fp for fp in before if fp in after
+            and after[fp] == before[fp]]
+    assert kept, "every directory rewritten — bounded-touch violated"

@@ -299,3 +299,45 @@ def test_persisted_admission_prunes_and_rejects(spark, tmp_path):
     assert not rows[100].admitted
     assert rows[100].matched_old == 2 and rows[100].best_hamming == 0
     assert rows[101].admitted and rows[101].matched_old is None
+
+
+def test_perceptual_delete_persisted_forgets_image(spark, tmp_path):
+    """GDPR contract on the perceptual substrate: a re-upload rejected
+    against an ingested image becomes ADMITTED after that image is
+    erased; other docs' bucket files stay byte-stable."""
+    import os
+
+    from vectordb_explorations_spark.operators.perceptual import (
+        perceptual_admit_persisted, perceptual_delete_persisted,
+        perceptual_persist)
+
+    rng = np.random.default_rng(97)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    mk = lambda: " ".join(vocab[i] for i in rng.integers(0, 6, size=60))
+    corpus_texts = [mk() for _ in range(5)]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"])
+    base = str(tmp_path / "perc_gdpr")
+    perceptual_persist(corpus, base)
+
+    batch = spark.createDataFrame([(100, corpus_texts[3])],
+                                  ["doc_id", "text"])
+    first = perceptual_admit_persisted(spark, base, batch).collect()[0]
+    assert not first.admitted and first.matched_old == 3
+
+    def dir_state(p):
+        return {os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(p) for f in fs
+                if f.endswith(".parquet")}
+
+    before = dir_state(base)
+    n = perceptual_delete_persisted(spark, base, [3])
+    assert n == 4  # two 32-bit dHash words -> four 16-bit band rows
+
+    second = perceptual_admit_persisted(spark, base, batch).collect()[0]
+    assert second.admitted and second.matched_old is None
+
+    after = dir_state(base)
+    kept = [fp for fp in before if fp in after
+            and after[fp] == before[fp]]
+    assert kept, "every directory rewritten — bounded-touch violated"

@@ -876,6 +876,24 @@ def minhash_persist(docs: DataFrame, base_dir: str,
      .parquet(f"{base_dir}/sh"))
 
 
+def minhash_delete_persisted(spark, base_dir: str, doc_ids) -> int:
+    """Erase documents from BOTH faces of the persisted MinHash
+    substrate (bands + shingle sets) — after this, re-ingesting an
+    exact copy of an erased doc is ADMITTED (no state remembers it),
+    the GDPR contract a dedup substrate must honor. Bounded-touch via
+    sinks.delete_rows_partitioned: only the victims' band buckets and
+    sh buckets rewrite; untouched directories keep their exact files.
+    Returns total rows removed across both faces."""
+    from vectordb_explorations_spark.sources.sinks import (
+        delete_rows_partitioned)
+
+    n = delete_rows_partitioned(spark, f"{base_dir}/bands",
+                                ["band_idx", "bucket"], "doc_id", doc_ids)
+    n += delete_rows_partitioned(spark, f"{base_dir}/sh",
+                                 ["sh_bucket"], "doc_id", doc_ids)
+    return n
+
+
 def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
                             num_hashes: int = NUM_HASHES,
                             band_size: int = BAND_SIZE,

@@ -919,6 +919,20 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
      .parquet(base_dir))
 
 
+def perceptual_delete_persisted(spark, base_dir: str, doc_ids) -> int:
+    """Erase documents from the persisted perceptual substrate — a
+    re-upload of an erased image is ADMITTED afterwards (nothing
+    remembers its fingerprint). Bounded-touch via
+    sinks.delete_rows_partitioned: only the victims' (band_idx, bucket)
+    directories rewrite. Returns rows removed."""
+    from vectordb_explorations_spark.sources.sinks import (
+        delete_rows_partitioned)
+
+    return delete_rows_partitioned(spark, base_dir,
+                                   ["band_idx", "bucket"], "doc_id",
+                                   doc_ids)
+
+
 def perceptual_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
                                max_hamming: int = PHASH_IMG_MAX_HAMMING,
                                buckets: int = PHASH_PERSIST_BUCKETS

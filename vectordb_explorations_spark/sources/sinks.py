@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_parquet(df: DataFrame, path: str,
@@ -185,6 +185,64 @@ def overwrite_partitions(df: DataFrame, path: str,
          .parquet(path))
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def delete_rows_partitioned(spark: SparkSession, path: str,
+                            partition_by: list[str], id_col: str,
+                            ids) -> int:
+    """Bounded-touch row deletion from a hive-partitioned parquet table
+    — the erasure primitive every persisted serving substrate shares
+    (GDPR deletes, recrawl replacement): locate the victims' partitions
+    with ONE narrow scan (id + partition columns only — column pruning
+    keeps payload bytes unread), localCheckpoint the touched
+    partitions' SURVIVORS (Spark refuses to overwrite a path it is
+    still reading from), dynamic-overwrite just those partitions, and
+    explicitly remove any partition directory whose rows were ALL
+    deleted (a dynamic overwrite cannot see an empty partition — its
+    old files would silently survive and keep serving the deleted
+    rows). Returns the number of rows removed.
+
+    Untouched sibling partitions keep their exact files — pinned by
+    the substrate lifecycle tests."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        return 0
+    tbl = spark.read.parquet(path)
+    victims = tbl.where(F.col(id_col).isin(ids))
+    touched = [tuple(r) for r in
+               victims.select(*partition_by).distinct().collect()]
+    if not touched:
+        return 0
+    tkeys = {tuple(int(v) for v in t) for t in touched}
+    # per-column isin conjuncts (what the file listing prunes on) plus
+    # a packed-key isin for exactness inside the pruned rectangles —
+    # an OR-chain over touched combos overflows Catalyst's column-tree
+    # conversion past a few hundred legs (the maxsim 504-leg lesson)
+    pred = None
+    for i, c in enumerate(partition_by):
+        e = F.col(c).isin(sorted({t[i] for t in tkeys}))
+        pred = e if pred is None else (pred & e)
+    if len(partition_by) > 1:
+        pk = F.concat_ws("/", *[F.col(c).cast("string")
+                                for c in partition_by])
+        pred = pred & pk.isin(
+            sorted("/".join(str(v) for v in t) for t in tkeys))
+    touched_rows = tbl.where(pred)
+    n_removed = touched_rows.where(F.col(id_col).isin(ids)).count()
+    survivors = (touched_rows.where(~F.col(id_col).isin(ids))
+                 .localCheckpoint())
+    kept = {tuple(int(r[c]) for c in partition_by) for r in
+            survivors.select(*partition_by).distinct().collect()}
+    if kept:
+        overwrite_partitions(survivors.repartition(*partition_by), path,
+                             partition_by)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    for t in sorted(tkeys - kept):
+        sub = "/".join(f"{c}={v}" for c, v in zip(partition_by, t))
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"), True)
+    return n_removed
 
 
 def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
