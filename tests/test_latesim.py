@@ -321,3 +321,50 @@ def test_crash_window_replay_cannot_double_append_weights(spark, tmp_path):
                               LS.maxsim_banded_persisted(spark,
                                                          base).collect()))
     assert served_after == served_before
+
+
+def test_maxsim_delete_docs_serves_filtered_corpus(spark, tmp_path):
+    """Erasure on the MaxSim substrate: after deleting a doc that the
+    persisted face returned, serving is BIT-EQUAL to the in-memory
+    banded face over the corpus without that doc, and untouched index
+    bucket directories keep their exact files."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    base = str(tmp_path / "maxsim_del")
+    LS.maxsim_persist(docs, base)
+
+    served = LS.maxsim_banded_persisted(spark, base)
+    victim = int(served.orderBy("query_id", "rank").first()["doc_id"])
+
+    def dir_state(p):
+        return {os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(p) for f in fs
+                if f.endswith(".parquet")}
+
+    before = dir_state(f"{base}/index")
+    from pyspark.sql import functions as F
+    idx = spark.read.parquet(f"{base}/index")
+    victim_dirs = {(r["table_id"], r["bucket"]) for r in
+                   idx.where(F.expr(
+                       f"CAST(floor(cid / {LS.CHUNK_ID_STRIDE}) AS BIGINT)"
+                       f" = {victim}"))
+                   .select("table_id", "bucket").distinct().collect()}
+
+    n = LS.maxsim_delete_docs(spark, base, [victim])
+    assert n > 0
+
+    after_served = LS.maxsim_banded_persisted(spark, base)
+    mem = LS.maxsim_chunk_topk_banded(
+        docs.where(F.col("doc_id") != victim))
+    assert sorted(map(tuple, after_served.collect())) == \
+        sorted(map(tuple, mem.collect()))
+    assert victim not in {r["doc_id"] for r in after_served.collect()}
+
+    after = dir_state(f"{base}/index")
+    for fp, sz in before.items():
+        t = int(fp.split("table_id=")[1].split(os.sep)[0])
+        b = int(fp.split("bucket=")[1].split(os.sep)[0])
+        if (t, b) not in victim_dirs:
+            assert fp in after and after[fp] == sz, fp

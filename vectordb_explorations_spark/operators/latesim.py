@@ -627,6 +627,30 @@ def _persisted_candidates(spark, base_dir: str,
             .distinct())
 
 
+def maxsim_delete_docs(spark, base_dir: str, doc_ids) -> int:
+    """Erase documents from BOTH faces of the persisted MaxSim
+    substrate — the last substrate to gain the
+    persist/append/probe/DELETE lifecycle. The weights face rewrites
+    only the ingest_key partitions that contain the victims (bounded
+    by those batches' sizes); the index face rewrites only the
+    (table_id, bucket, ingest_key) directories holding the victims'
+    chunk rows — cid encodes the doc (cid // CHUNK_ID_STRIDE), so the
+    shared primitive locates by the derived expression. After erasure
+    maxsim_banded_persisted serves exactly the corpus-minus-victims
+    results (pinned bit-equal to the in-memory banded face over the
+    filtered corpus). Returns total rows removed across both faces."""
+    from vectordb_explorations_spark.sources.sinks import (
+        delete_rows_partitioned)
+
+    n = delete_rows_partitioned(spark, f"{base_dir}/weights",
+                                ["ingest_key"], "doc_id", doc_ids)
+    n += delete_rows_partitioned(
+        spark, f"{base_dir}/index",
+        ["table_id", "bucket", "ingest_key"],
+        f"CAST(floor(cid / {CHUNK_ID_STRIDE}) AS BIGINT)", doc_ids)
+    return n
+
+
 def maxsim_query_from_text(texts: "list[str] | tuple[str, ...]",
                            phrase_len: int = 2
                            ) -> tuple[tuple[int, tuple[str, ...]], ...]:

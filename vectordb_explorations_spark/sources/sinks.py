@@ -203,17 +203,20 @@ def delete_rows_partitioned(spark: SparkSession, path: str,
     rows). Returns the number of rows removed.
 
     Untouched sibling partitions keep their exact files — pinned by
-    the substrate lifecycle tests."""
+    the substrate lifecycle tests. ``id_col`` may be any SQL expression
+    over the table's columns (e.g. a derived doc id), and partition
+    values may be strings (hive keys) — both used by the maxsim
+    erasure face."""
     ids = sorted({int(i) for i in ids})
     if not ids:
         return 0
     tbl = spark.read.parquet(path)
-    victims = tbl.where(F.col(id_col).isin(ids))
+    victims = tbl.where(F.expr(id_col).isin(ids))
     touched = [tuple(r) for r in
                victims.select(*partition_by).distinct().collect()]
     if not touched:
         return 0
-    tkeys = {tuple(int(v) for v in t) for t in touched}
+    tkeys = {tuple(t) for t in touched}
     # per-column isin conjuncts (what the file listing prunes on) plus
     # a packed-key isin for exactness inside the pruned rectangles —
     # an OR-chain over touched combos overflows Catalyst's column-tree
@@ -228,10 +231,10 @@ def delete_rows_partitioned(spark: SparkSession, path: str,
         pred = pred & pk.isin(
             sorted("/".join(str(v) for v in t) for t in tkeys))
     touched_rows = tbl.where(pred)
-    n_removed = touched_rows.where(F.col(id_col).isin(ids)).count()
-    survivors = (touched_rows.where(~F.col(id_col).isin(ids))
+    n_removed = touched_rows.where(F.expr(id_col).isin(ids)).count()
+    survivors = (touched_rows.where(~F.expr(id_col).isin(ids))
                  .localCheckpoint())
-    kept = {tuple(int(r[c]) for c in partition_by) for r in
+    kept = {tuple(r[c] for c in partition_by) for r in
             survivors.select(*partition_by).distinct().collect()}
     if kept:
         overwrite_partitions(survivors.repartition(*partition_by), path,
