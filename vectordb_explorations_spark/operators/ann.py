@@ -1004,7 +1004,12 @@ def ivf_delete_partitioned(spark, path: str,
     kept_lists = {int(r["list_id"]) for r in
                   survivors.select("list_id").distinct().collect()}
     if kept_lists:
-        (survivors.repartition("list_id")
+        # no repartition("list_id"): a single inverted list can be GBs
+        # at real scale, and collapsing it to one writer task is the
+        # inverse of the build-time many-tiny-dirs fix; survivors keep
+        # the pruned read's parallelism (sinks.delete_rows_partitioned
+        # documents the same trade)
+        (survivors
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("list_id").parquet(path))

@@ -237,8 +237,15 @@ def delete_rows_partitioned(spark: SparkSession, path: str,
     kept = {tuple(r[c] for c in partition_by) for r in
             survivors.select(*partition_by).distinct().collect()}
     if kept:
-        overwrite_partitions(survivors.repartition(*partition_by), path,
-                             partition_by)
+        # NO repartition(partition_by) here, deliberately: that collapse
+        # is right at BUILD time over thousands of tiny directories
+        # (minhash_persist), but an erasure rewrite of one large
+        # partition (the maxsim weights face is a single ingest_key
+        # directory holding a whole ingest batch) would funnel it
+        # through ONE task. Survivors inherit the pruned read's
+        # parallelism, so files per rewritten directory stay bounded by
+        # the directory's own input file count.
+        overwrite_partitions(survivors, path, partition_by)
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(
         spark._jsc.hadoopConfiguration())
