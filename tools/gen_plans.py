@@ -262,6 +262,18 @@ COMMENTARY = {
         "the per-source doc counts broadcast back. No Python, no second "
         "pass; at 100 TB the cost is the scan plus a |sources|-row "
         "exchange."),
+    "knn_ip": (
+        "Exact inner-product top-k (staged r14): one scan, the 64-term "
+        "dot product in whole-stage codegen, TakeOrderedAndProject — "
+        "the knn_exact shape on the third metric. Approximate IP "
+        "serving is the mips_augment reduction, not an index change."),
+    "bpe_learn_merges": (
+        "BPE merge learning (staged r14): the corpus scans ONCE into "
+        "the distinct-word frequency dictionary, then each of 8 ranks "
+        "is a pair explode + combinable agg + 1-row argmax + literal "
+        "replace over |vocab| rows, localCheckpointed so rank r never "
+        "re-executes ranks 1..r-1 (plan would otherwise grow "
+        "exponentially — Spark reuses no identical subtrees)."),
     "perceptual_hash_table": (
         "Per-doc fingerprint table: the image and audio Arrow hash "
         "stages run once each over codegen-synthesized payloads, then "
@@ -509,8 +521,11 @@ def main() -> None:
         f"reach the parquet scans.",
         "",
     ]
+    from vectordb_explorations_spark.plans.inventory import STAGED_QUERIES
     for name, note in COMMENTARY.items():
-        df = qs[name](spark, SF)
+        # staged-but-not-yet-declared queries get their plan evidence
+        # early, so the round that declares them regenerates nothing
+        df = (qs.get(name) or STAGED_QUERIES[name])(spark, SF)
         lines.append(f"## {name}")
         lines.append("")
         lines.append(note)
