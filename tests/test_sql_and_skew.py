@@ -18,8 +18,10 @@ def test_sql_functions_inline_to_native_exprs(spark):
     row = spark.sql(
         "SELECT l2_dist(array(1.0f,2.0f), array(4.0f,6.0f)) AS d, "
         "l2_norm(array(3.0f,4.0f)) AS n, "
-        "cosine_sim(array(1.0f,0.0f), array(1.0f,0.0f)) AS c").first()
+        "cosine_sim(array(1.0f,0.0f), array(1.0f,0.0f)) AS c, "
+        "ip_sim(array(1.0f,2.0f), array(3.0f,4.0f)) AS ip").first()
     assert row["d"] == 5.0 and row["n"] == 5.0 and abs(row["c"] - 1.0) < 1e-12
+    assert row["ip"] == 11.0
     plan = spark.sql(
         "SELECT l2_dist(array(1.0f), array(2.0f))")._jdf \
         .queryExecution().executedPlan().toString()

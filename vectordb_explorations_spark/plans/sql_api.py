@@ -39,6 +39,14 @@ _SQL_FUNCTIONS = {
              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
              / (l2_norm(a) * l2_norm(b))
     """,
+    # the third retrieval metric (r13 metric trio: L2, cosine, IP)
+    "ip_sim": """
+      CREATE OR REPLACE TEMPORARY FUNCTION ip_sim(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+      RETURNS DOUBLE
+      RETURN aggregate(zip_with(a, b,
+               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    """,
 }
 
 
