@@ -873,7 +873,15 @@ def lsh_persist_bucketed(index: DataFrame, table_name: str, path: str,
     """Persist the LSH index hash-bucketed on the `bucket` column (SURVEY
     §7 M6): probe queries then read only the file buckets their target
     bucket ids hash into — at 100 TB the probe touches a constant fraction
-    of the index instead of scanning it."""
+    of the index instead of scanning it.
+
+    Lifecycle note: a bucketBy table has no hive partitions, so the
+    bounded-touch erasure the partitioned faces support
+    (ivf/hnsw/minhash/perceptual/maxsim `*_delete_*`) does not apply —
+    deleting rows here means rewriting the table. Deletion-heavy
+    serving should use the hive-partitioned IVF layout instead; this
+    face trades erasure granularity for shuffle-free co-located
+    probes."""
     (index.write.mode("overwrite")
      .bucketBy(num_buckets, "bucket").sortBy("bucket")
      .option("path", path).saveAsTable(table_name))
