@@ -522,3 +522,43 @@ def test_minhash_delete_persisted_forgets_document(spark, tmp_path):
     kept = [fp for fp in before if fp in after
             and after[fp] == before[fp]]
     assert kept, "every directory rewritten — bounded-touch violated"
+
+
+def test_minhash_append_persisted_closes_the_loop(spark, tmp_path):
+    """The full maintenance cycle: persist -> admit (fresh doc says
+    yes) -> APPEND the admitted batch -> the next crawl's copy of that
+    doc is rejected against it -> delete it -> a further copy is
+    admitted again. Appended rows must bucket exactly as a full
+    rebuild (bit-equal substrate rows)."""
+    t0 = ("the quick brown fox jumps over the lazy dog while rain "
+          "falls softly on the quiet gray town tonight")
+    t1 = ("entirely different prose about columnar execution engines "
+          "and vectorized query compilation pipelines")
+    mk = lambda rows: spark.createDataFrame(
+        [(i, "en", t, len(t)) for i, t in rows],
+        "doc_id long, lang string, text string, n_chars int")
+    base = str(tmp_path / "mh_loop")
+    D.minhash_persist(mk([(0, t0)]), base)
+
+    batch1 = mk([(1, t1)])
+    out1 = D.minhash_admit_persisted(spark, base, batch1).collect()[0]
+    assert out1["admitted"]
+    D.minhash_append_persisted(batch1, base)
+
+    batch2 = mk([(2, t1)])
+    out2 = D.minhash_admit_persisted(spark, base, batch2).collect()[0]
+    assert not out2["admitted"] and out2["matched_old"] == 1
+
+    # appended substrate == a from-scratch rebuild over both docs
+    base2 = str(tmp_path / "mh_loop_rebuild")
+    D.minhash_persist(mk([(0, t0), (1, t1)]), base2)
+    for face in ("bands", "sh"):
+        a = sorted(map(tuple, spark.read.parquet(f"{base}/{face}")
+                       .collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{base2}/{face}")
+                       .collect()))
+        assert a == b, face
+
+    D.minhash_delete_persisted(spark, base, [1])
+    out3 = D.minhash_admit_persisted(spark, base, batch2).collect()[0]
+    assert out3["admitted"]

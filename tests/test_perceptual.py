@@ -341,3 +341,36 @@ def test_perceptual_delete_persisted_forgets_image(spark, tmp_path):
     kept = [fp for fp in before if fp in after
             and after[fp] == before[fp]]
     assert kept, "every directory rewritten — bounded-touch violated"
+
+
+def test_perceptual_append_persisted_closes_the_loop(spark, tmp_path):
+    """persist -> admit fresh -> append -> a re-upload of the appended
+    image is rejected against it; appended substrate rows bit-equal a
+    from-scratch rebuild."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        perceptual_admit_persisted, perceptual_append_persisted,
+        perceptual_persist)
+
+    rng = np.random.default_rng(131)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    mk_text = lambda: " ".join(vocab[i]
+                               for i in rng.integers(0, 6, size=60))
+    t0, t1 = mk_text(), mk_text()
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    base = str(tmp_path / "perc_loop")
+    perceptual_persist(mk([(0, t0)]), base)
+
+    batch1 = mk([(1, t1)])
+    out1 = perceptual_admit_persisted(spark, base, batch1).collect()[0]
+    assert out1.admitted
+    perceptual_append_persisted(batch1, base)
+
+    out2 = perceptual_admit_persisted(spark, base,
+                                      mk([(2, t1)])).collect()[0]
+    assert not out2.admitted and out2.matched_old == 1
+
+    base2 = str(tmp_path / "perc_loop_rebuild")
+    perceptual_persist(mk([(0, t0), (1, t1)]), base2)
+    a = sorted(map(tuple, spark.read.parquet(base).collect()))
+    b = sorted(map(tuple, spark.read.parquet(base2).collect()))
+    assert a == b

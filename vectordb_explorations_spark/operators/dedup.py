@@ -852,28 +852,56 @@ def minhash_persist(docs: DataFrame, base_dir: str,
       time and their buckets prune.
 
     Incremental maintenance: plain engine tables — append the new
-    batch's band/sh rows after each admitted batch (both routes are
-    stateless functions of the row)."""
+    batch's band/sh rows after each admitted batch via
+    ``minhash_append_persisted`` (both routes are stateless functions
+    of the row).
+
+    Write shape: repartition on the partition columns BEFORE the
+    write — without it every writer input partition drops a file into
+    every (band_idx, bucket) directory (measured 32 files/dir = 33k
+    files at 100k docs, the probe's admission read spending its whole
+    budget on listings/opens). One file per directory is the
+    file-count floor for a hive layout."""
+    _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
+                         mode="overwrite")
+
+
+def _write_minhash_faces(docs: DataFrame, base_dir: str, num_hashes: int,
+                         band_size: int, buckets: int, mode: str) -> None:
+    """Both substrate faces from one signature pass — shared by the
+    bulk build (overwrite) and the incremental append so the writers
+    cannot drift."""
     sig = minhash_signatures(docs, num_hashes)
     banded = banded_keys(sig, num_hashes, band_size)
-    # repartition on the partition columns BEFORE the write: without it
-    # every one of the writer's input partitions drops a file into every
-    # (band_idx, bucket) directory — measured 32 files/dir = 33k files
-    # at 100k docs, and the probe's admission read spent its whole
-    # budget on listings/opens. One file per directory is the
-    # file-count floor for a hive layout.
     (banded.withColumn(
         "bucket",
         F.conv(F.substring("band_key", 1, 4), 16, 10).cast("long")
         % buckets)
      .repartition("band_idx", "bucket")
-     .write.mode("overwrite").partitionBy("band_idx", "bucket")
+     .write.mode(mode).partitionBy("band_idx", "bucket")
      .parquet(f"{base_dir}/bands"))
     (_shingle_sets(docs)
      .withColumn("sh_bucket", F.col("doc_id") % buckets)
      .repartition("sh_bucket")
-     .write.mode("overwrite").partitionBy("sh_bucket")
+     .write.mode(mode).partitionBy("sh_bucket")
      .parquet(f"{base_dir}/sh"))
+
+
+def minhash_append_persisted(docs: DataFrame, base_dir: str,
+                             num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE,
+                             buckets: int = MINHASH_PERSIST_BUCKETS
+                             ) -> None:
+    """Append an ADMITTED batch to both substrate faces — the
+    maintenance step after ``minhash_admit_persisted`` says yes, so
+    the next crawl's admissions see today's documents. Both routes are
+    stateless functions of the row (band-key prefix, doc_id modulus),
+    so appended rows bucket exactly as a full rebuild would; hive
+    append touches only the batch's own bucket directories.
+    Idempotence belongs to the CALLER's ingest markers (the
+    _files_to_ingest pattern) exactly as with maxsim_append_ingest."""
+    _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
+                         mode="append")
 
 
 def minhash_delete_persisted(spark, base_dir: str, doc_ids) -> int:

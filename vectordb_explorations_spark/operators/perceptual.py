@@ -895,8 +895,23 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
     corpus-size-independent at the file listing.
 
     Incremental maintenance: a plain engine table — append new docs'
-    band rows per batch (the banding is stateless, so appended rows
-    bucket consistently)."""
+    band rows per batch via ``perceptual_append_persisted`` (the
+    banding is stateless, so appended rows bucket consistently)."""
+    # repartition on the partition columns: one file per occupied
+    # directory instead of one per writer task per directory (the
+    # minhash_persist probe measured the multi-file layout burying the
+    # pruned read in listings/opens — r13)
+    (_banded_fingerprints(docs, buckets)
+     .repartition("band_idx", "bucket")
+     .write.mode("overwrite")
+     .partitionBy("band_idx", "bucket")
+     .parquet(base_dir))
+
+
+def _banded_fingerprints(docs: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, dh_w0, dh_w1, band_idx, band_val, bucket) substrate rows
+    — shared by the bulk build and the incremental append so the two
+    writers cannot drift."""
     h = image_hashes(
         _p6_assets(docs).select(F.shiftright("asset_id", 1)
                                 .alias("asset_id"), "payload")) \
@@ -905,16 +920,23 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
     for w in ("dh_w0", "dh_w1"):
         bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
         bands.append(F.col(w).bitwiseAND(F.lit(0xFFFF)))
-    banded = h.select(
+    return (h.select(
         "doc_id", "dh_w0", "dh_w1",
         F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
-    # repartition on the partition columns first: one file per occupied
-    # directory instead of one per writer task per directory (the
-    # minhash_persist probe measured the multi-file layout burying the
-    # pruned read in listings/opens — r13)
-    (banded.withColumn("bucket", F.col("band_val") % buckets)
+        .withColumn("bucket", F.col("band_val") % buckets))
+
+
+def perceptual_append_persisted(docs: DataFrame, base_dir: str,
+                                buckets: int = PHASH_PERSIST_BUCKETS
+                                ) -> None:
+    """Append an ADMITTED batch's image fingerprints to the substrate —
+    the maintenance step after ``perceptual_admit_persisted`` says yes.
+    The banding is stateless (band_val % buckets), so appended rows
+    bucket exactly as the bulk build did; hive append touches only the
+    batch's own bucket directories. Caller owns idempotence markers."""
+    (_banded_fingerprints(docs, buckets)
      .repartition("band_idx", "bucket")
-     .write.mode("overwrite")
+     .write.mode("append")
      .partitionBy("band_idx", "bucket")
      .parquet(base_dir))
 
