@@ -20,13 +20,10 @@ exact path (operators/knn.py), never by value hash (SURVEY §0, §5).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-from vectordb_explorations_spark.functions.vectors import l2_distance
 from vectordb_explorations_spark.schemas import EMBEDDING_DIM
 
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from vectordb_explorations_spark.functions.rounding import r6, round6
-from vectordb_explorations_spark.functions.vectors import cosine_similarity
 
 # 3-word shingles over the space-separated text, de-duplicated per doc.
 # Guarded so docs with < 3 words yield an empty set (Spark's `sequence`
