@@ -1043,6 +1043,16 @@ QUERIES: dict[str, QueryFn] = {
     # sequence packing with tokenizer-faithful BPE lengths
     "bpe_sequence_pack": lambda s, d: SP.bpe_sequence_pack(
         load_table(s, "documents", d)),
+    # ---- declared r14 (staged + tripwire-verified through r13,
+    # ---- SURVEY §18 queue) ------------------------------------------
+    # exact inner-product top-k — the third retrieval metric next to
+    # knn_exact (L2) and knn_cosine; the approximate-serving path is
+    # the mips_augment contract (functions/vectors.py), pytest-pinned.
+    "knn_ip": q_knn_ip,
+    # deterministic BPE merge LEARNING — the trainer half that
+    # completes the tokenizer story (stats -> learn -> apply).
+    "bpe_learn_merges": lambda s, d: X.bpe_learn_merges(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -1068,47 +1078,47 @@ QUERIES: dict[str, QueryFn] = {
 # reproduced the full sweep), so a query outside the driver window is
 # still oracle-verified every single round — the window staggers the
 # driver's independent confirmation, it does not gate the only check.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 # The driver's correctness gate checks list(QUERIES)[:50] per round, so
-# dict order IS the evidence schedule. Round-13 rotation (r12 verdict
-# item 1, SURVEY §17 queue): the SIX newly-declared never-checked
-# queries lead (the r12-staged perceptual/BPE set — parity-tripwired
-# every suite run since r12 via tests/test_staged_queries.py); then 44
-# of the 47 r10-evidence rows (alphabetical fill — under the 4-round
-# bound none are mandatory this round, but they are the oldest
-# evidence and fill every remaining slot). The three alphabetically
-# last r10 rows (tfidf_top_terms, token_counts, top_orders) carry to
-# r14, where the 4-round bound forces them; r14's window is then
-# 3 mandatory + up to 47 oldest-r11 fill — the schedule is feasible
-# every round from here (see the capacity note above WINDOW_ROUND).
-# Queries whose code changed this round with VALUE-changing potential:
-# streaming_dedup_stats and band_state_budget (the near_dup_stream
-# first-seen closure now excludes the representative on replay — a
-# no-op on the single-file fixture drain, and both rows sit in this
-# window's fill anyway), and the six new declarations themselves
-# (lazy split, oracle-builder refactor — parity re-verified in suite).
+# dict order IS the evidence schedule. Round-14 rotation (r13 verdict
+# item 1, SURVEY §18 queue): the TWO newly-declared never-checked
+# queries lead (knn_ip + bpe_learn_merges, staged r13 and parity-
+# tripwired every suite run since via tests/test_staged_queries.py);
+# then the THREE r10-evidence rows the 4-round bound makes mandatory
+# this round (tfidf_top_terms, token_counts, top_orders — their
+# evidence would otherwise be 4 rounds old after r14); then 45 of the
+# 49 r11-evidence rows (alphabetical fill — the oldest remaining
+# evidence). The four alphabetically last r11 rows
+# (temperature_mixture, top_parts_by_revenue, vector_elements,
+# weighted_sample) carry to r15, where the 4-round bound forces them;
+# r15's window is then 4 mandatory + up to 46 oldest-r12 fill — the
+# schedule stays feasible every round (see the capacity note above
+# WINDOW_ROUND). Any further r14 declarations displace fill rows only
+# (never the mandatory three).
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
-    "dedup_perceptual_clusters", "perceptual_hash_table",
-    "perceptual_incremental", "perceptual_curation_cards",
-    "streaming_perceptual_dedup", "bpe_sequence_pack",
-    # --- 44 oldest (r10-evidence) rows, alphabetical fill ---
-    "ann_bucketed_probe", "ann_recall_report", "band_state_budget",
-    "bm25_topk", "boilerplate_ngrams", "bpe_pair_stats",
-    "bq_hamming_topk", "cohort_retention", "compat_distance",
-    "contamination_check", "curation_pipeline", "data_quality_audit",
-    "dedup_clusters", "dedup_edit_distance", "dedup_exact_substring",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_representatives",
-    "late_supplier_blame", "multimodal_features", "multimodal_summary",
-    "mutual_knn", "nation_balance_full_outer", "norm_stats",
-    "part_set_ops", "quality_filter", "random_projection", "range_join",
-    "region_revenue", "rollup_revenue", "running_totals",
-    "segment_order_stats", "shipping_priority", "source_span_matrix",
-    "span_dedup_pipeline", "sql_grouping_sets", "sql_knn",
-    "sql_volume_shipping", "stratified_sample", "streaming_dedup_stats",
-    "streaming_join_stats", "streaming_user_totals",
-    "strip_duplicated_spans", "text_stats",
+    "knn_ip", "bpe_learn_merges",
+    # --- 3 mandatory r10-evidence rows (4-round bound) ---
+    "tfidf_top_terms", "token_counts", "top_orders",
+    # --- 45 oldest (r11-evidence) rows, alphabetical fill ---
+    "cluster_balanced_sample", "doc_chunks", "doc_repetition_stats",
+    "domain_mix_sample", "dsir_select", "embedding_outliers",
+    "event_prop_keys", "event_transitions", "event_value_histogram",
+    "event_value_percentiles", "events_gapfill", "events_hourly",
+    "events_session_window", "events_sliding_2h", "funnel_conversion",
+    "hard_examples", "hashed_doc_embeddings", "knn_batch_blockwise",
+    "knn_filtered", "label_centroids", "maxsim_chunk_topk",
+    "mixture_plan", "mmr_diversified_topk", "multimodal_frames",
+    "multimodal_resize", "nation_customer_lists", "ngram_novelty",
+    "perplexity_buckets", "priority_customer_counts",
+    "quota_capped_search", "range_search", "region_nation_rollcall",
+    "retrieval_quality", "salted_event_type_stats",
+    "sequence_pack_bins", "source_data_cards", "source_kl_divergence",
+    "split_leakage", "sq8_quantization", "streaming_index_refresh",
+    "streaming_ivfpq_refresh", "streaming_near_dedup",
+    "streaming_span_admission", "substring_dup_coverage",
+    "supplier_nation_volume",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1277,11 +1287,14 @@ ORACLES: dict[str, str] = {
     "perceptual_curation_cards": PC.perceptual_curation_cards_oracle(),
     "streaming_perceptual_dedup": SD.streaming_perceptual_dedup_oracle(),
     "bpe_sequence_pack": SP.bpe_sequence_pack_oracle(),
+    # ---- declared r14 (previously staged; SURVEY §18 queue) ----
+    "knn_ip": _oracle_knn_ip(),
+    "bpe_learn_merges": X.bpe_learn_merges_oracle(),
 }
 
 
-# ---- staging registry (EMPTY since r13: all six r12-staged operators
-# ---- are now declared above) -------------------------------------------
+# ---- staging registry (EMPTY since r14: the r13-staged knn_ip and
+# ---- bpe_learn_merges are now declared above) ---------------------------
 #
 # Mechanism kept for future rounds: an operator built when the window
 # has no never-checked slot goes here with its oracle;
@@ -1289,22 +1302,8 @@ ORACLES: dict[str, str] = {
 # does on every staged pair each suite run, so staged work cannot rot
 # between rounds. Declaring = moving the entries into QUERIES / ORACLES
 # and rotating _WINDOW_PRIORITY. The driver never sees these dicts.
-STAGED_QUERIES: dict = {
-    # exact inner-product top-k — the third retrieval metric (r13
-    # build, r14 declaration; the MIPS serving path for the
-    # approximate families is the mips_augment contract, pytest-pinned)
-    "knn_ip": q_knn_ip,
-    # deterministic BPE merge learning — the trainer half that
-    # completes the tokenizer story (stats -> LEARN -> apply); the
-    # propagate_min_labels iterative discipline, oracle as unrolled
-    # per-rank CTE blocks
-    "bpe_learn_merges": lambda s, d: X.bpe_learn_merges(
-        load_table(s, "documents", d)),
-}
+STAGED_QUERIES: dict = {}
 
-STAGED_ORACLES: dict = {
-    "knn_ip": _oracle_knn_ip(),
-    "bpe_learn_merges": X.bpe_learn_merges_oracle(),
-}
+STAGED_ORACLES: dict = {}
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
