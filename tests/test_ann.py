@@ -860,7 +860,13 @@ def test_ivf_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
         .select("vec_id").first()[0]
     victims = sorted(small_ids | {other_id})
 
+    before_rows = idx.count()
     expected_rows = idx.where(F.col("vec_id").isin(victims)).count()
+    # collected BEFORE the delete — the lazy idx frame's files are
+    # rewritten by it
+    survivors_before = sorted(
+        tuple(r) for r in idx.where(~F.col("vec_id").isin(victims))
+        .select("vec_id", "list_id").collect())
     touched = {r["list_id"] for r in
                idx.where(F.col("vec_id").isin(victims))
                .select("list_id").distinct().collect()}
@@ -870,8 +876,12 @@ def test_ivf_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
 
     after_idx = spark.read.parquet(path)
     assert after_idx.where(F.col("vec_id").isin(victims)).count() == 0
-    # every surviving row kept; untouched directories byte-stable
-    assert after_idx.count() == sum(1 for _ in before) - 0 or True
+    # survivors-complete: exactly the victims' replica rows are gone —
+    # the rewritten lists must not drop (or duplicate) non-victim rows
+    assert after_idx.count() == before_rows - expected_rows
+    survivors_after = sorted(
+        tuple(r) for r in after_idx.select("vec_id", "list_id").collect())
+    assert survivors_after == survivors_before
     after = dir_state(path)
     for fp, sz in before.items():
         li = int(fp.split("list_id=")[1].split(os.sep)[0])
@@ -896,6 +906,39 @@ def test_ivf_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
     a2 = sorted(tuple(r) for r in spark.read.parquet(path2)
                 .select("vec_id", "list_id").collect())
     assert a1 == a2
+
+
+def test_ivf_delete_routing_assign_n_mismatch_raises(spark, sf_dir,
+                                                     tmp_path):
+    """The routing locate path finds replicas only under the build's
+    assign_n; a smaller caller value would silently leave replicas
+    serving the erased ids (r13 ADVICE) — the residual guard must
+    catch it, and the matching value must pass the same guard."""
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_delete_partitioned, ivf_persist_partitioned)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, cents = ivf_build(emb, num_centroids=8, assign_n=2)
+    idx_rows = assigned.groupBy("vec_id").count()
+    # need a victim that actually HAS two distinct lists, else
+    # assign_n=1 routing would coincidentally find everything
+    vid = idx_rows.where(F.col("count") >= 2).select("vec_id").first()[0]
+    vict = emb.where(F.col("vec_id") == vid)
+
+    path = str(tmp_path / "ivf_mismatch")
+    ivf_persist_partitioned(assigned, path)
+    with pytest.raises(RuntimeError, match="assign_n"):
+        ivf_delete_partitioned(spark, path, [], centroids=cents,
+                               assign_n=1, delete_vectors=vict)
+
+    # correct assign_n erases every replica and the guard stays silent
+    path2 = str(tmp_path / "ivf_match")
+    ivf_persist_partitioned(assigned, path2)
+    n = ivf_delete_partitioned(spark, path2, [], centroids=cents,
+                               assign_n=2, delete_vectors=vict)
+    assert n == 2
+    assert spark.read.parquet(path2) \
+        .where(F.col("vec_id") == vid).count() == 0
 
 
 def test_hnsw_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
@@ -948,7 +991,10 @@ def test_hnsw_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
     for r in spark.read.parquet(path).select("blob").collect():
         remaining |= {int(i) for i in pickle.loads(r["blob"]).ids}
     assert not (remaining & set(victims))
-    assert remaining
+    # survivors-complete: the rebuilt shards keep EVERY non-victim id —
+    # over-deletion inside a rewritten shard would pass victims-absent
+    all_before = set().union(*members.values())
+    assert remaining == all_before - set(victims)
 
     qs = sample_queries(emb, 5)
     got = hnsw_probe_partitioned(spark, path, qs, K, probe_shards=3)

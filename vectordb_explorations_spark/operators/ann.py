@@ -953,7 +953,8 @@ def ivf_delete_partitioned(spark, path: str,
                            assign_n: int = 2,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           delete_vectors: DataFrame | None = None) -> int:
+                           delete_vectors: DataFrame | None = None,
+                           verify_residuals: bool = True) -> int:
     """Delete vectors by id from the persisted IVF layout, rewriting
     ONLY the list directories that contain them — the missing third of
     the index lifecycle (persist / append / probe / DELETE; GDPR
@@ -976,7 +977,17 @@ def ivf_delete_partitioned(spark, path: str,
     directories keep their exact bytes (pinned by tests). A list whose
     rows are ALL deleted would be invisible to a dynamic overwrite
     (no partition in the output -> old files survive), so emptied
-    list directories are removed explicitly via the Hadoop FS API."""
+    list directories are removed explicitly via the Hadoop FS API.
+
+    Residual guard (r13 ADVICE): the routing path finds replicas only
+    if the caller's ``assign_n`` matches the build's — a mismatch
+    would silently leave replicas behind, still serving erased ids.
+    With ``verify_residuals`` (default), the routing path re-scans the
+    rewritten index's narrow (id, list_id) columns for surviving
+    victim rows and raises if any exist (the ids-only path needs no
+    guard — its locate IS that scan). The verification costs one
+    column-pruned two-column pass; erasure-at-scale callers who
+    persist assign_n with the index may disable it."""
     idx = spark.read.parquet(path)
     if delete_vectors is not None:
         if centroids is None:
@@ -1024,6 +1035,17 @@ def ivf_delete_partitioned(spark, path: str,
     for li in sorted(set(touched) - kept_lists):
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/list_id={li}"),
                   True)
+    if delete_vectors is not None and verify_residuals:
+        residual = (spark.read.parquet(path)
+                    .select(id_col, "list_id")
+                    .where(F.col(id_col).isin(ids)).count())
+        if residual:
+            raise RuntimeError(
+                f"ivf_delete_partitioned: {residual} replica row(s) of "
+                f"the victim ids survive outside the routed lists — "
+                f"the caller's assign_n={assign_n} does not match the "
+                f"build's. Re-run with the build's assign_n or the "
+                f"ids-only path (delete_ids=...) to finish the erasure.")
     return n_removed
 
 

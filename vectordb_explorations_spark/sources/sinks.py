@@ -206,8 +206,17 @@ def delete_rows_partitioned(spark: SparkSession, path: str,
     the substrate lifecycle tests. ``id_col`` may be any SQL expression
     over the table's columns (e.g. a derived doc id), and partition
     values may be strings (hive keys) — both used by the maxsim
-    erasure face."""
-    ids = sorted({int(i) for i in ids})
+    erasure face. Non-integer ids (string doc keys) pass through
+    unchanged; integer-like ids are canonicalized so numpy/str
+    spellings of the same id dedup (r13 ADVICE). Multi-column packed
+    keys require partition values without ``'/'`` and without NULLs —
+    violations raise rather than weaken the exactness predicate."""
+    def _coerce(i):
+        try:
+            return int(i)
+        except (TypeError, ValueError):
+            return i
+    ids = sorted({_coerce(i) for i in ids}, key=lambda v: (str(type(v)), v))
     if not ids:
         return 0
     tbl = spark.read.parquet(path)
@@ -217,6 +226,22 @@ def delete_rows_partitioned(spark: SparkSession, path: str,
     if not touched:
         return 0
     tkeys = {tuple(t) for t in touched}
+    if len(partition_by) > 1:
+        # the packed '/'-joined key below cannot distinguish values
+        # containing '/', and concat_ws silently DROPS NULLs — either
+        # would turn the exact predicate into a lossy one, so refuse
+        for t in tkeys:
+            for c, v in zip(partition_by, t):
+                if v is None:
+                    raise ValueError(
+                        f"delete_rows_partitioned: NULL value in "
+                        f"partition column {c!r} — packed-key predicate "
+                        f"cannot represent it")
+                if "/" in str(v):
+                    raise ValueError(
+                        f"delete_rows_partitioned: partition value "
+                        f"{v!r} in {c!r} contains '/' — ambiguous under "
+                        f"the packed key")
     # per-column isin conjuncts (what the file listing prunes on) plus
     # a packed-key isin for exactness inside the pruned rectangles —
     # an OR-chain over touched combos overflows Catalyst's column-tree
