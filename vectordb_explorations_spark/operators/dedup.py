@@ -863,6 +863,56 @@ def minhash_persist(docs: DataFrame, base_dir: str,
     file-count floor for a hive layout."""
     _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
                          mode="overwrite")
+    _write_minhash_meta(docs.sparkSession, base_dir, {
+        "docs": docs.count(), "num_hashes": num_hashes,
+        "band_size": band_size, "buckets": buckets})
+
+
+# Below this substrate size the persisted face is SLOWER than deriving
+# the corpus signatures in memory per batch: the 1,024-directory probe
+# listing is a fixed floor (measured 5.8 s vs 1.5 s at 2.5k docs;
+# crossover past ~100k docs and an 8.6x win at 10M — SCALE_NOTES).
+MINHASH_ADMIT_MIN_CORPUS = 100_000
+
+
+def _write_minhash_meta(spark, base_dir: str, meta: dict) -> None:
+    """One-row JSON sidecar ({base_dir}/meta) carrying the substrate's
+    doc count and build parameters. The count drives the small-corpus
+    serving warning; the parameters let admit/append REFUSE a
+    mismatched num_hashes/band_size/buckets (a mismatch would probe
+    the wrong buckets and silently admit near-dups — the same failure
+    class as the IVF assign_n erasure gap, r13 ADVICE)."""
+    import json
+
+    (spark.createDataFrame([(json.dumps(meta),)], "meta string")
+     .coalesce(1).write.mode("overwrite").text(f"{base_dir}/meta"))
+
+
+def _read_minhash_meta(spark, base_dir: str) -> dict | None:
+    """None for substrates persisted before the sidecar existed —
+    callers skip validation/warning rather than failing legacy faces."""
+    import json
+
+    try:
+        rows = spark.read.text(f"{base_dir}/meta").collect()
+    except Exception:
+        return None
+    return json.loads(rows[0][0]) if rows else None
+
+
+def _check_minhash_params(meta: dict | None, num_hashes: int,
+                          band_size: int, buckets: int, op: str) -> None:
+    if meta is None:
+        return
+    got = {"num_hashes": num_hashes, "band_size": band_size,
+           "buckets": buckets}
+    built = {k: meta[k] for k in got if k in meta}
+    if built and built != {k: got[k] for k in built}:
+        raise ValueError(
+            f"{op}: caller parameters {got} do not match the substrate's "
+            f"build parameters {built} — a mismatched banding geometry "
+            f"probes the wrong buckets and silently misses near-dups. "
+            f"Use the build's values (persisted in {{base_dir}}/meta).")
 
 
 def _write_minhash_faces(docs: DataFrame, base_dir: str, num_hashes: int,
@@ -899,8 +949,15 @@ def minhash_append_persisted(docs: DataFrame, base_dir: str,
     append touches only the batch's own bucket directories.
     Idempotence belongs to the CALLER's ingest markers (the
     _files_to_ingest pattern) exactly as with maxsim_append_ingest."""
+    spark = docs.sparkSession
+    meta = _read_minhash_meta(spark, base_dir)
+    _check_minhash_params(meta, num_hashes, band_size, buckets,
+                          "minhash_append_persisted")
     _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
                          mode="append")
+    if meta is not None:
+        meta["docs"] = int(meta.get("docs", 0)) + docs.count()
+        _write_minhash_meta(spark, base_dir, meta)
 
 
 def minhash_delete_persisted(spark, base_dir: str, doc_ids) -> int:
@@ -916,9 +973,15 @@ def minhash_delete_persisted(spark, base_dir: str, doc_ids) -> int:
 
     n = delete_rows_partitioned(spark, f"{base_dir}/bands",
                                 ["band_idx", "bucket"], "doc_id", doc_ids)
-    n += delete_rows_partitioned(spark, f"{base_dir}/sh",
-                                 ["sh_bucket"], "doc_id", doc_ids)
-    return n
+    n_sh = delete_rows_partitioned(spark, f"{base_dir}/sh",
+                                   ["sh_bucket"], "doc_id", doc_ids)
+    meta = _read_minhash_meta(spark, base_dir)
+    if meta is not None:
+        # sh face holds exactly one row per doc — its removal count is
+        # the number of erased documents
+        meta["docs"] = max(0, int(meta.get("docs", 0)) - n_sh)
+        _write_minhash_meta(spark, base_dir, meta)
+    return n + n_sh
 
 
 def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
@@ -945,7 +1008,29 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
     implicitly assumes). Verify is the same 6-dp exact Jaccard, best
     match by (jaccard DESC, old_id ASC). The corpus signature pass is
     paid at BUILD time, once ever — an admission run scans only the
-    batch plus the pruned buckets."""
+    batch plus the pruned buckets.
+
+    This is a >=100k-docs tool: below MINHASH_ADMIT_MIN_CORPUS
+    substrate docs the fixed 1,024-directory probe floor makes it
+    SLOWER than ``incremental_dedup``'s derive-in-memory shape
+    (measured in SCALE_NOTES) — a RuntimeWarning says so, from the
+    doc count the meta sidecar carries. Parameter drift vs the build
+    (num_hashes/band_size/buckets) raises instead of silently probing
+    the wrong buckets."""
+    meta = _read_minhash_meta(spark, base_dir)
+    _check_minhash_params(meta, num_hashes, band_size, buckets,
+                          "minhash_admit_persisted")
+    if meta is not None and int(meta.get("docs", 0)) < \
+            MINHASH_ADMIT_MIN_CORPUS:
+        import warnings
+        warnings.warn(
+            f"minhash_admit_persisted: substrate holds "
+            f"{int(meta.get('docs', 0)):,} docs — below the "
+            f"{MINHASH_ADMIT_MIN_CORPUS:,}-doc floor where the "
+            f"1,024-directory probe listing dominates (SCALE_NOTES: "
+            f"5.8 s vs 1.5 s in-memory at 2.5k docs). Use "
+            f"incremental_dedup / the in-memory banding path until the "
+            f"corpus outgrows it.", RuntimeWarning, stacklevel=2)
     sh_new = _shingle_sets(new_docs)
     # localCheckpoint: the batch's banded frame feeds the driver-side
     # probe collect AND the candidate join, and Spark re-executes
