@@ -1001,3 +1001,103 @@ def test_hnsw_delete_partitioned_lifecycle(spark, sf_dir, tmp_path):
     got_ids = {r["vec_id"] for r in got.collect()}
     assert not (got_ids & set(victims))
     assert got_ids
+
+
+def _hnsw_members_rows(spark, path):
+    from vectordb_explorations_spark.operators.hnsw import _blob_members
+    return sorted(tuple(r) for r in
+                  _blob_members(spark.read.parquet(path)).collect())
+
+
+def test_hnsw_members_sidecar_bounds_locate(spark, sf_dir, tmp_path):
+    """The (vec_id -> shard) erasure sidecar (r13 verdict item 6):
+    (1) locate reads ONLY the sidecar + the victims' shards — proven
+    by corrupting an untouched shard's pickled blob on disk and
+    deleting victims from OTHER shards (the legacy blob-pass locate
+    would unpickle it and crash); (2) the sidecar stays bit-consistent
+    with blob-derived membership across persist, append, and delete;
+    (3) removing the sidecar falls back to the legacy locate."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectordb_explorations_spark.operators.hnsw import (
+        _members_path, hnsw_append_partitioned, hnsw_delete_partitioned,
+        hnsw_persist_partitioned)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lower = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    idx = hnsw_build(lower, num_shards=4, shard_by="kmeans")
+    path = str(tmp_path / "hnsw_sidecar_idx")
+    hnsw_persist_partitioned(idx, path)
+    mp = _members_path(path)
+
+    # (2a) sidecar == blob membership after persist
+    side = sorted((int(r["shard"]), int(r["vec_id"])) for r in
+                  spark.read.parquet(mp).collect())
+    assert side == _hnsw_members_rows(spark, path)
+
+    # (2b) ... and after append
+    hnsw_append_partitioned(spark, path, batch)
+    side = sorted((int(r["shard"]), int(r["vec_id"])) for r in
+                  spark.read.parquet(mp).collect())
+    assert side == _hnsw_members_rows(spark, path)
+
+    # (1) corrupt one shard's blob; victims live ONLY in other shards
+    by_shard = {}
+    for sh, vid in side:
+        by_shard.setdefault(sh, set()).add(vid)
+    shards = sorted(by_shard)
+    corrupt_shard = shards[0]
+    only_elsewhere = [
+        vid for sh in shards[1:] for vid in by_shard[sh]
+        if vid not in by_shard[corrupt_shard]]
+    victims = sorted(set(only_elsewhere))[:3]
+    assert victims
+    import os
+    for f in glob.glob(f"{path}/shard={corrupt_shard}/*.parquet"):
+        tbl = pq.read_table(f)
+        i = tbl.column_names.index("blob")
+        bad = pa.array([b"not a pickle"] * tbl.num_rows,
+                       type=tbl.schema.field("blob").type)
+        pq.write_table(tbl.set_column(i, tbl.schema.field("blob"), bad),
+                       f)
+        # hadoop's local FS keeps .crc sidecars; the rewrite invalidates
+        # them and the checksum error would mask the unpickle signal
+        crc = os.path.join(os.path.dirname(f),
+                           f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    expected = sum(len(set(victims) & by_shard[sh]) for sh in shards)
+    n = hnsw_delete_partitioned(spark, path, victims)
+    assert n == expected  # sidecar locate never unpickled the bad blob
+
+    # (2c) sidecar consistent after the delete: for every readable
+    # shard the sidecar rows equal the blob-derived membership
+    from vectordb_explorations_spark.operators.hnsw import _blob_members
+    side_after = sorted(
+        (int(r["shard"]), int(r["vec_id"])) for r in
+        spark.read.parquet(mp).collect()
+        if int(r["shard"]) != corrupt_shard)
+    blob_after = sorted(
+        tuple(r) for r in _blob_members(
+            spark.read.parquet(path)
+            .where(F.col("shard") != corrupt_shard)).collect())
+    assert side_after == blob_after
+    assert not {vid for _, vid in side_after} & set(victims)
+
+    # (3) legacy fallback: removing the sidecar re-enables the blob
+    # pass — deleting a victim from a READABLE shard still works
+    shutil.rmtree(mp)
+    survivor = next(vid for sh in shards[1:]
+                    for vid in sorted(by_shard[sh])
+                    if vid not in victims
+                    and vid not in by_shard[corrupt_shard])
+    with pytest.raises(Exception):
+        # the legacy locate must unpickle EVERY blob — the corrupted
+        # shard now bites, which is exactly the cost the sidecar
+        # removes
+        hnsw_delete_partitioned(spark, path, [survivor])

@@ -737,14 +737,61 @@ def hnsw_search(index_df: DataFrame, queries: DataFrame, k: int,
             .select(qid_col, id_col, F.round("dist", 6).alias("dist"), "rank"))
 
 
+def _members_path(path: str) -> str:
+    """The (vec_id -> shard) sidecar lives BESIDE the index directory —
+    inside it, Spark's partition discovery over the blob table would
+    trip on the foreign subtree."""
+    return path.rstrip("/") + "_members"
+
+
+_MEMBERS_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("vec_id", T.LongType()),
+])
+
+
+def _blob_members(index_df: DataFrame) -> DataFrame:
+    """Explode each shard blob's id list into narrow (shard, vec_id)
+    rows — the build-time derivation of the membership sidecar (and
+    the tests' independent re-derivation for consistency pins)."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                g: HnswGraph = pickle.loads(r["blob"])
+                ids = np.asarray(g.ids, dtype=np.int64)
+                outs.append(pd.DataFrame(
+                    {"shard": np.full(len(ids), int(r["shard"]),
+                                      dtype=np.int32),
+                     "vec_id": ids}))
+            if outs:
+                yield pd.concat(outs)
+
+    return (index_df.select("shard", "blob")
+            .mapInPandas(extract, schema=_MEMBERS_SCHEMA))
+
+
 def hnsw_persist_partitioned(index_df: DataFrame, path: str) -> None:
     """Persist a sharded HNSW index hive-partitioned by shard — the
     serving layout twin of ``ivf_persist_partitioned`` (ann.py): each
     shard's graph blob is its own directory, so a routed probe's
     ``shard IN (...)`` filter prunes unrouted shards at the FILE LISTING
     (PartitionFilters), before any blob byte is read. At scale the
-    per-probe I/O is O(routed cells), independent of shard count."""
+    per-probe I/O is O(routed cells), independent of shard count.
+
+    Also writes the ``{path}_members`` sidecar: narrow (shard, vec_id)
+    rows, one per graph membership (assign_n replicas appear once per
+    holding shard), hive-partitioned by shard and sorted by vec_id so
+    an erasure locate reads two int columns with parquet row-group
+    pruning instead of unpickling every graph blob (r13 verdict item
+    6 — the locate used to be O(index blobs) per delete batch).
+    Maintained by append and delete; absent for pre-r14 layouts, where
+    delete falls back to the blob pass."""
     index_df.write.mode("overwrite").partitionBy("shard").parquet(path)
+    (_blob_members(index_df)
+     .repartition("shard").sortWithinPartitions("vec_id")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(_members_path(path)))
 
 
 def hnsw_probe_partitioned(spark, path: str, queries: DataFrame, k: int,
@@ -813,10 +860,15 @@ def hnsw_delete_partitioned(spark, path: str, delete_ids,
     number of graph entries removed (a replicated id counts once per
     shard that held it).
 
-    Locate: ids live inside the pickled graph blobs, not index rows,
-    so membership needs one Arrow pass that unpickles each shard's
-    blob and counts victims — O(index blobs), the same unit cost as
-    any shard rebuild, and the pass reads only (shard, blob). Rebuild:
+    Locate: with the ``{path}_members`` sidecar (written by
+    hnsw_persist_partitioned since r14, maintained by append/delete),
+    victim membership is TWO narrow scans of (shard, vec_id) — the
+    victims' rows via a pushed isin over the sorted vec_id column
+    (row-group pruned), and the touched shards' totals via partition
+    pruning — no blob is unpickled outside the rebuild itself, so a
+    delete batch costs O(victims' shards), not O(index). Without the
+    sidecar (pre-r14 layouts) the legacy path unpickles each shard's
+    blob in one Arrow pass over (shard, blob). Rebuild:
     touched shards re-run the deterministic bulk build over their
     SURVIVORS with the shard's own recorded hyperparameters and
     seed + shard (identical to the append discipline, so a delete
@@ -832,34 +884,60 @@ def hnsw_delete_partitioned(spark, path: str, delete_ids,
     vict_arr = np.asarray(victims, dtype=np.int64)
     bc = spark.sparkContext.broadcast(vict_arr)
 
-    count_schema = T.StructType([
-        T.StructField("shard", T.IntegerType()),
-        T.StructField("n_victims", T.LongType()),
-        T.StructField("n_total", T.LongType()),
-    ])
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    mp = _members_path(path)
+    has_sidecar = fs.exists(jvm.org.apache.hadoop.fs.Path(mp))
 
-    def locate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        v = bc.value
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                g: HnswGraph = pickle.loads(r["blob"])
-                ids = np.asarray(g.ids, dtype=np.int64)
-                rows.append((int(r["shard"]),
-                             int(np.isin(ids, v).sum()), int(len(ids))))
-            if rows:
-                yield pd.DataFrame(rows,
-                                   columns=["shard", "n_victims",
-                                            "n_total"])
+    if has_sidecar:
+        mem = spark.read.parquet(mp)
+        per_shard = {int(r["shard"]): int(r["n"]) for r in
+                     mem.where(F.col("vec_id").isin(victims))
+                     .groupBy("shard")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+        touched = sorted(per_shard)
+        n_removed = sum(per_shard.values())
+        if not touched:
+            return 0
+        totals = {int(r["shard"]): int(r["n"]) for r in
+                  mem.where(F.col("shard").isin(touched))
+                  .groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        emptied = sorted(s for s in touched
+                         if per_shard[s] == totals[s])
+    else:
+        count_schema = T.StructType([
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("n_victims", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+        ])
 
-    located = (full.select("shard", "blob")
-               .mapInPandas(locate, schema=count_schema).collect())
-    touched = sorted(r["shard"] for r in located if r["n_victims"])
-    n_removed = sum(int(r["n_victims"]) for r in located)
-    emptied = sorted(r["shard"] for r in located
-                     if r["n_victims"] and r["n_victims"] == r["n_total"])
-    if not touched:
-        return 0
+        def locate(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+            v = bc.value
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    g: HnswGraph = pickle.loads(r["blob"])
+                    ids = np.asarray(g.ids, dtype=np.int64)
+                    rows.append((int(r["shard"]),
+                                 int(np.isin(ids, v).sum()),
+                                 int(len(ids))))
+                if rows:
+                    yield pd.DataFrame(rows,
+                                       columns=["shard", "n_victims",
+                                                "n_total"])
+
+        located = (full.select("shard", "blob")
+                   .mapInPandas(locate, schema=count_schema).collect())
+        touched = sorted(r["shard"] for r in located if r["n_victims"])
+        n_removed = sum(int(r["n_victims"]) for r in located)
+        emptied = sorted(r["shard"] for r in located
+                         if r["n_victims"]
+                         and r["n_victims"] == r["n_total"])
+        if not touched:
+            return 0
 
     def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
@@ -896,12 +974,13 @@ def hnsw_delete_partitioned(spark, path: str, delete_ids,
             overwrite_partitions(rebuilt, path, ["shard"])
     finally:
         rebuilt.unpersist()
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        spark._jsc.hadoopConfiguration())
     for sh in emptied:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/shard={sh}"),
                   True)
+    if has_sidecar:
+        from vectordb_explorations_spark.sources.sinks import (
+            delete_rows_partitioned)
+        delete_rows_partitioned(spark, mp, ["shard"], "vec_id", victims)
     return n_removed
 
 
@@ -1012,6 +1091,20 @@ def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
     rebuilt = rebuilt.localCheckpoint(eager=True)
     try:
         overwrite_partitions(rebuilt, path, ["shard"])
+        # keep the (vec_id -> shard) erasure sidecar consistent: the
+        # appended memberships are exactly the routed (shard, id)
+        # pairs; hive append touches only the batch's own shard dirs.
+        # Pre-r14 layouts have no sidecar — stay legacy.
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark._jsc.hadoopConfiguration())
+        mp = _members_path(path)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(mp)):
+            (new_rows_df.select("shard",
+                                F.col(id_col).cast("long")
+                                .alias("vec_id"))
+             .repartition("shard").sortWithinPartitions("vec_id")
+             .write.mode("append").partitionBy("shard").parquet(mp))
     finally:
         rebuilt.unpersist()
         new_rows_df.unpersist()
