@@ -196,6 +196,80 @@ def test_bpe_learn_merges_tie_break(spark):
     assert got == [(1, "x", "y", 1)]
 
 
+def _run_learned_budget_both_engines(spark, rows, n_merges):
+    import duckdb
+
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_learned_budget, bpe_learned_budget_oracle)
+
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    got = [tuple(x if not isinstance(x, float) else round(x, 6)
+                 for x in r)
+           for r in bpe_learned_budget(sdf, n_merges=n_merges).collect()]
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents "
+                    "(doc_id BIGINT, source VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+        want = [tuple(x if not isinstance(x, float) else round(x, 6)
+                      for x in r)
+                for r in con.execute(
+                    bpe_learned_budget_oracle(n_merges)).fetchall()]
+    finally:
+        con.close()
+    return got, want
+
+
+def test_bpe_learned_budget_corpus_edit_flips_downstream(spark):
+    """The closed tokenizer loop (learn -> apply -> budget) as ONE
+    operator: an edit to the corpus flips the LEARNED rank-1 merge and
+    the flip propagates to the downstream per-source budgets — in BOTH
+    engines, which must agree before and after (r13 verdict item 2's
+    planted-semantics pin)."""
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_learn_merges)
+
+    base = [(0, "sa", "xy xy xy zq"), (1, "sb", "xy zq zq")]
+    # the edit makes zq dominant where xy was
+    edited = [(0, "sa", "zq zq zq xy"), (1, "sb", "xy zq zq")]
+
+    got_a, want_a = _run_learned_budget_both_engines(spark, base, 1)
+    got_b, want_b = _run_learned_budget_both_engines(spark, edited, 1)
+    assert got_a == want_a
+    assert got_b == want_b
+
+    def rank1(rows):
+        sdf = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        return [(r["lhs"], r["rhs"])
+                for r in bpe_learn_merges(sdf, n_merges=1).collect()]
+
+    assert rank1(base) == [("x", "y")]
+    assert rank1(edited) == [("z", "q")]
+    # the learned flip changes the budgets, not just the merge table:
+    # under rank1=xy, sa's 3 xy words collapse to 1 token each; under
+    # rank1=zq they stay 2 tokens (and vice versa for the zq words)
+    budget = {r[0]: r[3] for r in got_a}          # source -> bpe_tokens
+    budget_b = {r[0]: r[3] for r in got_b}
+    assert budget["sa"] == 3 * 1 + 1 * 2          # xy xy xy zq
+    assert budget_b["sa"] == 3 * 1 + 1 * 2        # zq zq zq xy (mirror)
+    assert budget["sb"] == 1 * 1 + 2 * 2          # xy merged, zq not
+    assert budget_b["sb"] == 1 * 2 + 2 * 1        # zq merged, xy not
+
+
+def test_bpe_learned_budget_exhausted_ranks_are_identity(spark):
+    """A corpus with no learnable pairs (all 1-char words) learns an
+    EMPTY table; the apply chain must be the identity in both engines
+    (the oracle's LEFT JOIN ON TRUE guard vs Spark's short list)."""
+    rows = [(0, "sa", "a b a"), (1, "sb", "c")]
+    got, want = _run_learned_budget_both_engines(spark, rows, 3)
+    assert got == want
+    out = {r[0]: r for r in got}
+    assert out["sa"][2:4] == (3, 3)   # ws_tokens == bpe_tokens
+    assert out["sb"][2:4] == (1, 1)
+
+
 def test_bpe_learn_merges_head_matches_fixture_table(spark):
     """The baked BPE_MERGES table's non-cascade head was derived from
     the gate-scale fixture (sf0.01 — the smoke corpus ranks rank-2+

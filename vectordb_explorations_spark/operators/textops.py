@@ -704,11 +704,15 @@ def bpe_word_tokens(col: F.Column,
     return F.size(F.split(F.trim(_bpe_spaced(col, merges)), "  "))
 
 
-def bpe_token_counts(docs: DataFrame) -> DataFrame:
+def bpe_token_counts(docs: DataFrame,
+                     merges: list[tuple[str, str]] | None = None
+                     ) -> DataFrame:
     """Per-source token accounting under the engine's deterministic
     BPE-apply: document volume, whitespace token count, BPE token count
     (the budget a trainer actually consumes), and tokens-per-word —
     the tokenizer-faithful twin of mixture_plan's whitespace budgets.
+    ``merges`` defaults to the baked BPE_MERGES table; the learned
+    composition (``bpe_learned_budget``) passes the trainer's output.
 
     Both counts run over the same exploded non-empty words, so the
     ratio is exact by construction. Scale shape (100 TB): one corpus
@@ -718,7 +722,7 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
     words = (docs.select("source",
                          F.explode(F.split("text", " ")).alias("w"))
              .where(F.length("w") >= 1))
-    per_word = words.select("source", bpe_word_tokens(F.col("w"))
+    per_word = words.select("source", bpe_word_tokens(F.col("w"), merges)
                             .alias("tok_cnt"))
     docs_per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"))
@@ -858,10 +862,11 @@ def bpe_learn_merges(docs: DataFrame,
     return out.orderBy("merge_rank")
 
 
-def bpe_learn_merges_oracle(n_merges: int = BPE_LEARN_RANKS) -> str:
-    """Unrolled CTE chain — one (count, argmax, rewrite) block per
-    rank, mechanically generated so the blocks cannot drift from each
-    other (the r12 ADVICE builder discipline)."""
+def _bpe_learn_ctes(n_merges: int = BPE_LEARN_RANKS) -> list[str]:
+    """The trainer's CTE blocks (w0 dictionary, then one
+    count/argmax/rewrite triple per rank) as a reusable list — shared
+    by the trainer oracle and the learned-budget composition so the
+    two cannot drift (the r12 ADVICE builder discipline)."""
     spaced0 = ("' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) "
                "|| ' '")
     blocks = [f"""w0 AS (
@@ -882,10 +887,81 @@ w{r} AS (
   SELECT replace(sp, ' ' || lhs || '  ' || rhs || ' ',
                  ' ' || lhs || rhs || ' ') AS sp, wc
   FROM w{p} CROSS JOIN m{r})""")
+    return blocks
+
+
+def bpe_learn_merges_oracle(n_merges: int = BPE_LEARN_RANKS) -> str:
+    """Unrolled CTE chain — one (count, argmax, rewrite) block per
+    rank, mechanically generated so the blocks cannot drift from each
+    other (the r12 ADVICE builder discipline)."""
     union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}"
                                  for r in range(1, n_merges + 1))
-    return ("WITH " + ",\n".join(blocks)
+    return ("WITH " + ",\n".join(_bpe_learn_ctes(n_merges))
             + f"\nSELECT * FROM ({union}) ORDER BY merge_rank\n")
+
+
+def bpe_learned_budget(docs: DataFrame,
+                       n_merges: int = BPE_LEARN_RANKS) -> DataFrame:
+    """The tokenizer loop CLOSED as one operator (r13 verdict item 2):
+    LEARN the merge table from the corpus (``bpe_learn_merges``), APPLY
+    the learned table to the same corpus, and report the per-source
+    token BUDGET — learn -> apply -> budget, end to end, where
+    ``bpe_token_counts`` applies a fixed baked table. A corpus edit
+    that flips a learned merge changes the downstream budgets in both
+    engines (pinned by tests/test_textops_curation.py).
+
+    The learned table rides a BOUNDED driver collect (n_merges rows —
+    training output IS driver-sized; the probe-map discipline), then
+    the apply is the same one-scan chain of codegen literal replaces
+    bpe_token_counts runs: no joins, no Python, no second corpus scan
+    beyond the trainer's dictionary build. At 100 TB: the trainer
+    iterates the zipf vocabulary, the apply pass is one corpus scan
+    with a combinable agg — the same scale shape as its two halves."""
+    learned = [(r["lhs"], r["rhs"])
+               for r in bpe_learn_merges(docs, n_merges).collect()]
+    return bpe_token_counts(docs, merges=learned)
+
+
+def bpe_learned_budget_oracle(n_merges: int = BPE_LEARN_RANKS) -> str:
+    """The trainer's unrolled CTE chain composed with an apply chain
+    over the DOCUMENT word stream: each rank's learned (lhs, rhs) is
+    applied by the same boundary-guarded replace, via LEFT JOIN ON
+    TRUE so a rank the corpus could not fill (empty m{r}) is the
+    IDENTITY rewrite — matching the Spark side, which simply applies
+    a shorter learned list."""
+    blocks = list(_bpe_learn_ctes(n_merges))
+    spaced0 = ("' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) "
+               "|| ' '")
+    blocks.append(f"""dw0 AS (
+  SELECT source, {spaced0} AS sp
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE length(w) >= 1)""")
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        blocks.append(f"""dw{r} AS (
+  SELECT d.source,
+         CASE WHEN m.lhs IS NULL THEN d.sp
+              ELSE replace(d.sp, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ')
+         END AS sp
+  FROM dw{p} d LEFT JOIN m{r} m ON TRUE)""")
+    return ("WITH " + ",\n".join(blocks) + f""",
+t AS (
+  SELECT source, len(string_split(trim(sp), '  ')) AS tok_cnt
+  FROM dw{n_merges}
+), d AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), a AS (
+  SELECT source, count(*) AS ws_tokens,
+         sum(tok_cnt)::BIGINT AS bpe_tokens
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, ws_tokens, bpe_tokens,
+       {r6('bpe_tokens::DOUBLE / ws_tokens')} AS tokens_per_word
+FROM a JOIN d USING (source)
+ORDER BY source
+""")
 
 
 def lang_confusion(docs: DataFrame) -> DataFrame:

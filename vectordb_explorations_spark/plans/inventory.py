@@ -1053,6 +1053,11 @@ QUERIES: dict[str, QueryFn] = {
     # completes the tokenizer story (stats -> learn -> apply).
     "bpe_learn_merges": lambda s, d: X.bpe_learn_merges(
         load_table(s, "documents", d)),
+    # the tokenizer loop CLOSED as one composition (r13 verdict item
+    # 2): learn the merges from the corpus, apply the LEARNED table,
+    # report the per-source token budget — hash-checked end to end.
+    "bpe_learned_budget": lambda s, d: X.bpe_learned_budget(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -1095,10 +1100,13 @@ WINDOW_ROUND = 14
 # r15's window is then 4 mandatory + up to 46 oldest-r12 fill — the
 # schedule stays feasible every round (see the capacity note above
 # WINDOW_ROUND). Any further r14 declarations displace fill rows only
-# (never the mandatory three).
+# (never the mandatory three) — bpe_learned_budget (built in-round,
+# the r13 verdict's tokenizer-loop composition) displaced
+# supplier_nation_volume, which moves to r15's mandatory set with the
+# other four r11 leftovers.
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
-    "knn_ip", "bpe_learn_merges",
+    "knn_ip", "bpe_learn_merges", "bpe_learned_budget",
     # --- 3 mandatory r10-evidence rows (4-round bound) ---
     "tfidf_top_terms", "token_counts", "top_orders",
     # --- 45 oldest (r11-evidence) rows, alphabetical fill ---
@@ -1118,7 +1126,6 @@ _WINDOW_PRIORITY = [
     "split_leakage", "sq8_quantization", "streaming_index_refresh",
     "streaming_ivfpq_refresh", "streaming_near_dedup",
     "streaming_span_admission", "substring_dup_coverage",
-    "supplier_nation_volume",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1290,6 +1297,7 @@ ORACLES: dict[str, str] = {
     # ---- declared r14 (previously staged; SURVEY §18 queue) ----
     "knn_ip": _oracle_knn_ip(),
     "bpe_learn_merges": X.bpe_learn_merges_oracle(),
+    "bpe_learned_budget": X.bpe_learned_budget_oracle(),
 }
 
 
