@@ -1,0 +1,165 @@
+"""Pure-NumPy baseline JPEG codec (operators/jpeg.py, r13 verdict
+item 3): round-trip quality, determinism (hash-pinned payload AND
+decode), the capability-seam routing in multimodal.decode_image, the
+real-world decoder paths (4:2:0 MCU interleave, restart intervals),
+and planted perceptual near-dup recall over JPEG payloads — the
+dominant real-corpus format the perceptual family previously could
+not ingest in this container."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from vectordb_explorations_spark.operators.jpeg import (
+    decode_baseline_jpeg, encode_baseline_jpeg)
+
+
+def _gradient(h=41, w=53):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                     ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+
+
+def _smooth(seed, h=48, w=64):
+    """Low-frequency procedural image — distinct per seed, stable
+    under lossy re-encode (what perceptual hashes are built for)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    p = float(seed)
+    return np.stack([
+        128 + 90 * np.sin(yy / (5.0 + p % 7)) * np.cos(xx / (6.0 + p % 5)),
+        128 + 70 * np.cos(yy / 4.5 + p),
+        128 + 80 * np.sin(xx / 8.0 + 2 * p),
+    ], -1).clip(0, 255).astype(np.uint8)
+
+
+def test_flat_images_round_trip_exactly():
+    """DC-only payloads reconstruct exactly in every mode — the
+    sharpest possible correctness pin on the quantize/Huffman/IDCT
+    chain (any systematic bias shows up as a level shift here)."""
+    for shape in ((24, 17, 3), (30, 22, 3), (16, 16)):
+        flat = np.full(shape, 130, dtype=np.uint8)
+        for sub in ("444", "420"):
+            if flat.ndim == 2 and sub == "420":
+                continue
+            out = decode_baseline_jpeg(
+                encode_baseline_jpeg(flat, 90, sub))
+            assert out.shape == flat.shape
+            assert np.array_equal(out, flat), (shape, sub)
+
+
+def test_gradient_round_trip_error_bounds():
+    img = _gradient()
+    for sub, bound in (("444", 4), ("420", 8)):
+        out = decode_baseline_jpeg(encode_baseline_jpeg(img, 90, sub))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert out.shape == img.shape
+        assert err.max() <= bound, (sub, err.max())
+        assert err.mean() < 2.0, (sub, err.mean())
+
+
+def test_grayscale_and_odd_dimensions():
+    g = _gradient()[:, :, 0].copy()          # (41, 53) odd dims
+    out = decode_baseline_jpeg(encode_baseline_jpeg(g, 90))
+    assert out.shape == g.shape and out.ndim == 2
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+
+
+def test_codec_pair_hash_pinned():
+    """The round-trip pair hash-checked: fixed procedural input ->
+    byte-identical JPEG payload -> bit-identical decode, pinned by
+    sha256 on both sides. Everything is pure NumPy with fixed tables,
+    so these hashes are environment-independent; a drift here means
+    the codec's semantics changed."""
+    img = _smooth(0)
+    enc = encode_baseline_jpeg(img, quality=90, subsampling="420")
+    assert hashlib.sha256(enc).hexdigest() == \
+        "c8f79f6b3f4faf93adeb7fc22ea6943daea86d24987abbb4ee5be549c9b078f8"
+    dec = decode_baseline_jpeg(enc)
+    assert hashlib.sha256(dec.tobytes()).hexdigest() == \
+        "d5df76950802ce6bae3eea595ee9a04c52a10b7286d323e36a4ccc00bf45c65e"
+    # and the pair is idempotent run-to-run
+    assert encode_baseline_jpeg(img, 90, "420") == enc
+    assert np.array_equal(decode_baseline_jpeg(enc), dec)
+
+
+def test_restart_intervals_decode_bit_equal():
+    """DRI/RSTn handling: the same image encoded with restart markers
+    at several intervals must decode bit-identically to the
+    marker-free stream (predictor resets + byte alignment)."""
+    img = _gradient()
+    for sub in ("444", "420"):
+        base = decode_baseline_jpeg(encode_baseline_jpeg(img, 90, sub))
+        for ri in (1, 2, 3, 5):
+            out = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, 90, sub,
+                                     restart_interval=ri))
+            assert np.array_equal(out, base), (sub, ri)
+
+
+def test_decode_image_seam_routes_jpeg_natively():
+    """multimodal.decode_image must decode baseline JPEG through the
+    pure-NumPy path — no PIL in this container, and the declared
+    shape contract (uint8, (h,w) / (h,w,3)) holds."""
+    from vectordb_explorations_spark.operators.multimodal import (
+        decode_image)
+
+    img = _smooth(3)
+    payload = encode_baseline_jpeg(img, 85, "420")
+    out = decode_image(payload)
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    assert np.array_equal(out, decode_baseline_jpeg(payload))
+
+
+def test_progressive_jpeg_raises_toward_the_seam():
+    """A SOF2 (progressive) stream is NOT baseline: the decoder must
+    refuse with NotImplementedError so decode_image's seam can route
+    to PIL where installed (and raise the documented message here)."""
+    from vectordb_explorations_spark.operators import multimodal as M
+
+    # minimal stream: SOI + SOF2 header, enough to reach the check
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+            + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_baseline_jpeg(sof2)
+    if not M.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(sof2)
+
+
+def test_malformed_payloads_raise_value_error():
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):
+        # SOI but no SOS
+        decode_baseline_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_planted_perceptual_recall_over_jpeg(spark):
+    """The point of the codec: perceptual near-dup dedup over JPEG
+    payloads, end to end through the Spark pipeline. 12 distinct
+    procedural images; 6 planted near-dup partners are the SAME image
+    re-encoded at a different quality/subsampling (the lossy-re-encode
+    twin sha256 can never see). Banded dHash candidates + Hamming
+    verify must find every planted pair — recall 1.0 — and pair no
+    distinct images."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        image_hashes, perceptual_image_pairs)
+
+    rows = []
+    planted = set()
+    for i in range(12):
+        img = _smooth(i)
+        rows.append((i, bytearray(encode_baseline_jpeg(img, 90, "444"))))
+        if i < 6:
+            rows.append((100 + i, bytearray(
+                encode_baseline_jpeg(img, 75, "420"))))
+            planted.add((i, 100 + i))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = image_hashes(assets)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             perceptual_image_pairs(hashes).collect()}
+    assert planted <= pairs, planted - pairs      # recall 1.0
+    # no cross-image false pairs: every found pair is a planted twin
+    assert pairs == planted, pairs - planted

@@ -1,0 +1,617 @@
+"""Pure-NumPy baseline JPEG codec (r13 verdict item 3).
+
+A real multimodal corpus is mostly JPEG, and this container carries no
+codec library — so the perceptual dedup family could not ingest the
+dominant real-world format here (the capability seam routed JPEG to
+PIL, absent). This module implements the BASELINE SEQUENTIAL DCT
+process of the public JPEG standard (ITU-T T.81 / ISO 10918-1):
+
+- ``decode_baseline_jpeg``: marker parse (DQT/SOF0/SOF1/DHT/DRI/SOS),
+  canonical Huffman entropy decode with byte-unstuffing and restart
+  intervals, dequantize, vectorized 8x8 IDCT (one einsum over all
+  blocks — the per-symbol loop is the only Python-rate part), nearest
+  chroma upsample for arbitrary sampling factors (4:4:4 / 4:2:0 /
+  4:2:2), JFIF YCbCr -> RGB. Grayscale (1 component) -> (h, w);
+  color (3 components) -> (h, w, 3) uint8 — the same shape contract
+  as the netpbm/BMP native paths in operators/multimodal.py.
+- ``encode_baseline_jpeg``: the matching encoder (Annex K quantization
+  and Huffman tables, IJG quality scaling, 4:4:4, no subsampling) so
+  tests and pipelines can SYNTHESIZE deterministic JPEG payloads
+  in-process — the P6 -> BMP re-encode precedent
+  (operators/perceptual.py) extended to the compressed format.
+
+Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit scans
+raise NotImplementedError — decode_image's seam then falls through to
+PIL where the runtime probe found it, exactly like the other
+compressed formats.
+
+Everything here derives from the published standard; both halves are
+deterministic (fixed tables, explicit rounding), so planted-recall
+tests can hash their outputs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---- ITU-T T.81 Annex K reference tables --------------------------------
+
+# K.1 luminance / K.2 chrominance quantization tables (zigzag order
+# follows in DQT segments; these are raster 8x8).
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
+
+# zigzag position -> raster index (the standard scan sequence)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# K.3 typical Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# orthonormal 8-point DCT-II basis: forward F = T f T', inverse f = T' F T
+_T = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.5) if _k == 0 else 1.0
+    for _n in range(8):
+        _T[_k, _n] = 0.5 * _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> scaled Annex K table, clamped to
+    [1, 255] (baseline requires 8-bit quantizer precision)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """Canonical Huffman assignment (T.81 C.2): codes of each length in
+    symbol order, left-aligned increments. Returns
+    {symbol: (code, length)} for the encoder and
+    {(length, code): symbol} for the decoder."""
+    enc, dec = {}, {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+# ---- decoder -------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader: operates over pre-unstuffed byte
+    segments (split at RSTn), MSB first. ``restart`` advances to the
+    next segment (the decoder resets DC predictions)."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.si = 0
+        self.data = segments[0] if segments else b""
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # past the segment end: T.81 F.2.2.5 pads with 1-bits
+            return 1
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        self.si += 1
+        if self.si >= len(self.segments):
+            raise ValueError("JPEG: restart interval past entropy data")
+        self.data = self.segments[self.si]
+        self.pos = 0
+        self.bit = 0
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _decode_huff(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code in entropy stream")
+
+
+def _split_entropy(buf: bytes, start: int):
+    """Walk the entropy-coded data from ``start``: unstuff 0xFF00,
+    split at RSTn, stop at any other marker. Returns (segments,
+    position of the terminating marker's 0xFF)."""
+    segments, cur = [], bytearray()
+    i = start
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = buf[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential DCT decode -> uint8 (h, w) grayscale or
+    (h, w, 3) RGB. Raises ValueError for malformed streams and
+    NotImplementedError for non-baseline processes (progressive,
+    arithmetic, 12-bit) so the capability seam can route to PIL."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    quant: dict[int, np.ndarray] = {}   # id -> raster-order table
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i < n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[i:i + 2])
+        seg = payload[i + 2:i + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    vals = np.frombuffer(seg[p:p + 128],
+                                         dtype=">u2")
+                    p += 128
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = vals.astype(np.int32)
+                quant[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both sequential)
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG: {prec}-bit precision is not baseline")
+            h_img, w_img = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h_img, "w": w_img, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: SOF marker 0x{marker:02X} is not the baseline "
+                f"sequential process (progressive/arithmetic/"
+                f"hierarchical) — PIL handles these where installed")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                _, dec = _canonical_codes(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(cc for cc in frame["comps"]
+                            if cc["id"] == cs)
+                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 15})
+            segments, _end = _split_entropy(payload, i + seglen)
+            return _decode_scan(frame, scan, quant, huff_dc, huff_ac,
+                                restart_interval, segments)
+        i += seglen
+    raise ValueError("JPEG: no SOS marker found")
+
+
+def _decode_scan(frame, scan, quant, huff_dc, huff_ac,
+                 restart_interval, segments) -> np.ndarray:
+    h_img, w_img = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    reader = _BitReader(segments)
+    # per component: coefficient planes in block units
+    planes = {}
+    for c in scan:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes[c["id"]] = np.zeros((bh * bw, 64), dtype=np.int32)
+    preds = {c["id"]: 0 for c in scan}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart()
+                preds = {c["id"]: 0 for c in scan}
+            for c in scan:
+                dct = huff_dc[c["dc"]]
+                act = huff_ac[c["ac"]]
+                bw = mcux * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = np.zeros(64, dtype=np.int32)
+                        t = _decode_huff(reader, dct)
+                        diff = _extend(reader.read_bits(t), t)
+                        preds[c["id"]] += diff
+                        coefs[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG: AC run past block end")
+                            coefs[ZIGZAG[k]] = _extend(
+                                reader.read_bits(s), s)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        planes[c["id"]][row * bw + col] = coefs
+            mcu += 1
+    # dequantize + batch IDCT per component, then assemble/upsample
+    out_planes = []
+    for c in scan:
+        q = quant[c["tq"]]
+        blocks = planes[c["id"]].astype(np.float64) * q
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("kj,njl,lm->nkm", _T.T, blocks, _T)
+        spatial = np.clip(np.round(spatial + 128.0), 0, 255)
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        plane = (spatial.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        plane = plane.repeat(vmax // c["v"], axis=0) \
+                     .repeat(hmax // c["h"], axis=1)
+        out_planes.append(plane[:h_img, :w_img])
+    if len(out_planes) == 1:
+        return out_planes[0].astype(np.uint8)
+    if len(out_planes) != 3:
+        raise NotImplementedError(
+            f"JPEG: {len(out_planes)}-component scans not supported")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---- encoder -------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-bit padding per spec
+
+    def marker(self, byte: int) -> None:
+        """Byte-align and emit a raw marker (RSTn) — markers are not
+        entropy data, so no stuffing."""
+        self.align()
+        self.out += bytes([0xFF, byte])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _csize(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(writer: _BitWriter, coefs: np.ndarray, pred: int,
+                  dc_enc: dict, ac_enc: dict) -> int:
+    """One quantized block (raster order) -> entropy stream. Returns
+    the new DC prediction."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    t = _csize(diff)
+    code, length = dc_enc[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    zz = coefs[ZIGZAG]
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = ac_enc[0x00]  # EOB
+                writer.write(code, length)
+                break
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _csize(v)
+        code, length = ac_enc[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return dc
+
+
+def _dqt_segment(tid: int, tbl: np.ndarray) -> bytes:
+    zz = tbl.reshape(64)[ZIGZAG].astype(np.uint8)
+    return (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            + zz.tobytes())
+
+
+def _dht_segment(tc: int, th: int, bits: list[int],
+                 vals: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` to (ph, pw) — the conventional block
+    padding (keeps boundary DCT energy low)."""
+    h, w = plane.shape
+    padded = np.empty((ph, pw))
+    padded[:h, :w] = plane
+    if ph > h:
+        padded[h:, :w] = plane[-1:, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1:w]
+    return padded
+
+
+def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
+                         subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
+    """Deterministic baseline JPEG encode of a uint8 (h, w) grayscale
+    or (h, w, 3) RGB array: Annex K tables under IJG quality scaling,
+    4:4:4 or 4:2:0 chroma (``subsampling``), no restart markers. The
+    test-synthesis half of the codec pair — fixed tables + explicit
+    rounding means byte-identical output for identical input, so
+    planted-dup tests can build JPEG payloads in-pipeline; the 4:2:0
+    mode exists mainly so tests drive the decoder's real-world
+    subsampled MCU path."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise ValueError("encode_baseline_jpeg expects uint8 (h,w[,3])")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
+    else:
+        rf = a[..., 0].astype(np.float64)
+        gf = a[..., 1].astype(np.float64)
+        bf = a[..., 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    sub = subsampling == "420" and not gray
+    if sub:
+        # box-mean 2x2 chroma downsample (pad to even first)
+        def down2(p):
+            ph, pw = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+            p = _pad_edge(p, ph, pw)
+            return (p.reshape(ph // 2, 2, pw // 2, 2)
+                    .mean(axis=(1, 3)))
+        planes = [planes[0], down2(planes[1]), down2(planes[2])]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    dc_l_enc, _ = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l_enc, _ = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c_enc, _ = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c_enc, _ = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    quantized = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        bw, bh = mcux * hs, mcuy * vs
+        q = (ql if ci == 0 else qc).reshape(8, 8).astype(np.float64)
+        padded = _pad_edge(plane, bh * 8, bw * 8)
+        blocks = (padded.reshape(bh, 8, bw, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        freq = np.einsum("kj,njl,lm->nkm", _T, blocks, _T.T)
+        # round half away from zero — the conventional quantizer
+        qz = np.sign(freq) * np.floor(np.abs(freq) / q + 0.5)
+        quantized.append(qz.reshape(-1, 64).astype(np.int32))
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.marker(0xD0 + (rst % 8))
+                rst += 1
+                preds = [0] * len(planes)
+            mcu += 1
+            for ci in range(len(planes)):
+                hs, vs = samp[ci]
+                bw = mcux * hs
+                dc_enc = dc_l_enc if ci == 0 else dc_c_enc
+                ac_enc = ac_l_enc if ci == 0 else ac_c_enc
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * bw + (mx * hs + bx)
+                        preds[ci] = _encode_block(
+                            writer, quantized[ci][bi], preds[ci],
+                            dc_enc, ac_enc)
+    entropy = writer.flush()
+
+    out = bytearray(b"\xff\xd8")                           # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))                               # APP0
+    out += _dqt_segment(0, ql)
+    ncomp = 1 if gray else 3
+    y_samp = 0x22 if sub else 0x11
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof += bytes([1, y_samp, 0])
+    if not gray:
+        out += _dqt_segment(1, qc)
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
+    out += b"\xff\xd9"                                     # EOI
+    return bytes(out)

@@ -142,20 +142,26 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode. Codec-free formats — binary netpbm (P5/P6) and
-    uncompressed 24/32-bit BMP — ALWAYS decode via the pure-NumPy paths
-    (deterministic, dependency-free: the declared queries' hashes never
-    depend on which libraries the environment carries). Anything the
-    native paths can't handle (PNG/JPEG/WebP/16-bit netpbm/compressed
-    BMP) routes through PIL when the runtime probe found it
-    (``HAS_PIL``), normalized to uint8 RGB / grayscale arrays matching
-    the native paths' shape contract; without PIL those formats raise
+    """Image decode. Codec-free formats — binary netpbm (P5/P6),
+    uncompressed 24/32-bit BMP, and (since r14) BASELINE JPEG — ALWAYS
+    decode via the pure-NumPy paths (deterministic, dependency-free:
+    the declared queries' hashes never depend on which libraries the
+    environment carries; baseline JPEG is the dominant real-corpus
+    format, operators/jpeg.py). Anything the native paths can't handle
+    (PNG/WebP/progressive JPEG/16-bit netpbm/compressed BMP) routes
+    through PIL when the runtime probe found it (``HAS_PIL``),
+    normalized to uint8 RGB / grayscale arrays matching the native
+    paths' shape contract; without PIL those formats raise
     NotImplementedError naming the swap-in."""
     try:
         if payload[:2] in (b"P5", b"P6"):
             return _decode_netpbm(payload)
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from vectordb_explorations_spark.operators.jpeg import (
+                decode_baseline_jpeg)
+            return decode_baseline_jpeg(payload)
     except NotImplementedError:
         if not HAS_PIL:
             raise
@@ -163,9 +169,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     if HAS_PIL:
         return _decode_image_pil(payload)
     raise NotImplementedError(
-        "compressed image formats require PIL/cv2 (not in this container); "
-        "netpbm P5/P6 and uncompressed BMP decode natively — install "
-        "Pillow and this seam lights up automatically (HAS_PIL)")
+        "this compressed image format requires PIL/cv2 (not in this "
+        "container); netpbm P5/P6, uncompressed BMP, and baseline JPEG "
+        "decode natively — install Pillow and the remaining formats "
+        "light up automatically (HAS_PIL)")
 
 
 def _decode_image_pil(payload: bytes) -> np.ndarray:
