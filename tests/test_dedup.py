@@ -612,8 +612,8 @@ def test_minhash_persisted_meta_guards(spark, tmp_path):
     # legacy substrate (no sidecar): everything still works, silently
     legacy = str(tmp_path / "mh_legacy")
     D.minhash_persist(mk([(0, t0)]), legacy)
-    import shutil
-    shutil.rmtree(f"{legacy}/meta")
+    import os
+    os.remove(f"{legacy}/meta.json")
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         out = D.minhash_admit_persisted(spark, legacy, batch).collect()

@@ -263,17 +263,26 @@ COMMENTARY = {
         "pass; at 100 TB the cost is the scan plus a |sources|-row "
         "exchange."),
     "knn_ip": (
-        "Exact inner-product top-k (staged r14): one scan, the 64-term "
-        "dot product in whole-stage codegen, TakeOrderedAndProject — "
-        "the knn_exact shape on the third metric. Approximate IP "
-        "serving is the mips_augment reduction, not an index change."),
+        "Exact inner-product top-k (declared r14): one scan, the "
+        "64-term dot product in whole-stage codegen, "
+        "TakeOrderedAndProject — the knn_exact shape on the third "
+        "metric. Approximate IP serving is the mips_augment reduction, "
+        "not an index change."),
     "bpe_learn_merges": (
-        "BPE merge learning (staged r14): the corpus scans ONCE into "
+        "BPE merge learning (declared r14): the corpus scans ONCE into "
         "the distinct-word frequency dictionary, then each of 8 ranks "
         "is a pair explode + combinable agg + 1-row argmax + literal "
         "replace over |vocab| rows, localCheckpointed so rank r never "
         "re-executes ranks 1..r-1 (plan would otherwise grow "
         "exponentially — Spark reuses no identical subtrees)."),
+    "bpe_learned_budget": (
+        "The tokenizer loop closed (declared r14): the trainer's 8 "
+        "bounded vocabulary iterations, then the LEARNED table rides a "
+        "n_merges-row driver collect into the same one-scan codegen "
+        "replace chain bpe_token_counts runs — learn, apply, budget in "
+        "one hash-checked composition. At 100 TB: trainer cost is "
+        "vocab-bound (probe ladder flat to 10M docs), apply is one "
+        "corpus scan + a combinable per-source agg."),
     "perceptual_hash_table": (
         "Per-doc fingerprint table: the image and audio Arrow hash "
         "stages run once each over codegen-synthesized payloads, then "

@@ -876,16 +876,26 @@ MINHASH_ADMIT_MIN_CORPUS = 100_000
 
 
 def _write_minhash_meta(spark, base_dir: str, meta: dict) -> None:
-    """One-row JSON sidecar ({base_dir}/meta) carrying the substrate's
-    doc count and build parameters. The count drives the small-corpus
-    serving warning; the parameters let admit/append REFUSE a
-    mismatched num_hashes/band_size/buckets (a mismatch would probe
-    the wrong buckets and silently admit near-dups — the same failure
-    class as the IVF assign_n erasure gap, r13 ADVICE)."""
+    """One-file JSON sidecar ({base_dir}/meta.json) carrying the
+    substrate's doc count and build parameters. The count drives the
+    small-corpus serving warning; the parameters let admit/append
+    REFUSE a mismatched num_hashes/band_size/buckets (a mismatch would
+    probe the wrong buckets and silently admit near-dups — the same
+    failure class as the IVF assign_n erasure gap, r13 ADVICE).
+
+    Written through the Hadoop FS API, NOT a Spark job: a one-row
+    ``.write.text`` costs ~5 s of job/commit overhead per call (r14
+    quiet-box measurement) — 0.02 s as a direct stream, and the FS API
+    keeps it portable to non-local filesystems."""
     import json
 
-    (spark.createDataFrame([(json.dumps(meta),)], "meta string")
-     .coalesce(1).write.mode("overwrite").text(f"{base_dir}/meta"))
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{base_dir}/meta.json"), True)
+    out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    out.close()
 
 
 def _read_minhash_meta(spark, base_dir: str) -> dict | None:
@@ -894,10 +904,20 @@ def _read_minhash_meta(spark, base_dir: str) -> dict | None:
     import json
 
     try:
-        rows = spark.read.text(f"{base_dir}/meta").collect()
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark._jsc.hadoopConfiguration())
+        path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/meta.json")
+        if not fs.exists(path):
+            return None
+        st = fs.open(path)
+        try:
+            s = jvm.org.apache.commons.io.IOUtils.toString(st, "UTF-8")
+        finally:
+            st.close()
+        return json.loads(s)
     except Exception:
         return None
-    return json.loads(rows[0][0]) if rows else None
 
 
 def _check_minhash_params(meta: dict | None, num_hashes: int,
@@ -920,18 +940,23 @@ def _write_minhash_faces(docs: DataFrame, base_dir: str, num_hashes: int,
     """Both substrate faces from one signature pass — shared by the
     bulk build (overwrite) and the incremental append so the writers
     cannot drift."""
+    from vectordb_explorations_spark.sources.sinks import (
+        repartition_for_hive)
+
     sig = minhash_signatures(docs, num_hashes)
     banded = banded_keys(sig, num_hashes, band_size)
-    (banded.withColumn(
-        "bucket",
-        F.conv(F.substring("band_key", 1, 4), 16, 10).cast("long")
-        % buckets)
-     .repartition("band_idx", "bucket")
+    (repartition_for_hive(
+        banded.withColumn(
+            "bucket",
+            F.conv(F.substring("band_key", 1, 4), 16, 10).cast("long")
+            % buckets),
+        "band_idx", "bucket")
      .write.mode(mode).partitionBy("band_idx", "bucket")
      .parquet(f"{base_dir}/bands"))
-    (_shingle_sets(docs)
-     .withColumn("sh_bucket", F.col("doc_id") % buckets)
-     .repartition("sh_bucket")
+    (repartition_for_hive(
+        _shingle_sets(docs)
+        .withColumn("sh_bucket", F.col("doc_id") % buckets),
+        "sh_bucket")
      .write.mode(mode).partitionBy("sh_bucket")
      .parquet(f"{base_dir}/sh"))
 

@@ -787,9 +787,12 @@ def hnsw_persist_partitioned(index_df: DataFrame, path: str) -> None:
     6 — the locate used to be O(index blobs) per delete batch).
     Maintained by append and delete; absent for pre-r14 layouts, where
     delete falls back to the blob pass."""
+    from vectordb_explorations_spark.sources.sinks import (
+        repartition_for_hive)
+
     index_df.write.mode("overwrite").partitionBy("shard").parquet(path)
-    (_blob_members(index_df)
-     .repartition("shard").sortWithinPartitions("vec_id")
+    (repartition_for_hive(_blob_members(index_df), "shard")
+     .sortWithinPartitions("vec_id")
      .write.mode("overwrite").partitionBy("shard")
      .parquet(_members_path(path)))
 
@@ -1100,10 +1103,13 @@ def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
             spark._jsc.hadoopConfiguration())
         mp = _members_path(path)
         if fs.exists(jvm.org.apache.hadoop.fs.Path(mp)):
-            (new_rows_df.select("shard",
-                                F.col(id_col).cast("long")
-                                .alias("vec_id"))
-             .repartition("shard").sortWithinPartitions("vec_id")
+            from vectordb_explorations_spark.sources.sinks import (
+                repartition_for_hive)
+            (repartition_for_hive(
+                new_rows_df.select("shard",
+                                   F.col(id_col).cast("long")
+                                   .alias("vec_id")), "shard")
+             .sortWithinPartitions("vec_id")
              .write.mode("append").partitionBy("shard").parquet(mp))
     finally:
         rebuilt.unpersist()

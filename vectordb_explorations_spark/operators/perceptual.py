@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from vectordb_explorations_spark.functions.rounding import round6
+from vectordb_explorations_spark.sources.sinks import repartition_for_hive
 from vectordb_explorations_spark.operators.multimodal import (
     decode_audio, decode_image)
 
@@ -901,8 +902,8 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
     # directory instead of one per writer task per directory (the
     # minhash_persist probe measured the multi-file layout burying the
     # pruned read in listings/opens — r13)
-    (_banded_fingerprints(docs, buckets)
-     .repartition("band_idx", "bucket")
+    (repartition_for_hive(_banded_fingerprints(docs, buckets),
+                          "band_idx", "bucket")
      .write.mode("overwrite")
      .partitionBy("band_idx", "bucket")
      .parquet(base_dir))
@@ -934,8 +935,8 @@ def perceptual_append_persisted(docs: DataFrame, base_dir: str,
     The banding is stateless (band_val % buckets), so appended rows
     bucket exactly as the bulk build did; hive append touches only the
     batch's own bucket directories. Caller owns idempotence markers."""
-    (_banded_fingerprints(docs, buckets)
-     .repartition("band_idx", "bucket")
+    (repartition_for_hive(_banded_fingerprints(docs, buckets),
+                          "band_idx", "bucket")
      .write.mode("append")
      .partitionBy("band_idx", "bucket")
      .parquet(base_dir))

@@ -187,6 +187,21 @@ def overwrite_partitions(df: DataFrame, path: str,
         spark.conf.set(conf_key, prev)
 
 
+def repartition_for_hive(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition on hive partition columns with an EXPLICIT task
+    count (the cluster's defaultParallelism) before a partitionBy
+    write. A numberless ``repartition(cols)`` under AQE lets the
+    adaptive planner pick the shuffle partitioning, which the r14
+    quiet-box A/B measured 5.5x SLOWER for many-directory writes
+    (1,024-dir banded face: 13.3 s vs 2.4 s, same 1-file-per-directory
+    output) — the extra wall is task-commit overhead, not bytes. Hash
+    partitioning on the hive columns keeps the one-file-per-occupied-
+    directory floor either way; pinning the count just bounds the
+    commit fan-out to the core count."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, *cols)
+
+
 def delete_rows_partitioned(spark: SparkSession, path: str,
                             partition_by: list[str], id_col: str,
                             ids) -> int:
