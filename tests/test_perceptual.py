@@ -301,6 +301,37 @@ def test_persisted_admission_prunes_and_rejects(spark, tmp_path):
     assert rows[101].admitted and rows[101].matched_old is None
 
 
+def test_perceptual_buckets_guard(spark, tmp_path):
+    """The geometry sidecar (r14, the minhash meta-guard discipline):
+    admit/append with a buckets value differing from the build's
+    raises instead of silently probing the wrong directories; a
+    legacy substrate without the sidecar stays permissive."""
+    import os
+
+    from vectordb_explorations_spark.operators.perceptual import (
+        perceptual_admit_persisted, perceptual_append_persisted,
+        perceptual_persist)
+
+    rng = np.random.default_rng(72)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    mk = lambda: " ".join(vocab[i] for i in rng.integers(0, 6, size=60))
+    corpus = spark.createDataFrame(
+        [(i, mk()) for i in range(3)], ["doc_id", "text"])
+    base = str(tmp_path / "perc_guard")
+    perceptual_persist(corpus, base)
+    batch = spark.createDataFrame([(50, mk())], ["doc_id", "text"])
+
+    with pytest.raises(ValueError, match="build value"):
+        perceptual_admit_persisted(spark, base, batch, buckets=128)
+    with pytest.raises(ValueError, match="build value"):
+        perceptual_append_persisted(batch, base, buckets=64)
+    # matching value passes; legacy substrate (sidecar removed) too
+    assert perceptual_admit_persisted(spark, base, batch).count() == 1
+    os.remove(f"{base}/_meta.json")
+    assert perceptual_admit_persisted(
+        spark, base, batch, buckets=256).count() == 1
+
+
 def test_perceptual_delete_persisted_forgets_image(spark, tmp_path):
     """GDPR contract on the perceptual substrate: a re-upload rejected
     against an ingested image becomes ADMITTED after that image is

@@ -883,41 +883,21 @@ def _write_minhash_meta(spark, base_dir: str, meta: dict) -> None:
     probe the wrong buckets and silently admit near-dups — the same
     failure class as the IVF assign_n erasure gap, r13 ADVICE).
 
-    Written through the Hadoop FS API, NOT a Spark job: a one-row
-    ``.write.text`` costs ~5 s of job/commit overhead per call (r14
-    quiet-box measurement) — 0.02 s as a direct stream, and the FS API
-    keeps it portable to non-local filesystems."""
-    import json
+    IO rides sinks.write_json_sidecar — the Hadoop-FS direct stream,
+    not a Spark job (the ~5 s one-row-write lesson, r14)."""
+    from vectordb_explorations_spark.sources.sinks import (
+        write_json_sidecar)
 
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        spark._jsc.hadoopConfiguration())
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(
-        f"{base_dir}/meta.json"), True)
-    out.write(bytearray(json.dumps(meta).encode("utf-8")))
-    out.close()
+    write_json_sidecar(spark, f"{base_dir}/meta.json", meta)
 
 
 def _read_minhash_meta(spark, base_dir: str) -> dict | None:
     """None for substrates persisted before the sidecar existed —
     callers skip validation/warning rather than failing legacy faces."""
-    import json
+    from vectordb_explorations_spark.sources.sinks import (
+        read_json_sidecar)
 
-    try:
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            spark._jsc.hadoopConfiguration())
-        path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/meta.json")
-        if not fs.exists(path):
-            return None
-        st = fs.open(path)
-        try:
-            s = jvm.org.apache.commons.io.IOUtils.toString(st, "UTF-8")
-        finally:
-            st.close()
-        return json.loads(s)
-    except Exception:
-        return None
+    return read_json_sidecar(spark, f"{base_dir}/meta.json")
 
 
 def _check_minhash_params(meta: dict | None, num_hashes: int,

@@ -897,7 +897,13 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
 
     Incremental maintenance: a plain engine table — append new docs'
     band rows per batch via ``perceptual_append_persisted`` (the
-    banding is stateless, so appended rows bucket consistently)."""
+    banding is stateless, so appended rows bucket consistently).
+
+    A ``_meta.json`` sidecar (underscore prefix — invisible to Spark's
+    partition discovery) records the build's ``buckets`` so admit and
+    append can REFUSE a mismatched geometry instead of silently
+    probing the wrong directories (the minhash meta-guard discipline,
+    r14)."""
     # repartition on the partition columns: one file per occupied
     # directory instead of one per writer task per directory (the
     # minhash_persist probe measured the multi-file layout burying the
@@ -907,6 +913,25 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
      .write.mode("overwrite")
      .partitionBy("band_idx", "bucket")
      .parquet(base_dir))
+    from vectordb_explorations_spark.sources.sinks import (
+        write_json_sidecar)
+    write_json_sidecar(docs.sparkSession, f"{base_dir}/_meta.json",
+                       {"buckets": buckets})
+
+
+def _check_perceptual_buckets(spark, base_dir: str, buckets: int,
+                              op: str) -> None:
+    from vectordb_explorations_spark.sources.sinks import (
+        read_json_sidecar)
+
+    meta = read_json_sidecar(spark, f"{base_dir}/_meta.json")
+    if meta is not None and int(meta.get("buckets", buckets)) != buckets:
+        raise ValueError(
+            f"{op}: caller buckets={buckets} does not match the "
+            f"substrate's build value {meta['buckets']} — a mismatched "
+            f"geometry probes the wrong bucket directories and "
+            f"silently misses near-dups. Use the build's value "
+            f"(persisted in {{base_dir}}/_meta.json).")
 
 
 def _banded_fingerprints(docs: DataFrame, buckets: int) -> DataFrame:
@@ -934,7 +959,10 @@ def perceptual_append_persisted(docs: DataFrame, base_dir: str,
     the maintenance step after ``perceptual_admit_persisted`` says yes.
     The banding is stateless (band_val % buckets), so appended rows
     bucket exactly as the bulk build did; hive append touches only the
-    batch's own bucket directories. Caller owns idempotence markers."""
+    batch's own bucket directories. Caller owns idempotence markers.
+    A buckets value differing from the build's (sidecar) raises."""
+    _check_perceptual_buckets(docs.sparkSession, base_dir, buckets,
+                              "perceptual_append_persisted")
     (repartition_for_hive(_banded_fingerprints(docs, buckets),
                           "band_idx", "bucket")
      .write.mode("append")
@@ -971,7 +999,11 @@ def perceptual_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
     band value, verify Hamming inside the pruned rows, best match by
     (hamming ASC, old doc_id ASC). Output: one row per payload-eligible
     batch doc with its admission verdict — the serving twin of
-    perceptual_incremental's batch-internal split."""
+    perceptual_incremental's batch-internal split. A buckets value
+    differing from the build's (sidecar) raises — a silent geometry
+    mismatch would probe the wrong directories (r14 guard)."""
+    _check_perceptual_buckets(spark, base_dir, buckets,
+                              "perceptual_admit_persisted")
     nh = image_hashes(
         _p6_assets(new_docs).select(F.shiftright("asset_id", 1)
                                     .alias("asset_id"), "payload")) \

@@ -187,6 +187,46 @@ def overwrite_partitions(df: DataFrame, path: str,
         spark.conf.set(conf_key, prev)
 
 
+def write_json_sidecar(spark: SparkSession, path: str, meta: dict) -> None:
+    """One-file JSON sidecar through the Hadoop FS API — NOT a Spark
+    job (a one-row ``.write.text`` costs ~5 s of job/commit overhead
+    per call, measured r14; the stream write is 0.02 s and stays
+    portable to non-local filesystems). Shared by the substrate meta
+    files (minhash, perceptual) that carry doc counts and build
+    geometry for the small-corpus warnings and parameter-drift
+    guards."""
+    import json
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    out.close()
+
+
+def read_json_sidecar(spark: SparkSession, path: str) -> dict | None:
+    """None when absent/unreadable — substrates persisted before their
+    sidecar existed keep working (callers skip validation)."""
+    import json
+
+    try:
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark._jsc.hadoopConfiguration())
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(p):
+            return None
+        st = fs.open(p)
+        try:
+            s = jvm.org.apache.commons.io.IOUtils.toString(st, "UTF-8")
+        finally:
+            st.close()
+        return json.loads(s)
+    except Exception:
+        return None
+
+
 def repartition_for_hive(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition on hive partition columns with an EXPLICIT task
     count (the cluster's defaultParallelism) before a partitionBy
