@@ -135,8 +135,14 @@ def test_decode_wav_pcm16():
 
 @pytest.mark.skipif(M.HAS_PIL, reason="PIL present: the seam decodes")
 def test_decode_compressed_raises():
+    """Formats with no native path (WebP here; PNG/JPEG went native in
+    r14) still raise the documented PIL swap-in message without
+    Pillow. A TRUNCATED native-format payload is a different contract:
+    malformed data -> ValueError, not a codec-availability error."""
     import pytest
     with pytest.raises(NotImplementedError):
+        M.decode_image(b"RIFF\x20\x00\x00\x00WEBPVP8 ....")
+    with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
