@@ -39,8 +39,8 @@ def test_flat_images_round_trip_exactly():
     chain (any systematic bias shows up as a level shift here)."""
     for shape in ((24, 17, 3), (30, 22, 3), (16, 16)):
         flat = np.full(shape, 130, dtype=np.uint8)
-        for sub in ("444", "420"):
-            if flat.ndim == 2 and sub == "420":
+        for sub in ("444", "422", "420"):
+            if flat.ndim == 2 and sub != "444":
                 continue
             out = decode_baseline_jpeg(
                 encode_baseline_jpeg(flat, 90, sub))
@@ -50,7 +50,7 @@ def test_flat_images_round_trip_exactly():
 
 def test_gradient_round_trip_error_bounds():
     img = _gradient()
-    for sub, bound in (("444", 4), ("420", 8)):
+    for sub, bound in (("444", 4), ("422", 6), ("420", 8)):
         out = decode_baseline_jpeg(encode_baseline_jpeg(img, 90, sub))
         err = np.abs(out.astype(int) - img.astype(int))
         assert out.shape == img.shape
@@ -88,7 +88,7 @@ def test_restart_intervals_decode_bit_equal():
     at several intervals must decode bit-identically to the
     marker-free stream (predictor resets + byte alignment)."""
     img = _gradient()
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         base = decode_baseline_jpeg(encode_baseline_jpeg(img, 90, sub))
         for ri in (1, 2, 3, 5):
             out = decode_baseline_jpeg(

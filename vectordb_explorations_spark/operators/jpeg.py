@@ -503,17 +503,17 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
                          restart_interval: int = 0) -> bytes:
     """Deterministic baseline JPEG encode of a uint8 (h, w) grayscale
     or (h, w, 3) RGB array: Annex K tables under IJG quality scaling,
-    4:4:4 or 4:2:0 chroma (``subsampling``), no restart markers. The
-    test-synthesis half of the codec pair — fixed tables + explicit
-    rounding means byte-identical output for identical input, so
-    planted-dup tests can build JPEG payloads in-pipeline; the 4:2:0
-    mode exists mainly so tests drive the decoder's real-world
-    subsampled MCU path."""
+    4:4:4 / 4:2:2 / 4:2:0 chroma (``subsampling``), no restart
+    markers by default. The test-synthesis half of the codec pair —
+    fixed tables + explicit rounding means byte-identical output for
+    identical input, so planted-dup tests can build JPEG payloads
+    in-pipeline; the subsampled modes exist mainly so tests drive the
+    decoder's real-world interleaved-MCU paths."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3):
         raise ValueError("encode_baseline_jpeg expects uint8 (h,w[,3])")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     gray = a.ndim == 2
     h, w = a.shape[:2]
     if gray:
@@ -526,16 +526,19 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
         cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
         cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
-    sub = subsampling == "420" and not gray
+    sub = subsampling != "444" and not gray
     if sub:
-        # box-mean 2x2 chroma downsample (pad to even first)
-        def down2(p):
-            ph, pw = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+        # box-mean chroma downsample by (fh, fw) (pad to multiple first)
+        fh, fw = (2, 2) if subsampling == "420" else (1, 2)
+
+        def down(p):
+            ph = -(-p.shape[0] // fh) * fh
+            pw = -(-p.shape[1] // fw) * fw
             p = _pad_edge(p, ph, pw)
-            return (p.reshape(ph // 2, 2, pw // 2, 2)
+            return (p.reshape(ph // fh, fh, pw // fw, fw)
                     .mean(axis=(1, 3)))
-        planes = [planes[0], down2(planes[1]), down2(planes[2])]
-        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], down(planes[1]), down(planes[2])]
+        samp = [(fw, fh), (1, 1), (1, 1)]
     else:
         samp = [(1, 1)] * len(planes)
     hmax = max(s[0] for s in samp)
@@ -593,7 +596,7 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
             + bytes([0, 0]))                               # APP0
     out += _dqt_segment(0, ql)
     ncomp = 1 if gray else 3
-    y_samp = 0x22 if sub else 0x11
+    y_samp = (samp[0][0] << 4) | samp[0][1]
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     sof += bytes([1, y_samp, 0])
     if not gray:
