@@ -119,6 +119,38 @@ def test_decode_image_seam_routes_png_natively():
     assert np.array_equal(decode_image(encode_png(rgb)), rgb)
 
 
+def test_cross_format_perceptual_pair(spark):
+    """The real-world dedup win the native codecs unlock: the SAME
+    image saved as JPEG and as PNG is a perceptual near-dup pair
+    (different bytes — sha256 is blind to it), found through the
+    Spark banded-hash pipeline across formats."""
+    from vectordb_explorations_spark.operators.jpeg import (
+        encode_baseline_jpeg)
+    from vectordb_explorations_spark.operators.perceptual import (
+        image_hashes, perceptual_image_pairs)
+
+    def smooth(seed, h=48, w=64):
+        yy, xx = np.mgrid[0:h, 0:w]
+        p = float(seed)
+        return np.stack([
+            128 + 90 * np.sin(yy / (5.0 + p % 7))
+            * np.cos(xx / (6.0 + p % 5)),
+            128 + 70 * np.cos(yy / 4.5 + p),
+            128 + 80 * np.sin(xx / 8.0 + 2 * p),
+        ], -1).clip(0, 255).astype(np.uint8)
+
+    rows, planted = [], set()
+    for i in range(6):
+        img = smooth(i)
+        rows.append((i, bytearray(encode_baseline_jpeg(img, 90, "420"))))
+        rows.append((100 + i, bytearray(encode_png(img))))
+        planted.add((i, 100 + i))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             perceptual_image_pairs(image_hashes(assets)).collect()}
+    assert pairs == planted, (planted - pairs, pairs - planted)
+
+
 def test_unsupported_shapes_raise_toward_the_seam():
     rgb = _img(4, 4)
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(4))
