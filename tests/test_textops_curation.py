@@ -270,6 +270,39 @@ def test_bpe_learned_budget_exhausted_ranks_are_identity(spark):
     assert out["sb"][2:4] == (1, 1)
 
 
+def test_bpe_fertility_by_lang_planted(spark):
+    """Hand-computed fertility semantics for the staged r15 operator:
+    a merge learned from the dominant (en) pairs lowers en fertility;
+    multibyte words drive bytes_per_token up even at equal fertility —
+    and both engines agree on the exact row values."""
+    import duckdb
+
+    from vectordb_explorations_spark.operators.textops import (
+        bpe_fertility_by_lang, bpe_fertility_by_lang_oracle)
+
+    rows = [(0, "en", "abab abab abab"), (1, "zh", "火火 火火")]
+    sdf = spark.createDataFrame(rows,
+                                "doc_id long, lang string, text string")
+    got = {r["lang"]: tuple(r)
+           for r in bpe_fertility_by_lang(sdf, n_merges=1).collect()}
+    # learned rank 1 = (a,b): en 'abab' -> 'ab ab' (2 tokens/word);
+    # zh words untouched (2 tokens/word) — equal fertility, but the
+    # 3-byte CJK chars double bytes_per_token
+    assert got["en"] == ("en", 1, 3, 6, 2.0, 2.0)
+    assert got["zh"] == ("zh", 1, 2, 4, 2.0, 3.0)
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents "
+                    "(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+        want = {r[0]: tuple(r) for r in con.execute(
+            bpe_fertility_by_lang_oracle(1)).fetchall()}
+    finally:
+        con.close()
+    assert got == want
+
+
 def test_bpe_learn_merges_head_matches_fixture_table(spark):
     """The baked BPE_MERGES table's non-cascade head was derived from
     the gate-scale fixture (sf0.01 — the smoke corpus ranks rank-2+

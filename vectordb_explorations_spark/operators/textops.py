@@ -964,6 +964,87 @@ ORDER BY source
 """)
 
 
+def bpe_fertility_by_lang(docs: DataFrame,
+                          n_merges: int = BPE_LEARN_RANKS) -> DataFrame:
+    """Tokenizer FERTILITY per language under the corpus-LEARNED merge
+    table: tokens-per-word and bytes-per-token by labeled lang — the
+    metric a multilingual pipeline watches when sizing a shared vocab
+    (high-fertility languages pay more sequence length per word; the
+    classic argument for vocabulary rebalancing). Composes the same
+    learn -> apply halves as ``bpe_learned_budget``, grouped by lang
+    instead of source, with UTF-8 byte volume alongside so the
+    bytes-per-token denominator is tokenizer-faithful too.
+
+    Scale shape: the trainer's vocabulary-bound ranks (flat to 10M
+    docs, SCALE_NOTES), then ONE corpus scan — explode to words,
+    codegen replaces, a combinable groupBy(lang) agg; no joins beyond
+    the broadcast doc counts."""
+    learned = [(r["lhs"], r["rhs"])
+               for r in bpe_learn_merges(docs, n_merges).collect()]
+    words = (docs.select("lang",
+                         F.explode(F.split("text", " ")).alias("w"))
+             .where(F.length("w") >= 1))
+    per_word = words.select(
+        "lang", bpe_word_tokens(F.col("w"), learned).alias("tok_cnt"),
+        F.octet_length("w").alias("w_bytes"))
+    docs_per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    agg = (per_word.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("ws_tokens"),
+                F.sum("tok_cnt").alias("bpe_tokens"),
+                F.sum("w_bytes").alias("word_bytes")))
+    return (agg.join(F.broadcast(docs_per_lang), "lang")
+            .select("lang", "n_docs", "ws_tokens", "bpe_tokens",
+                    round6(F.col("bpe_tokens").cast("double")
+                           / F.col("ws_tokens")).alias("fertility"),
+                    round6(F.col("word_bytes").cast("double")
+                           / F.col("bpe_tokens")).alias("bytes_per_token"))
+            .orderBy("lang"))
+
+
+def bpe_fertility_by_lang_oracle(n_merges: int = BPE_LEARN_RANKS) -> str:
+    """The learned-budget oracle shape grouped by lang, with UTF-8
+    byte volume (octet_length == DuckDB's strlen on the blob cast...
+    DuckDB's length() is characters; encode() to BLOB then octet
+    via octet_length)."""
+    blocks = list(_bpe_learn_ctes(n_merges))
+    spaced0 = ("' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) "
+               "|| ' '")
+    blocks.append(f"""dw0 AS (
+  SELECT lang, {spaced0} AS sp, octet_length(encode(w)) AS w_bytes
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE length(w) >= 1)""")
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        blocks.append(f"""dw{r} AS (
+  SELECT d.lang, d.w_bytes,
+         CASE WHEN m.lhs IS NULL THEN d.sp
+              ELSE replace(d.sp, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ')
+         END AS sp
+  FROM dw{p} d LEFT JOIN m{r} m ON TRUE)""")
+    return ("WITH " + ",\n".join(blocks) + f""",
+t AS (
+  SELECT lang, w_bytes,
+         len(string_split(trim(sp), '  ')) AS tok_cnt
+  FROM dw{n_merges}
+), d AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), a AS (
+  SELECT lang, count(*) AS ws_tokens,
+         sum(tok_cnt)::BIGINT AS bpe_tokens,
+         sum(w_bytes)::BIGINT AS word_bytes
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens,
+       {r6('bpe_tokens::DOUBLE / ws_tokens')} AS fertility,
+       {r6('word_bytes::DOUBLE / bpe_tokens')} AS bytes_per_token
+FROM a JOIN d USING (lang)
+ORDER BY lang
+""")
+
+
 def lang_confusion(docs: DataFrame) -> DataFrame:
     """Language-ID evaluation: confusion counts of the fixture's labeled
     language vs the marker-based prediction, with per-cell share of the

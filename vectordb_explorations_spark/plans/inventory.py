@@ -1301,8 +1301,8 @@ ORACLES: dict[str, str] = {
 }
 
 
-# ---- staging registry (EMPTY since r14: the r13-staged knn_ip and
-# ---- bpe_learn_merges are now declared above) ---------------------------
+# ---- staging registry (r13-staged knn_ip and bpe_learn_merges
+# ---- declared r14; one r14-built operator staged for r15) ---------------
 #
 # Mechanism kept for future rounds: an operator built when the window
 # has no never-checked slot goes here with its oracle;
@@ -1310,8 +1310,18 @@ ORACLES: dict[str, str] = {
 # does on every staged pair each suite run, so staged work cannot rot
 # between rounds. Declaring = moving the entries into QUERIES / ORACLES
 # and rotating _WINDOW_PRIORITY. The driver never sees these dicts.
-STAGED_QUERIES: dict = {}
+STAGED_QUERIES: dict = {
+    # tokenizer FERTILITY per language under the corpus-learned merge
+    # table (r14 build, r15 declaration): tokens-per-word and UTF-8
+    # bytes-per-token by labeled lang — the vocab-sizing metric for
+    # multilingual pipelines; composes the bpe_learned_budget halves
+    # grouped by lang.
+    "bpe_fertility_by_lang": lambda s, d: X.bpe_fertility_by_lang(
+        load_table(s, "documents", d)),
+}
 
-STAGED_ORACLES: dict = {}
+STAGED_ORACLES: dict = {
+    "bpe_fertility_by_lang": X.bpe_fertility_by_lang_oracle(),
+}
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
