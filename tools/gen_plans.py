@@ -275,6 +275,11 @@ COMMENTARY = {
         "replace over |vocab| rows, localCheckpointed so rank r never "
         "re-executes ranks 1..r-1 (plan would otherwise grow "
         "exponentially — Spark reuses no identical subtrees)."),
+    "bpe_fertility_by_lang": (
+        "Tokenizer fertility per language (staged r15): the learned-"
+        "budget composition grouped by lang with a UTF-8 byte column — "
+        "trainer ranks vocabulary-bound, then ONE corpus scan with a "
+        "combinable groupBy(lang) agg and broadcast doc counts."),
     "bpe_learned_budget": (
         "The tokenizer loop closed (declared r14): the trainer's 8 "
         "bounded vocabulary iterations, then the LEARNED table rides a "
