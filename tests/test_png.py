@@ -1,7 +1,9 @@
 """Native PNG codec (operators/png.py): lossless round trips, every
 scanline filter type inverted against hand-filtered streams, palette /
-alpha color types, the decode_image seam routing, and the
-NotImplementedError contract for Adam7/16-bit toward the PIL seam."""
+alpha color types, Adam7 interlacing (round trip AND hand-built
+filtered pass streams), 16-bit and sub-byte depths, the decode_image
+seam routing, and the ValueError contract for malformed payloads
+(nothing in the PNG grammar raises NotImplementedError anymore)."""
 
 import struct
 import zlib
@@ -151,13 +153,108 @@ def test_cross_format_perceptual_pair(spark):
     assert pairs == planted, (planted - pairs, pairs - planted)
 
 
-def test_unsupported_shapes_raise_toward_the_seam():
+_ADAM7_GRID = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+@pytest.mark.parametrize("h,w", [(13, 19), (1, 1), (2, 3), (8, 8),
+                                 (9, 17)])
+def test_adam7_round_trip_exact(h, w):
+    """Adam7 interlaced encode -> decode is the identity at every
+    geometry — including sizes where whole passes are empty (1x1 has
+    only pass 1) and partial final passes."""
+    rgb = _img(h, w)
+    assert np.array_equal(decode_png(encode_png(rgb, interlace=True)),
+                          rgb)
+    gray = rgb[:, :, 2].copy()
+    assert np.array_equal(decode_png(encode_png(gray, interlace=True)),
+                          gray)
+
+
+def test_adam7_hand_built_filtered_passes():
+    """An Adam7 stream built pass-by-pass in the test (independent of
+    the encoder) with NON-zero filters inside each pass decodes to the
+    source — pins that filtering restarts per pass (prev row resets)
+    and that pass geometry matches the spec grid."""
+    h, w = 11, 10
+    rgb = _img(h, w)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_GRID:
+        sub = rgb[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph = sub.shape[0]
+        raw += _forward_filter(sub.reshape(ph, -1), 3,
+                               [1, 2, 3, 4])
+    payload = _build_png(w, h, 2, bytes(raw), interlace=1)
+    assert np.array_equal(decode_png(payload), rgb)
+
+
+def test_16bit_folds_to_high_byte():
+    """16-bit samples decode to their high byte; when the low bytes
+    are zero the fold is exact, so encode(uint16)->decode is pinned
+    bit-for-bit against the 8-bit source."""
+    rgb8 = _img(6, 5)
+    wide = rgb8.astype(np.uint16) << 8
+    assert np.array_equal(decode_png(encode_png(wide)), rgb8)
+    # nonzero low bytes: hand-build big-endian rows, expect high byte
+    vals = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 4097
+            + 255)  # high byte varies, low byte nonzero
+    raw = b"".join(b"\x00" + vals[y].astype(">u2").tobytes()
+                   for y in range(3))
+    assert np.array_equal(
+        decode_png(_build_png(4, 3, 0, raw, depth=16)),
+        (vals >> 8).astype(np.uint8))
+    # Adam7 + 16-bit RGB compose
+    assert np.array_equal(
+        decode_png(encode_png(wide, interlace=True)), rgb8)
+
+
+@pytest.mark.parametrize("depth,scale", [(1, 255), (2, 85), (4, 17)])
+def test_sub_byte_gray_depths(depth, scale):
+    """1/2/4-bit grayscale: MSB-first packed samples scale by
+    255/(2^d - 1) — hand-packed rows and the encoder agree."""
+    h, w = 5, 11  # w chosen so rows need pad bits at every depth
+    samples = (np.add.outer(np.arange(h), np.arange(w))
+               % (1 << depth)).astype(np.uint8)
+    packed = bytearray()
+    for y in range(h):
+        bits = ((samples[y][:, None]
+                 >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+        packed += b"\x00" + np.packbits(bits).tobytes()
+    expect = samples * scale
+    assert np.array_equal(
+        decode_png(_build_png(w, h, 0, bytes(packed), depth=depth)),
+        expect)
+    assert np.array_equal(
+        decode_png(encode_png(samples, depth=depth)), expect)
+
+
+def test_sub_byte_palette_depth():
+    """4-bit palette indices resolve through PLTE unscaled."""
+    plte_arr = np.array([[9, 8, 7], [1, 2, 3], [200, 100, 50],
+                         [0, 255, 0], [5, 5, 5]], dtype=np.uint8)
+    idx = (np.add.outer(np.arange(4), np.arange(7)) % 5).astype(np.uint8)
+    packed = bytearray()
+    for y in range(4):
+        bits = ((idx[y][:, None] >> np.arange(3, -1, -1)) & 1)
+        packed += b"\x00" + np.packbits(bits.reshape(-1)).tobytes()
+    payload = _build_png(7, 4, 3, bytes(packed),
+                         plte=plte_arr.tobytes(), depth=4)
+    assert np.array_equal(decode_png(payload), plte_arr[idx])
+
+
+def test_malformed_payloads_raise_valueerror():
     rgb = _img(4, 4)
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(4))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(_build_png(4, 4, 2, raw, interlace=1))
-    with pytest.raises(NotImplementedError, match="depth"):
-        decode_png(_build_png(4, 4, 2, raw, depth=16))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(_build_png(4, 4, 2, raw, interlace=2))
+    with pytest.raises(ValueError, match="illegal"):
+        # depth 4 is illegal for truecolor
+        decode_png(_build_png(4, 4, 2, raw, depth=4))
+    with pytest.raises(ValueError, match="illegal"):
+        # depth 16 is illegal for palette
+        decode_png(_build_png(4, 4, 3, raw, depth=16))
     with pytest.raises(ValueError):
         decode_png(b"definitely not a png")
     with pytest.raises(ValueError):

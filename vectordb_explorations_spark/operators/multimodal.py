@@ -144,16 +144,17 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode. Codec-free formats — binary netpbm (P5/P6),
     uncompressed 24/32-bit BMP, and (since r14) BASELINE JPEG and
-    8-bit non-interlaced PNG — ALWAYS decode via the pure-NumPy paths
-    (deterministic, dependency-free: the declared queries' hashes
-    never depend on which libraries the environment carries; JPEG+PNG
-    are the two dominant real-corpus formats, operators/jpeg.py and
+    full-spec static PNG (all depths 1-16, all color types, Adam7) —
+    ALWAYS decode via the pure-NumPy paths (deterministic,
+    dependency-free: the declared queries' hashes never depend on
+    which libraries the environment carries; JPEG+PNG are the two
+    dominant real-corpus formats, operators/jpeg.py and
     operators/png.py). Anything the native paths can't handle
-    (WebP/progressive JPEG/Adam7 or 16-bit PNG/16-bit netpbm/
-    compressed BMP) routes through PIL when the runtime probe found
-    it (``HAS_PIL``), normalized to uint8 RGB / grayscale arrays
-    matching the native paths' shape contract; without PIL those
-    formats raise NotImplementedError naming the swap-in."""
+    (WebP/progressive JPEG/16-bit netpbm/compressed BMP) routes
+    through PIL when the runtime probe found it (``HAS_PIL``),
+    normalized to uint8 RGB / grayscale arrays matching the native
+    paths' shape contract; without PIL those formats raise
+    NotImplementedError naming the swap-in."""
     try:
         if payload[:2] in (b"P5", b"P6"):
             return _decode_netpbm(payload)
@@ -176,7 +177,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "this compressed image format requires PIL/cv2 (not in this "
         "container); netpbm P5/P6, uncompressed BMP, baseline JPEG, and "
-        "8-bit PNG decode natively — install Pillow and the remaining "
+        "PNG decode natively — install Pillow and the remaining "
         "formats light up automatically (HAS_PIL)")
 
 
