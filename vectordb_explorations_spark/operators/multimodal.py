@@ -204,17 +204,24 @@ def _decode_image_pil(payload: bytes) -> np.ndarray:
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Audio decode -> ((n_samples, n_channels), sample_rate). PCM WAV
     ALWAYS decodes via the pure-NumPy RIFF walk below (8-bit unsigned /
-    16-bit signed — deterministic, dependency-free, so declared hashes
-    never depend on the environment); non-PCM WAV encodings and non-RIFF
-    containers (FLAC/OGG/MP3...) route through soundfile when the
-    runtime probe found it (``HAS_SOUNDFILE``), else raise
-    NotImplementedError naming the swap-in."""
+    16-bit signed) and FLAC via the native codec (operators/flac.py,
+    full frame grammar, int16 contract) — deterministic,
+    dependency-free, so declared hashes never depend on the
+    environment; non-PCM WAV encodings and the remaining containers
+    (OGG/MP3...) route through soundfile when the runtime probe found
+    it (``HAS_SOUNDFILE``), else raise NotImplementedError naming the
+    swap-in."""
+    if payload[:4] == b"fLaC":
+        from vectordb_explorations_spark.operators.flac import (
+            decode_flac)
+        return decode_flac(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         if HAS_SOUNDFILE:
             return _decode_audio_soundfile(payload)
         raise ValueError(
-            "not a RIFF/WAVE payload (non-WAV containers decode via "
-            "soundfile when installed — HAS_SOUNDFILE)")
+            "not a RIFF/WAVE payload (FLAC decodes natively; other "
+            "non-WAV containers decode via soundfile when installed "
+            "— HAS_SOUNDFILE)")
     i, fmt, data = 12, None, None
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
