@@ -1,29 +1,41 @@
-"""Pure-NumPy baseline JPEG codec (r13 verdict item 3).
+"""Pure-NumPy JPEG codec — baseline sequential AND progressive
+Huffman DCT (r13 verdict item 3; progressive added r14).
 
 A real multimodal corpus is mostly JPEG, and this container carries no
 codec library — so the perceptual dedup family could not ingest the
 dominant real-world format here (the capability seam routed JPEG to
-PIL, absent). This module implements the BASELINE SEQUENTIAL DCT
-process of the public JPEG standard (ITU-T T.81 / ISO 10918-1):
+PIL, absent). This module implements the Huffman DCT processes of the
+public JPEG standard (ITU-T T.81 / ISO 10918-1):
 
-- ``decode_baseline_jpeg``: marker parse (DQT/SOF0/SOF1/DHT/DRI/SOS),
-  canonical Huffman entropy decode with byte-unstuffing and restart
-  intervals, dequantize, vectorized 8x8 IDCT (one einsum over all
-  blocks — the per-symbol loop is the only Python-rate part), nearest
-  chroma upsample for arbitrary sampling factors (4:4:4 / 4:2:0 /
-  4:2:2), JFIF YCbCr -> RGB. Grayscale (1 component) -> (h, w);
-  color (3 components) -> (h, w, 3) uint8 — the same shape contract
-  as the netpbm/BMP native paths in operators/multimodal.py.
-- ``encode_baseline_jpeg``: the matching encoder (Annex K quantization
-  and Huffman tables, IJG quality scaling, 4:4:4, no subsampling) so
-  tests and pipelines can SYNTHESIZE deterministic JPEG payloads
-  in-process — the P6 -> BMP re-encode precedent
-  (operators/perceptual.py) extended to the compressed format.
+- ``decode_jpeg`` (alias ``decode_baseline_jpeg``): marker parse
+  (DQT/SOF0/SOF1/SOF2/DHT/DRI/SOS), canonical Huffman entropy decode
+  with byte-unstuffing and restart intervals, MULTI-SCAN coefficient
+  accumulation for the progressive process (spectral selection bands,
+  successive approximation — DC/AC first and refinement scans, EOB
+  runs, interleaved and single-component scans), dequantize,
+  vectorized 8x8 IDCT (one einsum over all blocks — the per-symbol
+  loop is the only Python-rate part), nearest chroma upsample for
+  arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), JFIF
+  YCbCr -> RGB. Grayscale (1 component) -> (h, w); color
+  (3 components) -> (h, w, 3) uint8 — the same shape contract as the
+  netpbm/BMP native paths in operators/multimodal.py.
+- ``encode_baseline_jpeg``: deterministic single-scan encoder
+  (Annex K quantization and Huffman tables, IJG quality scaling,
+  4:4:4 / 4:2:2 / 4:2:0) so tests and pipelines can SYNTHESIZE
+  deterministic JPEG payloads in-process — the P6 -> BMP re-encode
+  precedent (operators/perceptual.py) extended to the compressed
+  format.
+- ``encode_progressive_jpeg``: the SOF2 half — the libjpeg-shaped
+  scan script (interleaved DC first + refinement, per-component AC
+  spectral-selection first scans, AC refinement scans with EOB-run
+  accumulation and pending correction bits). Both encoders quantize
+  identically, so a progressive decode is asserted BIT-EQUAL to the
+  baseline decode of the same source.
 
-Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit scans
-raise NotImplementedError — decode_image's seam then falls through to
-PIL where the runtime probe found it, exactly like the other
-compressed formats.
+Arithmetic-coded, hierarchical, and 12-bit processes raise
+NotImplementedError — decode_image's seam then falls through to PIL
+where the runtime probe found it, exactly like the other compressed
+formats.
 
 Everything here derives from the published standard; both halves are
 deterministic (fixed tables, explicit rounding), so planted-recall
@@ -109,6 +121,19 @@ AC_CHROMA_VALS = [
     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# Progressive AC scans need EOB-run symbols (r<<4 for r in 1..14)
+# that the Annex K sequential AC tables do not carry. The encoder's
+# progressive scans use one flat custom table instead: all 176
+# symbols it may emit — (run<<4)|size for size 1..10, the 15 EOB-run
+# codes 0x00..0xE0, and ZRL 0xF0 — as length-8 canonical codes
+# (codes 0..175; the reserved all-ones code is never assigned).
+# Deterministic and trivially valid; compression is not the point of
+# the synthesis half.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = sorted([(r << 4) | s for r in range(16)
+                       for s in range(1, 11)]
+                      + [r << 4 for r in range(15)] + [0xF0])
 
 # orthonormal 8-point DCT-II basis: forward F = T f T', inverse f = T' F T
 _T = np.zeros((8, 8))
@@ -232,18 +257,40 @@ def _split_entropy(buf: bytes, start: int):
     return segments, i
 
 
-def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential DCT decode -> uint8 (h, w) grayscale or
-    (h, w, 3) RGB. Raises ValueError for malformed streams and
-    NotImplementedError for non-baseline processes (progressive,
-    arithmetic, 12-bit) so the capability seam can route to PIL."""
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _used_blocks(frame, c, hmax, vmax):
+    """Block grid a NON-interleaved scan iterates: the component's own
+    sampled dimensions (T.81 A.2.2), NOT the MCU-padded grid."""
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Huffman DCT decode -> uint8 (h, w) grayscale or (h, w, 3) RGB.
+    Covers the baseline/extended sequential (SOF0/SOF1) AND
+    progressive (SOF2) processes — multi-scan spectral selection and
+    successive approximation with EOB runs, interleaved and
+    single-component scans, restart intervals in every scan type.
+    Raises ValueError for malformed streams and NotImplementedError
+    for the non-Huffman/non-8-bit processes (arithmetic coding,
+    hierarchical, 12-bit) so the capability seam can route to PIL."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     quant: dict[int, np.ndarray] = {}   # id -> raster-order table
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    planes: dict[int, np.ndarray] = {}  # comp id -> (nblocks, 64) zigzag
     restart_interval = 0
+    got_scan = False
     i = 2
     n = len(payload)
     while i < n:
@@ -272,11 +319,12 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[ZIGZAG] = vals.astype(np.int32)
                 quant[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
-                    f"JPEG: {prec}-bit precision is not baseline")
+                    f"JPEG: {prec}-bit precision is not supported "
+                    f"natively — PIL handles it where installed")
             h_img, w_img = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -284,13 +332,19 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h_img, "w": w_img, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h_img, "w": w_img, "comps": comps,
+                     "progressive": marker == 0xC2}
+            _, _, mcux, mcuy = _frame_geometry(frame)
+            planes = {c["id"]: np.zeros(
+                (mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+                for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF marker 0x{marker:02X} is not the baseline "
-                f"sequential process (progressive/arithmetic/"
-                f"hierarchical) — PIL handles these where installed")
+                f"JPEG: SOF marker 0x{marker:02X} is not a Huffman "
+                f"DCT process this codec covers (arithmetic/"
+                f"lossless/hierarchical) — PIL handles these where "
+                f"installed")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -313,70 +367,199 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(cc for cc in frame["comps"]
                             if cc["id"] == cs)
                 scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 15})
-            segments, _end = _split_entropy(payload, i + seglen)
-            return _decode_scan(frame, scan, quant, huff_dc, huff_ac,
-                                restart_interval, segments)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            segments, end = _split_entropy(payload, i + seglen)
+            _decode_scan_entropy(frame, scan, huff_dc, huff_ac,
+                                 restart_interval, segments, planes,
+                                 ss, se, ahal >> 4, ahal & 15)
+            got_scan = True
+            i = end
+            continue
         i += seglen
-    raise ValueError("JPEG: no SOS marker found")
+    if not got_scan:
+        raise ValueError("JPEG: no SOS marker found")
+    return _reconstruct(frame, planes, quant)
 
 
-def _decode_scan(frame, scan, quant, huff_dc, huff_ac,
-                 restart_interval, segments) -> np.ndarray:
-    h_img, w_img = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = -(-w_img // (8 * hmax))
-    mcuy = -(-h_img // (8 * vmax))
+# the original public name (the codec began baseline-only); kept as
+# an alias so callers and tests name the process they rely on
+decode_baseline_jpeg = decode_jpeg
+
+
+def _decode_scan_entropy(frame, scan, huff_dc, huff_ac,
+                         restart_interval, segments, planes,
+                         ss, se, ah, al) -> None:
+    """One entropy-coded scan -> accumulate into coefficient planes
+    (zigzag order). Sequential frames decode whole blocks; progressive
+    frames dispatch on (Ss, Ah) into DC/AC first/refinement passes."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    progressive = frame["progressive"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG: progressive DC scan with Se != 0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError(
+                "JPEG: progressive AC scans carry one component")
+        if ss > se or se > 63:
+            raise ValueError("JPEG: bad spectral selection band")
     reader = _BitReader(segments)
-    # per component: coefficient planes in block units
-    planes = {}
-    for c in scan:
-        bw, bh = mcux * c["h"], mcuy * c["v"]
-        planes[c["id"]] = np.zeros((bh * bw, 64), dtype=np.int32)
+    state = {"eobrun": 0}
     preds = {c["id"]: 0 for c in scan}
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.restart()
-                preds = {c["id"]: 0 for c in scan}
+
+    if len(scan) > 1:                          # interleaved (MCU order)
+        units = mcux * mcuy
+
+        def unit_blocks(u):
+            my, mx = divmod(u, mcux)
             for c in scan:
-                dct = huff_dc[c["dc"]]
-                act = huff_ac[c["ac"]]
                 bw = mcux * c["h"]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coefs = np.zeros(64, dtype=np.int32)
-                        t = _decode_huff(reader, dct)
-                        diff = _extend(reader.read_bits(t), t)
-                        preds[c["id"]] += diff
-                        coefs[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG: AC run past block end")
-                            coefs[ZIGZAG[k]] = _extend(
-                                reader.read_bits(s), s)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        planes[c["id"]][row * bw + col] = coefs
-            mcu += 1
-    # dequantize + batch IDCT per component, then assemble/upsample
+                        yield c, ((my * c["v"] + by) * bw
+                                  + (mx * c["h"] + bx))
+    else:                                      # single component
+        c0 = scan[0]
+        bw_full = mcux * c0["h"]
+        bw_used, bh_used = _used_blocks(frame, c0, hmax, vmax)
+        units = bw_used * bh_used
+
+        def unit_blocks(u):
+            by, bx = divmod(u, bw_used)
+            yield c0, by * bw_full + bx
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.restart()
+            preds = {c["id"]: 0 for c in scan}
+            state["eobrun"] = 0
+        for c, bi in unit_blocks(u):
+            block = planes[c["id"]][bi]
+            if not progressive:
+                _block_sequential(reader, block, huff_dc[c["dc"]],
+                                  huff_ac[c["ac"]], c["id"], preds)
+            elif ss == 0:
+                if ah == 0:                    # DC first
+                    t = _decode_huff(reader, huff_dc[c["dc"]])
+                    diff = _extend(reader.read_bits(t), t)
+                    preds[c["id"]] += diff
+                    block[0] = preds[c["id"]] << al
+                else:                          # DC refinement
+                    block[0] |= reader.read_bit() << al
+            elif ah == 0:
+                _block_ac_first(reader, block, huff_ac[c["ac"]],
+                                ss, se, al, state)
+            else:
+                _block_ac_refine(reader, block, huff_ac[c["ac"]],
+                                 ss, se, al, state)
+
+
+def _block_sequential(reader, block, dct, act, cid, preds) -> None:
+    """Baseline whole-block decode (DC diff + AC runs) into zigzag
+    order."""
+    t = _decode_huff(reader, dct)
+    diff = _extend(reader.read_bits(t), t)
+    preds[cid] += diff
+    block[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(reader, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC run past block end")
+        block[k] = _extend(reader.read_bits(s), s)
+        k += 1
+
+
+def _block_ac_first(reader, block, act, ss, se, al, state) -> None:
+    """Progressive AC first pass (T.81 G.1.2.2): values enter at
+    precision Al; an EOB symbol opens a run covering this and the next
+    (1<<r)+bits-1 blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC run past band end")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(reader, block, act, ss, se, al, state) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3): already-nonzero
+    coefficients receive a correction bit; newly significant ones
+    arrive as +-1 at precision Al; EOB runs carry the correction bits
+    of the blocks they cover."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(reader, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break                      # sweep handles the rest
+                val = 0                        # ZRL: 16 zero-history
+            elif s == 1:
+                val = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError(
+                    "JPEG: refinement magnitude must be 1")
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and not (block[k] & p1):
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                block[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:                         # correction-bit sweep
+            if block[k] != 0:
+                if reader.read_bit() and not (block[k] & p1):
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, planes, quant) -> np.ndarray:
+    """Dequantize + batch IDCT per component, assemble, upsample,
+    color-convert — shared by the sequential and progressive paths."""
+    h_img, w_img = frame["h"], frame["w"]
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
     out_planes = []
-    for c in scan:
+    for c in frame["comps"]:
+        if c["tq"] not in quant:
+            raise ValueError("JPEG: missing quantization table")
         q = quant[c["tq"]]
-        blocks = planes[c["id"]].astype(np.float64) * q
-        blocks = blocks.reshape(-1, 8, 8)
+        raster = np.zeros_like(planes[c["id"]])
+        raster[:, ZIGZAG] = planes[c["id"]]
+        blocks = (raster.astype(np.float64) * q).reshape(-1, 8, 8)
         spatial = np.einsum("kj,njl,lm->nkm", _T.T, blocks, _T)
         spatial = np.clip(np.round(spatial + 128.0), 0, 255)
         bw, bh = mcux * c["h"], mcuy * c["v"]
@@ -389,7 +572,7 @@ def _decode_scan(frame, scan, quant, huff_dc, huff_ac,
         return out_planes[0].astype(np.uint8)
     if len(out_planes) != 3:
         raise NotImplementedError(
-            f"JPEG: {len(out_planes)}-component scans not supported")
+            f"JPEG: {len(out_planes)}-component frames not supported")
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -498,20 +681,17 @@ def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return padded
 
 
-def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
-                         subsampling: str = "444",
-                         restart_interval: int = 0) -> bytes:
-    """Deterministic baseline JPEG encode of a uint8 (h, w) grayscale
-    or (h, w, 3) RGB array: Annex K tables under IJG quality scaling,
-    4:4:4 / 4:2:2 / 4:2:0 chroma (``subsampling``), no restart
-    markers by default. The test-synthesis half of the codec pair —
-    fixed tables + explicit rounding means byte-identical output for
-    identical input, so planted-dup tests can build JPEG payloads
-    in-pipeline; the subsampled modes exist mainly so tests drive the
-    decoder's real-world interleaved-MCU paths."""
+def _prepare_quantized(arr: np.ndarray, quality: int,
+                       subsampling: str):
+    """Shared encoder front half: color transform, chroma
+    downsample, forward DCT, quantization. Returns (gray, h, w, samp,
+    mcux, mcuy, ql, qc, quantized) with ``quantized[ci]`` the
+    component's (nblocks, 64) RASTER-order int32 coefficients in the
+    MCU-padded grid — both encoders quantize identically, so their
+    decodes are bit-comparable."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3):
-        raise ValueError("encode_baseline_jpeg expects uint8 (h,w[,3])")
+        raise ValueError("JPEG encoders expect uint8 (h,w[,3])")
     if subsampling not in ("444", "422", "420"):
         raise ValueError("subsampling must be '444', '422' or '420'")
     gray = a.ndim == 2
@@ -548,10 +728,6 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
 
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
-    dc_l_enc, _ = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l_enc, _ = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c_enc, _ = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c_enc, _ = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     quantized = []
     for ci, plane in enumerate(planes):
@@ -565,9 +741,29 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
         # round half away from zero — the conventional quantizer
         qz = np.sign(freq) * np.floor(np.abs(freq) / q + 0.5)
         quantized.append(qz.reshape(-1, 64).astype(np.int32))
+    return gray, h, w, samp, mcux, mcuy, ql, qc, quantized
+
+
+def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
+                         subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
+    """Deterministic baseline JPEG encode of a uint8 (h, w) grayscale
+    or (h, w, 3) RGB array: Annex K tables under IJG quality scaling,
+    4:4:4 / 4:2:2 / 4:2:0 chroma (``subsampling``), no restart
+    markers by default. The test-synthesis half of the codec pair —
+    fixed tables + explicit rounding means byte-identical output for
+    identical input, so planted-dup tests can build JPEG payloads
+    in-pipeline; the subsampled modes exist mainly so tests drive the
+    decoder's real-world interleaved-MCU paths."""
+    gray, h, w, samp, mcux, mcuy, ql, qc, quantized = \
+        _prepare_quantized(arr, quality, subsampling)
+    dc_l_enc, _ = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l_enc, _ = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c_enc, _ = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c_enc, _ = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     writer = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(quantized)
     mcu = 0
     rst = 0
     for my in range(mcuy):
@@ -575,9 +771,9 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.marker(0xD0 + (rst % 8))
                 rst += 1
-                preds = [0] * len(planes)
+                preds = [0] * len(quantized)
             mcu += 1
-            for ci in range(len(planes)):
+            for ci in range(len(quantized)):
                 hs, vs = samp[ci]
                 bw = mcux * hs
                 dc_enc = dc_l_enc if ci == 0 else dc_c_enc
@@ -616,5 +812,249 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy
+    out += b"\xff\xd9"                                     # EOI
+    return bytes(out)
+
+
+# ---- progressive encoder -------------------------------------------------
+
+
+def _sign_trunc(v: int, al: int) -> int:
+    """The AC point transform (T.81 G.1.2.1): v / 2^Al truncated
+    toward zero (the DC transform is the arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _flush_eobrun(writer: _BitWriter, state: dict, ac_enc: dict) -> None:
+    """Emit a pending EOB run (symbol r<<4 + r offset bits), then any
+    pending refinement correction bits — the decoder reads the covered
+    blocks' corrections immediately after the run length."""
+    e = state["eobrun"]
+    if e:
+        r = e.bit_length() - 1
+        code, ln = ac_enc[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(e - (1 << r), r)
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        writer.write(b, 1)
+    state["pending"] = []
+
+
+def _enc_ac_first(writer, state, blockzz, ss, se, al, ac_enc) -> None:
+    vals = [_sign_trunc(int(blockzz[k]), al) for k in range(ss, se + 1)]
+    if not any(vals):
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, state, ac_enc)
+        return
+    _flush_eobrun(writer, state, ac_enc)
+    last = max(i for i, v in enumerate(vals) if v)
+    r = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        s = _csize(v)
+        code, ln = ac_enc[(r << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last < se - ss:
+        state["eobrun"] += 1
+
+
+def _enc_ac_refine(writer, state, blockzz, ss, se, ah, al,
+                   ac_enc) -> None:
+    """T.81 G.1.2.3 encoder: newly significant coefficients (zero
+    history, magnitude 1 at this precision) code as runs of
+    still-zero ZERO-HISTORY positions; already-nonzero positions
+    contribute correction bits carried behind the next emitted symbol
+    (or behind the EOB run when the block ends without new
+    significants)."""
+    band = [int(blockzz[k]) for k in range(ss, se + 1)]
+    tnow = [abs(v) >> al for v in band]
+    hist = [abs(v) >> ah for v in band]
+    newly = [i for i in range(len(band))
+             if hist[i] == 0 and tnow[i] == 1]
+    if not newly:
+        state["eobrun"] += 1
+        state["pending"].extend(tnow[i] & 1 for i in range(len(band))
+                                if hist[i])
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, state, ac_enc)
+        return
+    _flush_eobrun(writer, state, ac_enc)
+    last = newly[-1]
+    r = 0
+    pending: list[int] = []
+    for i in range(last + 1):
+        if hist[i]:
+            pending.append(tnow[i] & 1)
+            continue
+        if tnow[i] == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            writer.write(code, ln)
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+            r -= 16
+        code, ln = ac_enc[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if band[i] > 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        r = 0
+    if last < len(band) - 1:
+        state["eobrun"] += 1
+        state["pending"].extend(
+            pending + [tnow[i] & 1 for i in range(last + 1, len(band))
+                       if hist[i]])
+
+
+def _default_scan_script(gray: bool):
+    """The libjpeg-shaped progressive script: interleaved DC first at
+    Al=1, spectral-selection AC first scans per component at Al=1
+    (luma split into a 1-5 band and a 6-63 band), then the Al=0
+    refinements (DC interleaved, AC per component). Entries are
+    (component indices, Ss, Se, Ah, Al)."""
+    if gray:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 1),
+                ([0], 6, 63, 0, 1), ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1), ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1), ([0], 6, 63, 0, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0)]
+
+
+def _encode_progressive_scan(zzq, comps, samp, mcux, mcuy, h, w,
+                             ss, se, ah, al, restart_interval,
+                             dc_encs, ac_enc) -> bytes:
+    """Entropy bytes for one progressive scan — the encoder mirror of
+    _decode_scan_entropy's unit walk (interleaved MCUs for multi-
+    component DC scans, the component's own used-block grid
+    otherwise)."""
+    writer = _BitWriter()
+    state = {"eobrun": 0, "pending": []}
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if len(comps) > 1:
+        units = mcux * mcuy
+
+        def unit_blocks(u):
+            my, mx = divmod(u, mcux)
+            for ci in comps:
+                hs, vs = samp[ci]
+                bw = mcux * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, (my * vs + by) * bw + (mx * hs + bx)
+    else:
+        ci0 = comps[0]
+        hs, vs = samp[ci0]
+        bw_full = mcux * hs
+        bw_used = -(-(-(-w * hs // hmax)) // 8)
+        bh_used = -(-(-(-h * vs // vmax)) // 8)
+        units = bw_used * bh_used
+
+        def unit_blocks(u):
+            by, bx = divmod(u, bw_used)
+            yield ci0, by * bw_full + bx
+
+    preds = {ci: 0 for ci in comps}
+    rst = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            _flush_eobrun(writer, state, ac_enc)
+            writer.marker(0xD0 + (rst % 8))
+            rst += 1
+            preds = {ci: 0 for ci in comps}
+        for ci, bi in unit_blocks(u):
+            block = zzq[ci][bi]
+            if ss == 0:
+                if ah == 0:                    # DC first (Al shift)
+                    v = int(block[0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _csize(diff)
+                    code, ln = dc_encs[ci][t]
+                    writer.write(code, ln)
+                    if t:
+                        writer.write(
+                            diff if diff >= 0 else
+                            diff + (1 << t) - 1, t)
+                else:                          # DC refinement: raw bit
+                    writer.write((int(block[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _enc_ac_first(writer, state, block, ss, se, al, ac_enc)
+            else:
+                _enc_ac_refine(writer, state, block, ss, se, ah, al,
+                               ac_enc)
+    _flush_eobrun(writer, state, ac_enc)
+    return writer.flush()
+
+
+def encode_progressive_jpeg(arr: np.ndarray, quality: int = 90,
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) JPEG encode — same
+    quantization front half as encode_baseline_jpeg, so the decoded
+    images of the two encodings of one source are bit-identical; the
+    entropy layer exercises every progressive decode path: interleaved
+    DC first + refinement, per-component spectral-selection AC first
+    scans, AC refinement with EOB-run accumulation and pending
+    correction bits, optional restart markers in every scan."""
+    gray, h, w, samp, mcux, mcuy, ql, qc, quantized = \
+        _prepare_quantized(arr, quality, subsampling)
+    zzq = [qz[:, ZIGZAG] for qz in quantized]
+    dc_l_enc, _ = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c_enc, _ = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_enc, _ = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    dc_encs = {ci: (dc_l_enc if ci == 0 else dc_c_enc)
+               for ci in range(len(quantized))}
+
+    out = bytearray(b"\xff\xd8")                           # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))                               # APP0
+    out += _dqt_segment(0, ql)
+    ncomp = 1 if gray else 3
+    y_samp = (samp[0][0] << 4) | samp[0][1]
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof += bytes([1, y_samp, 0])
+    if not gray:
+        out += _dqt_segment(1, qc)
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _dht_segment(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+
+    for comps, ss, se, ah, al in _default_scan_script(gray):
+        sos = bytes([len(comps)])
+        for ci in comps:
+            td = 0 if (ss > 0 or ah > 0) else (0 if ci == 0 else 1)
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += _encode_progressive_scan(
+            zzq, comps, samp, mcux, mcuy, h, w, ss, se, ah, al,
+            restart_interval, dc_encs, ac_enc)
     out += b"\xff\xd9"                                     # EOI
     return bytes(out)
