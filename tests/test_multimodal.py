@@ -31,6 +31,23 @@ def test_decode_stub_raises():
         M.decode_image(b"\x89PNG...")
 
 
+def test_16bit_netpbm_folds_to_high_byte():
+    """maxval > 255 netpbm: two-byte big-endian samples fold to the
+    high byte (exact at maxval 65535 — the PNG 16-bit contract)."""
+    import numpy as np
+
+    px = np.arange(12, dtype=np.uint16).reshape(2, 6) * 5000 + 123
+    payload = b"P5\n6 2\n65535\n" + px.astype(">u2").tobytes()
+    assert np.array_equal(M.decode_image(payload),
+                          (px >> 8).astype(np.uint8))
+    rgb = (np.arange(24, dtype=np.uint16).reshape(2, 4, 3) << 8) | 7
+    payload = b"P6\n4 2\n65535\n" + rgb.astype(">u2").tobytes()
+    assert np.array_equal(M.decode_image(payload),
+                          (rgb >> 8).astype(np.uint8))
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_image(b"P5\n2 2\n70000\n" + b"\x00" * 16)
+
+
 def test_modalities_cycle(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     assets = M.synthesize_assets(docs)

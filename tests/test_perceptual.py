@@ -164,6 +164,27 @@ def test_declared_audio_query_plants_reencode_pairs(planted_docs):
         assert pairs[(2 * k, 2 * k + 1)].ham_contour == 0
 
 
+def test_cross_codec_queries_plant_triplets(planted_docs):
+    """The staged cross-codec queries (r14 native PNG + FLAC on the
+    declared surface): every eligible doc plants the full
+    (3k,3k+1),(3k,3k+2),(3k+1,3k+2) triangle at Hamming 0 — P6/BMP/PNG
+    for images, WAV8/WAV16/FLAC for audio — through the real decoders
+    in the Spark pipeline."""
+    from vectordb_explorations_spark.operators.perceptual import (
+        dedup_cross_codec_audio, dedup_cross_codec_image)
+
+    img = {(r.id_a, r.id_b): r for r in
+           dedup_cross_codec_image(planted_docs).collect()}
+    aud = {(r.id_a, r.id_b): r for r in
+           dedup_cross_codec_audio(planted_docs).collect()}
+    for k in range(3):
+        for a, b in ((3 * k, 3 * k + 1), (3 * k, 3 * k + 2),
+                     (3 * k + 1, 3 * k + 2)):
+            row = img[(a, b)]
+            assert row.ham_dhash == 0 and row.ham_ahash == 0
+            assert aud[(a, b)].ham_contour == 0
+
+
 def test_perceptual_clusters_transitive(spark):
     """Three identical-audio docs collapse to one cluster rooted at the
     min doc_id (re-encode self-loops drop; cross-doc pairs propagate

@@ -280,6 +280,15 @@ COMMENTARY = {
         "budget composition grouped by lang with a UTF-8 byte column — "
         "trainer ranks vocabulary-bound, then ONE corpus scan with a "
         "combinable groupBy(lang) agg and broadcast doc counts."),
+    "dedup_cross_codec_image": (
+        "Cross-codec perceptual triplets (staged r15): one raster as "
+        "P6, BMP, and native-PNG payloads — byte-different, one dHash "
+        "— through the banded pipeline; the oracle rides lossless-"
+        "re-encode invariance (no codec in DuckDB)."),
+    "dedup_cross_codec_audio": (
+        "Audio cross-codec triplets (staged r15): WAV8, WAV16, and "
+        "native-FLAC payloads of one sample stream share the energy-"
+        "contour hash; same banded shape as the image twin."),
     "bpe_learned_budget": (
         "The tokenizer loop closed (declared r14): the trainer's 8 "
         "bounded vocabulary iterations, then the LEARNED table rides a "

@@ -92,7 +92,9 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 def _decode_netpbm(payload: bytes) -> np.ndarray:
     """Binary netpbm: P5 (grayscale) -> (h, w); P6 (RGB) -> (h, w, 3).
     Header is whitespace-separated ASCII tokens with '#' comments; pixel
-    data follows the maxval token's single whitespace byte."""
+    data follows the maxval token's single whitespace byte. maxval >
+    255 selects two-byte big-endian samples, folded to the high byte
+    (exact for maxval 65535 — the same I;16 -> L contract as PNG)."""
     magic = payload[:2]
     tokens: list[int] = []
     i = 2
@@ -109,11 +111,17 @@ def _decode_netpbm(payload: bytes) -> np.ndarray:
         tokens.append(int(payload[i:j]))
         i = j
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
+    if maxval <= 0 or maxval > 65535:
+        raise ValueError(f"netpbm: illegal maxval {maxval}")
     i += 1  # exactly one whitespace byte after maxval
     ch = 3 if magic == b"P6" else 1
-    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    if maxval > 255:  # two-byte big-endian samples -> high byte
+        arr = np.frombuffer(payload, dtype=">u2", count=w * h * ch,
+                            offset=i)
+        arr = (arr >> 8).astype(np.uint8)
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                            offset=i)
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
 
 
@@ -150,7 +158,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     which libraries the environment carries; JPEG+PNG are the two
     dominant real-corpus formats, operators/jpeg.py and
     operators/png.py). Anything the native paths can't handle
-    (WebP/progressive JPEG/16-bit netpbm/compressed BMP) routes
+    (WebP/arithmetic or 12-bit JPEG/compressed BMP) routes
     through PIL when the runtime probe found it (``HAS_PIL``),
     normalized to uint8 RGB / grayscale arrays matching the native
     paths' shape contract; without PIL those formats raise

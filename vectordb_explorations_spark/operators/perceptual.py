@@ -505,6 +505,85 @@ def dedup_perceptual_audio(docs: DataFrame,
                                   band_bits=band_bits, corpus_n=corpus_n)
 
 
+def _with_cross_codec_reencodes(assets: DataFrame,
+                                modality: str) -> DataFrame:
+    """Union each asset (asset_id = 3k) with TWO real LOSSLESS
+    re-encodes through different codecs (decode -> re-encode in one
+    Arrow pass): images ride P6 -> uncompressed BMP (3k+1) and
+    P6 -> compressed PNG (3k+2); audio rides 8-bit PCM WAV -> 16-bit
+    PCM WAV (3k+1) and -> FLAC (3k+2). Losslessness means all three
+    payloads hash identically, which is what lets a DuckDB oracle
+    address the triplet without running a codec."""
+    from vectordb_explorations_spark.operators.flac import encode_flac
+    from vectordb_explorations_spark.operators.png import encode_png
+
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if modality == "image":
+                    px = decode_image(b)
+                    encs = [encode_bmp(px), encode_png(px)]
+                else:
+                    samples, rate = decode_audio(b)
+                    mono = samples[:, 0] if samples.ndim == 2 \
+                        else samples
+                    # the encode_wav16 centering: uint8 -> int16
+                    pcm16 = ((mono.astype(np.int64) - 128) << 8)
+                    encs = [encode_wav16(samples, rate),
+                            encode_flac(pcm16, rate, bps=16,
+                                        mode="fixed1")]
+                for v, enc in enumerate(encs, start=1):
+                    ids.append(aid + v)
+                    payloads.append(enc)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return assets.unionByName(assets.mapInPandas(run, schema=schema))
+
+
+def dedup_cross_codec_image(docs: DataFrame,
+                            max_hamming: int = PHASH_IMG_MAX_HAMMING,
+                            band_bits: int | str = 16,
+                            corpus_n: int | None = None) -> DataFrame:
+    """Declared query (staged r14 for r15): cross-CODEC perceptual
+    near-dup — the same raster carried as netpbm P6, uncompressed BMP,
+    and DEFLATE-compressed PNG (operators/png.py, full static spec,
+    decoded natively), every payload byte-different but near-dup under
+    the banded dHash pipeline. Each eligible document plants the
+    (3k, 3k+1), (3k, 3k+2), (3k+1, 3k+2) triplet at Hamming 0; the
+    oracle rides the lossless-re-encode invariance. This is the PNG
+    codec on the driver-checked surface, not just under pytest.
+    Cites hnsw.cc: none — north-star extension."""
+    base = _p6_assets(docs).select(
+        (F.shiftright("asset_id", 1) * 3).alias("asset_id"), "payload")
+    assets = _with_cross_codec_reencodes(base, "image")
+    return perceptual_image_pairs(image_hashes(assets), max_hamming,
+                                  band_bits=band_bits, corpus_n=corpus_n)
+
+
+def dedup_cross_codec_audio(docs: DataFrame,
+                            max_hamming: int = AUDIO_MAX_HAMMING,
+                            band_bits: int | str = 16,
+                            corpus_n: int | None = None) -> DataFrame:
+    """Declared query (staged r14 for r15): the audio cross-CODEC
+    triplet — 8-bit PCM WAV, its 16-bit PCM re-encode, and the FLAC
+    compression of the same samples (operators/flac.py, decoded
+    natively), all hashing to one energy contour. FLAC on the
+    driver-checked surface; same (3k, 3k+1), (3k, 3k+2), (3k+1, 3k+2)
+    planted structure as the image twin."""
+    base = _wav8_assets(docs).select(
+        (F.shiftright("asset_id", 1) * 3).alias("asset_id"), "payload")
+    assets = _with_cross_codec_reencodes(base, "audio")
+    return perceptual_audio_pairs(audio_hashes(assets), max_hamming,
+                                  band_bits=band_bits, corpus_n=corpus_n)
+
+
 def perceptual_curation_cards(docs: DataFrame,
                               max_hamming: int = AUDIO_MAX_HAMMING
                               ) -> DataFrame:
@@ -1150,4 +1229,38 @@ WITH {_aud_hash_ctes()},
 h AS (
   SELECT doc_id * 2 + v AS asset_id, eh_w0
   FROM h0, (VALUES (0), (1)) t(v)
+), {tail.lstrip()}"""
+
+
+def dedup_cross_codec_image_oracle(
+        max_hamming: int = PHASH_IMG_MAX_HAMMING) -> str:
+    """Triplet twin of dedup_perceptual_image_oracle: P6 / BMP / PNG
+    are all lossless carriers of the same raster, so the three assets
+    (3k, 3k+1, 3k+2) share one hash row — the oracle never runs a
+    codec, it rides the invariance the engine's real decodes must
+    reproduce."""
+    tail = _pairs_tail_sql(
+        ["dh_w0", "dh_w1"],
+        {"ham_dhash": ["dh_w0", "dh_w1"], "ham_ahash": ["ah_w0", "ah_w1"]},
+        "ham_dhash", max_hamming)
+    return f"""
+WITH {_img_hash_ctes()},
+h AS (  -- original (3k) and its two lossless re-encodes: same hash
+  SELECT doc_id * 3 + v AS asset_id, ah_w0, ah_w1, dh_w0, dh_w1
+  FROM h0, (VALUES (0), (1), (2)) t(v)
+), {tail.lstrip()}"""
+
+
+def dedup_cross_codec_audio_oracle(
+        max_hamming: int = AUDIO_MAX_HAMMING) -> str:
+    """WAV8 / WAV16 / FLAC triplet: the 16-bit re-encode inverts under
+    the contour's floor-divide centering and FLAC is lossless over the
+    same int16 samples, so all three share one contour hash."""
+    tail = _pairs_tail_sql(["eh_w0"], {"ham_contour": ["eh_w0"]},
+                           "ham_contour", max_hamming)
+    return f"""
+WITH {_aud_hash_ctes()},
+h AS (
+  SELECT doc_id * 3 + v AS asset_id, eh_w0
+  FROM h0, (VALUES (0), (1), (2)) t(v)
 ), {tail.lstrip()}"""

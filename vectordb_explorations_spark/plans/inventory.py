@@ -1318,10 +1318,21 @@ STAGED_QUERIES: dict = {
     # grouped by lang.
     "bpe_fertility_by_lang": lambda s, d: X.bpe_fertility_by_lang(
         load_table(s, "documents", d)),
+    # cross-CODEC perceptual triplets (r14 build): the round's native
+    # PNG and FLAC codecs on the driver-checked surface — one raster /
+    # one sample stream carried through three byte-different lossless
+    # codecs, deduped by the banded perceptual pipeline; oracles ride
+    # the lossless-re-encode invariance (no codec in DuckDB).
+    "dedup_cross_codec_image": lambda s, d: PC.dedup_cross_codec_image(
+        load_table(s, "documents", d)),
+    "dedup_cross_codec_audio": lambda s, d: PC.dedup_cross_codec_audio(
+        load_table(s, "documents", d)),
 }
 
 STAGED_ORACLES: dict = {
     "bpe_fertility_by_lang": X.bpe_fertility_by_lang_oracle(),
+    "dedup_cross_codec_image": PC.dedup_cross_codec_image_oracle(),
+    "dedup_cross_codec_audio": PC.dedup_cross_codec_audio_oracle(),
 }
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
