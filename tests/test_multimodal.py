@@ -31,6 +31,58 @@ def test_decode_stub_raises():
         M.decode_image(b"\x89PNG...")
 
 
+def _bmp8(w, h, plte, pixel_data, comp, data_size=None):
+    """Hand-built 8-bit BMP container: file header + 40-byte info
+    header + BGRA palette + pixel data."""
+    import struct
+
+    palette = b"".join(bytes([b, g, r, 0]) for r, g, b in plte)
+    off = 14 + 40 + len(palette)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, comp,
+                       data_size or len(pixel_data), 0, 0, len(plte), 0)
+    head = (b"BM" + struct.pack("<I", off + len(pixel_data))
+            + b"\x00" * 4 + struct.pack("<I", off))
+    return head + info + palette + pixel_data
+
+
+def test_bmp_8bit_palette_and_rle8():
+    """8-bit palette BMP decodes through the color table (uncompressed
+    AND RLE8: encoded runs, absolute runs with word alignment, EOL /
+    delta / EOF escapes); both forms resolve to the same RGB."""
+    import numpy as np
+
+    plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    # target 5x3 index grid (top row first)
+    idx = np.array([[0, 1, 2, 3, 0],
+                    [1, 1, 1, 2, 2],
+                    [3, 0, 0, 0, 0]], dtype=np.uint8)
+    want = np.array(plte, dtype=np.uint8)[idx]
+    # uncompressed: bottom-up rows, 4-byte padded (stride 8)
+    raw = b"".join(idx[y].tobytes() + b"\x00\x00\x00"
+                   for y in (2, 1, 0))
+    out = M.decode_image(_bmp8(5, 3, plte, raw, comp=0))
+    assert np.array_equal(out, want)
+    # RLE8, bottom-up: row y=2 via absolute run (5 px, odd -> pad),
+    # row y=1 via encoded runs, row y=0 via runs + delta-skip zeros
+    rle = (b"\x00\x05" + bytes([3, 0, 0, 0, 0]) + b"\x00"  # absolute+pad
+           + b"\x00\x00"                                    # EOL
+           + b"\x03\x01" + b"\x02\x02"                      # 111 22
+           + b"\x00\x00"                                    # EOL
+           + b"\x01\x00" + b"\x01\x01" + b"\x01\x02"        # 0 1 2
+           + b"\x01\x03" + b"\x01\x00"                      # 3 0
+           + b"\x00\x01")                                   # EOF
+    out = M.decode_image(_bmp8(5, 3, plte, rle, comp=1))
+    assert np.array_equal(out, want)
+    # delta escape: skip stays palette[0] (index 0 prefilled)
+    rle_delta = (b"\x00\x02\x02\x00" + b"\x02\x01"  # delta (2,0), 2x idx1
+                 + b"\x00\x01")                     # EOF
+    want2 = np.zeros((1, 4), dtype=np.uint8)
+    want2 = np.array(plte, dtype=np.uint8)[
+        np.array([[0, 0, 1, 1]], dtype=np.uint8)]
+    out = M.decode_image(_bmp8(4, 1, plte, rle_delta, comp=1))
+    assert np.array_equal(out, want2)
+
+
 def test_16bit_netpbm_folds_to_high_byte():
     """maxval > 255 netpbm: two-byte big-endian samples fold to the
     high byte (exact at maxval 65535 — the PNG 16-bit contract)."""

@@ -125,9 +125,59 @@ def _decode_netpbm(payload: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
 
 
+def _bmp_palette(payload: bytes, bpp: int) -> np.ndarray:
+    """BGRA palette entries following the 40-byte BITMAPINFOHEADER ->
+    (n, 3) RGB (biClrUsed of 0 means the full 2^bpp table)."""
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    n_used = int.from_bytes(payload[46:50], "little") or (1 << bpp)
+    base = 14 + hdr_size
+    tbl = np.frombuffer(payload, dtype=np.uint8, count=n_used * 4,
+                        offset=base).reshape(n_used, 4)
+    return tbl[:, [2, 1, 0]].copy()          # BGRA -> RGB
+
+
+def _decode_rle8(data: bytes, w: int, ah: int) -> np.ndarray:
+    """BI_RLE8 (compression 1) -> (ah, w) palette indices, bottom-up
+    row order as stored. Encoded runs, absolute runs (word-aligned),
+    and the 0-escapes: end-of-line, end-of-bitmap, delta."""
+    idx = np.zeros((ah, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:                          # encoded run
+            end = min(x + cnt, w)
+            if y < ah:
+                idx[y, x:end] = val
+            x = end
+        elif val == 0:                       # end of line
+            x, y = 0, y + 1
+        elif val == 1:                       # end of bitmap
+            break
+        elif val == 2:                       # delta
+            if i + 1 >= n:
+                raise ValueError("BMP: truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:                                # absolute run of `val`
+            if i + val > n:
+                raise ValueError("BMP: truncated RLE8 absolute run")
+            end = min(x + val, w)
+            if y < ah:
+                idx[y, x:end] = np.frombuffer(
+                    data, dtype=np.uint8, count=end - x, offset=i)
+            x += val
+            i += val + (val & 1)             # word-aligned
+    return idx
+
+
 def _decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BMP -> (h, w, 3) RGB. Rows are 4-byte padded
-    and stored bottom-up (top-down when the height field is negative)."""
+    """BMP -> (h, w, 3) RGB: uncompressed 24/32-bit, uncompressed
+    8-bit palette, and RLE8-compressed 8-bit palette. Rows are 4-byte
+    padded and stored bottom-up (top-down when the height field is
+    negative)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = int.from_bytes(payload[10:14], "little")
@@ -135,11 +185,29 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
+    bottom_up, ah = h > 0, abs(h)
+    if comp == 1 and bpp == 8:               # BI_RLE8
+        plte = _bmp_palette(payload, bpp)
+        idx = _decode_rle8(payload[off:], w, ah)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("BMP: palette index out of range")
+        rgb = plte[idx]
+        return rgb[::-1].copy() if bottom_up else rgb.copy()
+    if comp == 0 and bpp == 8:               # uncompressed palette
+        plte = _bmp_palette(payload, bpp)
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=stride * ah, offset=off)
+        idx = rows.reshape(ah, stride)[:, :w]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("BMP: palette index out of range")
+        rgb = plte[idx]
+        return rgb[::-1].copy() if bottom_up else rgb.copy()
     if comp != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BMP decodes natively "
-            f"(bpp={bpp}, compression={comp})")
-    bottom_up, ah = h > 0, abs(h)
+            f"BMP shape not decoded natively (bpp={bpp}, "
+            f"compression={comp}); 24/32-bit uncompressed and 8-bit "
+            f"palette/RLE8 are covered — PIL handles the rest")
     step = bpp // 8
     stride = (w * step + 3) & ~3
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * ah,
@@ -151,14 +219,15 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode. Codec-free formats — binary netpbm (P5/P6),
-    uncompressed 24/32-bit BMP, and (since r14) BASELINE JPEG and
-    full-spec static PNG (all depths 1-16, all color types, Adam7) —
+    24/32-bit + 8-bit-palette/RLE8 BMP, and (since r14) baseline AND
+    progressive JPEG plus full-spec static PNG (all depths 1-16, all
+    color types, Adam7) —
     ALWAYS decode via the pure-NumPy paths (deterministic,
     dependency-free: the declared queries' hashes never depend on
     which libraries the environment carries; JPEG+PNG are the two
     dominant real-corpus formats, operators/jpeg.py and
     operators/png.py). Anything the native paths can't handle
-    (WebP/arithmetic or 12-bit JPEG/compressed BMP) routes
+    (WebP/arithmetic or 12-bit JPEG/RLE4 or bitfield BMP) routes
     through PIL when the runtime probe found it (``HAS_PIL``),
     normalized to uint8 RGB / grayscale arrays matching the native
     paths' shape contract; without PIL those formats raise
