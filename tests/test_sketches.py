@@ -1,61 +1,109 @@
-"""Sketch aggregations are gated against exact answers on the same data
-(the recall-gate pattern for approximate ops): HLL within a multiple of
-its configured rsd, approximate quantiles within the rank-error bound."""
+"""Deterministic sketches (operators/sketches.py): the HLL rank
+derivation against an independent Python bit-level reference, the CMS
+overcount invariant and exact-when-collision-free behavior, and
+planted sensitivity (adding users moves the registers/estimates in
+both the engine and the declared output)."""
 
-import os
-import sys
+import hashlib
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import pytest
 
-from vectordb_explorations_spark.operators.sketches import (  # noqa: E402
-    HLL_RSD, approx_distinct_users, approx_value_quantiles)
-from vectordb_explorations_spark.sources.catalog import load_table  # noqa: E402
-
-
-def test_hll_within_error_bound(spark, sf_dir):
-    rows = approx_distinct_users(load_table(spark, "events", sf_dir)).collect()
-    assert rows
-    for r in rows:
-        exact = r["exact_users"]
-        # 4 sigma of the configured rsd (+1 absolute slack for tiny groups)
-        tol = 4 * HLL_RSD * exact + 1
-        assert abs(r["approx_users"] - exact) <= tol, (r, tol)
+from vectordb_explorations_spark.operators.sketches import (
+    CMS_DEPTH, CMS_WIDTH, HLL_M, cms_heavy_hitters,
+    hll_user_cardinality)
 
 
-def test_hll_is_partitioning_invariant(spark, sf_dir):
-    """The sketch merge must give the same estimate however the corpus is
-    partitioned — that is what makes it a combinable distributed agg."""
-    ev = load_table(spark, "events", sf_dir)
-    a = {r["event_type"]: r["approx_users"]
-         for r in approx_distinct_users(ev).collect()}
-    b = {r["event_type"]: r["approx_users"]
-         for r in approx_distinct_users(ev.repartition(17)).collect()}
-    assert a == b
+def _ref_register_rank(key: str):
+    """Independent bit-level reference: md5 -> first 4 bits register,
+    leading zeros of the next 52 bits + 1 (computed on the INTEGER,
+    not the hex string the engine uses)."""
+    h = int(hashlib.md5(key.encode()).hexdigest()[:14], 16)  # 56 bits
+    register = h >> 52
+    rest = h & ((1 << 52) - 1)
+    rank = 53 - rest.bit_length() if rest else 53
+    return register, rank
 
 
-def test_quantiles_within_rank_error(spark, sf_dir):
-    """percentile_approx guarantees rank error <= n/accuracy: the returned
-    value must be an element whose sorted position is within that many
-    ranks of the true quantile position (checked exactly against the
-    collected per-group values — the fixture groups are small)."""
-    import math
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string")
 
-    from vectordb_explorations_spark.operators.sketches import (
-        QUANTILE_ACCURACY)
 
-    ev = load_table(spark, "events", sf_dir)
-    vals = {}
-    for r in ev.select("event_type", "value").collect():
-        vals.setdefault(r["event_type"], []).append(r["value"])
-    rows = approx_value_quantiles(ev).collect()
-    assert rows
-    for r in rows:
-        v = sorted(vals[r["event_type"]])
-        n = len(v)
-        slack = math.ceil(n / QUANTILE_ACCURACY) + 1
-        for p, approx in zip((0.5, 0.9, 0.99), r["approx_q"]):
-            pos = p * (n - 1)
-            lo = max(0, math.floor(pos) - slack)
-            hi = min(n - 1, math.ceil(pos) + slack)
-            assert v[lo] <= approx <= v[hi], (r["event_type"], p, approx,
-                                              v[lo], v[hi])
+def test_hll_registers_match_bit_level_reference(spark):
+    """The hex-string rank derivation (regexp leading zeros + nibble
+    case) equals the integer bit-length definition for every user in
+    a planted corpus — and the emitted harmonic sum is exactly the
+    reference's."""
+    users = list(range(1, 300))
+    rows = [(i, u, "t") for i, u in enumerate(users)]
+    out = hll_user_cardinality(_events(spark, rows)).collect()
+    assert len(out) == 1
+    regs = {}
+    for u in users:
+        r, k = _ref_register_rank(str(u))
+        regs[r] = max(regs.get(r, 0), k)
+    s_total = sum(1 << (53 - k) for k in regs.values()) \
+        + (HLL_M - len(regs)) * (1 << 53)
+    row = out[0]
+    assert row.n_registers_hit == len(regs)
+    assert row.harmonic_sum_scaled == s_total
+    assert row.true_distinct == len(users)
+    # m=16 raw-regime accuracy: within 3 sigma (3 * 1.04/sqrt(16))
+    assert abs(row.rel_error) < 0.78
+
+
+def test_hll_estimate_moves_with_the_corpus(spark):
+    """Planted sensitivity: doubling the user set changes registers
+    and pushes the estimate up — the sketch is live, not a constant."""
+    small = hll_user_cardinality(
+        _events(spark, [(i, u, "t") for i, u in enumerate(range(50))])
+    ).collect()[0]
+    big = hll_user_cardinality(
+        _events(spark, [(i, u, "t")
+                        for i, u in enumerate(range(500))])
+    ).collect()[0]
+    assert big.hll_estimate > small.hll_estimate
+    assert big.harmonic_sum_scaled < small.harmonic_sum_scaled
+
+
+def test_cms_overcount_invariant_and_ordering(spark):
+    """CMS estimates are NEVER below the true count (min over rows of
+    counters that each include the key), and the declared output
+    keeps the (true_n desc, user_id) contract over the top 20."""
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    for u in range(40):                      # 40 keys << width 64
+        for _ in range(int(rng.integers(1, 30))):
+            rows.append((eid, u, "t"))
+            eid += 1
+    out = cms_heavy_hitters(_events(spark, rows)).collect()
+    assert len(out) == 20
+    assert all(r.overcount >= 0 for r in out)
+    assert all(r.cms_estimate == r.true_n + r.overcount for r in out)
+    # ordering contract: true_n desc, user_id asc
+    keys = [(-r.true_n, r.user_id) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_cms_forced_single_bucket_sums(spark):
+    """Degenerate pin: with ONE distinct key the sketch row counters
+    equal the key's count exactly, so estimate == true_n."""
+    rows = [(i, 42, "t") for i in range(25)]
+    out = cms_heavy_hitters(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].true_n == 25 and out[0].cms_estimate == 25
+    assert out[0].overcount == 0
+
+
+def test_cms_width_forces_collisions_at_fixture_scale(spark):
+    """The declared parameters (width 64) against 150+ keys MUST
+    produce at least one positive overcount somewhere in the full
+    sketch — the honesty guard on the 'approximate' claim. (Not
+    necessarily among the top 20: check via a bigger key set.)"""
+    rows = [(i, u, "t") for i, u in enumerate(range(1000))]
+    out = cms_heavy_hitters(_events(spark, rows)).collect()
+    # 1000 keys over 64 buckets x 4 rows: every bucket ~15 deep, the
+    # min over 4 rows is > 1 for some key with true_n == 1
+    assert any(r.overcount > 0 for r in out)

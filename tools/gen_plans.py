@@ -289,6 +289,17 @@ COMMENTARY = {
         "Audio cross-codec triplets (staged r15): WAV8, WAV16, and "
         "native-FLAC payloads of one sample stream share the energy-"
         "contour hash; same banded shape as the image twin."),
+    "hll_user_cardinality": (
+        "HyperLogLog from first principles on the md5 cross-engine "
+        "hash (staged r15): combinable per-register max collapses the "
+        "shuffle to groups x 16 rows; harmonic sums stay EXACT "
+        "bigints, ranks derive from hex strings (never libm log2), "
+        "so the driver hash-checks the sketch content."),
+    "cms_heavy_hitters": (
+        "Count-Min heavy hitters (staged r15): depth x width counter "
+        "sketch via one map-side-combined groupBy (256 cells), "
+        "broadcast back to the top-20 true keys; overcount >= 0 is a "
+        "live invariant on the output."),
     "bpe_learned_budget": (
         "The tokenizer loop closed (declared r14): the trainer's 8 "
         "bounded vocabulary iterations, then the LEARNED table rides a "

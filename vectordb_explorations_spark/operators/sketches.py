@@ -1,48 +1,238 @@
-"""Approximate sketch aggregations: HyperLogLog distinct counts and
-KLL/GK-style quantiles.
+"""Deterministic cardinality / frequency sketches (r14 build, staged
+for the r15 window) — the streaming summaries a 100 TB pipeline keys
+its monitoring on, declared as hash-checkable queries.
 
-At 100 TB these are not conveniences — they are the difference between a
-plan that works and one that doesn't. An exact COUNT(DISTINCT user_id)
-shuffles every distinct key; the HLL sketch is a fixed-size (KBs)
-map-side-combinable state whatever the cardinality, so the shuffle carries
-one sketch per group per partition. Same for percentile_approx vs an exact
-sort-based percentile. Spark's built-ins (`approx_count_distinct`,
-`percentile_approx`) are JVM-side Catalyst aggregates — no UDF.
+At cluster scale you cannot afford exact distinct counts or exact
+per-key frequency tables over every slice; the standard answers are
+HyperLogLog (Flajolet et al. 2007) and Count-Min (Cormode &
+Muthukrishnan 2005). Spark ships approx_count_distinct, but its HLL++
+register layout is opaque to a cross-engine oracle — so these
+operators build the sketches FROM FIRST PRINCIPLES on the engine's
+established cross-engine hash primitive (``conv(substr(md5(x),..),
+16, 10)`` / DuckDB ``CAST(concat('0x', ..) AS BIGINT)``,
+operators/dedup.py:107): every register value, counter, and estimate
+is a deterministic function of the data, identical in both engines,
+so the driver's hash gate checks the SKETCH CONTENT, not just row
+counts.
 
-Like the ANN families, sketch outputs are APPROXIMATE and engine-specific,
-so they are never hash-matched against DuckDB (SURVEY §0's treatment of
-stochastic/approximate ops); tests/test_sketches.py gates them against the
-exact answers computed on the same data — |approx - exact| within the
-documented error bound (rsd for HLL, accuracy rank-error for quantiles).
+Scale shape (both operators): one scan with a combinable groupBy —
+map-side partial max (HLL registers) or partial count (CMS counters)
+reduces the shuffle to (groups x m) rows regardless of input size;
+the CMS estimate side broadcasts the fixed-size sketch to the top-k
+keys. No windows, no driver collects.
+
+Determinism notes: register ranks derive from md5 HEX STRINGS
+(leading-zero runs via regexp, nibble case analysis) — never floating
+log2; harmonic sums are kept as EXACT BIGINTs (sum of 2^(53-rank))
+and converted to a double estimate with one multiply/divide chain of
+parse-identical literals, then the shared binary half-up round
+(functions/rounding) — see that module's docstring for why decimal
+rounding is not cross-engine-stable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-HLL_RSD = 0.05           # HLL relative standard deviation (2.5x default precision)
-QUANTILE_ACCURACY = 1000  # percentile_approx rank-error 1/accuracy
+from vectordb_explorations_spark.functions.rounding import r6, round6
+
+HLL_P = 4                       # 2^4 = 16 registers
+HLL_M = 1 << HLL_P
+# Flajolet's alpha_16; parse-identical literal in both engines
+HLL_ALPHA = 0.673
+_POW53 = 9007199254740992.0     # 2^53, exact double literal
+_POW53_I = 1 << 53
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOPN = 20
 
 
-def approx_distinct_users(events: DataFrame,
-                          rsd: float = HLL_RSD) -> DataFrame:
-    """Per-event-type approximate distinct users (HLL) next to the exact
-    count — the audit pair; production plans at scale drop the exact
-    column and keep the sketch."""
-    return (events.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"),
-                 F.countDistinct("user_id").alias("exact_users"),
-                 F.count(F.lit(1)).alias("n_events"))
+def _hll_rank_cols(key_str):
+    """(register, rank) Spark columns for one string key. register =
+    first md5 nibble (HLL_P=4 bits); rank = leading-zero bits of the
+    next 52 bits + 1, derived from the hex string: z leading '0'
+    chars, then the first nonzero nibble's position within its 4 bits
+    (never floating log2)."""
+    md5 = F.md5(key_str.cast("binary"))
+    register = F.conv(F.substring(md5, 1, 1), 16, 10).cast("int")
+    hex13 = F.substring(md5, 2, 13)
+    z = F.length(F.regexp_extract(hex13, "^0*", 0))
+    # Column-arg substr (F.substring needs int literals); conv('')
+    # on the z=13 row is NULL-safe — the when() shields it
+    d = F.conv(hex13.substr(z + 1, F.lit(1)), 16, 10).cast("int")
+    nib = (F.when(d >= 8, 1).when(d >= 4, 2).when(d >= 2, 3)
+           .otherwise(4))
+    rank = F.when(z == 13, F.lit(53)).otherwise(z * 4 + nib)
+    return register, rank
+
+
+def hll_user_cardinality(events: DataFrame) -> DataFrame:
+    """Declared query (staged r14 for r15): per-event-type HyperLogLog
+    over user_id, with every intermediate on the output so the hash
+    gate pins the whole sketch: registers hit, the EXACT scaled
+    harmonic sum (bigint — empty registers contribute 2^53), the raw
+    HLL estimate (alpha_m * m^2 / sum 2^-rank), its relative error
+    against the exact distinct count, and the event volume.
+
+    m = 16 registers keeps every fixture scale in HLL's raw regime
+    (distinct users >> 2.5m at sf0.01+); the small-range
+    linear-counting branch is deliberately NOT applied — it needs ln,
+    whose libm rounding is not cross-engine-stable (the rounding
+    module's lesson), and the raw inputs to apply it are all emitted.
+    Cites hnsw.cc: none — north-star extension."""
+    register, rank = _hll_rank_cols(F.col("user_id").cast("string"))
+    regs = (events
+            .select("event_type", register.alias("register"),
+                    rank.alias("rank"))
+            .groupBy("event_type", "register")
+            .agg(F.max("rank").alias("mr")))
+    harm = (regs.groupBy("event_type")
+            .agg(F.count("*").alias("n_registers_hit"),
+                 # F.shiftleft needs an int-literal bit count; the SQL
+                 # form takes a column
+                 F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - mr)"))
+                 .alias("s_present")))
+    truth = (events.groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("true_distinct")))
+    s_total = (F.col("s_present")
+               + (F.lit(HLL_M) - F.col("n_registers_hit"))
+               * F.lit(_POW53_I))
+    raw_est = (F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(_POW53)
+               / s_total.cast("double"))
+    return (truth.join(harm, "event_type")
+            .select("event_type", "n_events", "true_distinct",
+                    "n_registers_hit",
+                    s_total.alias("harmonic_sum_scaled"),
+                    round6(raw_est).alias("hll_estimate"),
+                    round6((raw_est - F.col("true_distinct"))
+                           / F.col("true_distinct")).alias("rel_error"))
             .orderBy("event_type"))
 
 
-def approx_value_quantiles(events: DataFrame,
-                           accuracy: int = QUANTILE_ACCURACY) -> DataFrame:
-    """Per-event-type approximate value quantiles (p50/p90/p99) with the
-    exact percentiles alongside for the gate."""
-    probs = [0.5, 0.9, 0.99]
-    return (events.groupBy("event_type")
-            .agg(F.percentile_approx("value", probs, accuracy).alias("approx_q"),
-                 F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact_q"),
-                 F.count(F.lit(1)).alias("n_events"))
-            .orderBy("event_type"))
+def hll_user_cardinality_oracle() -> str:
+    # explicit DOUBLE casts: DuckDB would otherwise run the literal
+    # chain in DECIMAL and overflow at 172288 * 2^53; the
+    # multiplication order matches the Spark expression left-to-right
+    # so the IEEE results are identical
+    raw = (f"CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M} "
+           f"* CAST({_POW53} AS DOUBLE) / CAST(s_total AS DOUBLE)")
+    return f"""
+WITH k AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), zd AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(h, 1, 1)) AS BIGINT) AS register,
+         substr(h, 2, 13) AS hex13,
+         length(regexp_extract(substr(h, 2, 13), '^0*')) AS z
+  FROM k
+), nib AS (
+  SELECT event_type, register, z,
+         CASE WHEN z = 13 THEN 0 ELSE
+           CAST(concat('0x', substr(hex13, z + 1, 1)) AS BIGINT)
+         END AS d
+  FROM zd
+), ranked AS (
+  SELECT event_type, register,
+         CASE WHEN z = 13 THEN 53 ELSE z * 4 + (CASE
+           WHEN d >= 8 THEN 1 WHEN d >= 4 THEN 2 WHEN d >= 2 THEN 3
+           ELSE 4 END) END AS rank
+  FROM nib
+), regs AS (
+  SELECT event_type, register, max(rank) AS mr
+  FROM ranked GROUP BY event_type, register
+), harm AS (
+  SELECT event_type, count(*) AS n_registers_hit,
+         sum((1::BIGINT << (53 - mr)))::BIGINT AS s_present
+  FROM regs GROUP BY event_type
+), truth AS (
+  SELECT event_type, count(*) AS n_events,
+         count(DISTINCT user_id) AS true_distinct
+  FROM events GROUP BY event_type
+), j AS (
+  SELECT t.*, h.n_registers_hit,
+         (h.s_present + ({HLL_M} - h.n_registers_hit)
+          * {_POW53_I}::BIGINT)::BIGINT AS s_total
+  FROM truth t JOIN harm h USING (event_type)
+)
+SELECT event_type, n_events, true_distinct, n_registers_hit,
+       s_total AS harmonic_sum_scaled,
+       {r6(raw)} AS hll_estimate,
+       {r6(f"(({raw}) - true_distinct) / true_distinct")} AS rel_error
+FROM j ORDER BY event_type
+"""
+
+
+def _cms_bucket(r_col, key_str):
+    """Row-r counter index for a string key: 32 md5 bits of 'r:key'
+    mod CMS_WIDTH — the per-row independent hash family."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws(":", r_col.cast("string"), key_str)
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % CMS_WIDTH)
+
+
+def cms_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Declared query (staged r14 for r15): Count-Min heavy hitters
+    over user_id — build the depth x width counter sketch in one
+    combinable pass, then read the top-CMS_TOPN true keys back
+    through it. Emits true_n, the CMS estimate (min over rows), and
+    the overcount — which is PROVABLY >= 0, so the output doubles as
+    a live invariant check on the sketch math; width 64 << 150+ keys
+    forces real collisions, keeping the overcount column honest.
+
+    Scale: the sketch is a groupBy over (depth x width) cells —
+    map-side combine collapses the shuffle to 256 rows per partition;
+    the estimate side broadcasts those 256 cells to the top keys.
+    Cites hnsw.cc: none — north-star extension."""
+    rs = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.explode(rs).alias("r"))
+    sketch = (keyed
+              .select("r", _cms_bucket(F.col("r"), F.col("k"))
+                      .alias("bucket"))
+              .groupBy("r", "bucket").agg(F.count("*").alias("c")))
+    top = (events.groupBy("user_id")
+           .agg(F.count("*").alias("true_n"))
+           .orderBy(F.desc("true_n"), "user_id").limit(CMS_TOPN))
+    probes = (top.select("user_id", "true_n", F.explode(rs).alias("r"))
+              .withColumn("bucket",
+                          _cms_bucket(F.col("r"),
+                                      F.col("user_id").cast("string"))))
+    est = (probes.join(F.broadcast(sketch), ["r", "bucket"])
+           .groupBy("user_id", "true_n")
+           .agg(F.min("c").alias("cms_estimate")))
+    return (est.select(
+        "user_id", "true_n", "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_n")).alias("overcount"))
+        .orderBy(F.desc("true_n"), "user_id"))
+
+
+def cms_heavy_hitters_oracle() -> str:
+    bucket = ("CAST(concat('0x', substr(md5(concat(r, ':', "
+              "CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) "
+              f"% {CMS_WIDTH}")
+    return f"""
+WITH rs AS (SELECT unnest(range({CMS_DEPTH})) AS r),
+keyed AS (
+  SELECT r, {bucket} AS bucket FROM events CROSS JOIN rs
+), sketch AS (
+  SELECT r, bucket, count(*) AS c FROM keyed GROUP BY r, bucket
+), top AS (
+  SELECT user_id, count(*) AS true_n FROM events
+  GROUP BY user_id ORDER BY true_n DESC, user_id LIMIT {CMS_TOPN}
+), probes AS (
+  SELECT user_id, true_n, r, {bucket} AS bucket
+  FROM top CROSS JOIN rs
+), est AS (
+  SELECT user_id, true_n, min(c) AS cms_estimate
+  FROM probes JOIN sketch USING (r, bucket)
+  GROUP BY user_id, true_n
+)
+SELECT user_id, true_n, cms_estimate,
+       cms_estimate - true_n AS overcount
+FROM est ORDER BY true_n DESC, user_id
+"""

@@ -40,6 +40,7 @@ from vectordb_explorations_spark.operators import relational as R
 from vectordb_explorations_spark.operators import rerank as RR
 from vectordb_explorations_spark.operators import sampling as SP
 from vectordb_explorations_spark.operators import skew as SK
+from vectordb_explorations_spark.operators import sketches as SKC
 from vectordb_explorations_spark.operators import sq as SQ
 from vectordb_explorations_spark.operators import projection as _PJ
 from vectordb_explorations_spark.operators import textops as X
@@ -1327,12 +1328,22 @@ STAGED_QUERIES: dict = {
         load_table(s, "documents", d)),
     "dedup_cross_codec_audio": lambda s, d: PC.dedup_cross_codec_audio(
         load_table(s, "documents", d)),
+    # deterministic sketches (r14 build): HyperLogLog registers and
+    # Count-Min heavy hitters from first principles on the md5
+    # cross-engine hash — the driver's hash gate checks the SKETCH
+    # CONTENT (registers, counters, estimates), not just row counts.
+    "hll_user_cardinality": lambda s, d: SKC.hll_user_cardinality(
+        load_table(s, "events", d)),
+    "cms_heavy_hitters": lambda s, d: SKC.cms_heavy_hitters(
+        load_table(s, "events", d)),
 }
 
 STAGED_ORACLES: dict = {
     "bpe_fertility_by_lang": X.bpe_fertility_by_lang_oracle(),
     "dedup_cross_codec_image": PC.dedup_cross_codec_image_oracle(),
     "dedup_cross_codec_audio": PC.dedup_cross_codec_audio_oracle(),
+    "hll_user_cardinality": SKC.hll_user_cardinality_oracle(),
+    "cms_heavy_hitters": SKC.cms_heavy_hitters_oracle(),
 }
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
