@@ -107,3 +107,57 @@ def test_cms_width_forces_collisions_at_fixture_scale(spark):
     # 1000 keys over 64 buckets x 4 rows: every bucket ~15 deep, the
     # min over 4 rows is > 1 for some key with true_n == 1
     assert any(r.overcount > 0 for r in out)
+
+
+def test_bloom_no_false_negatives_and_adaptive_sizing(spark):
+    """Bloom guarantees: every true member passes (n_pass >=
+    n_true_member per group, and per construction n_pass ==
+    n_true_member + n_false_pos); the filter is sized from the data,
+    so a 10x bigger build side keeps the false-positive rate low
+    instead of saturating (the fixed-m failure mode the first
+    implementation actually had)."""
+    from vectordb_explorations_spark.operators.sketches import (
+        bloom_join_prune)
+
+    def frames(n_members, n_orders, seed):
+        rng = np.random.default_rng(seed)
+        cust = spark.createDataFrame(
+            [(k, 9000.0 if k < n_members else 1.0)
+             for k in range(2 * n_members)],
+            "c_custkey long, c_acctbal double")
+        orders = spark.createDataFrame(
+            [(i, int(rng.integers(0, 2 * n_members)), "P")
+             for i in range(n_orders)],
+            "o_orderkey long, o_custkey long, o_orderpriority string")
+        return cust, orders
+
+    for n_members in (50, 500):
+        out = bloom_join_prune(*frames(n_members, 2000, n_members))
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_pass == r.n_true_member + r.n_false_pos
+        assert r.n_pass >= r.n_true_member          # no false negatives
+        # 16 bits/key holds FPR way under the saturation regime
+        assert r.false_pos_rate < 0.05, (n_members, r.false_pos_rate)
+
+
+def test_bloom_bitmap_signature_tracks_build_side(spark):
+    """The bitmap_md5 column pins the packed filter content: adding
+    one eligible customer changes it; reordering input rows does not
+    (bit_or is order-free)."""
+    from vectordb_explorations_spark.operators.sketches import (
+        bloom_join_prune)
+
+    orders = spark.createDataFrame(
+        [(1, 1, "P")], "o_orderkey long, o_custkey long, "
+        "o_orderpriority string")
+
+    def sig(keys):
+        cust = spark.createDataFrame(
+            [(k, 9000.0) for k in keys],
+            "c_custkey long, c_acctbal double")
+        return bloom_join_prune(cust, orders).collect()[0].bitmap_md5
+
+    assert sig([1, 2, 3]) == sig([3, 1, 2])
+    assert sig([1, 2, 3]) != sig([1, 2, 3, 4])

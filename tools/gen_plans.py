@@ -300,6 +300,12 @@ COMMENTARY = {
         "sketch via one map-side-combined groupBy (256 cells), "
         "broadcast back to the top-20 true keys; overcount >= 0 is a "
         "live invariant on the output."),
+    "bloom_join_prune": (
+        "Bloom-filter semi-join pruning (staged r15): the filter is "
+        "sized FROM THE DATA (16 bits/eligible key, broadcast scalar, "
+        "no driver collect) so the ~0.14% FPR survives any SF where "
+        "fixed-m saturates; bitmap_md5 pins the packed words; "
+        "n_pass == n_true + n_false_pos rides as an invariant."),
     "bpe_learned_budget": (
         "The tokenizer loop closed (declared r14): the trainer's 8 "
         "bounded vocabulary iterations, then the LEARNED table rides a "

@@ -236,3 +236,186 @@ SELECT user_id, true_n, cms_estimate,
        cms_estimate - true_n AS overcount
 FROM est ORDER BY true_n DESC, user_id
 """
+
+
+BLOOM_BITS_PER_KEY = 16         # m = 16 bits per eligible key (the
+                                # corpus-adaptive 'auto' discipline: a
+                                # FIXED m saturates at the next scale
+                                # factor; 16n holds the false-positive
+                                # rate at (1 - e^(-5/16))^5 ~ 0.14%
+                                # at EVERY corpus size)
+BLOOM_K = 5                     # hash functions
+BLOOM_WORD = 32                 # bits packed per bigint word: DuckDB
+                                # overflow-checks 1::BIGINT << 63, so
+                                # stay well under the sign bit
+BLOOM_BALANCE_MIN = 5000.0      # "hot customers" predicate
+
+
+def _bloom_positions(key_str, m_col):
+    """BLOOM_K independent bit positions for one string key — the
+    md5('i:key') % m family (the CMS construction with k rows); the
+    modulus is a COLUMN (the broadcast corpus-sized bit count), never
+    a baked constant."""
+    return [
+        (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(i)), key_str)
+                  .cast("binary")), 1, 8), 16, 10)
+         .cast("long") % m_col)
+        for i in range(BLOOM_K)]
+
+
+def bloom_join_prune(customer: DataFrame, orders: DataFrame
+                     ) -> DataFrame:
+    """Declared query (staged r14 for r15): Bloom-filter semi-join
+    pruning — THE shuffle-avoidance tool for selective joins at
+    100 TB (build a small bit filter on the build side's hot keys,
+    broadcast it, drop probe rows before they ever reach the join
+    exchange). Builds a 5-hash filter over customers with acctbal >
+    BLOOM_BALANCE_MIN, sized at 16 bits per eligible key — the size
+    is COMPUTED FROM THE DATA as a broadcast scalar (cross-joined
+    1-row frame, no driver collect), identically in both engines, so
+    the ~0.14% false-positive rate survives any scale factor where a
+    fixed-m filter would saturate. Probes every order and emits per
+    order-priority: rows probed, rows passing, true members, false
+    positives, the 6-dp false-positive and pass rates — plus the md5
+    of the PACKED BITMAP WORDS in word order, so the hash gate pins
+    the filter's exact content. Bloom guarantees no false negatives:
+    n_pass == n_true_member + n_false_pos by construction, and the
+    pytest pins that every true member passes.
+
+    Scale shape: the build side collapses to m/32 packed words
+    (map-side bit_or); the probe is one scan with the word table
+    broadcast; the output is a 5-row rollup.
+    Cites hnsw.cc: none — north-star extension."""
+    elig = (customer.where(F.col("c_acctbal") > BLOOM_BALANCE_MIN)
+            .select(F.col("c_custkey").alias("k")))
+    msize = elig.agg(F.greatest(
+        F.count("*") * BLOOM_BITS_PER_KEY,
+        F.lit(BLOOM_WORD).cast("long")).alias("mbits"))
+    pos = F.explode(F.array(*_bloom_positions(
+        F.col("k").cast("string"), F.col("mbits")))).alias("pos")
+    words = (elig.crossJoin(F.broadcast(msize)).select(pos)
+             .select((F.col("pos") / BLOOM_WORD).cast("int")
+                     .alias("word"),
+                     F.expr(f"shiftleft(cast(1 as bigint), "
+                            f"pos % {BLOOM_WORD})").alias("m"))
+             .groupBy("word").agg(F.bit_or("m").alias("bm")))
+    # bitmap signature: md5 over 'word:bm' tokens in NUMERIC word
+    # order — array_sort over structs (collect_list order is not
+    # guaranteed, and zero-padding caps the scale)
+    sig = words.select(F.expr(
+        "md5(cast(concat_ws('|', transform("
+        "array_sort(collect_list(struct(word, bm))), "
+        "x -> concat(x.word, ':', x.bm))) as binary)) AS bitmap_md5"))
+    # row_id materializes BEFORE the explode (separate projection) so
+    # all BLOOM_K probe rows of one order share it
+    base = (orders.select(
+        F.col("o_custkey"), F.col("o_orderpriority"),
+        F.monotonically_increasing_id().alias("row_id"))
+        .crossJoin(F.broadcast(msize)))
+    probes = (base.select(
+        "o_custkey", "o_orderpriority", "row_id",
+        F.explode(F.array(*_bloom_positions(
+            F.col("o_custkey").cast("string"), F.col("mbits"))))
+        .alias("pos"))
+        .select("o_custkey", "o_orderpriority", "row_id",
+                (F.col("pos") / BLOOM_WORD).cast("int").alias("word"),
+                F.expr(f"shiftleft(cast(1 as bigint), "
+                       f"pos % {BLOOM_WORD})").alias("m")))
+    hit = (probes.join(F.broadcast(words), "word", "left")
+           .groupBy("row_id", "o_custkey", "o_orderpriority")
+           .agg(F.min(F.coalesce(
+               F.col("bm").bitwiseAND(F.col("m")) != 0,
+               F.lit(False)).cast("int"))
+                .alias("passes")))
+    member = elig.distinct().withColumn("is_member", F.lit(1))
+    per_order = (hit.join(F.broadcast(member),
+                          hit.o_custkey == member.k, "left")
+                 .select("o_orderpriority", "passes",
+                         F.coalesce("is_member", F.lit(0))
+                         .alias("is_member")))
+    stats = (per_order.groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum("passes").alias("n_pass"),
+                  F.sum("is_member").alias("n_true_member"),
+                  F.sum(F.when((F.col("passes") == 1)
+                               & (F.col("is_member") == 0), 1)
+                        .otherwise(0)).alias("n_false_pos")))
+    fpr_den = F.col("n_orders") - F.col("n_true_member")
+    return (stats.crossJoin(F.broadcast(sig))
+            .select("o_orderpriority", "n_orders", "n_pass",
+                    "n_true_member", "n_false_pos",
+                    round6(F.col("n_false_pos").cast("double")
+                           / F.when(fpr_den > 0, fpr_den).otherwise(1)
+                           .cast("double")).alias("false_pos_rate"),
+                    round6(F.col("n_pass").cast("double")
+                           / F.col("n_orders").cast("double"))
+                    .alias("pass_rate"),
+                    "bitmap_md5")
+            .orderBy("o_orderpriority"))
+
+
+def bloom_join_prune_oracle() -> str:
+    def pos_sql(i: int, key: str) -> str:
+        return (f"(CAST(concat('0x', substr(md5(concat('{i}', ':', "
+                f"CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT) "
+                f"% (SELECT mbits FROM msize))")
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT {pos_sql(i, 'k')} AS pos FROM elig"
+        for i in range(BLOOM_K))
+    probe_pos = " UNION ALL ".join(
+        f"SELECT row_id, o_custkey, o_orderpriority, "
+        f"{pos_sql(i, 'o_custkey')} AS pos FROM o"
+        for i in range(BLOOM_K))
+    return f"""
+WITH elig AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE c_acctbal > {BLOOM_BALANCE_MIN}
+), msize AS (
+  SELECT greatest(count(*) * {BLOOM_BITS_PER_KEY},
+                  {BLOOM_WORD})::BIGINT AS mbits
+  FROM elig
+), bpos AS ({build_pos}),
+words AS (
+  SELECT (pos // {BLOOM_WORD})::INT AS word,
+         bit_or(1::BIGINT << (pos % {BLOOM_WORD})::INT)::BIGINT AS bm
+  FROM bpos GROUP BY 1
+), sig AS (
+  SELECT md5(coalesce(string_agg(concat(word, ':', bm),
+                                 '|' ORDER BY word), '')) AS bitmap_md5
+  FROM words
+), o AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) AS row_id,
+         o_custkey, o_orderpriority
+  FROM orders
+), ppos AS ({probe_pos}),
+hit AS (
+  SELECT row_id, o_custkey, o_orderpriority,
+         min(CASE WHEN w.bm IS NOT NULL
+                   AND (w.bm & (1::BIGINT << (pos % {BLOOM_WORD})::INT))
+                       <> 0
+             THEN 1 ELSE 0 END) AS passes
+  FROM ppos LEFT JOIN words w ON w.word = (pos // {BLOOM_WORD})::INT
+  GROUP BY row_id, o_custkey, o_orderpriority
+), per_order AS (
+  SELECT o_orderpriority, passes,
+         CASE WHEN o_custkey IN (SELECT k FROM elig) THEN 1 ELSE 0 END
+           AS is_member
+  FROM hit
+), stats AS (
+  SELECT o_orderpriority,
+         count(*)::BIGINT AS n_orders,
+         sum(passes)::BIGINT AS n_pass,
+         sum(is_member)::BIGINT AS n_true_member,
+         sum(CASE WHEN passes = 1 AND is_member = 0 THEN 1
+             ELSE 0 END)::BIGINT AS n_false_pos
+  FROM per_order GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders, n_pass, n_true_member, n_false_pos,
+       {r6("n_false_pos::DOUBLE / (CASE WHEN n_orders - n_true_member > 0 THEN n_orders - n_true_member ELSE 1 END)::DOUBLE")}
+         AS false_pos_rate,
+       {r6("n_pass::DOUBLE / n_orders::DOUBLE")} AS pass_rate,
+       (SELECT bitmap_md5 FROM sig) AS bitmap_md5
+FROM stats ORDER BY o_orderpriority
+"""

@@ -1336,6 +1336,8 @@ STAGED_QUERIES: dict = {
         load_table(s, "events", d)),
     "cms_heavy_hitters": lambda s, d: SKC.cms_heavy_hitters(
         load_table(s, "events", d)),
+    "bloom_join_prune": lambda s, d: SKC.bloom_join_prune(
+        load_table(s, "customer", d), load_table(s, "orders", d)),
 }
 
 STAGED_ORACLES: dict = {
@@ -1344,6 +1346,7 @@ STAGED_ORACLES: dict = {
     "dedup_cross_codec_audio": PC.dedup_cross_codec_audio_oracle(),
     "hll_user_cardinality": SKC.hll_user_cardinality_oracle(),
     "cms_heavy_hitters": SKC.cms_heavy_hitters_oracle(),
+    "bloom_join_prune": SKC.bloom_join_prune_oracle(),
 }
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
