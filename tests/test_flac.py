@@ -41,6 +41,27 @@ def test_round_trip_exact_every_layout(mode, stereo):
     assert np.array_equal(y, x)
 
 
+def test_long_streams_cross_the_utf8_frame_number_boundary():
+    """Frame numbers are UTF-8-coded: numbers >= 128 take multi-byte
+    forms whose leading byte once carried an extra one-bit (review
+    finding — every stream longer than 128 frames was malformed).
+    Pin a 200-frame stream end to end and the coded-number round
+    trip across the boundary."""
+    from vectordb_explorations_spark.operators.flac import (
+        _BitReader, _BitWriter, _read_utf8_number, _write_utf8_number)
+
+    for v in (0, 127, 128, 129, 255, 2047, 2048, 65535, 1 << 20,
+              (1 << 36) - 1):
+        bw = _BitWriter()
+        _write_utf8_number(bw, v)
+        bw.align()
+        assert _read_utf8_number(_BitReader(bw.bytes())) == v, v
+    x = (np.arange(200 * 64) % 251 - 125).astype(np.int16)
+    y, rate = decode_flac(encode_flac(x, 8000, block_size=64,
+                                      mode="fixed1"))
+    assert rate == 8000 and np.array_equal(y[:, 0], x)
+
+
 def test_rice_partitions_and_odd_tail():
     """Partition order > 0 splits the residual into 2^k Rice chunks
     with independent parameters; a non-dividing tail block falls back

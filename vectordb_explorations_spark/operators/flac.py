@@ -181,8 +181,12 @@ def _write_utf8_number(bw: _BitWriter, v: int) -> None:
     for nbytes in range(2, 8):
         if payload_bits <= 5 * nbytes + 1:
             break
-    bw.write((0xFF << (7 - nbytes)) & 0xFF
-             | (v >> (6 * (nbytes - 1))), 8)
+    # leading byte: nbytes one-bits, a zero, then the top 7-nbytes
+    # payload bits (shift by 8-nbytes, NOT 7-nbytes — the off-by-one
+    # emitted an extra one-bit and collided with the terminator,
+    # malforming every coded number >= 128)
+    prefix = (0xFF << (8 - nbytes)) & 0xFF
+    bw.write(prefix | (v >> (6 * (nbytes - 1))), 8)
     for i in range(nbytes - 2, -1, -1):
         bw.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
 

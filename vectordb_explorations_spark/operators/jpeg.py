@@ -966,8 +966,10 @@ def _encode_progressive_scan(zzq, comps, samp, mcux, mcuy, h, w,
         ci0 = comps[0]
         hs, vs = samp[ci0]
         bw_full = mcux * hs
-        bw_used = -(-(-(-w * hs // hmax)) // 8)
-        bh_used = -(-(-(-h * vs // vmax)) // 8)
+        # the decoder's grid rule, via the same helper — the two
+        # walks must never drift
+        bw_used, bh_used = _used_blocks(
+            {"w": w, "h": h}, {"h": hs, "v": vs}, hmax, vmax)
         units = bw_used * bh_used
 
         def unit_blocks(u):

@@ -450,10 +450,35 @@ def _wav8_assets(docs: DataFrame,
                     payload.alias("payload")))
 
 
-def _with_reencodes(assets: DataFrame, modality: str) -> DataFrame:
-    """Union each asset with its real re-encode (decode -> re-encode in
-    one Arrow pass): P6 -> 24-bit BMP for images, 8-bit -> 16-bit PCM
-    for audio. The re-encode rides asset_id + 1 (odd ids)."""
+def _reencode_bmp(b: bytes) -> bytes:
+    return encode_bmp(decode_image(b))
+
+
+def _reencode_png(b: bytes) -> bytes:
+    from vectordb_explorations_spark.operators.png import encode_png
+    return encode_png(decode_image(b))
+
+
+def _reencode_wav16(b: bytes) -> bytes:
+    samples, rate = decode_audio(b)
+    return encode_wav16(samples, rate)
+
+
+def _reencode_flac(b: bytes) -> bytes:
+    from vectordb_explorations_spark.operators.flac import encode_flac
+    samples, rate = decode_audio(b)
+    mono = samples[:, 0] if samples.ndim == 2 else samples
+    # the encode_wav16 centering: uint8 -> int16
+    pcm16 = (mono.astype(np.int64) - 128) << 8
+    return encode_flac(pcm16, rate, bps=16, mode="fixed1")
+
+
+def _with_reencode_variants(assets: DataFrame,
+                            encoders) -> DataFrame:
+    """Union each asset with REAL re-encodes (decode -> re-encode in
+    one Arrow pass): ``encoders`` is a list of (id_offset,
+    payload -> bytes) pairs — the single-re-encode pair queries and
+    the cross-codec triplet queries share this plumbing."""
     schema = T.StructType([T.StructField("asset_id", T.LongType()),
                            T.StructField("payload", T.BinaryType())])
 
@@ -464,16 +489,20 @@ def _with_reencodes(assets: DataFrame, modality: str) -> DataFrame:
             ids, payloads = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(payload)
-                if modality == "image":
-                    enc = encode_bmp(decode_image(b))
-                else:
-                    samples, rate = decode_audio(b)
-                    enc = encode_wav16(samples, rate)
-                ids.append(aid + 1)
-                payloads.append(enc)
+                for off, fn in encoders:
+                    ids.append(aid + off)
+                    payloads.append(fn(b))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
     return assets.unionByName(assets.mapInPandas(run, schema=schema))
+
+
+def _with_reencodes(assets: DataFrame, modality: str) -> DataFrame:
+    """The classic pair layout: each asset (2k) plus ONE lossless
+    re-encode (2k+1) — P6 -> 24-bit BMP for images, 8-bit -> 16-bit
+    PCM for audio."""
+    fn = _reencode_bmp if modality == "image" else _reencode_wav16
+    return _with_reencode_variants(assets, [(1, fn)])
 
 
 def dedup_perceptual_image(docs: DataFrame,
@@ -507,44 +536,18 @@ def dedup_perceptual_audio(docs: DataFrame,
 
 def _with_cross_codec_reencodes(assets: DataFrame,
                                 modality: str) -> DataFrame:
-    """Union each asset (asset_id = 3k) with TWO real LOSSLESS
-    re-encodes through different codecs (decode -> re-encode in one
-    Arrow pass): images ride P6 -> uncompressed BMP (3k+1) and
-    P6 -> compressed PNG (3k+2); audio rides 8-bit PCM WAV -> 16-bit
-    PCM WAV (3k+1) and -> FLAC (3k+2). Losslessness means all three
-    payloads hash identically, which is what lets a DuckDB oracle
-    address the triplet without running a codec."""
-    from vectordb_explorations_spark.operators.flac import encode_flac
-    from vectordb_explorations_spark.operators.png import encode_png
-
-    schema = T.StructType([T.StructField("asset_id", T.LongType()),
-                           T.StructField("payload", T.BinaryType())])
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids, payloads = [], []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                b = bytes(payload)
-                if modality == "image":
-                    px = decode_image(b)
-                    encs = [encode_bmp(px), encode_png(px)]
-                else:
-                    samples, rate = decode_audio(b)
-                    mono = samples[:, 0] if samples.ndim == 2 \
-                        else samples
-                    # the encode_wav16 centering: uint8 -> int16
-                    pcm16 = ((mono.astype(np.int64) - 128) << 8)
-                    encs = [encode_wav16(samples, rate),
-                            encode_flac(pcm16, rate, bps=16,
-                                        mode="fixed1")]
-                for v, enc in enumerate(encs, start=1):
-                    ids.append(aid + v)
-                    payloads.append(enc)
-            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
-
-    return assets.unionByName(assets.mapInPandas(run, schema=schema))
+    """The triplet layout: each asset (asset_id = 3k) with TWO real
+    LOSSLESS re-encodes through different codecs — images ride
+    P6 -> uncompressed BMP (3k+1) and P6 -> compressed PNG (3k+2);
+    audio rides 8-bit PCM WAV -> 16-bit PCM WAV (3k+1) and -> FLAC
+    (3k+2). Losslessness means all three payloads hash identically,
+    which is what lets a DuckDB oracle address the triplet without
+    running a codec."""
+    if modality == "image":
+        encoders = [(1, _reencode_bmp), (2, _reencode_png)]
+    else:
+        encoders = [(1, _reencode_wav16), (2, _reencode_flac)]
+    return _with_reencode_variants(assets, encoders)
 
 
 def dedup_cross_codec_image(docs: DataFrame,

@@ -237,6 +237,10 @@ def encode_png(arr: np.ndarray, interlace: bool = False,
                          f"< {1 << depth}")
     if depth == 16 and a.dtype != np.uint16:
         raise ValueError("depth=16 needs uint16 input")
+    if depth != 16 and a.dtype == np.uint16:
+        raise ValueError(
+            "uint16 input encodes at depth 16 — an explicit smaller "
+            "depth would silently truncate to the low byte")
     h, w = a.shape[:2]
     channels = 1 if gray else 3
     color = 0 if gray else 2

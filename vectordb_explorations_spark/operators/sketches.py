@@ -167,9 +167,13 @@ FROM j ORDER BY event_type
 
 def _cms_bucket(r_col, key_str):
     """Row-r counter index for a string key: 32 md5 bits of 'r:key'
-    mod CMS_WIDTH — the per-row independent hash family."""
+    mod CMS_WIDTH — the per-row independent hash family. The key
+    coalesces to '' BEFORE concat_ws: Spark's concat_ws DROPS a NULL
+    argument ('r') while DuckDB's concat renders it empty ('r:') —
+    the dedup.py:99 trap; coalescing makes both engines hash 'r:'."""
     return (F.conv(F.substring(
-        F.md5(F.concat_ws(":", r_col.cast("string"), key_str)
+        F.md5(F.concat_ws(":", r_col.cast("string"),
+                          F.coalesce(key_str, F.lit("")))
               .cast("binary")), 1, 8), 16, 10)
         .cast("long") % CMS_WIDTH)
 
@@ -255,10 +259,13 @@ def _bloom_positions(key_str, m_col):
     """BLOOM_K independent bit positions for one string key — the
     md5('i:key') % m family (the CMS construction with k rows); the
     modulus is a COLUMN (the broadcast corpus-sized bit count), never
-    a baked constant."""
+    a baked constant. NULL keys coalesce to '' (the concat_ws-drops-
+    NULL vs DuckDB-concat-renders-empty divergence — see
+    _cms_bucket)."""
     return [
         (F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(i)), key_str)
+            F.md5(F.concat_ws(":", F.lit(str(i)),
+                              F.coalesce(key_str, F.lit("")))
                   .cast("binary")), 1, 8), 16, 10)
          .cast("long") % m_col)
         for i in range(BLOOM_K)]
