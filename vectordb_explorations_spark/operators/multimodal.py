@@ -245,6 +245,10 @@ def decode_image(payload: bytes) -> np.ndarray:
             from vectordb_explorations_spark.operators.png import (
                 decode_png)
             return decode_png(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from vectordb_explorations_spark.operators.webp import (
+                decode_webp)
+            return decode_webp(payload)  # VP8L native; VP8 raises
     except NotImplementedError:
         if not HAS_PIL:
             raise
