@@ -121,15 +121,17 @@ def test_decode_image_seam_routes_png_natively():
     assert np.array_equal(decode_image(encode_png(rgb)), rgb)
 
 
-def test_cross_format_perceptual_pair(spark):
+def test_cross_format_perceptual_triple(spark):
     """The real-world dedup win the native codecs unlock: the SAME
-    image saved as JPEG and as PNG is a perceptual near-dup pair
-    (different bytes — sha256 is blind to it), found through the
-    Spark banded-hash pipeline across formats."""
+    image saved as JPEG, as PNG, and as lossless WebP forms a
+    perceptual near-dup TRIANGLE (three byte-different payloads —
+    sha256 is blind to it), found through the Spark banded-hash
+    pipeline across formats."""
     from vectordb_explorations_spark.operators.jpeg import (
         encode_baseline_jpeg)
     from vectordb_explorations_spark.operators.perceptual import (
         image_hashes, perceptual_image_pairs)
+    from vectordb_explorations_spark.operators.webp import encode_vp8l
 
     def smooth(seed, h=48, w=64):
         yy, xx = np.mgrid[0:h, 0:w]
@@ -146,7 +148,9 @@ def test_cross_format_perceptual_pair(spark):
         img = smooth(i)
         rows.append((i, bytearray(encode_baseline_jpeg(img, 90, "420"))))
         rows.append((100 + i, bytearray(encode_png(img))))
-        planted.add((i, 100 + i))
+        rows.append((200 + i, bytearray(
+            encode_vp8l(img, subtract_green=True))))
+        planted |= {(i, 100 + i), (i, 200 + i), (100 + i, 200 + i)}
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     pairs = {(r["id_a"], r["id_b"]) for r in
              perceptual_image_pairs(image_hashes(assets)).collect()}
