@@ -161,3 +161,21 @@ def test_bloom_bitmap_signature_tracks_build_side(spark):
 
     assert sig([1, 2, 3]) == sig([3, 1, 2])
     assert sig([1, 2, 3]) != sig([1, 2, 3, 4])
+
+
+def test_streaming_hll_equals_batch_registers(spark, sf_dir):
+    """The merge property that makes HLL a streaming monitor:
+    update-mode register maxima drained across micro-batches finalize
+    to EXACTLY the batch query's sketch columns."""
+    from vectordb_explorations_spark.sources import load_table
+    from vectordb_explorations_spark.streaming.events import (
+        streaming_hll_monitor)
+
+    batch = {r.event_type: (r.n_registers_hit, r.harmonic_sum_scaled,
+                            r.hll_estimate)
+             for r in hll_user_cardinality(
+                 load_table(spark, "events", sf_dir)).collect()}
+    stream = {r.event_type: (r.n_registers_hit,
+                             r.harmonic_sum_scaled, r.hll_estimate)
+              for r in streaming_hll_monitor(spark, sf_dir).collect()}
+    assert stream == batch

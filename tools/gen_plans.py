@@ -306,6 +306,12 @@ COMMENTARY = {
         "no driver collect) so the ~0.14% FPR survives any SF where "
         "fixed-m saturates; bitmap_md5 pins the packed words; "
         "n_pass == n_true + n_false_pos rides as an invariant."),
+    "streaming_hll_monitor": (
+        "HLL on a STREAM (staged r15): update-mode register maxima — "
+        "max is commutative+idempotent, i.e. register-wise max IS "
+        "sketch union — drained and finalized to the batch query's "
+        "exact harmonic sums; state bounded at groups x 16 rows at "
+        "any stream volume, no watermark needed."),
     "bpe_learned_budget": (
         "The tokenizer loop closed (declared r14): the trainer's 8 "
         "bounded vocabulary iterations, then the LEARNED table rides a "

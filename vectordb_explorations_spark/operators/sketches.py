@@ -81,34 +81,57 @@ def hll_user_cardinality(events: DataFrame) -> DataFrame:
     whose libm rounding is not cross-engine-stable (the rounding
     module's lesson), and the raw inputs to apply it are all emitted.
     Cites hnsw.cc: none — north-star extension."""
+    regs = hll_registers(events)
+    harm = _hll_harmonics(regs)
+    truth = (events.groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("true_distinct")))
+    raw_est = _hll_raw_estimate()
+    return (truth.join(harm, "event_type")
+            .select("event_type", "n_events", "true_distinct",
+                    "n_registers_hit", "harmonic_sum_scaled",
+                    round6(raw_est).alias("hll_estimate"),
+                    round6((raw_est - F.col("true_distinct"))
+                           / F.col("true_distinct")).alias("rel_error"))
+            .orderBy("event_type"))
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """(event_type, register, mr) register maxima — the MERGEABLE
+    sketch state: max is commutative/idempotent, so the same frame
+    works as a batch aggregation, a streaming update-mode
+    aggregation, or a union of shards (register-wise max IS HLL
+    sketch union)."""
     register, rank = _hll_rank_cols(F.col("user_id").cast("string"))
-    regs = (events
+    return (events
             .select("event_type", register.alias("register"),
                     rank.alias("rank"))
             .groupBy("event_type", "register")
             .agg(F.max("rank").alias("mr")))
+
+
+def _hll_harmonics(regs: DataFrame) -> DataFrame:
+    """Registers -> per-group (n_registers_hit, harmonic_sum_scaled)
+    with empty registers contributing 2^53 exactly."""
     harm = (regs.groupBy("event_type")
             .agg(F.count("*").alias("n_registers_hit"),
                  # F.shiftleft needs an int-literal bit count; the SQL
                  # form takes a column
                  F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - mr)"))
                  .alias("s_present")))
-    truth = (events.groupBy("event_type")
-             .agg(F.count("*").alias("n_events"),
-                  F.countDistinct("user_id").alias("true_distinct")))
     s_total = (F.col("s_present")
                + (F.lit(HLL_M) - F.col("n_registers_hit"))
                * F.lit(_POW53_I))
-    raw_est = (F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(_POW53)
-               / s_total.cast("double"))
-    return (truth.join(harm, "event_type")
-            .select("event_type", "n_events", "true_distinct",
-                    "n_registers_hit",
-                    s_total.alias("harmonic_sum_scaled"),
-                    round6(raw_est).alias("hll_estimate"),
-                    round6((raw_est - F.col("true_distinct"))
-                           / F.col("true_distinct")).alias("rel_error"))
-            .orderBy("event_type"))
+    return harm.select("event_type", "n_registers_hit",
+                       s_total.alias("harmonic_sum_scaled"))
+
+
+def _hll_raw_estimate():
+    """The estimate column over a frame carrying
+    harmonic_sum_scaled (parse-identical literal chain — see the
+    oracle's DOUBLE-cast note)."""
+    return (F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(_POW53)
+            / F.col("harmonic_sum_scaled").cast("double"))
 
 
 def hll_user_cardinality_oracle() -> str:

@@ -1338,6 +1338,10 @@ STAGED_QUERIES: dict = {
         load_table(s, "events", d)),
     "bloom_join_prune": lambda s, d: SKC.bloom_join_prune(
         load_table(s, "customer", d), load_table(s, "orders", d)),
+    # the sketch family on a STREAM: update-mode register maxima
+    # (max is commutative+idempotent = HLL sketch union), finalized
+    # to the same exact harmonic sums as the batch query.
+    "streaming_hll_monitor": SE.streaming_hll_monitor,
 }
 
 STAGED_ORACLES: dict = {
@@ -1347,6 +1351,7 @@ STAGED_ORACLES: dict = {
     "hll_user_cardinality": SKC.hll_user_cardinality_oracle(),
     "cms_heavy_hitters": SKC.cms_heavy_hitters_oracle(),
     "bloom_join_prune": SKC.bloom_join_prune_oracle(),
+    "streaming_hll_monitor": SE.streaming_hll_monitor_oracle(),
 }
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)

@@ -663,3 +663,52 @@ FROM events e JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY c.c_mktsegment, e.event_type
 ORDER BY c_mktsegment, event_type
 """
+
+
+def streaming_hll_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared correctness pin (staged r14 for r15) for SKETCHES ON A
+    STREAM: per-event-type HyperLogLog registers maintained by an
+    update-mode streaming aggregation — register-wise max is
+    commutative and idempotent, which is exactly why HLL is THE
+    production cardinality monitor: micro-batch updates, shard unions,
+    and re-deliveries all merge into the same sketch. Drain with
+    availableNow, keep each (event_type, register)'s FINAL max across
+    the update rows (monotone), then finalize to the exact
+    harmonic-sum bigint and the raw estimate — the driver hash-checks
+    that the STREAMING sketch content equals the batch oracle's.
+
+    Scale shape: state is bounded at groups x 16 register rows no
+    matter the stream volume; no watermark needed (the aggregation
+    state IS the sketch)."""
+    import uuid
+
+    from vectordb_explorations_spark.operators.sketches import (
+        _hll_harmonics, _hll_raw_estimate, hll_registers)
+    from vectordb_explorations_spark.functions.rounding import round6
+
+    name = f"shll_{uuid.uuid4().hex[:12]}"
+    stream = read_events_stream(spark, sf_dir)
+    q = run_to_memory(hll_registers(stream), name, "update")
+    await_drained(q)
+    regs = (spark.table(name)
+            .groupBy("event_type", "register")
+            .agg(F.max("mr").alias("mr")))
+    return (_hll_harmonics(regs)
+            .select("event_type", "n_registers_hit",
+                    "harmonic_sum_scaled",
+                    round6(_hll_raw_estimate()).alias("hll_estimate"))
+            .orderBy("event_type"))
+
+
+def streaming_hll_monitor_oracle() -> str:
+    """The batch HLL oracle minus the exact-truth columns — identical
+    register/harmonic/estimate pipeline over the same table."""
+    from vectordb_explorations_spark.operators.sketches import (
+        hll_user_cardinality_oracle)
+
+    # reuse the full batch oracle as a subquery and project the
+    # sketch-only columns: one source of truth for the HLL SQL
+    inner = hll_user_cardinality_oracle()
+    return (f"SELECT event_type, n_registers_hit, "
+            f"harmonic_sum_scaled, hll_estimate "
+            f"FROM ({inner}) ORDER BY event_type")
