@@ -83,6 +83,57 @@ def test_bmp_8bit_palette_and_rle8():
     assert np.array_equal(out, want2)
 
 
+def test_bmp_rle4_and_bitfields():
+    """RLE4 (nibble-alternating runs, packed absolute runs) and
+    BI_BITFIELDS (565 16-bit and 8888 32-bit mask layouts)."""
+    import struct
+
+    import numpy as np
+
+    plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    # RLE4, 1 row of 6: run of 5 alternating (1,2) + absolute 1 idx 3
+    rle = (b"\x05\x12"            # 1,2,1,2,1
+           + b"\x00\x03" + bytes([0x30, 0x00])  # absolute 3: 3,0,0
+           + b"\x00\x01")                       # EOF
+    # absolute run of 3 -> nbytes=2, pad to word: 2 bytes no pad
+    payload = _bmp8(8, 1, plte, rle, comp=2)
+    # patch bpp to 4 (the helper writes 8)
+    payload = bytearray(payload)
+    payload[28:30] = struct.pack("<H", 4)
+    out = M.decode_image(bytes(payload))
+    want = np.array(plte, dtype=np.uint8)[
+        np.array([[1, 2, 1, 2, 1, 3, 0, 0]])]
+    assert np.array_equal(out, want)
+
+    # 16-bit 565 bitfields, 2x2 bottom-up
+    def bmp_bitfields(w, h, bpp, masks, pixdata):
+        off = 14 + 40 + 12
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 3,
+                           len(pixdata), 0, 0, 0, 0)
+        head = (b"BM" + struct.pack("<I", off + len(pixdata))
+                + b"\x00" * 4 + struct.pack("<I", off))
+        return head + info + struct.pack("<III", *masks) + pixdata
+
+    px = [[0xF800, 0x07E0], [0x001F, 0xFFFF]]  # R, G / B, white
+    rows = b""
+    for r in (1, 0):                          # bottom-up
+        rows += struct.pack("<HH", *px[r])    # stride 4, no pad
+    out = M.decode_image(bmp_bitfields(
+        2, 2, 16, (0xF800, 0x07E0, 0x001F), rows))
+    want = np.array([[[255, 0, 0], [0, 255, 0]],
+                     [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    assert np.array_equal(out, want)
+
+    # 32-bit 8888 bitfields, top-down (negative height)
+    vals = np.array([[0x00123456, 0x00ABCDEF]], dtype="<u4")
+    out = M.decode_image(bmp_bitfields(
+        2, -1, 32, (0x00FF0000, 0x0000FF00, 0x000000FF),
+        vals.tobytes()))
+    want = np.array([[[0x12, 0x34, 0x56], [0xAB, 0xCD, 0xEF]]],
+                    dtype=np.uint8)
+    assert np.array_equal(out, want)
+
+
 def test_16bit_netpbm_folds_to_high_byte():
     """maxval > 255 netpbm: two-byte big-endian samples fold to the
     high byte (exact at maxval 65535 — the PNG 16-bit contract)."""

@@ -136,10 +136,12 @@ def _bmp_palette(payload: bytes, bpp: int) -> np.ndarray:
     return tbl[:, [2, 1, 0]].copy()          # BGRA -> RGB
 
 
-def _decode_rle8(data: bytes, w: int, ah: int) -> np.ndarray:
-    """BI_RLE8 (compression 1) -> (ah, w) palette indices, bottom-up
-    row order as stored. Encoded runs, absolute runs (word-aligned),
-    and the 0-escapes: end-of-line, end-of-bitmap, delta."""
+def _decode_rle(data: bytes, w: int, ah: int, four: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 (compression 1 / 2) -> (ah, w) palette
+    indices, bottom-up row order as stored. Encoded runs (RLE4: the
+    run byte alternates its two nibbles), absolute runs
+    (word-aligned; RLE4 packs two indices per byte), and the
+    0-escapes: end-of-line, end-of-bitmap, delta."""
     idx = np.zeros((ah, w), dtype=np.uint8)
     x = y = i = 0
     n = len(data)
@@ -147,37 +149,58 @@ def _decode_rle8(data: bytes, w: int, ah: int) -> np.ndarray:
         cnt, val = data[i], data[i + 1]
         i += 2
         if cnt > 0:                          # encoded run
-            end = min(x + cnt, w)
-            if y < ah:
-                idx[y, x:end] = val
-            x = end
+            if four:
+                pair = (val >> 4, val & 0x0F)
+                for k in range(cnt):
+                    if x < w and y < ah:
+                        idx[y, x] = pair[k & 1]
+                    x += 1
+            else:
+                end = min(x + cnt, w)
+                if y < ah:
+                    idx[y, x:end] = val
+                x += cnt
         elif val == 0:                       # end of line
             x, y = 0, y + 1
         elif val == 1:                       # end of bitmap
             break
         elif val == 2:                       # delta
             if i + 1 >= n:
-                raise ValueError("BMP: truncated RLE8 delta")
+                raise ValueError("BMP: truncated RLE delta")
             x += data[i]
             y += data[i + 1]
             i += 2
         else:                                # absolute run of `val`
-            if i + val > n:
-                raise ValueError("BMP: truncated RLE8 absolute run")
-            end = min(x + val, w)
-            if y < ah:
-                idx[y, x:end] = np.frombuffer(
-                    data, dtype=np.uint8, count=end - x, offset=i)
-            x += val
-            i += val + (val & 1)             # word-aligned
+            nbytes = (val + 1) // 2 if four else val
+            if i + nbytes > n:
+                raise ValueError("BMP: truncated RLE absolute run")
+            for k in range(val):
+                b = data[i + (k // 2 if four else k)]
+                v = ((b >> 4) if k % 2 == 0 else (b & 0x0F)) \
+                    if four else b
+                if x < w and y < ah:
+                    idx[y, x] = v
+                x += 1
+            i += nbytes + (nbytes & 1)       # word-aligned
     return idx
+
+
+def _mask_channel(px: np.ndarray, mask: int) -> np.ndarray:
+    """Extract one bitfield channel scaled to 0..255."""
+    if mask == 0:
+        return np.zeros(px.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    span = mask >> shift
+    v = (px & mask) >> shift
+    return (v * 255 // span).astype(np.uint8)
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """BMP -> (h, w, 3) RGB: uncompressed 24/32-bit, uncompressed
-    8-bit palette, and RLE8-compressed 8-bit palette. Rows are 4-byte
-    padded and stored bottom-up (top-down when the height field is
-    negative)."""
+    8-bit palette, RLE8/RLE4-compressed palettes, and 16/32-bit
+    BI_BITFIELDS (mask-extracted channels scaled to 0..255). Rows are
+    4-byte padded and stored bottom-up (top-down when the height
+    field is negative)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = int.from_bytes(payload[10:14], "little")
@@ -186,9 +209,9 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
     bottom_up, ah = h > 0, abs(h)
-    if comp == 1 and bpp == 8:               # BI_RLE8
-        plte = _bmp_palette(payload, bpp)
-        idx = _decode_rle8(payload[off:], w, ah)
+    if (comp == 1 and bpp == 8) or (comp == 2 and bpp == 4):
+        plte = _bmp_palette(payload, bpp)    # BI_RLE8 / BI_RLE4
+        idx = _decode_rle(payload[off:], w, ah, four=comp == 2)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("BMP: palette index out of range")
         rgb = plte[idx]
@@ -203,11 +226,26 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
             raise ValueError("BMP: palette index out of range")
         rgb = plte[idx]
         return rgb[::-1].copy() if bottom_up else rgb.copy()
+    if comp == 3 and bpp in (16, 32):        # BI_BITFIELDS
+        import struct
+
+        masks = struct.unpack("<III", payload[54:66])
+        step = bpp // 8
+        stride = (w * step + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=stride * ah,
+                             offset=off).reshape(ah, stride)
+        dt = "<u2" if bpp == 16 else "<u4"
+        px = (np.ascontiguousarray(rows[:, :w * step])
+              .reshape(-1).view(dt).reshape(ah, w).astype(np.uint32))
+        rgb = np.stack([_mask_channel(px, m) for m in masks], -1)
+        return rgb[::-1].copy() if bottom_up else rgb.copy()
     if comp != 0 or bpp not in (24, 32):
         raise NotImplementedError(
             f"BMP shape not decoded natively (bpp={bpp}, "
-            f"compression={comp}); 24/32-bit uncompressed and 8-bit "
-            f"palette/RLE8 are covered — PIL handles the rest")
+            f"compression={comp}); 24/32-bit uncompressed, 8-bit "
+            f"palette/RLE8, 4-bit RLE4, and 16/32-bit bitfields are "
+            f"covered — PIL handles the rest")
     step = bpp // 8
     stride = (w * step + 3) & ~3
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * ah,
@@ -227,7 +265,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     which libraries the environment carries; JPEG+PNG are the two
     dominant real-corpus formats, operators/jpeg.py and
     operators/png.py). Anything the native paths can't handle
-    (WebP/arithmetic or 12-bit JPEG/RLE4 or bitfield BMP) routes
+    (lossy-VP8 WebP / arithmetic or 12-bit JPEG) routes
     through PIL when the runtime probe found it (``HAS_PIL``),
     normalized to uint8 RGB / grayscale arrays matching the native
     paths' shape contract; without PIL those formats raise
