@@ -216,3 +216,37 @@ def test_planted_perceptual_recall_over_jpeg(spark):
     assert planted <= pairs, planted - pairs      # recall 1.0
     # no cross-image false pairs: every found pair is a planted twin
     assert pairs == planted, pairs - planted
+
+
+def test_12bit_extended_sequential():
+    """precision=12 emits SOF1 extended sequential (samples lifted
+    x16, flat wide-category Huffman tables); the decoder folds the
+    12-bit reconstruction to the top 8 bits. Flat images come back
+    EXACTLY (quantization error vanishes under the fold); structured
+    images land at-or-below the 8-bit path's error; restart markers
+    compose."""
+    for shape in ((24, 17, 3), (16, 16)):
+        flat = np.full(shape, 130, np.uint8)
+        out = decode_jpeg(encode_baseline_jpeg(flat, 90, "444",
+                                               precision=12))
+        assert np.array_equal(out, flat), shape
+    img = _gradient()
+    for sub in ("444", "420"):
+        e12 = np.abs(decode_jpeg(encode_baseline_jpeg(
+            img, 90, sub, precision=12)).astype(int)
+            - img.astype(int)).max()
+        e8 = np.abs(decode_jpeg(encode_baseline_jpeg(
+            img, 90, sub)).astype(int) - img.astype(int)).max()
+        assert e12 <= e8, (sub, e12, e8)
+    base = decode_jpeg(encode_baseline_jpeg(img, 90, "444",
+                                            precision=12))
+    for ri in (1, 3):
+        out = decode_jpeg(encode_baseline_jpeg(
+            img, 90, "444", precision=12, restart_interval=ri))
+        assert np.array_equal(out, base), ri
+    # SOF0 with 12-bit precision is malformed, not a seam
+    bad = bytearray(encode_baseline_jpeg(img, 90, "444", precision=12))
+    i = bad.find(b"\xff\xc1")
+    bad[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(bad))

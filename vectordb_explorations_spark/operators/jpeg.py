@@ -32,7 +32,9 @@ public JPEG standard (ITU-T T.81 / ISO 10918-1):
   identically, so a progressive decode is asserted BIT-EQUAL to the
   baseline decode of the same source.
 
-Arithmetic-coded, hierarchical, and 12-bit processes raise
+12-bit precision decodes in the sequential and progressive Huffman
+processes (samples fold to the top 8 bits — the uint8 output
+contract); only the arithmetic-coded and hierarchical processes raise
 NotImplementedError — decode_image's seam then falls through to PIL
 where the runtime probe found it, exactly like the other compressed
 formats.
@@ -134,6 +136,15 @@ PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
 PROG_AC_VALS = sorted([(r << 4) | s for r in range(16)
                        for s in range(1, 11)]
                       + [r << 4 for r in range(15)] + [0xF0])
+
+# 12-bit (extended sequential) tables: DC categories reach 15 and AC
+# magnitudes 14 bits, past the Annex K tables' reach — flat custom
+# codes, same construction as the progressive table.
+EXT12_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+EXT12_DC_VALS = list(range(16))
+EXT12_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+EXT12_AC_VALS = sorted([(r << 4) | s for r in range(16)
+                        for s in range(1, 15)] + [0x00, 0xF0])
 
 # orthonormal 8-point DCT-II basis: forward F = T f T', inverse f = T' F T
 _T = np.zeros((8, 8))
@@ -279,9 +290,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive (SOF2) processes — multi-scan spectral selection and
     successive approximation with EOB runs, interleaved and
     single-component scans, restart intervals in every scan type.
-    Raises ValueError for malformed streams and NotImplementedError
-    for the non-Huffman/non-8-bit processes (arithmetic coding,
-    hierarchical, 12-bit) so the capability seam can route to PIL."""
+    8- and 12-bit precision both decode (12-bit folds to the top 8
+    bits). Raises ValueError for malformed streams and
+    NotImplementedError for the non-Huffman processes (arithmetic
+    coding, hierarchical) so the capability seam can route to PIL."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     quant: dict[int, np.ndarray] = {}   # id -> raster-order table
@@ -321,7 +333,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 quant[tq] = tbl
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec = seg[0]
-            if prec != 8:
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("JPEG: baseline SOF0 requires 8-bit "
+                                 "precision")
+            if prec not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG: {prec}-bit precision is not supported "
                     f"natively — PIL handles it where installed")
@@ -333,6 +348,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"h": h_img, "w": w_img, "comps": comps,
+                     "prec": prec,
                      "progressive": marker == 0xC2}
             _, _, mcux, mcuy = _frame_geometry(frame)
             planes = {c["id"]: np.zeros(
@@ -549,8 +565,14 @@ def _block_ac_refine(reader, block, act, ss, se, al, state) -> None:
 
 def _reconstruct(frame, planes, quant) -> np.ndarray:
     """Dequantize + batch IDCT per component, assemble, upsample,
-    color-convert — shared by the sequential and progressive paths."""
+    color-convert — shared by the sequential and progressive paths.
+    12-bit frames level-shift by 2048, clamp to 0..4095, and FOLD to
+    the top 8 bits (the module-wide uint8 output contract — the same
+    I;16 -> L discipline as the PNG/netpbm high-byte folds)."""
     h_img, w_img = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    mid = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     hmax, vmax, mcux, mcuy = _frame_geometry(frame)
     out_planes = []
     for c in frame["comps"]:
@@ -561,7 +583,9 @@ def _reconstruct(frame, planes, quant) -> np.ndarray:
         raster[:, ZIGZAG] = planes[c["id"]]
         blocks = (raster.astype(np.float64) * q).reshape(-1, 8, 8)
         spatial = np.einsum("kj,njl,lm->nkm", _T.T, blocks, _T)
-        spatial = np.clip(np.round(spatial + 128.0), 0, 255)
+        spatial = np.clip(np.round(spatial + mid), 0, maxv)
+        if prec > 8:
+            spatial = np.floor(spatial / (1 << (prec - 8)))
         bw, bh = mcux * c["h"], mcuy * c["v"]
         plane = (spatial.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
@@ -682,13 +706,14 @@ def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def _prepare_quantized(arr: np.ndarray, quality: int,
-                       subsampling: str):
+                       subsampling: str, scale: int = 1):
     """Shared encoder front half: color transform, chroma
     downsample, forward DCT, quantization. Returns (gray, h, w, samp,
     mcux, mcuy, ql, qc, quantized) with ``quantized[ci]`` the
     component's (nblocks, 64) RASTER-order int32 coefficients in the
     MCU-padded grid — both encoders quantize identically, so their
-    decodes are bit-comparable."""
+    decodes are bit-comparable. ``scale`` lifts samples into a wider
+    precision domain (16 for 12-bit extended sequential)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3):
         raise ValueError("JPEG encoders expect uint8 (h,w[,3])")
@@ -734,7 +759,7 @@ def _prepare_quantized(arr: np.ndarray, quality: int,
         hs, vs = samp[ci]
         bw, bh = mcux * hs, mcuy * vs
         q = (ql if ci == 0 else qc).reshape(8, 8).astype(np.float64)
-        padded = _pad_edge(plane, bh * 8, bw * 8)
+        padded = _pad_edge(plane, bh * 8, bw * 8) * float(scale)
         blocks = (padded.reshape(bh, 8, bw, 8)
                   .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
         freq = np.einsum("kj,njl,lm->nkm", _T, blocks, _T.T)
@@ -746,21 +771,34 @@ def _prepare_quantized(arr: np.ndarray, quality: int,
 
 def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
                          subsampling: str = "444",
-                         restart_interval: int = 0) -> bytes:
-    """Deterministic baseline JPEG encode of a uint8 (h, w) grayscale
-    or (h, w, 3) RGB array: Annex K tables under IJG quality scaling,
-    4:4:4 / 4:2:2 / 4:2:0 chroma (``subsampling``), no restart
-    markers by default. The test-synthesis half of the codec pair —
+                         restart_interval: int = 0,
+                         precision: int = 8) -> bytes:
+    """Deterministic single-scan JPEG encode of a uint8 (h, w)
+    grayscale or (h, w, 3) RGB array: Annex K tables under IJG
+    quality scaling, 4:4:4 / 4:2:2 / 4:2:0 chroma (``subsampling``),
+    no restart markers by default. ``precision=12`` emits the
+    EXTENDED SEQUENTIAL process instead (SOF1, samples lifted x16
+    into the 12-bit domain, flat custom Huffman tables carrying the
+    wider DC/AC categories Annex K lacks — the decoder folds back to
+    the uint8 contract). The test-synthesis half of the codec pair —
     fixed tables + explicit rounding means byte-identical output for
     identical input, so planted-dup tests can build JPEG payloads
     in-pipeline; the subsampled modes exist mainly so tests drive the
     decoder's real-world interleaved-MCU paths."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     gray, h, w, samp, mcux, mcuy, ql, qc, quantized = \
-        _prepare_quantized(arr, quality, subsampling)
-    dc_l_enc, _ = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l_enc, _ = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c_enc, _ = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c_enc, _ = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        _prepare_quantized(arr, quality, subsampling,
+                           scale=1 << (precision - 8))
+    if precision == 12:
+        dc_l_enc, _ = _canonical_codes(EXT12_DC_BITS, EXT12_DC_VALS)
+        ac_l_enc, _ = _canonical_codes(EXT12_AC_BITS, EXT12_AC_VALS)
+        dc_c_enc, ac_c_enc = dc_l_enc, ac_l_enc
+    else:
+        dc_l_enc, _ = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_l_enc, _ = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        dc_c_enc, _ = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_c_enc, _ = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     writer = _BitWriter()
     preds = [0] * len(quantized)
@@ -793,19 +831,28 @@ def encode_baseline_jpeg(arr: np.ndarray, quality: int = 90,
     out += _dqt_segment(0, ql)
     ncomp = 1 if gray else 3
     y_samp = (samp[0][0] << 4) | samp[0][1]
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", h, w) \
+        + bytes([ncomp])
     sof += bytes([1, y_samp, 0])
     if not gray:
         out += _dqt_segment(1, qc)
         sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-    if not gray:
-        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if precision == 12:
+        out += _dht_segment(0, 0, EXT12_DC_BITS, EXT12_DC_VALS)
+        out += _dht_segment(1, 0, EXT12_AC_BITS, EXT12_AC_VALS)
+        if not gray:
+            out += _dht_segment(0, 1, EXT12_DC_BITS, EXT12_DC_VALS)
+            out += _dht_segment(1, 1, EXT12_AC_BITS, EXT12_AC_VALS)
+    else:
+        out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        if not gray:
+            out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+            out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     sos = bytes([ncomp, 1, 0x00])
     if not gray:
         sos += bytes([2, 0x11, 3, 0x11])

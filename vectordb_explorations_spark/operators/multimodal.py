@@ -265,7 +265,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     which libraries the environment carries; JPEG+PNG are the two
     dominant real-corpus formats, operators/jpeg.py and
     operators/png.py). Anything the native paths can't handle
-    (lossy-VP8 WebP / arithmetic or 12-bit JPEG) routes
+    (lossy-VP8 WebP / arithmetic-coded JPEG) routes
     through PIL when the runtime probe found it (``HAS_PIL``),
     normalized to uint8 RGB / grayscale arrays matching the native
     paths' shape contract; without PIL those formats raise
