@@ -449,3 +449,244 @@ SELECT o_orderpriority, n_orders, n_pass, n_true_member, n_false_pos,
        (SELECT bitmap_md5 FROM sig) AS bitmap_md5
 FROM stats ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values) distinct sketch with SET OPERATIONS — the third
+# member of the monitoring family. HLL answers "how many distinct"; KMV
+# additionally answers "how much do two sets OVERLAP" (union / Jaccard /
+# intersection estimates) from two mergeable k-row summaries
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 "Distinct-value synopses").
+# ---------------------------------------------------------------------------
+
+KMV_K = 128                     # sketch size: k smallest hashes per set
+_POW60_I = 1 << 60              # 15 md5 hex nibbles -> [0, 2^60)
+_POW60 = 1152921504606846976.0  # exact double literal of 2^60
+
+# The dedup family's shingle fingerprint primitives — SAME hash, so a
+# KMV overlap estimate is directly comparable to the exact
+# source_dup_matrix / split_leakage numbers built on these fingerprints.
+from vectordb_explorations_spark.operators.dedup import (  # noqa: E402
+    _SHINGLE_HASH as _KMV_SHINGLE_HASH,
+    _SHINGLE_HASH_DUCK as _KMV_SHINGLE_HASH_DUCK,
+    _SHINGLES_DUCK as _KMV_SHINGLES_DUCK)
+
+
+def _kmv_est(n_col, kth_col):
+    """Distinct estimate from a (possibly under-full) KMV sketch:
+    (k-1) * 2^60 / h_(k) when the sketch holds k values, else the exact
+    member count (an under-full sketch IS the whole set). (k-1)*2^60 is
+    a 7-bit mantissa times a power of two — exactly representable, so
+    the single IEEE division is parse-identical cross-engine."""
+    full = F.lit(float(KMV_K - 1)) * F.lit(_POW60) \
+        / kth_col.cast("double")
+    return F.when(n_col < KMV_K, n_col.cast("double")).otherwise(full)
+
+
+def _kmv_est_sql(n: str, kth: str) -> str:
+    return (f"CASE WHEN {n} < {KMV_K} THEN CAST({n} AS DOUBLE) "
+            f"ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({_POW60} AS DOUBLE)"
+            f" / CAST({kth} AS DOUBLE) END")
+
+
+def kmv_source_overlap(docs: DataFrame) -> DataFrame:
+    """Declared query (r14 continuation): cross-source content overlap
+    from KMV sketches — the SKETCH-SCALE answer to the question
+    ``source_dup_matrix`` answers exactly. Each source's distinct
+    hashed-3-shingle set (the dedup family's 60-bit md5 fingerprint,
+    operators/dedup.py) is summarized by its KMV_K smallest hash
+    values; for every unordered source pair the query emits the merged
+    sketch's content pin (kth minima as exact bigints + the md5 of the
+    full merged k-set), the shared-member count, and the derived
+    union / Jaccard / intersection estimates, alongside the EXACT
+    Jaccard so the driver hash-checks both the sketch content and its
+    error. Estimator: distinct ~ (k-1)*2^60/h_(k); for pair (A, B) with
+    merged k-set L, J(A,B) ~ |L ∩ A ∩ B| / |L| (Beyer et al. 2007).
+
+    Scale shape (100 TB): the sketch build is ONE scan — distinct
+    (source, h) then a per-source bounded top-k (the k-smallest rank
+    prunes to |sources| x k rows; partial sort per partition, never a
+    global sort); the pair stage joins k-row sketches, so it is
+    |sources|^2 x k on BOUNDED summaries regardless of corpus size —
+    exactly why a data team monitors cross-crawl overlap with KMV
+    instead of the quadratic exact join. The true_jaccard audit
+    columns are the fixture-scale grading half (the hll_user_
+    cardinality discipline); a production run at 100 TB would emit
+    only the estimate columns. Cites hnsw.cc: none — north-star
+    extension."""
+    from pyspark.sql import Window
+
+    # posexplode + lead shingle stream (the _exploded_shingles shape —
+    # measured ~4x faster than the array-lambda form, dedup.py) carrying
+    # the source column so no doc_id join is needed downstream
+    words = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    tri = words.select(
+        "source",
+        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(wdoc),
+                    F.lead("w", 2).over(wdoc)).alias("s"),
+        F.lead("w", 2).over(wdoc).alias("_w2"))
+    sh = (tri.where(F.col("_w2").isNotNull())
+          .select("source", F.expr(_KMV_SHINGLE_HASH).alias("h"))
+          .distinct())
+    win = Window.partitionBy("source").orderBy("h")
+    sk = (sh.withColumn("rn", F.row_number().over(win))
+          .where(F.col("rn") <= KMV_K)
+          .select("source", "h"))
+    per_src = (sk.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_sk"),
+                    F.max("h").alias("kth")))
+    srcs = per_src.select("source")
+    pairs = (srcs.select(F.col("source").alias("source_a"))
+             .join(srcs.select(F.col("source").alias("source_b")),
+                   F.col("source_a") < F.col("source_b")))
+    rows_a = (pairs.join(sk.withColumnRenamed("source", "source_a"),
+                         "source_a")
+              .select("source_a", "source_b", "h",
+                      F.lit(True).alias("fa"), F.lit(False).alias("fb")))
+    rows_b = (pairs.join(sk.withColumnRenamed("source", "source_b"),
+                         "source_b")
+              .select("source_a", "source_b", "h",
+                      F.lit(False).alias("fa"), F.lit(True).alias("fb")))
+    merged = (rows_a.unionByName(rows_b)
+              .groupBy("source_a", "source_b", "h")
+              .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b")))
+    wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    topm = (merged.withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") <= KMV_K))
+    per_pair = (topm.groupBy("source_a", "source_b")
+                .agg(F.count(F.lit(1)).alias("n_union_sk"),
+                     F.max("h").alias("kth_union"),
+                     F.sum((F.col("in_a") & F.col("in_b")).cast("int"))
+                     .alias("n_shared"),
+                     F.md5(F.concat_ws(
+                         "|", F.transform(
+                             F.array_sort(F.collect_list("h")),
+                             lambda x: x.cast("string")))
+                         .cast("binary")).alias("union_sketch_md5")))
+    # exact-truth audit half (fixture-scale grading; see docstring)
+    nd = sh.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    inter = (sh.select(F.col("source").alias("source_a"), "h")
+             .join(sh.select(F.col("source").alias("source_b"), "h"),
+                   "h")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    truth = (pairs
+             .join(nd.withColumnRenamed("source", "source_a")
+                   .withColumnRenamed("nd", "nd_a"), "source_a")
+             .join(nd.withColumnRenamed("source", "source_b")
+                   .withColumnRenamed("nd", "nd_b"), "source_b")
+             .join(inter, ["source_a", "source_b"], "left")
+             .select("source_a", "source_b", "nd_a", "nd_b",
+                     F.coalesce("n_inter", F.lit(0)).alias("n_inter")))
+    sa = per_src.select(F.col("source").alias("source_a"),
+                        F.col("n_sk").alias("n_sk_a"),
+                        F.col("kth").alias("kth_a"))
+    sb = per_src.select(F.col("source").alias("source_b"),
+                        F.col("n_sk").alias("n_sk_b"),
+                        F.col("kth").alias("kth_b"))
+    union_est = _kmv_est(F.col("n_union_sk"), F.col("kth_union"))
+    jac_est = (F.col("n_shared").cast("double")
+               / F.col("n_union_sk").cast("double"))
+    true_jac = (F.col("n_inter").cast("double")
+                / (F.col("nd_a") + F.col("nd_b") - F.col("n_inter"))
+                .cast("double"))
+    return (per_pair
+            .join(sa, "source_a").join(sb, "source_b")
+            .join(truth, ["source_a", "source_b"])
+            .select("source_a", "source_b",
+                    "kth_a", "kth_b", "kth_union", "n_shared",
+                    "union_sketch_md5",
+                    round6(_kmv_est(F.col("n_sk_a"), F.col("kth_a")))
+                    .alias("distinct_est_a"),
+                    round6(_kmv_est(F.col("n_sk_b"), F.col("kth_b")))
+                    .alias("distinct_est_b"),
+                    round6(union_est).alias("union_est"),
+                    round6(jac_est).alias("jaccard_est"),
+                    round6(jac_est * union_est)
+                    .alias("intersection_est"),
+                    round6(true_jac).alias("true_jaccard"),
+                    round6(jac_est - true_jac).alias("jaccard_err"))
+            .orderBy("source_a", "source_b"))
+
+
+def kmv_source_overlap_oracle() -> str:
+    est_a = _kmv_est_sql("n_sk_a", "kth_a")
+    est_b = _kmv_est_sql("n_sk_b", "kth_b")
+    est_u = _kmv_est_sql("n_union_sk", "kth_union")
+    jac = "CAST(n_shared AS DOUBLE) / CAST(n_union_sk AS DOUBLE)"
+    tjac = ("CAST(n_inter AS DOUBLE) "
+            "/ CAST(nd_a + nd_b - n_inter AS DOUBLE)")
+    return f"""
+WITH raw AS (
+  SELECT source, unnest({_KMV_SHINGLES_DUCK}) AS s FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         {_KMV_SHINGLE_HASH_DUCK} AS h
+  FROM raw
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh) WHERE rn <= {KMV_K}
+), per_src AS (
+  SELECT source, count(*) AS n_sk, max(h) AS kth FROM sk GROUP BY source
+), pairs AS (
+  SELECT x.source AS source_a, y.source AS source_b
+  FROM per_src x JOIN per_src y ON x.source < y.source
+), mrows AS (
+  SELECT p.source_a, p.source_b, k.h, TRUE AS fa, FALSE AS fb
+  FROM pairs p JOIN sk k ON k.source = p.source_a
+  UNION ALL
+  SELECT p.source_a, p.source_b, k.h, FALSE AS fa, TRUE AS fb
+  FROM pairs p JOIN sk k ON k.source = p.source_b
+), merged AS (
+  SELECT source_a, source_b, h,
+         bool_or(fa) AS in_a, bool_or(fb) AS in_b
+  FROM mrows GROUP BY source_a, source_b, h
+), topm AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM merged) WHERE rn <= {KMV_K}
+), per_pair AS (
+  SELECT source_a, source_b,
+         count(*) AS n_union_sk, max(h) AS kth_union,
+         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_shared,
+         md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY h))
+           AS union_sketch_md5
+  FROM topm GROUP BY source_a, source_b
+), nd AS (
+  SELECT source, count(*) AS nd FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+), j AS (
+  SELECT pp.*, sa.n_sk AS n_sk_a, sa.kth AS kth_a,
+         sb.n_sk AS n_sk_b, sb.kth AS kth_b,
+         na.nd AS nd_a, nb.nd AS nd_b,
+         coalesce(i.n_inter, 0) AS n_inter
+  FROM per_pair pp
+  JOIN per_src sa ON sa.source = pp.source_a
+  JOIN per_src sb ON sb.source = pp.source_b
+  JOIN nd na ON na.source = pp.source_a
+  JOIN nd nb ON nb.source = pp.source_b
+  LEFT JOIN inter i ON i.source_a = pp.source_a
+                   AND i.source_b = pp.source_b
+)
+SELECT source_a, source_b, kth_a, kth_b, kth_union, n_shared,
+       union_sketch_md5,
+       {r6(est_a)} AS distinct_est_a,
+       {r6(est_b)} AS distinct_est_b,
+       {r6(est_u)} AS union_est,
+       {r6(jac)} AS jaccard_est,
+       {r6(f"({jac}) * ({est_u})")} AS intersection_est,
+       {r6(tjac)} AS true_jaccard,
+       {r6(f"({jac}) - ({tjac})")} AS jaccard_err
+FROM j ORDER BY source_a, source_b
+"""

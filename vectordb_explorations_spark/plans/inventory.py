@@ -1059,6 +1059,41 @@ QUERIES: dict[str, QueryFn] = {
     # report the per-source token budget — hash-checked end to end.
     "bpe_learned_budget": lambda s, d: X.bpe_learned_budget(
         load_table(s, "documents", d)),
+    # ---- declared r14 continuation (built + tripwire-verified this
+    # ---- round; SURVEY §19a) ----------------------------------------
+    # tokenizer FERTILITY per language under the corpus-learned merge
+    # table: tokens-per-word and UTF-8 bytes-per-token by labeled lang
+    # — the vocab-sizing metric for multilingual pipelines.
+    "bpe_fertility_by_lang": lambda s, d: X.bpe_fertility_by_lang(
+        load_table(s, "documents", d)),
+    # cross-CODEC perceptual triplets: one raster carried as P6/BMP/PNG,
+    # one sample stream as WAV8/WAV16/FLAC — three byte-different
+    # lossless payloads, one perceptual hash through the banded
+    # pipeline; oracles ride the lossless-re-encode invariance.
+    "dedup_cross_codec_image": lambda s, d: PC.dedup_cross_codec_image(
+        load_table(s, "documents", d)),
+    "dedup_cross_codec_audio": lambda s, d: PC.dedup_cross_codec_audio(
+        load_table(s, "documents", d)),
+    # deterministic sketches: HyperLogLog registers, Count-Min heavy
+    # hitters, and an adaptively-sized Bloom semi-join filter from
+    # first principles on the md5 cross-engine hash — the driver's hash
+    # gate checks the SKETCH CONTENT (registers/counters/bitmap md5).
+    "hll_user_cardinality": lambda s, d: SKC.hll_user_cardinality(
+        load_table(s, "events", d)),
+    "cms_heavy_hitters": lambda s, d: SKC.cms_heavy_hitters(
+        load_table(s, "events", d)),
+    "bloom_join_prune": lambda s, d: SKC.bloom_join_prune(
+        load_table(s, "customer", d), load_table(s, "orders", d)),
+    # the sketch family on a STREAM: update-mode register maxima (max
+    # is commutative+idempotent = HLL sketch union), finalized to the
+    # batch query's exact harmonic sums.
+    "streaming_hll_monitor": SE.streaming_hll_monitor,
+    # KMV set-operation sketch: cross-source shingle overlap (union /
+    # Jaccard / intersection estimates from k-row summaries) — the
+    # sketch-scale twin of the exact source_dup_matrix, with the merged
+    # sketch content pinned (kth minima + md5 of the merged k-set).
+    "kmv_source_overlap": lambda s, d: SKC.kmv_source_overlap(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -1093,24 +1128,31 @@ WINDOW_ROUND = 14
 # tripwired every suite run since via tests/test_staged_queries.py);
 # then the THREE r10-evidence rows the 4-round bound makes mandatory
 # this round (tfidf_top_terms, token_counts, top_orders — their
-# evidence would otherwise be 4 rounds old after r14); then 45 of the
-# 49 r11-evidence rows (alphabetical fill — the oldest remaining
-# evidence). The four alphabetically last r11 rows
-# (temperature_mixture, top_parts_by_revenue, vector_elements,
-# weighted_sample) carry to r15, where the 4-round bound forces them;
-# r15's window is then 4 mandatory + up to 46 oldest-r12 fill — the
-# schedule stays feasible every round (see the capacity note above
-# WINDOW_ROUND). Any further r14 declarations displace fill rows only
-# (never the mandatory three) — bpe_learned_budget (built in-round,
-# the r13 verdict's tokenizer-loop composition) displaced
-# supplier_nation_volume, which moves to r15's mandatory set with the
-# other four r11 leftovers.
+# evidence would otherwise be 4 rounds old after r14); then the oldest
+# r11-evidence rows (alphabetical fill). Any further r14 declarations
+# displace fill rows only (never the mandatory three):
+# bpe_learned_budget (built in-round, the r13 verdict's tokenizer-loop
+# composition) displaced supplier_nation_volume, and the r14
+# continuation session's EIGHT operators (tokenizer fertility, the two
+# cross-codec triplets, the five sketch-family queries — all built +
+# oracle-parity-verified at both SFs in-round) displaced the eight
+# alphabetically last fill rows (source_kl_divergence ..
+# substring_dup_coverage), which move to r15's mandatory set with the
+# other five r11 leftovers (supplier_nation_volume,
+# temperature_mixture, top_parts_by_revenue, vector_elements,
+# weighted_sample). r15's window is then 13 mandatory + up to 37
+# oldest-r12 fill — feasible every round (see the capacity note above
+# WINDOW_ROUND).
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "knn_ip", "bpe_learn_merges", "bpe_learned_budget",
+    "bpe_fertility_by_lang", "dedup_cross_codec_image",
+    "dedup_cross_codec_audio", "hll_user_cardinality",
+    "cms_heavy_hitters", "bloom_join_prune", "streaming_hll_monitor",
+    "kmv_source_overlap",
     # --- 3 mandatory r10-evidence rows (4-round bound) ---
     "tfidf_top_terms", "token_counts", "top_orders",
-    # --- 45 oldest (r11-evidence) rows, alphabetical fill ---
+    # --- 36 oldest (r11-evidence) rows, alphabetical fill ---
     "cluster_balanced_sample", "doc_chunks", "doc_repetition_stats",
     "domain_mix_sample", "dsir_select", "embedding_outliers",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -1123,10 +1165,7 @@ _WINDOW_PRIORITY = [
     "perplexity_buckets", "priority_customer_counts",
     "quota_capped_search", "range_search", "region_nation_rollcall",
     "retrieval_quality", "salted_event_type_stats",
-    "sequence_pack_bins", "source_data_cards", "source_kl_divergence",
-    "split_leakage", "sq8_quantization", "streaming_index_refresh",
-    "streaming_ivfpq_refresh", "streaming_near_dedup",
-    "streaming_span_admission", "substring_dup_coverage",
+    "sequence_pack_bins", "source_data_cards",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1299,52 +1338,7 @@ ORACLES: dict[str, str] = {
     "knn_ip": _oracle_knn_ip(),
     "bpe_learn_merges": X.bpe_learn_merges_oracle(),
     "bpe_learned_budget": X.bpe_learned_budget_oracle(),
-}
-
-
-# ---- staging registry (r13-staged knn_ip and bpe_learn_merges
-# ---- declared r14; one r14-built operator staged for r15) ---------------
-#
-# Mechanism kept for future rounds: an operator built when the window
-# has no never-checked slot goes here with its oracle;
-# tests/test_staged_queries.py runs the same oracle compare the driver
-# does on every staged pair each suite run, so staged work cannot rot
-# between rounds. Declaring = moving the entries into QUERIES / ORACLES
-# and rotating _WINDOW_PRIORITY. The driver never sees these dicts.
-STAGED_QUERIES: dict = {
-    # tokenizer FERTILITY per language under the corpus-learned merge
-    # table (r14 build, r15 declaration): tokens-per-word and UTF-8
-    # bytes-per-token by labeled lang — the vocab-sizing metric for
-    # multilingual pipelines; composes the bpe_learned_budget halves
-    # grouped by lang.
-    "bpe_fertility_by_lang": lambda s, d: X.bpe_fertility_by_lang(
-        load_table(s, "documents", d)),
-    # cross-CODEC perceptual triplets (r14 build): the round's native
-    # PNG and FLAC codecs on the driver-checked surface — one raster /
-    # one sample stream carried through three byte-different lossless
-    # codecs, deduped by the banded perceptual pipeline; oracles ride
-    # the lossless-re-encode invariance (no codec in DuckDB).
-    "dedup_cross_codec_image": lambda s, d: PC.dedup_cross_codec_image(
-        load_table(s, "documents", d)),
-    "dedup_cross_codec_audio": lambda s, d: PC.dedup_cross_codec_audio(
-        load_table(s, "documents", d)),
-    # deterministic sketches (r14 build): HyperLogLog registers and
-    # Count-Min heavy hitters from first principles on the md5
-    # cross-engine hash — the driver's hash gate checks the SKETCH
-    # CONTENT (registers, counters, estimates), not just row counts.
-    "hll_user_cardinality": lambda s, d: SKC.hll_user_cardinality(
-        load_table(s, "events", d)),
-    "cms_heavy_hitters": lambda s, d: SKC.cms_heavy_hitters(
-        load_table(s, "events", d)),
-    "bloom_join_prune": lambda s, d: SKC.bloom_join_prune(
-        load_table(s, "customer", d), load_table(s, "orders", d)),
-    # the sketch family on a STREAM: update-mode register maxima
-    # (max is commutative+idempotent = HLL sketch union), finalized
-    # to the same exact harmonic sums as the batch query.
-    "streaming_hll_monitor": SE.streaming_hll_monitor,
-}
-
-STAGED_ORACLES: dict = {
+    # ---- declared r14 continuation (SURVEY §19a) --------------------
     "bpe_fertility_by_lang": X.bpe_fertility_by_lang_oracle(),
     "dedup_cross_codec_image": PC.dedup_cross_codec_image_oracle(),
     "dedup_cross_codec_audio": PC.dedup_cross_codec_audio_oracle(),
@@ -1352,6 +1346,22 @@ STAGED_ORACLES: dict = {
     "cms_heavy_hitters": SKC.cms_heavy_hitters_oracle(),
     "bloom_join_prune": SKC.bloom_join_prune_oracle(),
     "streaming_hll_monitor": SE.streaming_hll_monitor_oracle(),
+    "kmv_source_overlap": SKC.kmv_source_overlap_oracle(),
 }
+
+
+# ---- staging registry (the seven r14-continuation operators were
+# ---- declared into the r14 window once the driver-window math allowed
+# ---- it — fill-row displacement only; registry empty again) ------------
+#
+# Mechanism kept for future rounds: an operator built when the window
+# has no never-checked slot goes here with its oracle;
+# tests/test_staged_queries.py runs the same oracle compare the driver
+# does on every staged pair each suite run, so staged work cannot rot
+# between rounds. Declaring = moving the entries into QUERIES / ORACLES
+# and rotating _WINDOW_PRIORITY. The driver never sees these dicts.
+STAGED_QUERIES: dict = {}
+
+STAGED_ORACLES: dict = {}
 assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
 assert not set(STAGED_QUERIES) & set(QUERIES)
