@@ -308,3 +308,19 @@ def test_kmv_estimates_track_truth_at_fixture_scale(spark, sf_dir):
         assert abs(r.jaccard_err) < 0.1, (r.source_a, r.source_b)
     assert len({r.union_est for r in rows}) > 1
     assert len({r.jaccard_est for r in rows}) > 1
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir):
+    """Counter sums are commutative+associative: the update-mode CMS
+    cells drained across micro-batches finalize to EXACTLY the batch
+    query's output rows."""
+    from vectordb_explorations_spark.sources import load_table
+    from vectordb_explorations_spark.streaming.events import (
+        streaming_cms_monitor)
+
+    batch = {(r.user_id, r.true_n, r.cms_estimate, r.overcount)
+             for r in cms_heavy_hitters(
+                 load_table(spark, "events", sf_dir)).collect()}
+    stream = {(r.user_id, r.true_n, r.cms_estimate, r.overcount)
+              for r in streaming_cms_monitor(spark, sf_dir).collect()}
+    assert stream == batch

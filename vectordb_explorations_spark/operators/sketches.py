@@ -655,7 +655,8 @@ WITH raw AS (
 ), per_pair AS (
   SELECT source_a, source_b,
          count(*) AS n_union_sk, max(h) AS kth_union,
-         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_shared,
+         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT
+           AS n_shared,
          md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY h))
            AS union_sketch_md5
   FROM topm GROUP BY source_a, source_b

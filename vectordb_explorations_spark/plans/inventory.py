@@ -1094,6 +1094,10 @@ QUERIES: dict[str, QueryFn] = {
     # sketch content pinned (kth minima + md5 of the merged k-set).
     "kmv_source_overlap": lambda s, d: SKC.kmv_source_overlap(
         load_table(s, "documents", d)),
+    # Count-Min on a STREAM: update-mode counter cells (count is
+    # commutative+associative), finalized per-cell and probed by the
+    # batch top-N — output equals cms_heavy_hitters exactly.
+    "streaming_cms_monitor": SE.streaming_cms_monitor,
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -1133,14 +1137,14 @@ WINDOW_ROUND = 14
 # displace fill rows only (never the mandatory three):
 # bpe_learned_budget (built in-round, the r13 verdict's tokenizer-loop
 # composition) displaced supplier_nation_volume, and the r14
-# continuation session's EIGHT operators (tokenizer fertility, the two
-# cross-codec triplets, the five sketch-family queries — all built +
-# oracle-parity-verified at both SFs in-round) displaced the eight
-# alphabetically last fill rows (source_kl_divergence ..
+# continuation session's NINE operators (tokenizer fertility, the two
+# cross-codec triplets, the six sketch-family queries — all built +
+# oracle-parity-verified at both SFs in-round) displaced the nine
+# alphabetically last fill rows (source_data_cards ..
 # substring_dup_coverage), which move to r15's mandatory set with the
 # other five r11 leftovers (supplier_nation_volume,
 # temperature_mixture, top_parts_by_revenue, vector_elements,
-# weighted_sample). r15's window is then 13 mandatory + up to 37
+# weighted_sample). r15's window is then 14 mandatory + up to 36
 # oldest-r12 fill — feasible every round (see the capacity note above
 # WINDOW_ROUND).
 _WINDOW_PRIORITY = [
@@ -1149,10 +1153,10 @@ _WINDOW_PRIORITY = [
     "bpe_fertility_by_lang", "dedup_cross_codec_image",
     "dedup_cross_codec_audio", "hll_user_cardinality",
     "cms_heavy_hitters", "bloom_join_prune", "streaming_hll_monitor",
-    "kmv_source_overlap",
+    "kmv_source_overlap", "streaming_cms_monitor",
     # --- 3 mandatory r10-evidence rows (4-round bound) ---
     "tfidf_top_terms", "token_counts", "top_orders",
-    # --- 36 oldest (r11-evidence) rows, alphabetical fill ---
+    # --- 35 oldest (r11-evidence) rows, alphabetical fill ---
     "cluster_balanced_sample", "doc_chunks", "doc_repetition_stats",
     "domain_mix_sample", "dsir_select", "embedding_outliers",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -1165,7 +1169,7 @@ _WINDOW_PRIORITY = [
     "perplexity_buckets", "priority_customer_counts",
     "quota_capped_search", "range_search", "region_nation_rollcall",
     "retrieval_quality", "salted_event_type_stats",
-    "sequence_pack_bins", "source_data_cards",
+    "sequence_pack_bins",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1347,6 +1351,7 @@ ORACLES: dict[str, str] = {
     "bloom_join_prune": SKC.bloom_join_prune_oracle(),
     "streaming_hll_monitor": SE.streaming_hll_monitor_oracle(),
     "kmv_source_overlap": SKC.kmv_source_overlap_oracle(),
+    "streaming_cms_monitor": SE.streaming_cms_monitor_oracle(),
 }
 
 

@@ -712,3 +712,65 @@ def streaming_hll_monitor_oracle() -> str:
     return (f"SELECT event_type, n_registers_hit, "
             f"harmonic_sum_scaled, hll_estimate "
             f"FROM ({inner}) ORDER BY event_type")
+
+
+def streaming_cms_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared correctness pin (r14 continuation) for the sketch
+    family's SECOND streaming member: Count-Min counter cells
+    maintained by an update-mode streaming aggregation. Per-cell
+    counts are monotone across a key's update rows, so the drained
+    memory sink finalizes with a per-(row, bucket) max — the same
+    final-state idiom as streaming_user_totals — and the finalized
+    sketch is probed by the batch top-N keys, producing EXACTLY the
+    batch query's output (cms_heavy_hitters), which the driver
+    hash-checks against the same oracle.
+
+    Why counters stream: count is commutative+associative, so
+    micro-batches, shard merges, and replays all sum into the same
+    cells — CMS is the per-key-frequency monitor a 100 TB firehose
+    can afford. State is bounded at CMS_DEPTH x CMS_WIDTH = 256 cells
+    regardless of stream volume; no watermark needed (the aggregation
+    state IS the sketch)."""
+    import uuid
+
+    from vectordb_explorations_spark.operators.sketches import (
+        CMS_DEPTH, CMS_TOPN, _cms_bucket)
+    from vectordb_explorations_spark.sources.catalog import load_table
+
+    name = f"scms_{uuid.uuid4().hex[:12]}"
+    stream = read_events_stream(spark, sf_dir)
+    rs = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    cells = (stream
+             .select(F.col("user_id").cast("string").alias("k"),
+                     F.explode(rs).alias("r"))
+             .select("r", _cms_bucket(F.col("r"), F.col("k"))
+                     .alias("bucket"))
+             .groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    q = run_to_memory(cells, name, "update")
+    await_drained(q)
+    sketch = (spark.table(name).groupBy("r", "bucket")
+              .agg(F.max("c").alias("c")))
+    events = load_table(spark, "events", sf_dir)
+    top = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("true_n"))
+           .orderBy(F.desc("true_n"), "user_id").limit(CMS_TOPN))
+    probes = (top.select("user_id", "true_n", F.explode(rs).alias("r"))
+              .withColumn("bucket",
+                          _cms_bucket(F.col("r"),
+                                      F.col("user_id").cast("string"))))
+    est = (probes.join(F.broadcast(sketch), ["r", "bucket"])
+           .groupBy("user_id", "true_n")
+           .agg(F.min("c").alias("cms_estimate")))
+    return (est.select(
+        "user_id", "true_n", "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_n")).alias("overcount"))
+        .orderBy(F.desc("true_n"), "user_id"))
+
+
+def streaming_cms_monitor_oracle() -> str:
+    """The streamed sketch finalizes to the batch query's exact cells,
+    so the oracle IS the batch CMS oracle — one source of truth."""
+    from vectordb_explorations_spark.operators.sketches import (
+        cms_heavy_hitters_oracle)
+
+    return cms_heavy_hitters_oracle()
