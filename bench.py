@@ -758,6 +758,23 @@ def main() -> None:
 
     bench("minhash_admit_persisted", _mh_admit)
 
+    # Sketch family (r14 continuation): the 100 TB monitoring/pruning
+    # primitives as timed rows — first measured round (r14) becomes the
+    # binding baseline per BASELINE.md protocol. One scan + combinable
+    # groupBy each (HLL/CMS/KMV); Bloom adds the broadcast probe pass.
+    from vectordb_explorations_spark.operators import sketches as SKB
+    ev_sk = load_table(spark, "events", SF_DIR)
+    bench("hll_user_cardinality",
+          lambda: _force(SKB.hll_user_cardinality(ev_sk)))
+    bench("cms_heavy_hitters",
+          lambda: _force(SKB.cms_heavy_hitters(ev_sk)))
+    bench("bloom_join_prune",
+          lambda: _force(SKB.bloom_join_prune(
+              load_table(spark, "customer", SF_DIR),
+              load_table(spark, "orders", SF_DIR))))
+    bench("kmv_source_overlap",
+          lambda: _force(SKB.kmv_source_overlap(docs)))
+
     li = load_table(spark, "lineitem", SF_DIR)
     bench("pricing_summary", lambda: _force(R.pricing_summary(li)))
     bench("region_revenue", lambda: _force(R.region_revenue(

@@ -332,3 +332,115 @@ def test_resize_real_flat_excludes_multibyte_prefix(spark):
         rows, "doc_id long, text string, lang string, n_chars long")
     got = sorted(r.asset_id for r in M.resize_real_flat(docs).collect())
     assert got == [2, 4]
+
+
+# --- G.711 mu-law / A-law and IEEE-float WAV (native, r14 cont.) ---
+
+
+def test_g711_tables_match_reference_values():
+    """Spot-pin the normative G.711 reconstruction levels: mu-law
+    0x00 -> -32124 (max negative), 0xFF -> 0; A-law 0x55 -> -8,
+    0xD5 -> +8 (min magnitudes), 0x2A -> -32256, 0xAA -> +32256."""
+    assert M._MULAW_LEVELS[0x00] == -32124
+    assert M._MULAW_LEVELS[0xFF] == 0
+    assert M._ALAW_LEVELS[0x55] == -8
+    assert M._ALAW_LEVELS[0xD5] == 8
+    assert M._ALAW_LEVELS[0x2A] == -32256
+    assert M._ALAW_LEVELS[0xAA] == 32256
+
+
+def test_g711_codec_roundtrips():
+    """encode(decode(byte)) == byte for every A-law codeword and every
+    mu-law codeword except 0xFF (negative zero duplicates positive
+    zero; the deterministic encoder picks the lower byte 0x7F), and
+    decode(encode(s)) stays within the largest half-step + clip
+    margin for the full int16 range."""
+    import numpy as np
+
+    all_bytes = np.arange(256, dtype=np.uint8)
+    a_rt = M._g711_encode(M._ALAW_LEVELS[all_bytes], M._ALAW_LEVELS)
+    assert (a_rt == all_bytes).all()
+    m_rt = M._g711_encode(M._MULAW_LEVELS[all_bytes], M._MULAW_LEVELS)
+    keep = all_bytes != 0xFF
+    assert (m_rt[keep] == all_bytes[keep]).all()
+    assert m_rt[0xFF] == 0x7F
+
+    s = np.linspace(-32768, 32767, 4001).astype(np.int16)
+    for levels in (M._MULAW_LEVELS, M._ALAW_LEVELS):
+        dec = levels[M._g711_encode(s, levels)]
+        assert np.abs(dec.astype(np.int64) - s.astype(np.int64)).max() \
+            <= 650
+
+
+def test_decode_wav_g711_and_float_formats():
+    """decode_audio handles format tags 6/7/3 natively: G.711 decodes
+    land on reconstruction levels (value-exact vs the table), IEEE
+    float32 round-trips int16 samples bit-exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    s = rng.integers(-32768, 32768, 500).astype(np.int16)
+    for law, levels in (("mulaw", M._MULAW_LEVELS),
+                        ("alaw", M._ALAW_LEVELS)):
+        arr, rate = M.decode_audio(M.encode_wav_g711(s, law=law))
+        assert rate == 8000 and arr.shape == (500, 1)
+        expect = levels[M._g711_encode(s, levels)]
+        assert (arr[:, 0] == expect).all()
+    arr, rate = M.decode_audio(M.encode_wav_float32(s))
+    assert rate == 8000 and (arr[:, 0] == s).all()
+    # extremes survive the clip(rint(x*32767)) contract
+    ext = np.array([-32768, -32767, 0, 1, 32767], dtype=np.int16)
+    arr, _ = M.decode_audio(M.encode_wav_float32(ext))
+    assert arr[:, 0].tolist() == [-32768, -32767, 0, 1, 32767]
+
+
+def test_decode_wav_extensible_format_tag():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves the real tag from the
+    SubFormat GUID head — a 16-bit PCM payload wrapped in an
+    extensible fmt chunk decodes exactly like the plain tag-1 form."""
+    import numpy as np
+
+    samples = np.array([100, -200, 300], dtype="<i2")
+    data = samples.tobytes()
+    fmt = ((0xFFFE).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little")
+           + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + (22).to_bytes(2, "little")        # cbSize
+           + (16).to_bytes(2, "little")        # valid bits
+           + (4).to_bytes(4, "little")         # channel mask
+           + (1).to_bytes(2, "little") + b"\x00" * 14)   # GUID: PCM
+    wav = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data))
+           .to_bytes(4, "little")
+           + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+           + b"data" + len(data).to_bytes(4, "little") + data)
+    arr, rate = M.decode_audio(wav)
+    assert rate == 8000 and arr[:, 0].tolist() == [100, -200, 300]
+
+
+def test_cross_format_wav_g711_perceptual_pair(spark):
+    """The dedup win the G.711 path unlocks: the SAME signal as 16-bit
+    PCM and as its mu-law telephony re-encode is a perceptual
+    near-dup pair across byte-disjoint containers (the WAV<->FLAC
+    discipline extended to a LOSSY companding codec)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from vectordb_explorations_spark.operators.perceptual import (
+        AUDIO_N_SAMPLES, audio_hashes, encode_wav16,
+        perceptual_audio_pairs)
+
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    rng = np.random.default_rng(29)
+    rows, planted = [], set()
+    for i in range(5):
+        pcm = (np.cumsum(rng.integers(-300, 300, AUDIO_N_SAMPLES * 3))
+               .astype(np.int16))
+        rows.append((i, bytearray(encode_wav16(pcm))))
+        rows.append((100 + i, bytearray(M.encode_wav_g711(pcm))))
+        planted.add((i, 100 + i))
+    assets = spark.createDataFrame(rows, schema)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             perceptual_audio_pairs(audio_hashes(assets)).collect()}
+    assert pairs == planted, (planted - pairs, pairs - planted)

@@ -321,12 +321,15 @@ def _decode_image_pil(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Audio decode -> ((n_samples, n_channels), sample_rate). PCM WAV
-    ALWAYS decodes via the pure-NumPy RIFF walk below (8-bit unsigned /
-    16-bit signed) and FLAC via the native codec (operators/flac.py,
-    full frame grammar, int16 contract) — deterministic,
-    dependency-free, so declared hashes never depend on the
-    environment; non-PCM WAV encodings and the remaining containers
+    """Audio decode -> ((n_samples, n_channels), sample_rate). WAV
+    decodes via the pure-NumPy RIFF walk below — 8-bit unsigned /
+    16-bit signed PCM, IEEE float32/64 (clip(rint(x*32767)) -> int16),
+    G.711 mu-law / A-law companding (format tags 7/6, normative
+    reconstruction tables derived algorithmically), and the
+    WAVE_FORMAT_EXTENSIBLE wrapper — and FLAC via the native codec
+    (operators/flac.py, full frame grammar, int16 contract) —
+    deterministic, dependency-free, so declared hashes never depend on
+    the environment; remaining WAV encodings (ADPCM...) and containers
     (OGG/MP3...) route through soundfile when the runtime probe found
     it (``HAS_SOUNDFILE``), else raise NotImplementedError naming the
     swap-in."""
@@ -357,17 +360,110 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16):
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real format tag is the first
+    # two bytes of the 16-byte SubFormat GUID in the fmt extension
+    if audio_format == 0xFFFE and len(fmt) >= 26 + 2:
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 3 and bits in (32, 64):       # IEEE float
+        dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        flo = np.frombuffer(data, dtype=dt).astype(np.float64)
+        samples = np.clip(np.rint(flo * 32767.0),
+                          -32768, 32767).astype("<i2")
+    elif audio_format in (6, 7) and bits == 8:       # G.711 A-law/mu-law
+        table = (_ALAW_LEVELS if audio_format == 6 else _MULAW_LEVELS)
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 1 and bits in (8, 16):
+        dt = np.uint8 if bits == 8 else np.dtype("<i2")
+        samples = np.frombuffer(data, dtype=dt)
+    else:
         if HAS_SOUNDFILE:
             return _decode_audio_soundfile(payload)
         raise NotImplementedError(
-            f"only 8/16-bit PCM WAV decodes natively (format={audio_format}, "
-            f"bits={bits}); compressed audio requires a codec library — "
-            f"install soundfile and this seam lights up automatically")
-    dt = np.uint8 if bits == 8 else np.dtype("<i2")
-    samples = np.frombuffer(data, dtype=dt)
+            f"8/16-bit PCM, IEEE-float, and G.711 A-law/mu-law WAV decode "
+            f"natively (format={audio_format}, bits={bits}); other "
+            f"encodings require a codec library — install soundfile and "
+            f"this seam lights up automatically")
     n = len(samples) // channels
     return samples[: n * channels].reshape(n, channels), rate
+
+
+def _g711_mulaw_levels() -> np.ndarray:
+    """All 256 mu-law reconstruction levels (ITU-T G.711 table, derived
+    algorithmically — the normative decode: complement, 3-bit exponent,
+    4-bit mantissa, bias 0x84). int16."""
+    b = np.arange(256, dtype=np.int64) ^ 0xFF          # transmitted is
+    sign = (b & 0x80) != 0                             # complemented
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_levels() -> np.ndarray:
+    """All 256 A-law reconstruction levels (G.711: even-bit inversion
+    0x55, sign bit SET means positive, segment 0 linear). int16."""
+    b = np.arange(256, dtype=np.int64) ^ 0x55
+    pos = (b & 0x80) != 0
+    seg = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = np.where(seg == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(pos, mag, -mag).astype(np.int16)
+
+
+_MULAW_LEVELS = _g711_mulaw_levels()
+_ALAW_LEVELS = _g711_alaw_levels()
+
+
+def _g711_encode(samples: np.ndarray, levels: np.ndarray) -> np.ndarray:
+    """Nearest-reconstruction-level G.711 quantizer: the encoder is the
+    exact inverse of the normative decoder table (ties and duplicate
+    zero levels resolve to the lowest byte value — deterministic).
+    Returns uint8 codewords."""
+    order = np.argsort(levels, kind="stable")
+    sorted_lv = levels[order].astype(np.int64)
+    s = np.asarray(samples, dtype=np.int64)
+    idx = np.searchsorted(sorted_lv, s)
+    idx = np.clip(idx, 1, len(sorted_lv) - 1)
+    left, right = sorted_lv[idx - 1], sorted_lv[idx]
+    pick = np.where((s - left) <= (right - s), idx - 1, idx)
+    # among equal levels prefer the smallest codeword (stable argsort
+    # keeps equal levels in byte order; step to the first equal entry)
+    first_eq = np.searchsorted(sorted_lv, sorted_lv[pick], side="left")
+    return order[first_eq].astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, law: str = "mulaw",
+                    rate: int = 8000) -> bytes:
+    """Deterministic G.711 WAV writer (format tag 7 mu-law / 6 A-law,
+    8 bits per sample) for the codec-pair tests: int16 mono samples are
+    quantized by the nearest-level inverse of the decode table."""
+    mono = samples[:, 0] if samples.ndim == 2 else samples
+    levels = _MULAW_LEVELS if law == "mulaw" else _ALAW_LEVELS
+    tag = 7 if law == "mulaw" else 6
+    codes = _g711_encode(mono, levels).tobytes()
+    return (b"RIFF" + (36 + len(codes)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + rate.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"data" + len(codes).to_bytes(4, "little") + codes)
+
+
+def encode_wav_float32(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """IEEE-float WAV writer (format tag 3, 32-bit) — int16 mono
+    samples scaled to [-1, 1]; float32 precision guarantees the decode
+    contract (clip(rint(x * 32767))) round-trips bit-exactly."""
+    mono = samples[:, 0] if samples.ndim == 2 else samples
+    flo = (np.asarray(mono, dtype=np.float64) / 32767.0).astype("<f4")
+    body = flo.tobytes()
+    return (b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 4).to_bytes(4, "little")
+            + (4).to_bytes(2, "little") + (32).to_bytes(2, "little")
+            + b"data" + len(body).to_bytes(4, "little") + body)
 
 
 def _decode_audio_soundfile(payload: bytes) -> tuple[np.ndarray, int]:
