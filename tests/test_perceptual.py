@@ -164,12 +164,14 @@ def test_declared_audio_query_plants_reencode_pairs(planted_docs):
         assert pairs[(2 * k, 2 * k + 1)].ham_contour == 0
 
 
-def test_cross_codec_queries_plant_triplets(planted_docs):
-    """The staged cross-codec queries (r14 native PNG + FLAC on the
-    declared surface): every eligible doc plants the full
-    (3k,3k+1),(3k,3k+2),(3k+1,3k+2) triangle at Hamming 0 — P6/BMP/PNG
-    for images, WAV8/WAV16/FLAC for audio — through the real decoders
-    in the Spark pipeline."""
+def test_cross_codec_queries_plant_quadruplets(planted_docs):
+    """The cross-codec queries (r14 native PNG + FLAC, continuation's
+    GIF + float-WAV, all on the declared surface): every eligible doc
+    plants ALL SIX pairs of the (4k .. 4k+3) quadruplet at Hamming 0
+    — P6/BMP/PNG/GIF for images, WAV8/WAV16/FLAC/float32 for audio —
+    through the real decoders in the Spark pipeline."""
+    from itertools import combinations
+
     from vectordb_explorations_spark.operators.perceptual import (
         dedup_cross_codec_audio, dedup_cross_codec_image)
 
@@ -178,8 +180,7 @@ def test_cross_codec_queries_plant_triplets(planted_docs):
     aud = {(r.id_a, r.id_b): r for r in
            dedup_cross_codec_audio(planted_docs).collect()}
     for k in range(3):
-        for a, b in ((3 * k, 3 * k + 1), (3 * k, 3 * k + 2),
-                     (3 * k + 1, 3 * k + 2)):
+        for a, b in combinations(range(4 * k, 4 * k + 4), 2):
             row = img[(a, b)]
             assert row.ham_dhash == 0 and row.ham_ahash == 0
             assert aud[(a, b)].ham_contour == 0

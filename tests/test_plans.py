@@ -35,7 +35,11 @@ PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
                   # kernels (everything downstream of the decode —
                   # banding, caps, joins, label propagation — is JVM)
                   "dedup_perceptual_clusters", "perceptual_hash_table",
-                  "perceptual_incremental", "perceptual_curation_cards"}
+                  "perceptual_incremental", "perceptual_curation_cards",
+                  # r14 cross-codec quadruplets: same Arrow decode +
+                  # re-encode kernels (P6/BMP/PNG/GIF rasters, WAV/FLAC/
+                  # float-WAV streams); everything downstream is JVM
+                  "dedup_cross_codec_image", "dedup_cross_codec_audio"}
 
 
 def _plan(spark, sf_dir, name):

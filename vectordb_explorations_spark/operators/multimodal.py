@@ -287,6 +287,10 @@ def decode_image(payload: bytes) -> np.ndarray:
             from vectordb_explorations_spark.operators.webp import (
                 decode_webp)
             return decode_webp(payload)  # VP8L native; VP8 raises
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from vectordb_explorations_spark.operators.gif import (
+                decode_gif)
+            return decode_gif(payload)   # full grammar incl. animation
     except NotImplementedError:
         if not HAS_PIL:
             raise

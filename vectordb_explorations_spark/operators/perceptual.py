@@ -473,6 +473,25 @@ def _reencode_flac(b: bytes) -> bytes:
     return encode_flac(pcm16, rate, bps=16, mode="fixed1")
 
 
+def _reencode_gif(b: bytes) -> bytes:
+    # lossless for these assets by construction: the raster is
+    # src_w x src_h = 72 pixels, so <= 72 distinct colors <= 256
+    from vectordb_explorations_spark.operators.gif import encode_gif
+    return encode_gif(decode_image(b))
+
+
+def _reencode_wavf32(b: bytes) -> bytes:
+    # IEEE-float WAV of the SAME centered int16 samples as the WAV16 /
+    # FLAC variants; float32 precision makes clip(rint(x*32767))
+    # invert bit-exactly, so the variant is lossless
+    from vectordb_explorations_spark.operators.multimodal import (
+        encode_wav_float32)
+    samples, rate = decode_audio(b)
+    mono = samples[:, 0] if samples.ndim == 2 else samples
+    pcm16 = ((mono.astype(np.int64) - 128) << 8).astype(np.int16)
+    return encode_wav_float32(pcm16, rate)
+
+
 def _with_reencode_variants(assets: DataFrame,
                             encoders) -> DataFrame:
     """Union each asset with REAL re-encodes (decode -> re-encode in
@@ -536,17 +555,21 @@ def dedup_perceptual_audio(docs: DataFrame,
 
 def _with_cross_codec_reencodes(assets: DataFrame,
                                 modality: str) -> DataFrame:
-    """The triplet layout: each asset (asset_id = 3k) with TWO real
-    LOSSLESS re-encodes through different codecs — images ride
-    P6 -> uncompressed BMP (3k+1) and P6 -> compressed PNG (3k+2);
-    audio rides 8-bit PCM WAV -> 16-bit PCM WAV (3k+1) and -> FLAC
-    (3k+2). Losslessness means all three payloads hash identically,
-    which is what lets a DuckDB oracle address the triplet without
-    running a codec."""
+    """The quadruplet layout: each asset (asset_id = 4k) with THREE
+    real LOSSLESS re-encodes through different codecs — images ride
+    P6 -> uncompressed BMP (4k+1), -> DEFLATE PNG (4k+2), and -> LZW
+    GIF (4k+3; always <= 72 distinct colors, so palette-exact); audio
+    rides 8-bit PCM WAV -> 16-bit PCM WAV (4k+1), -> FLAC (4k+2), and
+    -> IEEE-float32 WAV of the same centered samples (4k+3).
+    Losslessness means all four payloads hash identically, which is
+    what lets a DuckDB oracle address the quadruplet without running
+    a codec."""
     if modality == "image":
-        encoders = [(1, _reencode_bmp), (2, _reencode_png)]
+        encoders = [(1, _reencode_bmp), (2, _reencode_png),
+                    (3, _reencode_gif)]
     else:
-        encoders = [(1, _reencode_wav16), (2, _reencode_flac)]
+        encoders = [(1, _reencode_wav16), (2, _reencode_flac),
+                    (3, _reencode_wavf32)]
     return _with_reencode_variants(assets, encoders)
 
 
@@ -554,17 +577,17 @@ def dedup_cross_codec_image(docs: DataFrame,
                             max_hamming: int = PHASH_IMG_MAX_HAMMING,
                             band_bits: int | str = 16,
                             corpus_n: int | None = None) -> DataFrame:
-    """Declared query (staged r14 for r15): cross-CODEC perceptual
-    near-dup — the same raster carried as netpbm P6, uncompressed BMP,
-    and DEFLATE-compressed PNG (operators/png.py, full static spec,
-    decoded natively), every payload byte-different but near-dup under
-    the banded dHash pipeline. Each eligible document plants the
-    (3k, 3k+1), (3k, 3k+2), (3k+1, 3k+2) triplet at Hamming 0; the
+    """Declared query (r14): cross-CODEC perceptual near-dup — the
+    same raster carried as netpbm P6, uncompressed BMP,
+    DEFLATE-compressed PNG (operators/png.py), and LZW-compressed GIF
+    (operators/gif.py) — every payload byte-different but near-dup
+    under the banded dHash pipeline. Each eligible document plants
+    all six pairs of the (4k .. 4k+3) quadruplet at Hamming 0; the
     oracle rides the lossless-re-encode invariance. This is the PNG
-    codec on the driver-checked surface, not just under pytest.
-    Cites hnsw.cc: none — north-star extension."""
+    AND GIF codecs on the driver-checked surface, not just under
+    pytest. Cites hnsw.cc: none — north-star extension."""
     base = _p6_assets(docs).select(
-        (F.shiftright("asset_id", 1) * 3).alias("asset_id"), "payload")
+        (F.shiftright("asset_id", 1) * 4).alias("asset_id"), "payload")
     assets = _with_cross_codec_reencodes(base, "image")
     return perceptual_image_pairs(image_hashes(assets), max_hamming,
                                   band_bits=band_bits, corpus_n=corpus_n)
@@ -574,14 +597,14 @@ def dedup_cross_codec_audio(docs: DataFrame,
                             max_hamming: int = AUDIO_MAX_HAMMING,
                             band_bits: int | str = 16,
                             corpus_n: int | None = None) -> DataFrame:
-    """Declared query (staged r14 for r15): the audio cross-CODEC
-    triplet — 8-bit PCM WAV, its 16-bit PCM re-encode, and the FLAC
-    compression of the same samples (operators/flac.py, decoded
-    natively), all hashing to one energy contour. FLAC on the
-    driver-checked surface; same (3k, 3k+1), (3k, 3k+2), (3k+1, 3k+2)
-    planted structure as the image twin."""
+    """Declared query (r14): the audio cross-CODEC quadruplet —
+    8-bit PCM WAV, its 16-bit PCM re-encode, the FLAC compression of
+    the same samples (operators/flac.py), and the IEEE-float32 WAV of
+    the same centered samples — all hashing to one energy contour.
+    FLAC and the float-WAV path on the driver-checked surface; same
+    six-pair (4k .. 4k+3) planted structure as the image twin."""
     base = _wav8_assets(docs).select(
-        (F.shiftright("asset_id", 1) * 3).alias("asset_id"), "payload")
+        (F.shiftright("asset_id", 1) * 4).alias("asset_id"), "payload")
     assets = _with_cross_codec_reencodes(base, "audio")
     return perceptual_audio_pairs(audio_hashes(assets), max_hamming,
                                   band_bits=band_bits, corpus_n=corpus_n)
@@ -1237,33 +1260,35 @@ h AS (
 
 def dedup_cross_codec_image_oracle(
         max_hamming: int = PHASH_IMG_MAX_HAMMING) -> str:
-    """Triplet twin of dedup_perceptual_image_oracle: P6 / BMP / PNG
-    are all lossless carriers of the same raster, so the three assets
-    (3k, 3k+1, 3k+2) share one hash row — the oracle never runs a
-    codec, it rides the invariance the engine's real decodes must
-    reproduce."""
+    """Quadruplet twin of dedup_perceptual_image_oracle: P6 / BMP /
+    PNG / GIF are all lossless carriers of the same raster, so the
+    four assets (4k .. 4k+3) share one hash row — the oracle never
+    runs a codec, it rides the invariance the engine's real decodes
+    must reproduce."""
     tail = _pairs_tail_sql(
         ["dh_w0", "dh_w1"],
         {"ham_dhash": ["dh_w0", "dh_w1"], "ham_ahash": ["ah_w0", "ah_w1"]},
         "ham_dhash", max_hamming)
     return f"""
 WITH {_img_hash_ctes()},
-h AS (  -- original (3k) and its two lossless re-encodes: same hash
-  SELECT doc_id * 3 + v AS asset_id, ah_w0, ah_w1, dh_w0, dh_w1
-  FROM h0, (VALUES (0), (1), (2)) t(v)
+h AS (  -- original (4k) and its three lossless re-encodes: same hash
+  SELECT doc_id * 4 + v AS asset_id, ah_w0, ah_w1, dh_w0, dh_w1
+  FROM h0, (VALUES (0), (1), (2), (3)) t(v)
 ), {tail.lstrip()}"""
 
 
 def dedup_cross_codec_audio_oracle(
         max_hamming: int = AUDIO_MAX_HAMMING) -> str:
-    """WAV8 / WAV16 / FLAC triplet: the 16-bit re-encode inverts under
-    the contour's floor-divide centering and FLAC is lossless over the
-    same int16 samples, so all three share one contour hash."""
+    """WAV8 / WAV16 / FLAC / float32-WAV quadruplet: the 16-bit
+    re-encode inverts under the contour's floor-divide centering,
+    FLAC is lossless over the same int16 samples, and float32 holds
+    them exactly under clip(rint(x*32767)) — all four share one
+    contour hash."""
     tail = _pairs_tail_sql(["eh_w0"], {"ham_contour": ["eh_w0"]},
                            "ham_contour", max_hamming)
     return f"""
 WITH {_aud_hash_ctes()},
 h AS (
-  SELECT doc_id * 3 + v AS asset_id, eh_w0
-  FROM h0, (VALUES (0), (1), (2)) t(v)
+  SELECT doc_id * 4 + v AS asset_id, eh_w0
+  FROM h0, (VALUES (0), (1), (2), (3)) t(v)
 ), {tail.lstrip()}"""
