@@ -204,3 +204,30 @@ def test_cross_format_gif_png_perceptual_pair(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              perceptual_image_pairs(image_hashes(assets)).collect()}
     assert pairs == planted, (planted - pairs, pairs - planted)
+
+
+def test_gif_frame_sample_planted(spark):
+    """The declared query's planted structure: a doc with a known
+    324-char ASCII prefix yields frames 0 and 2 (every-2nd sampling),
+    delays 0/20 cs, and each frame's sha256 equals the sha256 of the
+    corresponding 108-byte text slice — the codec round-trip
+    invariance the oracle rides, asserted here from first
+    principles."""
+    import hashlib
+
+    from vectordb_explorations_spark.operators.multimodal import (
+        GIF_FRAME_BYTES, gif_frame_sample)
+
+    text = "".join(chr(33 + (i * 7) % 90) for i in range(400))
+    short = "tiny"                      # ineligible: too short
+    docs = spark.createDataFrame(
+        [(0, "s", "en", text), (1, "s", "en", short)],
+        ["doc_id", "source", "lang", "text"])
+    rows = gif_frame_sample(docs).collect()
+    assert [(r.doc_id, r.frame_idx, r.delay_cs) for r in rows] \
+        == [(0, 0, 0), (0, 2, 20)]
+    for r in rows:
+        sl = text[r.frame_idx * GIF_FRAME_BYTES:
+                  (r.frame_idx + 1) * GIF_FRAME_BYTES].encode()
+        assert r.frame_sha256 == hashlib.sha256(sl).hexdigest()
+        assert abs(r.mean_byte - sum(sl) / GIF_FRAME_BYTES) < 1e-6

@@ -39,7 +39,9 @@ PYTHON_ALLOWED = {"knn_batch_blockwise", "multimodal_features",
                   # r14 cross-codec quadruplets: same Arrow decode +
                   # re-encode kernels (P6/BMP/PNG/GIF rasters, WAV/FLAC/
                   # float-WAV streams); everything downstream is JVM
-                  "dedup_cross_codec_image", "dedup_cross_codec_audio"}
+                  "dedup_cross_codec_image", "dedup_cross_codec_audio",
+                  # real animated-GIF synthesis + full-grammar decode
+                  "gif_frame_sample"}
 
 
 def _plan(spark, sf_dir, name):

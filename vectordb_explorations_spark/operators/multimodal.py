@@ -809,3 +809,112 @@ def sample_frames(assets: DataFrame, frame_bytes: int = 256,
 
     return (assets.where(F.col("modality") == "video")
             .mapInPandas(run, schema=FRAME_SCHEMA))
+
+
+# ---- REAL animation frame sampling (native GIF, r14 continuation) ----
+
+GIF_FRAME_W = GIF_FRAME_H = 6
+GIF_N_FRAMES = 3
+GIF_FRAME_BYTES = GIF_FRAME_W * GIF_FRAME_H * 3      # 108
+GIF_SAMPLE_EVERY = 2
+GIF_DELAY_STEP_CS = 10
+
+GIF_FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("delay_cs", T.IntegerType()),
+    T.StructField("frame_sha256", T.StringType()),
+    T.StructField("mean_byte", T.DoubleType()),
+])
+
+
+def gif_frame_sample(docs: DataFrame) -> DataFrame:
+    """Declared query (r14 continuation): frame sampling over REAL
+    animated GIF payloads — the multimodal frame story upgraded from
+    fixed-byte fake containers (sample_frames) to an actual animation
+    codec. Each eligible document synthesizes a GIF_N_FRAMES-frame
+    animated GIF in-pipeline (frame f's 6x6 raster is the document's
+    byte slice [108f, 108(f+1)), per-frame delays f*10 cs), the
+    payload decodes through the full GIF grammar
+    (operators/gif.py: LZW, palette, GCE delays, compositing), and
+    every GIF_SAMPLE_EVERY-th composited frame is emitted with its
+    delay, content hash, and mean byte value.
+
+    The oracle rides the codec round-trip invariance (encode_gif is
+    palette-exact for <= 256 colors and full-frame draws composite to
+    the frame itself): composited frame f's pixel bytes ARE the text
+    slice, so sha256/mean recompute from substr() — the FRAMES_ORACLE
+    discipline with a real codec in the loop. ASCII eligibility guard
+    (bytes == chars) exactly like the perceptual asset stages.
+
+    Scale shape: one narrow projection, one Arrow-batched kernel, no
+    shuffle until the final presentation sort. Cites hnsw.cc: none —
+    north-star extension."""
+    n = GIF_N_FRAMES * GIF_FRAME_BYTES
+    elig = docs.where(
+        (F.length("text") >= n)
+        & (F.length(F.encode(F.substring("text", 1, n), "UTF-8")) == n))
+    src = elig.select("doc_id", F.substring("text", 1, n).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from vectordb_explorations_spark.operators.gif import (
+            decode_gif_frames, encode_gif)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("doc_id", "frame_idx", "delay_cs",
+                                   "frame_sha256", "mean_byte")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                b = t.encode("utf-8")
+                frames = [np.frombuffer(
+                    b[f * GIF_FRAME_BYTES:(f + 1) * GIF_FRAME_BYTES],
+                    dtype=np.uint8).reshape(GIF_FRAME_H, GIF_FRAME_W, 3)
+                    for f in range(GIF_N_FRAMES)]
+                payload = encode_gif(
+                    frames, delays=[GIF_DELAY_STEP_CS * f
+                                    for f in range(GIF_N_FRAMES)])
+                dec, delays = decode_gif_frames(payload)
+                for fi in range(0, GIF_N_FRAMES, GIF_SAMPLE_EVERY):
+                    fb = dec[fi].tobytes()
+                    s = sum(fb)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(fi)
+                    out["delay_cs"].append(int(delays[fi]))
+                    out["frame_sha256"].append(
+                        hashlib.sha256(fb).hexdigest())
+                    out["mean_byte"].append(
+                        math.floor((float(s) / float(GIF_FRAME_BYTES))
+                                   * 1_000_000.0 + 0.5) / 1_000_000.0)
+            yield pd.DataFrame(out)
+
+    return (src.mapInPandas(run, schema=GIF_FRAMES_SCHEMA)
+            .orderBy("doc_id", "frame_idx"))
+
+
+def gif_frame_sample_oracle() -> str:
+    n = GIF_N_FRAMES * GIF_FRAME_BYTES
+    fis = ", ".join(f"({fi})"
+                    for fi in range(0, GIF_N_FRAMES, GIF_SAMPLE_EVERY))
+    return f"""
+WITH elig AS (
+  SELECT doc_id, substr(text, 1, {n}) AS t FROM documents
+  WHERE length(text) >= {n}
+    AND strlen(substr(text, 1, {n})) = {n}
+), f AS (
+  SELECT doc_id, v.fi,
+         substr(t, 1 + v.fi * {GIF_FRAME_BYTES}, {GIF_FRAME_BYTES}) AS fb
+  FROM elig, (VALUES {fis}) v(fi)
+)
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(fi * {GIF_DELAY_STEP_CS} AS INT) AS delay_cs,
+       sha256(fb) AS frame_sha256,
+       (floor((CAST(list_sum(list_transform(range(1, {GIF_FRAME_BYTES} + 1),
+            i -> ord(substr(fb, CAST(i AS INT), 1)))) AS DOUBLE)
+            / CAST({GIF_FRAME_BYTES} AS DOUBLE)) * 1000000.0 + 0.5)
+        / 1000000.0) AS mean_byte
+FROM f ORDER BY doc_id, frame_idx
+"""

@@ -1098,6 +1098,12 @@ QUERIES: dict[str, QueryFn] = {
     # commutative+associative), finalized per-cell and probed by the
     # batch top-N — output equals cms_heavy_hitters exactly.
     "streaming_cms_monitor": SE.streaming_cms_monitor,
+    # REAL animation frame sampling: per-doc animated GIF synthesized
+    # in-pipeline, decoded through the full GIF grammar, every-Nth
+    # composited frame emitted; oracle rides the codec round-trip
+    # invariance (frame bytes == text slice).
+    "gif_frame_sample": lambda s, d: M.gif_frame_sample(
+        load_table(s, "documents", d)),
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -1137,26 +1143,26 @@ WINDOW_ROUND = 14
 # displace fill rows only (never the mandatory three):
 # bpe_learned_budget (built in-round, the r13 verdict's tokenizer-loop
 # composition) displaced supplier_nation_volume, and the r14
-# continuation session's NINE operators (tokenizer fertility, the two
-# cross-codec triplets, the six sketch-family queries — all built +
-# oracle-parity-verified at both SFs in-round) displaced the nine
-# alphabetically last fill rows (source_data_cards ..
-# substring_dup_coverage), which move to r15's mandatory set with the
-# other five r11 leftovers (supplier_nation_volume,
-# temperature_mixture, top_parts_by_revenue, vector_elements,
-# weighted_sample). r15's window is then 14 mandatory + up to 36
-# oldest-r12 fill — feasible every round (see the capacity note above
-# WINDOW_ROUND).
+# continuation session's TEN operators (tokenizer fertility, the two
+# cross-codec quadruplets, the six sketch-family queries, the GIF
+# frame sampler — all built + oracle-parity-verified at both SFs
+# in-round) displaced the ten alphabetically last fill rows
+# (sequence_pack_bins .. substring_dup_coverage), which move to r15's
+# mandatory set with the other five r11 leftovers
+# (supplier_nation_volume, temperature_mixture, top_parts_by_revenue,
+# vector_elements, weighted_sample). r15's window is then 15 mandatory
+# + up to 35 oldest-r12 fill — feasible every round (see the capacity
+# note above WINDOW_ROUND).
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
     "knn_ip", "bpe_learn_merges", "bpe_learned_budget",
     "bpe_fertility_by_lang", "dedup_cross_codec_image",
     "dedup_cross_codec_audio", "hll_user_cardinality",
     "cms_heavy_hitters", "bloom_join_prune", "streaming_hll_monitor",
-    "kmv_source_overlap", "streaming_cms_monitor",
+    "kmv_source_overlap", "streaming_cms_monitor", "gif_frame_sample",
     # --- 3 mandatory r10-evidence rows (4-round bound) ---
     "tfidf_top_terms", "token_counts", "top_orders",
-    # --- 35 oldest (r11-evidence) rows, alphabetical fill ---
+    # --- 34 oldest (r11-evidence) rows, alphabetical fill ---
     "cluster_balanced_sample", "doc_chunks", "doc_repetition_stats",
     "domain_mix_sample", "dsir_select", "embedding_outliers",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -1169,7 +1175,6 @@ _WINDOW_PRIORITY = [
     "perplexity_buckets", "priority_customer_counts",
     "quota_capped_search", "range_search", "region_nation_rollcall",
     "retrieval_quality", "salted_event_type_stats",
-    "sequence_pack_bins",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1352,6 +1357,7 @@ ORACLES: dict[str, str] = {
     "streaming_hll_monitor": SE.streaming_hll_monitor_oracle(),
     "kmv_source_overlap": SKC.kmv_source_overlap_oracle(),
     "streaming_cms_monitor": SE.streaming_cms_monitor_oracle(),
+    "gif_frame_sample": M.gif_frame_sample_oracle(),
 }
 
 
