@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
-"""Sketch-family scale probe (r14 continuation): run the three staged
-sketch operators — hll_user_cardinality, cms_heavy_hitters,
-bloom_join_prune — over synthetic corpora at 1M and 10M rows and
-verify the structural claims the fixture tests cannot reach:
+"""Sketch-family scale probe (r14 continuation): run the sketch
+operators — hll_user_cardinality, cms_heavy_hitters,
+bloom_join_prune, kmv_source_overlap — over synthetic corpora at 1M
+and 10M rows and verify the structural claims the fixture tests
+cannot reach:
 
 - WALL TIME should grow roughly with the SCAN, not the key space:
   every sketch is a combinable groupBy whose shuffle is (groups x m)
@@ -36,7 +37,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from vectordb_explorations_spark.session import get_spark  # noqa: E402
 from vectordb_explorations_spark.operators.sketches import (  # noqa: E402
-    bloom_join_prune, cms_heavy_hitters, hll_user_cardinality)
+    bloom_join_prune, cms_heavy_hitters, hll_user_cardinality,
+    kmv_source_overlap)
 
 SIZES = [int(a) for a in sys.argv[1:]] or [1_000_000, 10_000_000]
 DISTINCT_USERS = 100_000
@@ -94,6 +96,32 @@ def main() -> None:
               f"{'OK' if ok else 'FAIL'} fpr {fpr:.5f} "
               f"(theory 0.00140), build keys ~{ncust // 2}")
         events.unpersist()
+
+        # KMV: synthetic documents with PLANTED overlap structure —
+        # 20 sources, source s draws 12 words per doc from vocab slice
+        # [50s, 50s+100), so ADJACENT sources share half their vocab
+        # (non-trivial shingle overlap) and distant pairs share none.
+        # n_docs = n/10 keeps the shingle stream ~ the event stream.
+        ndocs = max(n // 10, 10_000)
+        word = [F.concat(F.lit("w"), ((F.col("id") % 20) * 50
+                 + F.pmod(F.xxhash64("id", F.lit(k)), F.lit(100)))
+                 .cast("string")) for k in range(12)]
+        docs = (spark.range(ndocs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string"))
+            .alias("source"),
+            F.concat_ws(" ", *word).alias("text"))).localCheckpoint()
+        t0 = time.time()
+        kmv = kmv_source_overlap(docs).collect()
+        t_kmv = time.time() - t0
+        worst_j = max(abs(r.jaccard_err) for r in kmv)
+        ok = (len(kmv) == 190
+              and all(abs(r.jaccard_err) < 0.15 for r in kmv)
+              and len({r.jaccard_est for r in kmv}) > 1)
+        print(f"{n:>12} {'kmv_source_overlap':24} {t_kmv:>8.2f}  "
+              f"{'OK' if ok else 'FAIL'} worst |jacc_err| {worst_j:.4f} "
+              f"over {len(kmv)} pairs ({ndocs} docs)")
+        docs.unpersist()
     spark.stop()
 
 

@@ -257,19 +257,19 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode. Codec-free formats — binary netpbm (P5/P6),
-    24/32-bit + 8-bit-palette/RLE8 BMP, and (since r14) baseline AND
-    progressive JPEG plus full-spec static PNG (all depths 1-16, all
-    color types, Adam7) —
+    24/32-bit + palette/RLE BMP, and (since r14) baseline AND
+    progressive JPEG, full-spec static PNG (all depths 1-16, all
+    color types, Adam7), lossless-VP8L WebP, full-grammar GIF
+    (incl. animation compositing), and baseline TIFF
+    (none/PackBits/LZW, predictor 2, gray/RGB/palette/bilevel) —
     ALWAYS decode via the pure-NumPy paths (deterministic,
     dependency-free: the declared queries' hashes never depend on
-    which libraries the environment carries; JPEG+PNG are the two
-    dominant real-corpus formats, operators/jpeg.py and
-    operators/png.py). Anything the native paths can't handle
-    (lossy-VP8 WebP / arithmetic-coded JPEG) routes
-    through PIL when the runtime probe found it (``HAS_PIL``),
-    normalized to uint8 RGB / grayscale arrays matching the native
-    paths' shape contract; without PIL those formats raise
-    NotImplementedError naming the swap-in."""
+    which libraries the environment carries). Anything the native
+    paths can't handle (lossy-VP8 WebP / arithmetic-coded JPEG /
+    planar TIFF) routes through PIL when the runtime probe found it
+    (``HAS_PIL``), normalized to uint8 RGB / grayscale arrays
+    matching the native paths' shape contract; without PIL those
+    formats raise NotImplementedError naming the swap-in."""
     try:
         if payload[:2] in (b"P5", b"P6"):
             return _decode_netpbm(payload)
@@ -291,6 +291,10 @@ def decode_image(payload: bytes) -> np.ndarray:
             from vectordb_explorations_spark.operators.gif import (
                 decode_gif)
             return decode_gif(payload)   # full grammar incl. animation
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from vectordb_explorations_spark.operators.tiff import (
+                decode_tiff)
+            return decode_tiff(payload)  # baseline; planar etc. raise
     except NotImplementedError:
         if not HAS_PIL:
             raise
