@@ -164,11 +164,12 @@ def test_declared_audio_query_plants_reencode_pairs(planted_docs):
         assert pairs[(2 * k, 2 * k + 1)].ham_contour == 0
 
 
-def test_cross_codec_queries_plant_quadruplets(planted_docs):
+def test_cross_codec_queries_plant_families(planted_docs):
     """The cross-codec queries (r14 native PNG + FLAC, continuation's
-    GIF + float-WAV, all on the declared surface): every eligible doc
-    plants ALL SIX pairs of the (4k .. 4k+3) quadruplet at Hamming 0
-    — P6/BMP/PNG/GIF for images, WAV8/WAV16/FLAC/float32 for audio —
+    GIF + TIFF + float-WAV, all on the declared surface): every
+    eligible doc plants ALL TEN pairs of the image quintuplet
+    (5k .. 5k+4: P6/BMP/PNG/GIF/TIFF) and all six pairs of the audio
+    quadruplet (4k .. 4k+3: WAV8/WAV16/FLAC/float32) at Hamming 0 —
     through the real decoders in the Spark pipeline."""
     from itertools import combinations
 
@@ -180,9 +181,10 @@ def test_cross_codec_queries_plant_quadruplets(planted_docs):
     aud = {(r.id_a, r.id_b): r for r in
            dedup_cross_codec_audio(planted_docs).collect()}
     for k in range(3):
-        for a, b in combinations(range(4 * k, 4 * k + 4), 2):
+        for a, b in combinations(range(5 * k, 5 * k + 5), 2):
             row = img[(a, b)]
             assert row.ham_dhash == 0 and row.ham_ahash == 0
+        for a, b in combinations(range(4 * k, 4 * k + 4), 2):
             assert aud[(a, b)].ham_contour == 0
 
 

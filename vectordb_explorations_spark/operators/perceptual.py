@@ -480,6 +480,13 @@ def _reencode_gif(b: bytes) -> bytes:
     return encode_gif(decode_image(b))
 
 
+def _reencode_tiff(b: bytes) -> bytes:
+    # LZW + horizontal predictor: the compressed TIFF shape, lossless
+    from vectordb_explorations_spark.operators.tiff import encode_tiff
+    return encode_tiff(decode_image(b), compression="lzw",
+                       predictor=True)
+
+
 def _reencode_wavf32(b: bytes) -> bytes:
     # IEEE-float WAV of the SAME centered int16 samples as the WAV16 /
     # FLAC variants; float32 precision makes clip(rint(x*32767))
@@ -555,18 +562,19 @@ def dedup_perceptual_audio(docs: DataFrame,
 
 def _with_cross_codec_reencodes(assets: DataFrame,
                                 modality: str) -> DataFrame:
-    """The quadruplet layout: each asset (asset_id = 4k) with THREE
-    real LOSSLESS re-encodes through different codecs — images ride
-    P6 -> uncompressed BMP (4k+1), -> DEFLATE PNG (4k+2), and -> LZW
-    GIF (4k+3; always <= 72 distinct colors, so palette-exact); audio
-    rides 8-bit PCM WAV -> 16-bit PCM WAV (4k+1), -> FLAC (4k+2), and
-    -> IEEE-float32 WAV of the same centered samples (4k+3).
-    Losslessness means all four payloads hash identically, which is
-    what lets a DuckDB oracle address the quadruplet without running
-    a codec."""
+    """The cross-codec family layout: each asset with real LOSSLESS
+    re-encodes through different codecs. Images ride a QUINTUPLET
+    (asset_id = 5k): P6 -> uncompressed BMP (5k+1), -> DEFLATE PNG
+    (5k+2), -> LZW GIF (5k+3; always <= 72 distinct colors, so
+    palette-exact), and -> LZW+predictor TIFF (5k+4). Audio rides a
+    QUADRUPLET (asset_id = 4k): 8-bit PCM WAV -> 16-bit PCM WAV
+    (4k+1), -> FLAC (4k+2), and -> IEEE-float32 WAV of the same
+    centered samples (4k+3). Losslessness means every variant hashes
+    identically, which is what lets a DuckDB oracle address the
+    family without running a codec."""
     if modality == "image":
         encoders = [(1, _reencode_bmp), (2, _reencode_png),
-                    (3, _reencode_gif)]
+                    (3, _reencode_gif), (4, _reencode_tiff)]
     else:
         encoders = [(1, _reencode_wav16), (2, _reencode_flac),
                     (3, _reencode_wavf32)]
@@ -579,15 +587,16 @@ def dedup_cross_codec_image(docs: DataFrame,
                             corpus_n: int | None = None) -> DataFrame:
     """Declared query (r14): cross-CODEC perceptual near-dup — the
     same raster carried as netpbm P6, uncompressed BMP,
-    DEFLATE-compressed PNG (operators/png.py), and LZW-compressed GIF
-    (operators/gif.py) — every payload byte-different but near-dup
-    under the banded dHash pipeline. Each eligible document plants
-    all six pairs of the (4k .. 4k+3) quadruplet at Hamming 0; the
-    oracle rides the lossless-re-encode invariance. This is the PNG
-    AND GIF codecs on the driver-checked surface, not just under
-    pytest. Cites hnsw.cc: none — north-star extension."""
+    DEFLATE-compressed PNG (operators/png.py), LZW-compressed GIF
+    (operators/gif.py), and LZW+predictor TIFF (operators/tiff.py) —
+    every payload byte-different but near-dup under the banded dHash
+    pipeline. Each eligible document plants all TEN pairs of the
+    (5k .. 5k+4) quintuplet at Hamming 0; the oracle rides the
+    lossless-re-encode invariance. This is the PNG, GIF, and TIFF
+    codecs on the driver-checked surface, not just under pytest.
+    Cites hnsw.cc: none — north-star extension."""
     base = _p6_assets(docs).select(
-        (F.shiftright("asset_id", 1) * 4).alias("asset_id"), "payload")
+        (F.shiftright("asset_id", 1) * 5).alias("asset_id"), "payload")
     assets = _with_cross_codec_reencodes(base, "image")
     return perceptual_image_pairs(image_hashes(assets), max_hamming,
                                   band_bits=band_bits, corpus_n=corpus_n)
@@ -1260,20 +1269,20 @@ h AS (
 
 def dedup_cross_codec_image_oracle(
         max_hamming: int = PHASH_IMG_MAX_HAMMING) -> str:
-    """Quadruplet twin of dedup_perceptual_image_oracle: P6 / BMP /
-    PNG / GIF are all lossless carriers of the same raster, so the
-    four assets (4k .. 4k+3) share one hash row — the oracle never
-    runs a codec, it rides the invariance the engine's real decodes
-    must reproduce."""
+    """Quintuplet twin of dedup_perceptual_image_oracle: P6 / BMP /
+    PNG / GIF / TIFF are all lossless carriers of the same raster, so
+    the five assets (5k .. 5k+4) share one hash row — the oracle
+    never runs a codec, it rides the invariance the engine's real
+    decodes must reproduce."""
     tail = _pairs_tail_sql(
         ["dh_w0", "dh_w1"],
         {"ham_dhash": ["dh_w0", "dh_w1"], "ham_ahash": ["ah_w0", "ah_w1"]},
         "ham_dhash", max_hamming)
     return f"""
 WITH {_img_hash_ctes()},
-h AS (  -- original (4k) and its three lossless re-encodes: same hash
-  SELECT doc_id * 4 + v AS asset_id, ah_w0, ah_w1, dh_w0, dh_w1
-  FROM h0, (VALUES (0), (1), (2), (3)) t(v)
+h AS (  -- original (5k) and its four lossless re-encodes: same hash
+  SELECT doc_id * 5 + v AS asset_id, ah_w0, ah_w1, dh_w0, dh_w1
+  FROM h0, (VALUES (0), (1), (2), (3), (4)) t(v)
 ), {tail.lstrip()}"""
 
 
