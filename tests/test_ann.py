@@ -1101,3 +1101,83 @@ def test_hnsw_members_sidecar_bounds_locate(spark, sf_dir, tmp_path):
         # shard now bites, which is exactly the cost the sidecar
         # removes
         hnsw_delete_partitioned(spark, path, [survivor])
+
+
+def test_hnsw_delete_stale_sidecar_never_drops_survivors(
+        spark, sf_dir, tmp_path):
+    """Review regression (r14 continuation): 'emptied' is decided by
+    the REBUILD OUTPUT, not sidecar arithmetic. A sidecar missing one
+    membership row (the crash-between-writes shape) made the old code
+    believe a shard was fully emptied and delete its directory —
+    erasing the unrecorded survivor. Now the blob rebuild is the
+    ground truth: the survivor's shard stays and still serves."""
+    import pickle
+
+    from vectordb_explorations_spark.operators.hnsw import (
+        _members_path, hnsw_delete_partitioned,
+        hnsw_persist_partitioned, hnsw_probe_partitioned)
+    from vectordb_explorations_spark.sources.sinks import (
+        delete_rows_partitioned)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = hnsw_build(emb, num_shards=4, shard_by="kmeans")
+    path = str(tmp_path / "hnsw_stale_sidecar")
+    hnsw_persist_partitioned(idx, path)
+
+    members = {}
+    for r in spark.read.parquet(path).select("shard", "blob").collect():
+        members[int(r["shard"])] = sorted(
+            int(i) for i in pickle.loads(r["blob"]).ids)
+    shard = min(members, key=lambda s: len(members[s]))
+    survivor = members[shard][0]
+    victims = [v for v in members[shard] if v != survivor]
+    assert victims
+    # replica-aware expectation: kmeans routing may place an id in
+    # several shards; the count returned is memberships removed
+    expected = sum(len(set(victims) & set(ids))
+                   for ids in members.values())
+
+    # simulate the stale sidecar: the survivor's membership row is
+    # missing (as if a crash preceded the sidecar append)
+    delete_rows_partitioned(spark, _members_path(path), ["shard"],
+                            "vec_id", [survivor])
+
+    n = hnsw_delete_partitioned(spark, path, victims)
+    assert n == expected
+
+    remaining = set()
+    for r in spark.read.parquet(path).select("blob").collect():
+        remaining |= {int(i) for i in pickle.loads(r["blob"]).ids}
+    assert survivor in remaining
+    assert not (remaining & set(victims))
+    sv = emb.where(F.col("vec_id") == survivor)
+    got = hnsw_probe_partitioned(
+        spark, path,
+        sv.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")),
+        1, probe_shards=4)
+    assert [r["vec_id"] for r in got.collect()] == [survivor]
+
+
+def test_ivf_delete_full_erasure_with_verify(spark, sf_dir, tmp_path):
+    """Review regression (r14 continuation): deleting EVERY vector via
+    the routing path with verify_residuals=True must return the full
+    count, not crash — the post-rewrite verification read has no
+    parquet left to infer a schema from once all list directories are
+    gone."""
+    import os
+
+    from vectordb_explorations_spark.operators.ann import (
+        ivf_delete_partitioned, ivf_persist_partitioned)
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(200)
+    assigned, cents = ivf_build(emb, num_centroids=4)
+    path = str(tmp_path / "ivf_full_erasure")
+    ivf_persist_partitioned(assigned, path)
+    total = spark.read.parquet(path).count()
+
+    n = ivf_delete_partitioned(
+        spark, path, None, delete_vectors=emb, centroids=cents,
+        verify_residuals=True)
+    assert n == total
+    assert not [d for d in os.listdir(path) if d.startswith("list_id=")]

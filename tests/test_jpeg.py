@@ -250,3 +250,52 @@ def test_12bit_extended_sequential():
     bad[i + 1] = 0xC0
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(bad))
+
+
+def test_ac_refinement_zrl_correction_bit_ordering():
+    """Regression (r14 continuation review): a refinement band with
+    >15 consecutive zero-history zeros followed by a history
+    coefficient (|v| >= 2) and then a newly-significant one (|v| == 1)
+    — zigzag [dc, 0 x 20, 2, 1, 0...] — desynced the old encoder,
+    which buffered the history coefficient's correction bit BEFORE
+    emitting the pending ZRL (the decoder consumes that bit inside the
+    ZRL's 16-zero advance). The block is synthesized through the DCT
+    domain so the public encode path reproduces the exact quantized
+    layout."""
+    import numpy as np
+
+    from vectordb_explorations_spark.operators import jpeg as J
+
+    q = 50
+    Q = J._scaled_quant(J.QUANT_LUMA, q).astype(np.float64).reshape(8, 8)
+    zz = np.zeros(64)
+    zz[0] = 4
+    zz[21] = 2
+    zz[22] = 1
+    coefs = np.zeros(64)
+    coefs[J.ZIGZAG] = zz
+    spatial = J._T.T @ (coefs.reshape(8, 8) * Q) @ J._T
+    img = np.clip(np.rint(spatial + 128), 0, 255).astype(np.uint8)
+    # the crafted layout really is what the encoder quantizes to
+    *_, quantized = J._prepare_quantized(img, q, "444")
+    zzq = quantized[0][:, J.ZIGZAG][0]
+    assert not zzq[1:21].any() and zzq[21] == 2 and zzq[22] == 1
+    b = J.decode_jpeg(J.encode_baseline_jpeg(img, q))
+    p = J.decode_jpeg(J.encode_progressive_jpeg(img, q))
+    assert np.array_equal(b, p)
+
+
+def test_decode_skips_marker_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; the old parser read 0xFF,0xFF as a marker id 0xFF with a
+    garbage length and lost the SOS."""
+    import numpy as np
+
+    from vectordb_explorations_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    payload = J.encode_baseline_jpeg(img, 75)
+    i = payload.index(b"\xff\xda")          # SOS marker
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(payload))

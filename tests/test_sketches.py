@@ -324,3 +324,20 @@ def test_streaming_cms_equals_batch(spark, sf_dir):
     stream = {(r.user_id, r.true_n, r.cms_estimate, r.overcount)
               for r in streaming_cms_monitor(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_hll_null_user_id_hashes_as_empty_key(spark):
+    """Review regression: a NULL user_id must hash like the empty
+    string (the coalesce both engines share), not produce a NULL
+    register row — pinned against the bit-level reference."""
+    out = hll_user_cardinality(
+        _events(spark, [(1, None, "t"), (2, 7, "t")])).collect()
+    assert len(out) == 1
+    regs = {}
+    for key in ("", "7"):
+        r, k = _ref_register_rank(key)
+        regs[r] = max(regs.get(r, 0), k)
+    s_total = sum(1 << (53 - k) for k in regs.values()) \
+        + (HLL_M - len(regs)) * (1 << 53)
+    assert out[0].n_registers_hit == len(regs)
+    assert out[0].harmonic_sum_scaled == s_total

@@ -342,3 +342,39 @@ def test_malformed_payloads_raise_valueerror():
     p = encode_vp8l(x)
     with pytest.raises(ValueError):
         decode_webp(p[:len(p) - 30])
+
+
+def test_palette_before_predictor_uses_packed_width():
+    """Regression (r14 continuation review): when COLOR_INDEXING with
+    sub-byte bundling is read BEFORE PREDICTOR, the predictor inverse
+    runs first — on the still-PACKED image — so it must loop the
+    packed width, not the full canvas width (the old code indexed
+    past the packed array). h=1 exercises the row-0 LEFT override,
+    making the expected reconstruction derivable by hand."""
+    h, w = 1, 16
+    palette = [(250, 0, 10), (0, 200, 30), (17, 18, 19), (9, 9, 9)]
+    packed_greens = [17, 34, 51, 68]          # LEFT residuals: all 17
+    idx = [(g >> (2 * k)) & 3 for g in packed_greens for k in range(4)]
+
+    def body(bw):
+        bw.write(1, 1)
+        bw.write(3, 2)                        # COLOR_INDEXING first
+        bw.write(3, 8)                        # palette size - 1
+        deltas, prev = [], (0, 0, 0)
+        for p in palette:
+            deltas.append(tuple((a - b) % 256 for a, b in
+                          zip(p, prev)))
+            prev = p
+        _literal_pixels_multi(bw, deltas)
+        bw.write(1, 1)
+        bw.write(0, 2)                        # PREDICTOR second
+        bw.write(2, 3)                        # size_bits = 4 (1 tile)
+        bw.write(0, 1)                        # subimage: no cache
+        _const_group(bw, green_sym=1)
+        bw.write(0, 1)                        # no more transforms
+        _literal_pixels(bw, [(0, 17, 0)] * 4, level0=True)
+
+    out = decode_webp(_wrap_vp8l(body, w, h))
+    exp = np.array(palette, dtype=np.uint8)[np.array(idx)].reshape(
+        1, 16, 3)
+    assert np.array_equal(out, exp)

@@ -1036,6 +1036,17 @@ def ivf_delete_partitioned(spark, path: str,
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/list_id={li}"),
                   True)
     if delete_vectors is not None and verify_residuals:
+        # a delete that emptied EVERY list leaves no parquet to read
+        # (schema inference would throw on the bare _SUCCESS dir) —
+        # and trivially no residuals (r14 continuation review)
+        remaining_dirs = [s.getPath().getName() for s in
+                          fs.listStatus(
+                              jvm.org.apache.hadoop.fs.Path(path))
+                          if s.isDirectory()
+                          and s.getPath().getName()
+                          .startswith("list_id=")]
+        if not remaining_dirs:
+            return n_removed
         residual = (spark.read.parquet(path)
                     .select(id_col, "list_id")
                     .where(F.col(id_col).isin(ids)).count())

@@ -863,8 +863,15 @@ def minhash_persist(docs: DataFrame, base_dir: str,
     file-count floor for a hive layout."""
     _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
                          mode="overwrite")
-    _write_minhash_meta(docs.sparkSession, base_dir, {
-        "docs": docs.count(), "num_hashes": num_hashes,
+    # doc count from the just-written sh face (exactly one row per
+    # substrate doc — the same unit delete decrements by), read from
+    # parquet footers: no extra pass over the input frame (r14
+    # continuation review — the old docs.count() re-scanned a possibly
+    # expensive derived corpus AND overcounted shingle-less docs)
+    spark = docs.sparkSession
+    _write_minhash_meta(spark, base_dir, {
+        "docs": spark.read.parquet(f"{base_dir}/sh").count(),
+        "num_hashes": num_hashes,
         "band_size": band_size, "buckets": buckets})
 
 
@@ -961,7 +968,10 @@ def minhash_append_persisted(docs: DataFrame, base_dir: str,
     _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
                          mode="append")
     if meta is not None:
-        meta["docs"] = int(meta.get("docs", 0)) + docs.count()
+        # absolute recount from the sh face's parquet footers (one row
+        # per substrate doc) — no extra pass over the batch frame, and
+        # the same unit delete decrements by
+        meta["docs"] = spark.read.parquet(f"{base_dir}/sh").count()
         _write_minhash_meta(spark, base_dir, meta)
 
 

@@ -903,12 +903,6 @@ def hnsw_delete_partitioned(spark, path: str, delete_ids,
         n_removed = sum(per_shard.values())
         if not touched:
             return 0
-        totals = {int(r["shard"]): int(r["n"]) for r in
-                  mem.where(F.col("shard").isin(touched))
-                  .groupBy("shard")
-                  .agg(F.count(F.lit(1)).alias("n")).collect()}
-        emptied = sorted(s for s in touched
-                         if per_shard[s] == totals[s])
     else:
         count_schema = T.StructType([
             T.StructField("shard", T.IntegerType()),
@@ -936,9 +930,6 @@ def hnsw_delete_partitioned(spark, path: str, delete_ids,
                    .mapInPandas(locate, schema=count_schema).collect())
         touched = sorted(r["shard"] for r in located if r["n_victims"])
         n_removed = sum(int(r["n_victims"]) for r in located)
-        emptied = sorted(r["shard"] for r in located
-                         if r["n_victims"]
-                         and r["n_victims"] == r["n_total"])
         if not touched:
             return 0
 
@@ -970,6 +961,14 @@ def hnsw_delete_partitioned(spark, path: str, delete_ids,
                .select("shard", "blob", "centroid")
                .mapInPandas(rebuild, schema=INDEX_SCHEMA)
                .localCheckpoint(eager=True))
+    # "Emptied" is decided by the REBUILD OUTPUT (the blobs are the
+    # ground truth), never by sidecar arithmetic: a sidecar missing an
+    # appended id (crash between index write and sidecar append) must
+    # not cause a shard directory holding survivors to be deleted
+    # (r14 continuation review).
+    survivors = {int(r["shard"]) for r in
+                 rebuilt.select("shard").distinct().collect()}
+    emptied = sorted(set(touched) - survivors)
     from vectordb_explorations_spark.sources.sinks import (
         overwrite_partitions)
     try:
@@ -1093,11 +1092,14 @@ def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
     # (same read-after-replace hazard merge_upsert documents)
     rebuilt = rebuilt.localCheckpoint(eager=True)
     try:
-        overwrite_partitions(rebuilt, path, ["shard"])
         # keep the (vec_id -> shard) erasure sidecar consistent: the
         # appended memberships are exactly the routed (shard, id)
         # pairs; hive append touches only the batch's own shard dirs.
-        # Pre-r14 layouts have no sidecar — stay legacy.
+        # Pre-r14 layouts have no sidecar — stay legacy. The sidecar
+        # append runs BEFORE the index overwrite (r14 continuation
+        # review): a crash between the two then leaves EXTRA sidecar
+        # rows (harmless — locate over-counts, rebuild reads blobs),
+        # never memberships the locate pass could miss.
         jvm = spark._jvm
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             spark._jsc.hadoopConfiguration())
@@ -1111,6 +1113,7 @@ def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
                                    .alias("vec_id")), "shard")
              .sortWithinPartitions("vec_id")
              .write.mode("append").partitionBy("shard").parquet(mp))
+        overwrite_partitions(rebuilt, path, ["shard"])
     finally:
         rebuilt.unpersist()
         new_rows_df.unpersist()

@@ -308,8 +308,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < n:
         if payload[i] != 0xFF:
             raise ValueError("JPEG: expected marker")
-        marker = payload[i + 1]
-        i += 2
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip to the marker id byte
+        j = i + 1
+        while j < n and payload[j] == 0xFF:
+            j += 1
+        if j >= n:
+            break
+        marker = payload[j]
+        i = j + 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -941,13 +948,15 @@ def _enc_ac_refine(writer, state, blockzz, ss, se, ah, al,
     last = newly[-1]
     r = 0
     pending: list[int] = []
-    for i in range(last + 1):
-        if hist[i]:
-            pending.append(tnow[i] & 1)
-            continue
-        if tnow[i] == 0:
-            r += 1
-            continue
+
+    def flush_zrl_runs():
+        # Emit pending ZRLs BEFORE buffering a history coefficient's
+        # correction bit (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine
+        # ordering): the decoder consumes, inline with each ZRL's
+        # 16-zero-history advance, exactly the correction bits of
+        # history positions it passes — a bit buffered before the ZRL
+        # for a position AFTER the span desyncs the stream.
+        nonlocal r, pending
         while r > 15:
             code, ln = ac_enc[0xF0]
             writer.write(code, ln)
@@ -955,6 +964,16 @@ def _enc_ac_refine(writer, state, blockzz, ss, se, ah, al,
                 writer.write(b, 1)
             pending = []
             r -= 16
+
+    for i in range(last + 1):
+        if hist[i]:
+            flush_zrl_runs()
+            pending.append(tnow[i] & 1)
+            continue
+        if tnow[i] == 0:
+            r += 1
+            continue
+        flush_zrl_runs()
         code, ln = ac_enc[(r << 4) | 1]
         writer.write(code, ln)
         writer.write(1 if band[i] > 0 else 0, 1)

@@ -101,8 +101,12 @@ def hll_registers(events: DataFrame) -> DataFrame:
     sketch state: max is commutative/idempotent, so the same frame
     works as a batch aggregation, a streaming update-mode
     aggregation, or a union of shards (register-wise max IS HLL
-    sketch union)."""
-    register, rank = _hll_rank_cols(F.col("user_id").cast("string"))
+    sketch union). NULL keys coalesce to '' BEFORE hashing — the
+    _cms_bucket concat_ws trap's sibling: an un-coalesced NULL makes
+    Spark emit a NULL-register row while the oracle's
+    concat('0x', substr(NULL..)) errors outright."""
+    register, rank = _hll_rank_cols(
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")))
     return (events
             .select("event_type", register.alias("register"),
                     rank.alias("rank"))
@@ -143,7 +147,8 @@ def hll_user_cardinality_oracle() -> str:
            f"* CAST({_POW53} AS DOUBLE) / CAST(s_total AS DOUBLE)")
     return f"""
 WITH k AS (
-  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  SELECT event_type,
+         md5(coalesce(CAST(user_id AS VARCHAR), '')) AS h
   FROM events
 ), zd AS (
   SELECT event_type,

@@ -215,12 +215,11 @@ def _read_ifd(payload: bytes, bo: str) -> dict[int, list[int]]:
             voff = int.from_bytes(payload[e + 8:e + 12], bo)
             raw = payload[voff:voff + size]
         step = _TYPE_SIZES.get(typ, 1)
-        if typ in (3, 4, 1):
-            tags[tag] = [int.from_bytes(raw[i:i + step], bo)
-                         for i in range(0, size, step)]
-        else:                           # rational etc. — unused here
-            tags[tag] = [int.from_bytes(raw[i:i + step], bo)
-                         for i in range(0, size, step)]
+        # every type decodes as unsigned fixed-step integers; the
+        # baseline tags used here are all BYTE/SHORT/LONG (rationals
+        # would need a numerator/denominator split no tag we read has)
+        tags[tag] = [int.from_bytes(raw[i:i + step], bo)
+                     for i in range(0, size, step)]
     return tags
 
 

@@ -406,8 +406,12 @@ def _inverse_transform(img, ttype, arg, data, w, h):
         size_bits = arg
         modes = ((data >> 8) & 0xFF).astype(np.int64)
         out = img.astype(np.uint32).copy()
+        # the image may still be PACKED (color-indexing with bundling
+        # read earlier in the stream inverts later): loop the CURRENT
+        # width, which is also what the tile map was sized to at parse
+        cw = img.shape[1]
         for y in range(h):
-            for x in range(w):
+            for x in range(cw):
                 if x == 0 and y == 0:
                     mode = 0
                 elif y == 0:
@@ -416,7 +420,7 @@ def _inverse_transform(img, ttype, arg, data, w, h):
                     mode = 2
                 else:
                     mode = int(modes[y >> size_bits, x >> size_bits])
-                pred = _predict(mode, out, x, y, w)
+                pred = _predict(mode, out, x, y, cw)
                 out[y, x] = _add_pixels(int(img[y, x]), pred)
         return out
     if ttype == 1:                            # color transform
@@ -428,9 +432,10 @@ def _inverse_transform(img, ttype, arg, data, w, h):
         g2r = _to_signed(data & 0xFF)
         g2b = _to_signed((data >> 8) & 0xFF)
         r2b = _to_signed((data >> 16) & 0xFF)
+        cw = img.shape[1]                     # see predictor note
         for y in range(h):
             ty = y >> size_bits
-            for x in range(w):
+            for x in range(cw):
                 tx = x >> size_bits
                 px = int(out[y, x])
                 green = (px >> 8) & 0xFF
