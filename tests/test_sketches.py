@@ -341,3 +341,64 @@ def test_hll_null_user_id_hashes_as_empty_key(spark):
         + (HLL_M - len(regs)) * (1 << 53)
     assert out[0].n_registers_hit == len(regs)
     assert out[0].harmonic_sum_scaled == s_total
+
+
+def test_streaming_kmv_multibatch_state_merge(spark, tmp_path):
+    """The KMV merge rule across REAL micro-batch boundaries: the
+    fixture docs split into two parquet files stream as two batches
+    (maxFilesPerTrigger=1); the drained max-version sketch per source
+    equals the pure-Python k-smallest-of-all construction, and
+    versions are strictly monotone across the two updates."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from vectordb_explorations_spark.operators.sketches import KMV_K
+    from vectordb_explorations_spark.streaming.documents import (
+        kmv_stream)
+    from vectordb_explorations_spark.streaming.events import (
+        await_drained, run_to_memory)
+
+    mk = lambda lo, hi: " ".join(f"w{i}" for i in range(lo, hi))
+    rows_a = [(1, "sa", mk(0, 200)), (2, "sb", mk(300, 420))]
+    rows_b = [(3, "sa", mk(100, 320)), (4, "sb", mk(400, 520))]
+    schema = "doc_id long, source string, lang string, text string"
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, s, "en", t) for i, s, t in rows_a], schema
+    ).coalesce(1).write.parquet(str(d / "part_a"))
+    spark.createDataFrame(
+        [(i, s, "en", t) for i, s, t in rows_b], schema
+    ).coalesce(1).write.parquet(str(d / "part_b"))
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(str(d / "part_a")).schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(f"{d}/part_*"))
+    name = "skmv_mb_test"
+    q = run_to_memory(kmv_stream(stream), name, "update")
+    await_drained(q)
+    got = spark.table(name).collect()
+
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    ref = {}
+    for _i, src, t in rows_a + rows_b:
+        ref.setdefault(src, set()).update(
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for s in shingles(t))
+    for src, hs in ref.items():
+        ks = sorted(hs)[:KMV_K]
+        rows = sorted((r for r in got if r.source == src),
+                      key=lambda r: r.version)
+        assert len(rows) == 2                      # one per batch
+        assert rows[0].version < rows[1].version   # monotone
+        final = rows[1]
+        assert final.n_sk == len(ks)
+        assert final.kth == ks[-1]
+        assert final.sketch_md5 == hashlib.md5(
+            "|".join(str(x) for x in ks).encode()).hexdigest()

@@ -291,27 +291,56 @@ COMMENTARY = {
         "contour hash; same banded shape as the image twin."),
     "hll_user_cardinality": (
         "HyperLogLog from first principles on the md5 cross-engine "
-        "hash (staged r15): combinable per-register max collapses the "
+        "hash (declared r14): combinable per-register max collapses the "
         "shuffle to groups x 16 rows; harmonic sums stay EXACT "
         "bigints, ranks derive from hex strings (never libm log2), "
         "so the driver hash-checks the sketch content."),
     "cms_heavy_hitters": (
-        "Count-Min heavy hitters (staged r15): depth x width counter "
+        "Count-Min heavy hitters (declared r14): depth x width counter "
         "sketch via one map-side-combined groupBy (256 cells), "
         "broadcast back to the top-20 true keys; overcount >= 0 is a "
         "live invariant on the output."),
     "bloom_join_prune": (
-        "Bloom-filter semi-join pruning (staged r15): the filter is "
+        "Bloom-filter semi-join pruning (declared r14): the filter is "
         "sized FROM THE DATA (16 bits/eligible key, broadcast scalar, "
         "no driver collect) so the ~0.14% FPR survives any SF where "
         "fixed-m saturates; bitmap_md5 pins the packed words; "
         "n_pass == n_true + n_false_pos rides as an invariant."),
     "streaming_hll_monitor": (
-        "HLL on a STREAM (staged r15): update-mode register maxima — "
+        "HLL on a STREAM (declared r14): update-mode register maxima — "
         "max is commutative+idempotent, i.e. register-wise max IS "
         "sketch union — drained and finalized to the batch query's "
         "exact harmonic sums; state bounded at groups x 16 rows at "
         "any stream volume, no watermark needed."),
+    "kmv_source_overlap": (
+        "KMV set-operation sketch (declared r14): distinct (source, "
+        "shingle-hash) pass, per-source bounded top-k (rank <= 128 "
+        "prunes to |sources| x k rows), then the pair stage joins "
+        "k-row sketches — |sources|^2 work on BOUNDED summaries at "
+        "any corpus size. The merged k-set's kth minima + md5 pin the "
+        "sketch content; the exact-truth columns are the fixture-"
+        "grading half (production emits estimates only)."),
+    "streaming_cms_monitor": (
+        "Count-Min on a STREAM (declared r14): update-mode counter "
+        "cells (count is commutative+associative), finalized per-cell "
+        "across drained updates and probed by the batch top-20 — "
+        "output equals cms_heavy_hitters exactly, oracle shared. "
+        "State bounded at 256 cells at any stream volume."),
+    "streaming_kmv_monitor": (
+        "KMV on a STREAM (declared r14): the per-source k-smallest "
+        "distinct hash set as CUSTOM applyInPandasWithState state — "
+        "k-smallest-of-union is the commutative+idempotent KMV merge, "
+        "so micro-batches and replays converge; state bounded at "
+        "KMV_K longs x |sources|; max-version finalize equals the "
+        "batch construction bit-for-bit (sketch md5 hash-checked)."),
+    "gif_frame_sample": (
+        "REAL animation frame sampling (declared r14): per-doc "
+        "animated GIF synthesized in one Arrow kernel, decoded "
+        "through the full GIF grammar (LZW, palette, GCE delays, "
+        "compositing), every-2nd frame emitted with content hash — "
+        "the oracle rides the codec round-trip invariance (composited "
+        "frame bytes == text slice). One narrow projection, one "
+        "mapInPandas, no shuffle before the presentation sort."),
     "bpe_learned_budget": (
         "The tokenizer loop closed (declared r14): the trainer's 8 "
         "bounded vocabulary iterations, then the LEARNED table rides a "

@@ -1104,6 +1104,11 @@ QUERIES: dict[str, QueryFn] = {
     # invariance (frame bytes == text slice).
     "gif_frame_sample": lambda s, d: M.gif_frame_sample(
         load_table(s, "documents", d)),
+    # KMV on a STREAM: the per-source k-smallest-hash set as CUSTOM
+    # bounded applyInPandasWithState state (k-smallest-of-union is the
+    # commutative+idempotent KMV merge), finalized to the batch
+    # construction's exact sketch content.
+    "streaming_kmv_monitor": SD.streaming_kmv_monitor,
 }
 
 # The round the *next* driver correctness check belongs to. Bump this at
@@ -1143,15 +1148,15 @@ WINDOW_ROUND = 14
 # displace fill rows only (never the mandatory three):
 # bpe_learned_budget (built in-round, the r13 verdict's tokenizer-loop
 # composition) displaced supplier_nation_volume, and the r14
-# continuation session's TEN operators (tokenizer fertility, the two
-# cross-codec quadruplets, the six sketch-family queries, the GIF
+# continuation session's ELEVEN operators (tokenizer fertility, the
+# two cross-codec families, the seven sketch-family queries, the GIF
 # frame sampler — all built + oracle-parity-verified at both SFs
-# in-round) displaced the ten alphabetically last fill rows
-# (sequence_pack_bins .. substring_dup_coverage), which move to r15's
-# mandatory set with the other five r11 leftovers
+# in-round) displaced the eleven alphabetically last fill rows
+# (salted_event_type_stats .. substring_dup_coverage), which move to
+# r15's mandatory set with the other five r11 leftovers
 # (supplier_nation_volume, temperature_mixture, top_parts_by_revenue,
-# vector_elements, weighted_sample). r15's window is then 15 mandatory
-# + up to 35 oldest-r12 fill — feasible every round (see the capacity
+# vector_elements, weighted_sample). r15's window is then 16 mandatory
+# + up to 34 oldest-r12 fill — feasible every round (see the capacity
 # note above WINDOW_ROUND).
 _WINDOW_PRIORITY = [
     # --- new this round, never driver-checked (outrank everything) ---
@@ -1160,9 +1165,10 @@ _WINDOW_PRIORITY = [
     "dedup_cross_codec_audio", "hll_user_cardinality",
     "cms_heavy_hitters", "bloom_join_prune", "streaming_hll_monitor",
     "kmv_source_overlap", "streaming_cms_monitor", "gif_frame_sample",
+    "streaming_kmv_monitor",
     # --- 3 mandatory r10-evidence rows (4-round bound) ---
     "tfidf_top_terms", "token_counts", "top_orders",
-    # --- 34 oldest (r11-evidence) rows, alphabetical fill ---
+    # --- 33 oldest (r11-evidence) rows, alphabetical fill ---
     "cluster_balanced_sample", "doc_chunks", "doc_repetition_stats",
     "domain_mix_sample", "dsir_select", "embedding_outliers",
     "event_prop_keys", "event_transitions", "event_value_histogram",
@@ -1174,7 +1180,7 @@ _WINDOW_PRIORITY = [
     "multimodal_resize", "nation_customer_lists", "ngram_novelty",
     "perplexity_buckets", "priority_customer_counts",
     "quota_capped_search", "range_search", "region_nation_rollcall",
-    "retrieval_quality", "salted_event_type_stats",
+    "retrieval_quality",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 assert set(_WINDOW_PRIORITY) <= set(QUERIES), set(_WINDOW_PRIORITY) - set(QUERIES)
@@ -1358,6 +1364,7 @@ ORACLES: dict[str, str] = {
     "kmv_source_overlap": SKC.kmv_source_overlap_oracle(),
     "streaming_cms_monitor": SE.streaming_cms_monitor_oracle(),
     "gif_frame_sample": M.gif_frame_sample_oracle(),
+    "streaming_kmv_monitor": SD.streaming_kmv_monitor_oracle(),
 }
 
 

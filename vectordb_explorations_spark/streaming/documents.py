@@ -409,3 +409,148 @@ flg AS (SELECT b.doc_id, f.first_doc
 SELECT doc_id, min(first_doc) AS dup_of, count(*) AS n_band_hits
 FROM flg GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---- KMV sketch maintenance on a stream (r14 continuation) -------------
+
+_KMV_STATE_SCHEMA = T.StructType([
+    T.StructField("ks", T.ArrayType(T.LongType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+_KMV_OUT_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("version", T.LongType()),
+    T.StructField("n_sk", T.IntegerType()),
+    T.StructField("kth", T.LongType()),
+    T.StructField("sketch_md5", T.StringType()),
+    T.StructField("distinct_est", T.DoubleType()),
+])
+
+
+def kmv_stream(docs: DataFrame) -> DataFrame:
+    """Per-source KMV sketch maintained as CUSTOM BOUNDED streaming
+    state (``applyInPandasWithState`` keyed on source): the state is
+    the k smallest distinct 60-bit shingle hashes seen so far — at
+    most KMV_K longs per source regardless of stream volume — merged
+    set-wise per micro-batch, so replays and out-of-order arrivals
+    converge to the same sketch (k-smallest-of-union is commutative
+    and idempotent, the KMV merge rule). Each update emits the
+    current sketch summary with a monotone ``version`` (rows seen);
+    the drained sink's max-version row per source IS the final
+    sketch. Shingles ride the array-lambda form (_SHINGLES) — the
+    batch path's window shape is forbidden on streams."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+    from vectordb_explorations_spark.operators.dedup import (
+        _SHINGLE_HASH, _SHINGLES)
+    from vectordb_explorations_spark.operators.sketches import (
+        _POW60, KMV_K)
+
+    hashed = (docs
+              .select("source", F.explode(F.expr(_SHINGLES)).alias("s"))
+              .select("source", F.expr(_SHINGLE_HASH).alias("h")))
+
+    def update(key, pdf_iter, state: GroupState):
+        hs: set[int] = set()
+        n_new = 0
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            hs.update(int(x) for x in pdf["h"])
+        if state.exists:
+            ks, n_seen = state.get
+            hs.update(int(x) for x in ks)
+        else:
+            n_seen = 0
+        ks = sorted(hs)[:KMV_K]
+        n_seen = int(n_seen) + n_new
+        state.update((ks, n_seen))
+        n_sk = len(ks)
+        kth = ks[-1]
+        est = (float(n_sk) if n_sk < KMV_K
+               else (KMV_K - 1.0) * _POW60 / float(kth))
+        yield pd.DataFrame({
+            "source": [key[0]], "version": [n_seen], "n_sk": [n_sk],
+            "kth": [kth],
+            "sketch_md5": [hashlib.md5(
+                "|".join(str(x) for x in ks).encode()).hexdigest()],
+            "distinct_est": [
+                math.floor(est * 1_000_000.0 + 0.5) / 1_000_000.0],
+        })
+
+    return (hashed.groupBy("source")
+            .applyInPandasWithState(
+                update,
+                outputStructType=_KMV_OUT_SCHEMA,
+                stateStructType=_KMV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_kmv_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (r14 continuation): the KMV distinct sketch
+    maintained ONLINE — drain the per-source k-set state across
+    micro-batches (availableNow), keep each source's max-version row,
+    and the final sketch content (count, kth minimum, full-set md5)
+    plus the derived distinct estimate equal the batch construction
+    exactly, which the driver hash-checks against the same DuckDB
+    CTEs the batch kmv_source_overlap oracle uses.
+
+    Scale shape: state bounded at KMV_K longs x |sources|; the
+    grouped shuffle carries narrow (source, h) rows. This is the
+    third sketch family member on the streaming surface (HLL:
+    register max; CMS: counter sum; KMV: bounded k-set merge — the
+    one that needs CUSTOM state, which is exactly what it
+    demonstrates)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from vectordb_explorations_spark.streaming.events import (
+        await_drained, run_to_memory)
+
+    name = f"skmv_{uuid.uuid4().hex[:12]}"
+    stream = kmv_stream(read_documents_stream(spark, sf_dir))
+    q = run_to_memory(stream, name, "update")
+    await_drained(q)
+    w = Window.partitionBy("source").orderBy(F.col("version").desc())
+    return (spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("source", "n_sk", "kth", "sketch_md5",
+                    "distinct_est")
+            .orderBy("source"))
+
+
+def streaming_kmv_monitor_oracle() -> str:
+    from vectordb_explorations_spark.operators.dedup import (
+        _SHINGLE_HASH_DUCK, _SHINGLES_DUCK)
+    from vectordb_explorations_spark.operators.sketches import (
+        _kmv_est_sql, KMV_K)
+    from vectordb_explorations_spark.functions.rounding import r6
+
+    return f"""
+WITH raw AS (
+  SELECT source, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), sh AS (
+  SELECT DISTINCT source, {_SHINGLE_HASH_DUCK} AS h FROM raw
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh) WHERE rn <= {KMV_K}
+), per AS (
+  SELECT source, CAST(count(*) AS INT) AS n_sk, max(h) AS kth,
+         md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY h))
+           AS sketch_md5
+  FROM sk GROUP BY source
+)
+SELECT source, n_sk, kth, sketch_md5,
+       {r6(_kmv_est_sql('n_sk', 'kth'))} AS distinct_est
+FROM per ORDER BY source
+"""
