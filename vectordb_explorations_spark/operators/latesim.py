@@ -544,6 +544,8 @@ def maxsim_persist(docs: DataFrame, base_dir: str,
     so appended chunks bucket consistently."""
     from vectordb_explorations_spark.operators.ann import (
         random_hyperplane_lsh)
+    from vectordb_explorations_spark.sources.sinks import (
+        repartition_for_hive)
 
     # Both artifacts carry an `ingest_key` partition level ('base' for
     # the bulk build): maxsim_append_ingest dynamic-OVERWRITES its own
@@ -561,11 +563,18 @@ def maxsim_persist(docs: DataFrame, base_dir: str,
     # sf0.1: 7.7 -> 6.7 s median-of-3 build)
     ce = _densify_chunk_weights(
         docs.sparkSession.read.parquet(f"{base_dir}/weights"))
-    (random_hyperplane_lsh(ce, num_tables=num_tables,
-                           num_planes=num_planes, seed=seed,
-                           dim=HASH_DIM, id_col="cid",
-                           vec_col="embedding")
-     .withColumn("ingest_key", F.lit("base"))
+    # repartition on the hive partition columns before the write: the
+    # GEMM stage's task count otherwise multiplies into every occupied
+    # (table_id, bucket) directory — one file per writer task per
+    # directory (the perceptual/minhash one-file-per-directory lesson;
+    # the serve side then pays the fan-out again in listings/opens)
+    (repartition_for_hive(
+        random_hyperplane_lsh(ce, num_tables=num_tables,
+                              num_planes=num_planes, seed=seed,
+                              dim=HASH_DIM, id_col="cid",
+                              vec_col="embedding")
+        .withColumn("ingest_key", F.lit("base")),
+        "table_id", "bucket")
      .write.mode("overwrite")
      .partitionBy("table_id", "bucket", "ingest_key")
      .parquet(f"{base_dir}/index"))
