@@ -52,6 +52,19 @@ _DEFAULT_CONF = {
     "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # FileOutputCommitter v2: task outputs rename to the final location at
+    # TASK commit (parallel, on executors) instead of v1's job-commit
+    # serial rename of every task directory on the driver. The engine's
+    # hive-partitioned substrates write 256-1,280 directories per build;
+    # v1's driver-serial O(directories) job commit was 25-30% of those
+    # builds' wall time (A/B, minhash_persist at sf0.1: median 17.2 ->
+    # 13.8 s session-paired). At cluster scale the same serial rename is
+    # the classic many-partition job-commit bottleneck. Trade-off
+    # (documented): a job failing mid-write can leave task outputs of
+    # completed tasks visible — every substrate writer here is either a
+    # full overwrite or a marker-guarded idempotent dynamic overwrite, so
+    # replays converge (the maxsim_append_ingest crash-window discipline).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 
