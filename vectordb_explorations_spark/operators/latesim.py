@@ -223,7 +223,13 @@ def _maxsim_from_weights(spark, cw_raw: DataFrame,
         "query_id int, term_id int, dim_id int, wq long, qssq long")
 
     if cands is not None:
-        cw_raw = cw_raw.join(cands.select("doc_id").distinct(),
+        # broadcast the BOUNDED candidate-doc set (<= queries x cand
+        # pool rows): the weights side then filters in place instead of
+        # shuffling the whole corpus-sized weight table into a
+        # sort-merge semi-join — the exchange that follows (the cssq
+        # window) carries only the surviving candidates' rows
+        cw_raw = cw_raw.join(F.broadcast(cands.select("doc_id")
+                                         .distinct()),
                              "doc_id", "left_semi")
     w_chunk = Window.partitionBy("doc_id", "chunk_id")
     cw = cw_raw.withColumn("cssq",
@@ -259,7 +265,11 @@ def _maxsim_from_weights(spark, cw_raw: DataFrame,
 
     w_q = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                  "doc_id")
-    return (sims.join(cands, ["query_id", "doc_id"], "left_semi")
+    # broadcast semi again: moves the candidate filter BELOW the
+    # (query_id, doc_id) exchange feeding the MaxSim aggregate, so the
+    # shuffle carries candidate rows only, never the full sims frame
+    return (sims.join(F.broadcast(cands), ["query_id", "doc_id"],
+                      "left_semi")
             .groupBy("query_id", "doc_id")
             .agg(*mx)
             .select("query_id", "doc_id", score.alias("score"))
