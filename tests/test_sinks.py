@@ -388,3 +388,37 @@ def test_xml_roundtrip_documents(spark, sf_dir, tmp_path):
     b = {r["doc_id"]: (r["text"], r["lang"], r["source"])
          for r in df.collect()}
     assert a == b and len(a) == df.count()
+
+
+def test_read_hive_pruned_matches_full_read(spark, sf_dir, tmp_path):
+    """read_hive_pruned (the probe-shaped listing optimization): reading
+    only the wanted partition directories must return exactly the rows a
+    full-tree read filtered to those partitions returns — with and
+    without the read-back schema shortcut — and None when no wanted
+    directory exists."""
+    from pyspark.sql import functions as F
+
+    from vectordb_explorations_spark.sources.sinks import read_hive_pruned
+
+    df = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name",
+        (F.col("n_nationkey") % 4).alias("a"),
+        (F.col("n_regionkey") % 3).alias("b"))
+    path = str(tmp_path / "pruned_tbl")
+    df.write.partitionBy("a", "b").parquet(path)
+    wanted = {(0, 1), (2, 2), (3, 0)}
+    full = (spark.read.parquet(path)
+            .where((F.col("a") * 10 + F.col("b")).isin(
+                [x * 10 + y for x, y in wanted])))
+    pruned = read_hive_pruned(spark, path, ["a", "b"], wanted)
+    key = lambda r: (r["n_nationkey"],)
+    assert sorted(map(tuple, pruned.select(*full.columns).collect())) \
+        == sorted(map(tuple, full.collect()))
+    # schema shortcut: identical rows with the read-back schema passed
+    schema = spark.read.parquet(path).schema
+    pruned_s = read_hive_pruned(spark, path, ["a", "b"], wanted,
+                                schema=schema)
+    assert sorted(map(tuple, pruned_s.select(*full.columns).collect())) \
+        == sorted(map(tuple, full.collect()))
+    # a wanted set whose directories do not exist returns None
+    assert read_hive_pruned(spark, path, ["a", "b"], {(9, 9)}) is None

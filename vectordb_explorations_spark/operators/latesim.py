@@ -588,6 +588,15 @@ def maxsim_persist(docs: DataFrame, base_dir: str,
      .write.mode("overwrite")
      .partitionBy("table_id", "bucket", "ingest_key")
      .parquet(f"{base_dir}/index"))
+    # READ-BACK schema sidecar (underscore prefix — invisible to
+    # Spark's discovery): serves pass it to read_hive_pruned so the
+    # per-probe footer read + partition-type inference is skipped
+    from vectordb_explorations_spark.sources.sinks import (
+        write_json_sidecar)
+    write_json_sidecar(
+        docs.sparkSession, f"{base_dir}/index/_schema.json",
+        {"schema": docs.sparkSession.read
+         .parquet(f"{base_dir}/index").schema.json()})
 
 
 def maxsim_banded_persisted(spark, base_dir: str,
@@ -628,7 +637,25 @@ def _persisted_candidates(spark, base_dir: str,
                                    num_planes, seed)
     pairs = {(r["table_id"], r["bucket"])
              for r in term_buckets.collect()}
-    idx = spark.read.parquet(f"{base_dir}/index")
+    # read ONLY the probed (table_id, bucket) directories (ingest_key
+    # discovers inside the probed subtree) with the build's read-back
+    # schema — full-tree discovery + footer reads are the serve's
+    # fixed per-call floor otherwise (guide §6; the minhash admission
+    # measurement)
+    import json as _json
+
+    from pyspark.sql.types import StructType
+    from vectordb_explorations_spark.sources.sinks import (
+        read_hive_pruned, read_json_sidecar)
+    _meta = read_json_sidecar(spark,
+                              f"{base_dir}/index/_schema.json") or {}
+    _schema = (StructType.fromJson(_json.loads(_meta["schema"]))
+               if "schema" in _meta else None)
+    idx = read_hive_pruned(spark, f"{base_dir}/index",
+                           ["table_id", "bucket"], pairs,
+                           schema=_schema)
+    if idx is None:
+        idx = spark.read.parquet(f"{base_dir}/index").limit(0)
     # ONE isin on a packed (table, bucket) key, not an OR-chain — with
     # term-side multiprobe the chain is terms x tables x (planes+1) legs
     # and overflows Catalyst's column-tree conversion (measured

@@ -1030,7 +1030,12 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
     from vectordb_explorations_spark.sources.sinks import (
         write_json_sidecar)
     write_json_sidecar(docs.sparkSession, f"{base_dir}/_meta.json",
-                       {"buckets": buckets})
+                       {"buckets": buckets,
+                        # READ-BACK schema: admissions pass it to
+                        # read_hive_pruned so a probe skips the
+                        # per-call footer read + type inference
+                        "schema": docs.sparkSession.read
+                        .parquet(base_dir).schema.json()})
 
 
 def _check_perceptual_buckets(spark, base_dir: str, buckets: int,
@@ -1140,7 +1145,22 @@ def perceptual_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
           .localCheckpoint())
     probe = {(int(r["band_idx"]), int(r["bucket"]))
              for r in nb.select("band_idx", "bucket").distinct().collect()}
-    idx = spark.read.parquet(base_dir)
+    # read ONLY the probed (band_idx, bucket) directories with the
+    # build's read-back schema: the full-tree discovery + footer read
+    # re-paid per admission is the probe's fixed floor (the minhash
+    # admission measurement — guide §6 file-listing discipline)
+    import json as _json
+
+    from pyspark.sql.types import StructType
+    from vectordb_explorations_spark.sources.sinks import (
+        read_hive_pruned, read_json_sidecar)
+    _meta = read_json_sidecar(spark, f"{base_dir}/_meta.json") or {}
+    _schema = (StructType.fromJson(_json.loads(_meta["schema"]))
+               if "schema" in _meta else None)
+    idx = read_hive_pruned(spark, base_dir, ["band_idx", "bucket"],
+                           probe, schema=_schema)
+    if idx is None:
+        idx = spark.read.parquet(base_dir).limit(0)
     pred = (F.col("band_idx").isin(sorted({b for b, _ in probe}))
             & F.col("bucket").isin(sorted({k for _, k in probe}))
             & (F.col("band_idx") * buckets + F.col("bucket")).isin(

@@ -227,6 +227,73 @@ def read_json_sidecar(spark: SparkSession, path: str) -> dict | None:
         return None
 
 
+def read_hive_pruned(spark: SparkSession, base_dir: str,
+                     level_names: list[str],
+                     wanted, schema=None) -> DataFrame | None:
+    """Read ONLY the hive partition directories whose leading partition
+    values appear in ``wanted`` (a set of tuples of stringified values,
+    aligned with ``level_names``) — driver-side file-listing pruning
+    for probe-shaped reads.
+
+    ``spark.read.parquet(base_dir)`` discovers the FULL partition tree
+    before PartitionFilters ever prune (one recursive listing of every
+    leaf directory, per read, per call — measured 3.4 s of a 5.7 s
+    admission on the 1,024-directory minhash banded face at sf0.1, and
+    the re-listing is NOT amortized by the session file-status cache).
+    A probe knows its directories up front, so this walks the tree
+    top-down with one listStatus per matched directory (1 + matched
+    first-level dirs calls, never the full tree), hands Spark the
+    matched paths with ``basePath`` so partition columns still parse,
+    and lets deeper levels (e.g. maxsim's ingest_key) discover only
+    inside the probed subtree. The caller's partition-column predicates
+    still apply as PartitionFilters over the restricted file index —
+    results are identical to the full read, the listing is just bounded
+    by the probe instead of the corpus (guide §6 file-listing
+    discipline; at 100 TB the full tree is millions of directories and
+    this is the difference between O(probe) and O(index) driver work
+    per admission).
+
+    ``schema`` (optional, the READ-BACK schema captured at build time
+    and carried in the substrate's meta sidecar) additionally skips the
+    per-call parquet footer read + partition-type inference — measured
+    another 2x on the pruned read (1.35 -> 0.71 s at 221 probed dirs).
+
+    Returns ``None`` when no probed directory exists — callers fall
+    back to an empty frame (typically ``read.parquet(base).limit(0)``).
+    """
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+
+    def _ls_dirs(path: str) -> list[str]:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(jconf)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().toString() for st in fs.listStatus(p)
+                if st.isDirectory()]
+
+    wanted = {tuple(str(v) for v in t) for t in wanted}
+    prefixes: dict[tuple, str] = {(): base_dir}
+    for depth, name in enumerate(level_names):
+        want_prefix = {t[:depth + 1] for t in wanted}
+        nxt: dict[tuple, str] = {}
+        for pref, path in prefixes.items():
+            for child in _ls_dirs(path):
+                leaf = child.rsplit("/", 1)[-1]
+                if not leaf.startswith(name + "="):
+                    continue
+                key = pref + (leaf.split("=", 1)[1],)
+                if key in want_prefix:
+                    nxt[key] = child
+        prefixes = nxt
+        if not prefixes:
+            return None
+    reader = spark.read.option("basePath", base_dir)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*sorted(prefixes.values()))
+
+
 def repartition_for_hive(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition on hive partition columns with an EXPLICIT task
     count (the cluster's defaultParallelism) before a partitionBy
