@@ -215,7 +215,8 @@ def banding_candidates(docs: DataFrame,
                        num_hashes: int = NUM_HASHES,
                        band_size: int = BAND_SIZE,
                        bucket_cap: int = BANDING_BUCKET_CAP,
-                       warn_over_cap: bool = False) -> DataFrame:
+                       warn_over_cap: bool = False,
+                       sh_sets: DataFrame | None = None) -> DataFrame:
     """Candidate pairs (doc_id_a < doc_id_b) from MinHash + LSH banding
     alone — the shared recall stage of every near-dup verifier. Smaller
     ``band_size`` → more bands → a lower effective Jaccard threshold
@@ -236,12 +237,18 @@ def banding_candidates(docs: DataFrame,
     The banding self-join shuffles only (doc_id, band_idx, 32-char key);
     the shuffle_hash hint keeps AQE from broadcasting the banded corpus
     (statistics-blind at real scale). Measured caveat (Spark 4.1.2): the
-    join's identical children do NOT plan a ReusedExchange — the
-    signature subtree runs once per side — so the corpus-scan budget is
-    one signature pass per join side; a pipeline that cares (and the
-    incremental_dedup serving design does) persists the banded frame as
-    a maintained table and pays the signature pass once ever."""
-    banded = banded_keys(minhash_signatures(docs, num_hashes),
+    join's identical children do NOT plan a ReusedExchange — so the
+    shingle SETS are localCheckpointed here (or shared via ``sh_sets`` —
+    minhash_lsh_pairs passes the same frame to its Jaccard verify) and
+    the signatures derive from the sets (``_signatures_from_sets``,
+    bit-identical): both self-join sides read the checkpoint, ONE
+    tokenize+md5 corpus pass total where the previous shape paid one
+    per side (r14 optimization; results pinned unchanged). A pipeline
+    that serves admissions persists the banded frame instead and pays
+    the signature pass once ever (minhash_persist)."""
+    sets = (sh_sets if sh_sets is not None
+            else _shingle_sets(docs).localCheckpoint())
+    banded = banded_keys(_signatures_from_sets(sets, num_hashes),
                          num_hashes, band_size)
     if warn_over_cap:
         import warnings
@@ -283,14 +290,17 @@ def minhash_lsh_pairs(docs: DataFrame,
     pairs (the naive per-side verify re-shingled the corpus once per pair
     side on top of that).
     """
-    cand = banding_candidates(docs, num_hashes, band_size)
-    return (_melted_jaccard(docs, cand, "doc_id_a", "doc_id_b")
+    sets = _shingle_sets(docs).localCheckpoint()
+    cand = banding_candidates(docs, num_hashes, band_size, sh_sets=sets)
+    return (_melted_jaccard(docs, cand, "doc_id_a", "doc_id_b",
+                            sh_sets=sets)
             .where(F.col("jaccard") >= threshold)
             .orderBy("doc_id_a", "doc_id_b"))
 
 
 def _melted_jaccard(docs: DataFrame, pairs: DataFrame,
-                    col_a: str, col_b: str) -> DataFrame:
+                    col_a: str, col_b: str,
+                    sh_sets: DataFrame | None = None) -> DataFrame:
     """One-scan exact-Jaccard verify shared by every pair verifier
     (minhash_lsh_pairs, incremental_dedup): melt each candidate pair into
     (pair, side, doc_id) rows so ONE scan of the shingle sets serves both
@@ -311,7 +321,7 @@ def _melted_jaccard(docs: DataFrame, pairs: DataFrame,
         )).alias("s"))
         .select(col_a, col_b, F.col("s.side").alias("side"),
                 F.col("s.doc_id").alias("doc_id")))
-    sh = _shingle_sets(docs)
+    sh = sh_sets if sh_sets is not None else _shingle_sets(docs)
     both = (sh.join(melted, "doc_id")
             .groupBy(col_a, col_b)
             .agg(F.first(F.when(F.col("side") == "a", F.col("sh")),
@@ -789,7 +799,13 @@ def incremental_dedup(docs: DataFrame,
     # banding_candidates on the absent exchange reuse). At real scale the
     # old side's banded keys are a PERSISTED, incrementally-maintained
     # table, so the corpus signature pass is paid once ever, not per run.
-    banded = (banded_keys(minhash_signatures(docs, num_hashes),
+    # one tokenize+md5 corpus pass: shingle sets checkpointed, the
+    # signatures derived from them (bit-identical — see
+    # _signatures_from_sets), shared by both self-join sides AND the
+    # Jaccard verify below (was: one signature pass per join side plus
+    # a third shingle pass in the verify)
+    sets = _shingle_sets(docs).localCheckpoint()
+    banded = (banded_keys(_signatures_from_sets(sets, num_hashes),
                           num_hashes, band_size)
               .withColumn("is_new", F.col("doc_id") >= split))
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
@@ -804,7 +820,7 @@ def incremental_dedup(docs: DataFrame,
             .select(F.col("a.doc_id").alias("new_id"),
                     F.col("b.doc_id").alias("old_id"))
             .distinct())
-    ver = (_melted_jaccard(docs, cand, "new_id", "old_id")
+    ver = (_melted_jaccard(docs, cand, "new_id", "old_id", sh_sets=sets)
            .where(F.col("jaccard") >= threshold))
     w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(),
                                              F.col("old_id").asc())
@@ -1085,13 +1101,14 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
             f"5.8 s vs 1.5 s in-memory at 2.5k docs). Use "
             f"incremental_dedup / the in-memory banding path until the "
             f"corpus outgrows it.", RuntimeWarning, stacklevel=2)
-    sh_new = _shingle_sets(new_docs)
-    # localCheckpoint: the batch's banded frame feeds the driver-side
+    # one tokenize pass over the batch: shingle sets checkpointed, the
+    # banded frame derives from them (_signatures_from_sets,
+    # bit-identical) and is checkpointed too — it feeds the driver-side
     # probe collect AND the candidate join, and Spark re-executes
-    # identical subtrees — without it the batch signature pass runs
-    # twice per admission (the same mechanism fixed in the maxsim and
-    # perceptual serves this round). Bounded: batch band rows only.
-    banded_new = (banded_keys(minhash_signatures(new_docs, num_hashes),
+    # identical subtrees (the maxsim/perceptual serve lesson). Bounded:
+    # batch rows only.
+    sh_new = _shingle_sets(new_docs).localCheckpoint()
+    banded_new = (banded_keys(_signatures_from_sets(sh_new, num_hashes),
                               num_hashes, band_size)
                   .withColumn(
                       "bucket",
