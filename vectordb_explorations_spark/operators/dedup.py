@@ -885,16 +885,20 @@ def minhash_persist(docs: DataFrame, base_dir: str,
     # continuation review — the old docs.count() re-scanned a possibly
     # expensive derived corpus AND overcounted shingle-less docs)
     spark = docs.sparkSession
+    from vectordb_explorations_spark.sources.sinks import hive_leaf_schema
     sh_face = spark.read.parquet(f"{base_dir}/sh")
+    # READ-BACK schemas via ONE leaf directory each (hive_leaf_schema —
+    # a root read would re-list the full 1,024-dir banded tree just to
+    # capture what one footer carries): admissions pass these to
+    # read_hive_pruned so a probe never pays the per-call footer read +
+    # partition-type inference
+    bands_schema = hive_leaf_schema(spark, f"{base_dir}/bands", 2)
     _write_minhash_meta(spark, base_dir, {
         "docs": sh_face.count(),
         "num_hashes": num_hashes,
         "band_size": band_size, "buckets": buckets,
-        # READ-BACK schemas (partition types as discovery infers them):
-        # admissions pass these to read_hive_pruned so a probe never
-        # pays the per-call footer read + partition-type inference
-        "bands_schema": spark.read.parquet(f"{base_dir}/bands")
-                        .schema.json(),
+        **({"bands_schema": bands_schema.json()}
+           if bands_schema is not None else {}),
         "sh_schema": sh_face.schema.json()})
 
 

@@ -589,14 +589,17 @@ def maxsim_persist(docs: DataFrame, base_dir: str,
      .partitionBy("table_id", "bucket", "ingest_key")
      .parquet(f"{base_dir}/index"))
     # READ-BACK schema sidecar (underscore prefix — invisible to
-    # Spark's discovery): serves pass it to read_hive_pruned so the
-    # per-probe footer read + partition-type inference is skipped
+    # Spark's discovery), captured from ONE leaf directory (a root
+    # read would re-list the full index tree): serves pass it to
+    # read_hive_pruned so the per-probe footer read + partition-type
+    # inference is skipped
     from vectordb_explorations_spark.sources.sinks import (
-        write_json_sidecar)
-    write_json_sidecar(
-        docs.sparkSession, f"{base_dir}/index/_schema.json",
-        {"schema": docs.sparkSession.read
-         .parquet(f"{base_dir}/index").schema.json()})
+        hive_leaf_schema, write_json_sidecar)
+    schema = hive_leaf_schema(docs.sparkSession, f"{base_dir}/index", 3)
+    if schema is not None:
+        write_json_sidecar(
+            docs.sparkSession, f"{base_dir}/index/_schema.json",
+            {"schema": schema.json()})
 
 
 def maxsim_banded_persisted(spark, base_dir: str,

@@ -1028,14 +1028,15 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
      .partitionBy("band_idx", "bucket")
      .parquet(base_dir))
     from vectordb_explorations_spark.sources.sinks import (
-        write_json_sidecar)
+        hive_leaf_schema, write_json_sidecar)
+    # READ-BACK schema via one leaf dir (a root read would re-list the
+    # full tree): admissions pass it to read_hive_pruned so a probe
+    # skips the per-call footer read + type inference
+    schema = hive_leaf_schema(docs.sparkSession, base_dir, 2)
     write_json_sidecar(docs.sparkSession, f"{base_dir}/_meta.json",
                        {"buckets": buckets,
-                        # READ-BACK schema: admissions pass it to
-                        # read_hive_pruned so a probe skips the
-                        # per-call footer read + type inference
-                        "schema": docs.sparkSession.read
-                        .parquet(base_dir).schema.json()})
+                        **({"schema": schema.json()}
+                           if schema is not None else {})})
 
 
 def _check_perceptual_buckets(spark, base_dir: str, buckets: int,
