@@ -618,3 +618,46 @@ def test_minhash_persisted_meta_guards(spark, tmp_path):
         warnings.simplefilter("error", RuntimeWarning)
         out = D.minhash_admit_persisted(spark, legacy, batch).collect()
     assert out[0]["admitted"]
+
+
+def test_minhash_auto_buckets_policy(spark, tmp_path):
+    """The corpus-adaptive substrate geometry (r14 optimization): the
+    'auto' bucket count holds >= MINHASH_BUCKET_TARGET_DOCS docs per
+    bucket directory (pow2, floor 16, cap MINHASH_PERSIST_BUCKETS), the
+    build stamps the RESOLVED value into the meta sidecar, 'auto' at
+    admit time reads it back, and an explicit mismatching int still
+    raises."""
+    import pytest as _pytest
+
+    assert D.minhash_auto_buckets(0) == 16
+    assert D.minhash_auto_buckets(500) == 16
+    assert D.minhash_auto_buckets(5000) == 64
+    assert D.minhash_auto_buckets(16384) == 256
+    assert D.minhash_auto_buckets(10_000_000) == 256
+
+    t = ("the quick brown fox jumps over the lazy dog while rain "
+         "falls softly on the quiet gray town tonight")
+    docs = spark.createDataFrame(
+        [(i, "en", t + f" tail{i}", len(t)) for i in range(3)],
+        "doc_id long, lang string, text string, n_chars int")
+    base = str(tmp_path / "mh_auto")
+    D.minhash_persist(docs, base)
+    meta = D._read_minhash_meta(spark, base)
+    assert meta["buckets"] == 16  # resolved, not 'auto'
+    # every bucket value in the face respects the resolved modulus
+    vals = {r["bucket"] for r in spark.read.parquet(f"{base}/bands")
+            .select("bucket").distinct().collect()}
+    assert vals and all(0 <= v < 16 for v in vals)
+    # 'auto' admit resolves from the sidecar (no raise), explicit
+    # mismatch raises
+    batch = docs.where("doc_id = 0")
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        out = D.minhash_admit_persisted(spark, base, batch).collect()
+    assert not out[0]["admitted"]
+    with _pytest.raises(ValueError, match="build parameters"):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            D.minhash_admit_persisted(spark, base, batch,
+                                      buckets=128).collect()

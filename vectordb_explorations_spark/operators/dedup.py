@@ -836,13 +836,51 @@ def incremental_dedup(docs: DataFrame,
             .orderBy("doc_id"))
 
 
-MINHASH_PERSIST_BUCKETS = 256
+MINHASH_PERSIST_BUCKETS = 256   # cap of the 'auto' policy below, and the
+                                # fixed default of pre-r14 substrates
+MINHASH_BUCKET_TARGET_DOCS = 64  # 'auto' keeps >= this many docs per
+                                 # bucket directory
+
+
+def minhash_auto_buckets(n_docs: int) -> int:
+    """Corpus-adaptive bucket count for the persisted banded face (the
+    LSH-cap / cand-per-term 'auto' discipline applied to the substrate
+    GEOMETRY, r14 optimization round; guide §2 scale-adaptive
+    partitioning): a fixed 256 buckets puts n_bands x 256 + 256 = 1,280
+    directories under every substrate regardless of corpus size — at
+    fixture scale that is a ~5 s write-commit and listing floor for a
+    few thousand rows, while at 100 TB it is exactly right. The policy
+    holds >= MINHASH_BUCKET_TARGET_DOCS docs per bucket directory
+    (power of two, floor 16, cap MINHASH_PERSIST_BUCKETS), so small
+    corpora get proportionally fewer directories and every corpus past
+    ~16k docs gets the same 256 as before. Admission results are
+    bucket-count-independent (the bucket is a pruning route; candidates
+    still join on the full band_key — pinned by the bit-equality
+    pytest), and the build stamps the RESOLVED value into the meta
+    sidecar, which admit/append consult ('auto' reads it back; an
+    explicit mismatching int still raises)."""
+    if n_docs <= 0:
+        return 16
+    raw = n_docs // MINHASH_BUCKET_TARGET_DOCS
+    p = 1 << max(0, raw.bit_length() - 1)
+    return max(16, min(MINHASH_PERSIST_BUCKETS, p))
+
+
+def _resolve_minhash_buckets(meta: dict | None, buckets) -> int:
+    """'auto' at serve time = the build's stamped value (legacy
+    substrates without a sidecar predate the auto policy and were
+    always built at the fixed cap)."""
+    if buckets == "auto":
+        if meta is not None and "buckets" in meta:
+            return int(meta["buckets"])
+        return MINHASH_PERSIST_BUCKETS
+    return int(buckets)
 
 
 def minhash_persist(docs: DataFrame, base_dir: str,
                     num_hashes: int = NUM_HASHES,
                     band_size: int = BAND_SIZE,
-                    buckets: int = MINHASH_PERSIST_BUCKETS) -> None:
+                    buckets: int | str = "auto") -> None:
     """Build + persist the MinHash admission substrate ONCE — the
     serving design the banding_candidates docstring has promised since
     r10 ("persist the banded frame ... pays the signature pass once"),
@@ -877,6 +915,8 @@ def minhash_persist(docs: DataFrame, base_dir: str,
     files at 100k docs, the probe's admission read spending its whole
     budget on listings/opens). One file per directory is the
     file-count floor for a hive layout."""
+    if buckets == "auto":
+        buckets = minhash_auto_buckets(docs.count())
     _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
                          mode="overwrite")
     # doc count from the just-written sh face (exactly one row per
@@ -1010,7 +1050,7 @@ def _write_minhash_faces(docs: DataFrame, base_dir: str, num_hashes: int,
 def minhash_append_persisted(docs: DataFrame, base_dir: str,
                              num_hashes: int = NUM_HASHES,
                              band_size: int = BAND_SIZE,
-                             buckets: int = MINHASH_PERSIST_BUCKETS
+                             buckets: int | str = "auto"
                              ) -> None:
     """Append an ADMITTED batch to both substrate faces — the
     maintenance step after ``minhash_admit_persisted`` says yes, so
@@ -1022,6 +1062,7 @@ def minhash_append_persisted(docs: DataFrame, base_dir: str,
     _files_to_ingest pattern) exactly as with maxsim_append_ingest."""
     spark = docs.sparkSession
     meta = _read_minhash_meta(spark, base_dir)
+    buckets = _resolve_minhash_buckets(meta, buckets)
     _check_minhash_params(meta, num_hashes, band_size, buckets,
                           "minhash_append_persisted")
     _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
@@ -1062,7 +1103,7 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
                             num_hashes: int = NUM_HASHES,
                             band_size: int = BAND_SIZE,
                             threshold: float = JACCARD_THRESHOLD,
-                            buckets: int = MINHASH_PERSIST_BUCKETS,
+                            buckets: int | str = "auto",
                             bucket_cap: int = BANDING_BUCKET_CAP
                             ) -> DataFrame:
     """Admit a NEW batch against the persisted substrate — the serving
@@ -1092,6 +1133,7 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
     (num_hashes/band_size/buckets) raises instead of silently probing
     the wrong buckets."""
     meta = _read_minhash_meta(spark, base_dir)
+    buckets = _resolve_minhash_buckets(meta, buckets)
     _check_minhash_params(meta, num_hashes, band_size, buckets,
                           "minhash_admit_persisted")
     if meta is not None and int(meta.get("docs", 0)) < \
