@@ -78,10 +78,26 @@ def _total_busy_jiffies() -> int:
     return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal jiffies (/proc/stat field 8) — CPU the host gave
+    to OTHER guests while this VM had runnable work. The unambiguous
+    external-contention signal on a dedicated VM: unlike the busy-minus-
+    self residual below it has no process-attribution error at all."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return vals[7] if len(vals) > 7 else 0
+
+
 def _tree_jiffies(root_pid: int) -> int:
-    """utime+stime jiffies of ``root_pid`` and every live descendant
-    (one /proc scan; per-process stat is thread-inclusive, so the JVM's
-    32 executor threads are fully counted)."""
+    """utime+stime jiffies of ``root_pid`` and every live descendant,
+    PLUS each live descendant's cutime+cstime (reaped-children jiffies —
+    pyspark daemon workers exit mid-run and their CPU otherwise vanishes
+    from the end snapshot while staying in the system-wide counter,
+    which inflated cpu_cores_external by ~2-3 cores on every r14 run;
+    cutime only covers terminated+waited children, so live descendants
+    are never double counted). One /proc scan; per-process stat is
+    thread-inclusive, so the JVM's 32 executor threads are fully
+    counted."""
     procs: dict[int, tuple[int, int]] = {}
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
@@ -91,7 +107,8 @@ def _tree_jiffies(root_pid: int) -> int:
                 s = f.read()
             rest = s[s.rindex(")") + 2:].split()  # comm may contain spaces
             procs[int(entry)] = (int(rest[1]),
-                                 int(rest[11]) + int(rest[12]))
+                                 int(rest[11]) + int(rest[12])
+                                 + int(rest[13]) + int(rest[14]))
         except (OSError, ValueError, IndexError):
             # a process exiting mid-scan can yield an unreadable OR
             # empty/truncated stat line — skip it; only OSError was
@@ -110,7 +127,8 @@ def _tree_jiffies(root_pid: int) -> int:
 
 
 def _end_of_run_contention_stamp(extras: dict, t0: float,
-                                 busy0: int, self0: int) -> None:
+                                 busy0: int, self0: int,
+                                 steal0: int = -1) -> None:
     """Close the load-gate's end-of-run hole (r10 verdict item 6): the
     start gate only proves the box was quiet at t=0 — a mid-run external
     spike was invisible (BENCH_r10 ended at loadavg 5.6-6.2, mostly
@@ -119,25 +137,35 @@ def _end_of_run_contention_stamp(extras: dict, t0: float,
     system-wide busy jiffies minus this process tree's jiffies over the
     run = EXTERNAL cores. Above SPARK_GRAFT_EXTERNAL_GATE (default 2.0
     cores averaged over the whole run) the record is stamped EXCEEDED —
-    the same not-binding-quality verdict as a hot start. Heuristic note
-    (documented in BASELINE.md): descendants that exited mid-run drop
-    out of the end snapshot, biasing external UP — the stamp can only be
-    too strict, never silently lenient; reaped-children jiffies are
-    added back via getrusage to shrink that bias."""
-    import resource
+    the same not-binding-quality verdict as a hot start.
+
+    Measurement fix (r15): the r14 stamps read ~2.5-3.9 external cores
+    on EVERY run because descendants that exited mid-run (pyspark
+    daemon workers) dropped out of the end snapshot — their jiffies
+    stayed in the system-wide counter and were misattributed as
+    external. _tree_jiffies now folds each live process's
+    cutime+cstime (reaped-children jiffies, recursive by definition)
+    into self, which also supersedes the old getrusage add-back (the
+    root's cutime/cstime IS getrusage(RUSAGE_CHILDREN) — keeping both
+    would double count). cpu_cores_steal is additionally stamped from
+    /proc/stat's steal field: on this dedicated VM it is the
+    attribution-error-free external signal (the busy-minus-self
+    residual includes it plus any same-kernel daemons)."""
     try:
         wall = time.time() - t0
         hz = os.sysconf("SC_CLK_TCK")
         sys_cores = (_total_busy_jiffies() - busy0) / (wall * hz)
-        reaped = resource.getrusage(resource.RUSAGE_CHILDREN)
-        self_cores = ((_tree_jiffies(os.getpid()) - self0) / (wall * hz)
-                      + (reaped.ru_utime + reaped.ru_stime) / wall)
+        self_cores = (_tree_jiffies(os.getpid()) - self0) / (wall * hz)
         external = max(0.0, sys_cores - self_cores)
+        steal = ((_steal_jiffies() - steal0) / (wall * hz)
+                 if steal0 >= 0 else None)
     except (OSError, ValueError):
         return
     extras["cpu_cores_busy_system"] = round(sys_cores, 2)
     extras["cpu_cores_busy_self"] = round(self_cores, 2)
     extras["cpu_cores_external"] = round(external, 2)
+    if steal is not None:
+        extras["cpu_cores_steal"] = round(steal, 2)
     gate = float(os.environ.get("SPARK_GRAFT_EXTERNAL_GATE", "2.0"))
     if external > gate:
         extras["load_gate"] = "EXCEEDED"
@@ -191,8 +219,9 @@ def main() -> None:
     run_t0 = time.time()
     try:
         run_busy0, run_self0 = _total_busy_jiffies(), _tree_jiffies(os.getpid())
+        run_steal0 = _steal_jiffies()
     except OSError:
-        run_busy0 = run_self0 = -1
+        run_busy0 = run_self0 = run_steal0 = -1
     spark = get_spark(app_name="vx-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _calibrate(extras_pregate, spark)
@@ -794,7 +823,8 @@ def main() -> None:
     except OSError:
         pass
     if run_busy0 >= 0:
-        _end_of_run_contention_stamp(extras, run_t0, run_busy0, run_self0)
+        _end_of_run_contention_stamp(extras, run_t0, run_busy0, run_self0,
+                                     run_steal0)
     # Key order is survival order (r11 verdict item 5): the driver
     # records only the TAIL of this line, and BENCH_r11 lost its first
     # ~10 gated rows to the front. Bulky non-gated evidence (byte/mem
