@@ -941,10 +941,13 @@ def ivf_append_partitioned(path: str, centroids: np.ndarray,
     Centroid drift is handled by periodic re-train + full rewrite (the
     standard IVF maintenance split; list-size telemetry via a trivial
     partition count says when)."""
+    from vectordb_explorations_spark.sources.sinks import V1_COMMITTER
+
     (ivf_assign(new_vectors, centroids, assign_n=assign_n,
                 vec_col=vec_col)
      .select(id_col, vec_col, "list_id")
-     .write.mode("append").partitionBy("list_id").parquet(path))
+     .write.mode("append").options(**V1_COMMITTER)
+     .partitionBy("list_id").parquet(path))
 
 
 def ivf_delete_partitioned(spark, path: str,
@@ -1025,9 +1028,11 @@ def ivf_delete_partitioned(spark, path: str,
         # inverse of the build-time many-tiny-dirs fix; survivors keep
         # the pruned read's parallelism (sinks.delete_rows_partitioned
         # documents the same trade)
+        from vectordb_explorations_spark.sources.sinks import V1_COMMITTER
         (survivors
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
+         .options(**V1_COMMITTER)
          .partitionBy("list_id").parquet(path))
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(

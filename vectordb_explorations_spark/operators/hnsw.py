@@ -1106,13 +1106,14 @@ def hnsw_append_partitioned(spark, path: str, new_vectors: DataFrame,
         mp = _members_path(path)
         if fs.exists(jvm.org.apache.hadoop.fs.Path(mp)):
             from vectordb_explorations_spark.sources.sinks import (
-                repartition_for_hive)
+                V1_COMMITTER, repartition_for_hive)
             (repartition_for_hive(
                 new_rows_df.select("shard",
                                    F.col(id_col).cast("long")
                                    .alias("vec_id")), "shard")
              .sortWithinPartitions("vec_id")
-             .write.mode("append").partitionBy("shard").parquet(mp))
+             .write.mode("append").options(**V1_COMMITTER)
+             .partitionBy("shard").parquet(mp))
         overwrite_partitions(rebuilt, path, ["shard"])
     finally:
         rebuilt.unpersist()

@@ -483,13 +483,19 @@ def maxsim_chunk_topk_banded(docs: DataFrame,
 MAXSIM_TERM_PROBE_BITS = 1
 
 
-def _term_bucket_df(spark, queries, num_tables: int, num_planes: int,
-                    seed: int,
-                    probe_bits: int = MAXSIM_TERM_PROBE_BITS) -> DataFrame:
-    """(query_id, table_id, bucket) for every query term — term
-    embeddings densified and hyperplane-bucketed DRIVER-SIDE with the
-    SAME plane matrix and GEMM kernel the chunk index uses (O(terms)
-    work, broadcast onto the index).
+def _term_bucket_rows(queries, num_tables: int, num_planes: int,
+                      seed: int,
+                      probe_bits: int = MAXSIM_TERM_PROBE_BITS
+                      ) -> list[tuple[int, int, int]]:
+    """Distinct (query_id, table_id, bucket) rows for every query
+    term — term embeddings densified and hyperplane-bucketed
+    DRIVER-SIDE with the SAME plane matrix and GEMM kernel the chunk
+    index uses (O(terms) work). Returned as a plain sorted list so a
+    persisted-substrate serve can derive its probe pairs with ZERO
+    Spark jobs — the r14 shape round-tripped these few rows through a
+    createDataFrame().distinct().collect(), paying a shuffle job per
+    serve for data that never left the driver (guide §5 driver
+    discipline; r14 VERDICT item 7).
 
     ``probe_bits=1`` (default) also probes every 1-bit-flip neighbor
     bucket — the Lv et al. multiprobe the LSH serving family already
@@ -518,17 +524,27 @@ def _term_bucket_df(spark, queries, num_tables: int, num_planes: int,
         tmat[i] /= np.linalg.norm(tmat[i])
     tb = _buckets_np(tmat, _hyperplanes(num_tables, num_planes,
                                         HASH_DIM, seed))  # (T, tables)
-    out = []
+    out = set()
     for i in range(len(keys)):
         qid = int(keys[i][0])
         for t in range(num_tables):
             base = int(tb[i, t])
-            out.append((qid, t, base))
+            out.add((qid, t, base))
             if probe_bits >= 1:
-                out.extend((qid, t, base ^ (1 << b))
+                out.update((qid, t, base ^ (1 << b))
                            for b in range(num_planes))
+    return sorted(out)
+
+
+def _term_bucket_df(spark, queries, num_tables: int, num_planes: int,
+                    seed: int,
+                    probe_bits: int = MAXSIM_TERM_PROBE_BITS) -> DataFrame:
+    """The literal-frame face of :func:`_term_bucket_rows` — already
+    distinct, so no shuffle rides the serve plan."""
     return spark.createDataFrame(
-        out, "query_id int, table_id int, bucket int").distinct()
+        _term_bucket_rows(queries, num_tables, num_planes, seed,
+                          probe_bits),
+        "query_id int, table_id int, bucket int")
 
 
 def maxsim_persist(docs: DataFrame, base_dir: str,
@@ -636,10 +652,13 @@ def _persisted_candidates(spark, base_dir: str,
                           seed: int) -> DataFrame:
     """The LAZY pruned candidate probe behind maxsim_banded_persisted —
     kept separate so tests can assert PartitionFilters on its plan."""
-    term_buckets = _term_bucket_df(spark, queries, num_tables,
-                                   num_planes, seed)
-    pairs = {(r["table_id"], r["bucket"])
-             for r in term_buckets.collect()}
+    # probe pairs resolve with ZERO Spark jobs: the term buckets are
+    # driver-side rows already (r15 — the old shape paid a
+    # createDataFrame().distinct().collect() shuffle job per serve)
+    tb_rows = _term_bucket_rows(queries, num_tables, num_planes, seed)
+    term_buckets = spark.createDataFrame(
+        tb_rows, "query_id int, table_id int, bucket int")
+    pairs = {(t, b) for _, t, b in tb_rows}
     # read ONLY the probed (table_id, bucket) directories (ingest_key
     # discovers inside the probed subtree) with the build's read-back
     # schema — full-tree discovery + footer reads are the serve's
@@ -754,10 +773,12 @@ def maxsim_append_ingest(spark, docs_stream: DataFrame, base_dir: str,
         key = mark.ingest_key
         # one tokenize pass per batch: weights checkpointed, the index
         # densifies from them (the maxsim_persist one-scan shape)
+        from vectordb_explorations_spark.sources.sinks import V1_COMMITTER
         cw = _chunk_weights(df, win, stride).localCheckpoint(eager=True)
         (cw.withColumn("ingest_key", F.lit(key))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
+         .options(**V1_COMMITTER)
          .partitionBy("ingest_key").parquet(f"{base_dir}/weights"))
         (random_hyperplane_lsh(_densify_chunk_weights(cw),
                                num_tables=num_tables,
@@ -767,6 +788,7 @@ def maxsim_append_ingest(spark, docs_stream: DataFrame, base_dir: str,
          .withColumn("ingest_key", F.lit(key))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
+         .options(**V1_COMMITTER)
          .partitionBy("table_id", "bucket", "ingest_key")
          .parquet(f"{base_dir}/index"))
         mark()

@@ -648,10 +648,13 @@ def _append_codes_partitioned(path: str, codes: DataFrame,
     replays no-ops, a full rebuild recovers anything else."""
     from pyspark.sql import Observation
 
+    from vectordb_explorations_spark.sources.sinks import V1_COMMITTER
+
     obs = Observation()
     (codes.observe(obs, F.count(F.lit(1)).alias("rows"))
      .select(id_col, "codes", "list_id")
-     .write.mode("append").partitionBy("list_id").parquet(path))
+     .write.mode("append").options(**V1_COMMITTER)
+     .partitionBy("list_id").parquet(path))
     inc = int(obs.get.get("rows") or 0) // max(1, assign_rows_per_vec)
     old_n = _read_corpus_meta(path) or 0
     _write_corpus_meta(path, old_n + inc)

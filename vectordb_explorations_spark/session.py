@@ -52,19 +52,30 @@ _DEFAULT_CONF = {
     "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
-    # FileOutputCommitter v2: task outputs rename to the final location at
-    # TASK commit (parallel, on executors) instead of v1's job-commit
-    # serial rename of every task directory on the driver. The engine's
-    # hive-partitioned substrates write 256-1,280 directories per build;
-    # v1's driver-serial O(directories) job commit was 25-30% of those
-    # builds' wall time (A/B, minhash_persist at sf0.1: median 17.2 ->
-    # 13.8 s session-paired). At cluster scale the same serial rename is
-    # the classic many-partition job-commit bottleneck. Trade-off
-    # (documented): a job failing mid-write can leave task outputs of
-    # completed tasks visible — every substrate writer here is either a
-    # full overwrite or a marker-guarded idempotent dynamic overwrite, so
-    # replays converge (the maxsim_append_ingest crash-window discipline).
-    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # FileOutputCommitter version, parameterised (default v1). r14 set
+    # v2 session-wide (task-parallel renames instead of v1's
+    # driver-serial job commit) from A/B runs on a drifting window; a
+    # cleaner r15 re-measure — alternating v1/v2 writes of the SAME
+    # materialized frame in one session, steal-stamped — shows v1
+    # FASTER on every hive substrate face on this box (maxsim 435-dir
+    # face 2.19 vs 3.30 s median, minhash bands 1.62 vs 2.45,
+    # perceptual 0.73 vs 0.78): on a local filesystem the job-commit
+    # renames are microseconds and v2's 16-32 CONCURRENT task-commit
+    # directory merges contend in the kernel — the same concurrency
+    # that produced r14's anti-scaling build rows (8-core builds
+    # beating 32-core). v1 is also the safe default (SPARK-33019: v2
+    # task commit is non-atomic; a mid-commit task failure can leave
+    # partial files in a job that still succeeds — r14 ADVICE). On a
+    # real cluster whose job commit is remote-FS-RPC-bound (HDFS with
+    # thousands of partition dirs) set SPARK_GRAFT_COMMITTER_V=2 for
+    # the idempotent bulk builds — the APPEND / dynamic-overwrite
+    # writers pin v1 per write regardless (sinks.V1_COMMITTER).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version":
+        os.environ.get("SPARK_GRAFT_COMMITTER_V", "1"),
+    # Speculation is the other source of concurrent/racing task
+    # commits; it defaults off, pinned so a cluster-side default flip
+    # cannot silently reopen the window.
+    "spark.speculation": "false",
 }
 
 

@@ -17,6 +17,22 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# FileOutputCommitter v1, opted into PER WRITE by the non-idempotent
+# write shapes (r14 ADVICE, session.py committer note): the session
+# default is v2 — task-parallel renames, 25-30% of many-directory
+# substrate build wall time — whose trade-off is that a task attempt
+# failing mid-commit can leave partial task output visible inside a job
+# that then retries and succeeds. A bulk OVERWRITE build replays
+# convergently (the whole directory is replaced), so builds keep v2;
+# an APPEND or dynamic partition overwrite would let a duplicated /
+# partial task output silently survive NEXT TO existing data, so those
+# writers pass these options (DataFrameWriter options reach the Hadoop
+# job conf via SessionState.newHadoopConfWithOptions). Speculative
+# execution — the other way a task commit races — is off
+# (session.py pins spark.speculation=false explicitly).
+V1_COMMITTER = {"mapreduce.fileoutputcommitter.algorithm.version": "1"}
+
+
 def write_parquet(df: DataFrame, path: str,
                   partition_by: list[str] | None = None,
                   mode: str = "overwrite",
@@ -181,6 +197,7 @@ def overwrite_partitions(df: DataFrame, path: str,
     spark.conf.set(conf_key, "dynamic")
     try:
         (df.write.mode("overwrite")
+         .options(**V1_COMMITTER)   # non-idempotent shape: see V1_COMMITTER
          .partitionBy(*partition_by)
          .parquet(path))
     finally:
@@ -258,6 +275,14 @@ def read_hive_pruned(spark: SparkSession, base_dir: str,
     per-call parquet footer read + partition-type inference — measured
     another 2x on the pruned read (1.35 -> 0.71 s at 221 probed dirs).
 
+    CONTRACT (r14 ADVICE): partition values are matched by plain
+    ``str(v)`` equality against the raw directory suffix, which is
+    exact ONLY for integers and strings needing no hive URL-escaping.
+    A float, NULL (``__HIVE_DEFAULT_PARTITION__``) or escapable-char
+    value would silently prune everything. Every substrate face using
+    this probe partitions on integer bucket/band columns; a new caller
+    with other types must unescape directory values first.
+
     Returns ``None`` when no probed directory exists — callers fall
     back to an empty frame (typically ``read.parquet(base).limit(0)``).
     """
@@ -304,8 +329,14 @@ def hive_leaf_schema(spark: SparkSession, base_dir: str,
     rules a full read applies. Builds call this to stamp the schema
     into the substrate's meta sidecar — capturing it with a root read
     would re-list every leaf directory (3.4 s on the 1,024-dir banded
-    face) for information one footer already carries. Returns None on
-    an empty table."""
+    face) for information one footer already carries. Only
+    ``name=value`` hive directories are descended (r14 ADVICE: a stray
+    ``.spark-staging-*``/``_temporary`` left by a failed job sorts
+    first and would yield a wrong schema or an error). Partition-column
+    TYPES are inferred from that one leaf's directory names — exact for
+    the all-integer bucket/band levels every substrate here uses; a
+    heterogeneous-value layout must capture from a full read instead.
+    Returns None on an empty table."""
     jvm = spark._jvm
     jconf = spark._jsc.hadoopConfiguration()
     path = base_dir
@@ -315,7 +346,8 @@ def hive_leaf_schema(spark: SparkSession, base_dir: str,
         if not fs.exists(p):
             return None
         dirs = sorted(st.getPath().toString() for st in fs.listStatus(p)
-                      if st.isDirectory())
+                      if st.isDirectory()
+                      and "=" in st.getPath().getName())
         if not dirs:
             return None
         path = dirs[0]

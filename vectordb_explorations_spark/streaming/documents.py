@@ -240,7 +240,9 @@ def span_admission_ingest(spark: SparkSession, docs_stream: DataFrame,
         (hits_old.unionByName(hits_new)
          .write.mode("overwrite")
          .parquet(os.path.join(results_dir, mark.ingest_key)))
-        new_fps.write.mode("append").parquet(state_dir)
+        from vectordb_explorations_spark.sources.sinks import V1_COMMITTER
+        (new_fps.write.mode("append").options(**V1_COMMITTER)
+         .parquet(state_dir))
         mark()
 
     return (docs_stream.writeStream
