@@ -914,32 +914,41 @@ def minhash_persist(docs: DataFrame, base_dir: str,
     every (band_idx, bucket) directory (measured 32 files/dir = 33k
     files at 100k docs, the probe's admission read spending its whole
     budget on listings/opens). One file per directory is the
-    file-count floor for a hive layout."""
-    if buckets == "auto":
-        buckets = minhash_auto_buckets(docs.count())
-    _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
-                         mode="overwrite")
-    # doc count from the just-written sh face (exactly one row per
-    # substrate doc — the same unit delete decrements by), read from
-    # parquet footers: no extra pass over the input frame (r14
-    # continuation review — the old docs.count() re-scanned a possibly
-    # expensive derived corpus AND overcounted shingle-less docs)
+    file-count floor for a hive layout.
+
+    Corpus-pass budget (r15, guide §2.3/§5): ONE tokenize+md5 pass.
+    The shingle sets are materialized once (localCheckpoint) and feed
+    the 'auto' geometry count, BOTH face writes and the meta doc
+    count — the r14 shape paid a docs.count() corpus scan just to
+    resolve geometry (r14 ADVICE: re-adding the cost the code had
+    already removed, and overcounting shingle-less docs), then a
+    read-back scan of the written sh face for the bands derivation,
+    then a third footer-count job for the sidecar."""
     spark = docs.sparkSession
     from vectordb_explorations_spark.sources.sinks import hive_leaf_schema
-    sh_face = spark.read.parquet(f"{base_dir}/sh")
+    sets = _shingle_sets(docs).localCheckpoint()
+    n_docs = sets.count()   # counts materialized blocks, not a re-scan
+    if buckets == "auto":
+        buckets = minhash_auto_buckets(n_docs)
+    _write_minhash_faces(sets, base_dir, num_hashes, band_size, buckets,
+                         mode="overwrite")
     # READ-BACK schemas via ONE leaf directory each (hive_leaf_schema —
     # a root read would re-list the full 1,024-dir banded tree just to
     # capture what one footer carries): admissions pass these to
     # read_hive_pruned so a probe never pays the per-call footer read +
     # partition-type inference
     bands_schema = hive_leaf_schema(spark, f"{base_dir}/bands", 2)
+    sh_schema = hive_leaf_schema(spark, f"{base_dir}/sh", 1)
     _write_minhash_meta(spark, base_dir, {
-        "docs": sh_face.count(),
+        # one shingle-set row per substrate doc — the same unit the sh
+        # face stores and delete decrements by
+        "docs": n_docs,
         "num_hashes": num_hashes,
         "band_size": band_size, "buckets": buckets,
         **({"bands_schema": bands_schema.json()}
            if bands_schema is not None else {}),
-        "sh_schema": sh_face.schema.json()})
+        **({"sh_schema": sh_schema.json()}
+           if sh_schema is not None else {})})
 
 
 # Below this substrate size the persisted face is SLOWER than deriving
@@ -1007,35 +1016,34 @@ def _signatures_from_sets(sh_sets: DataFrame,
     return sh_sets.select("doc_id", *cols)
 
 
-def _write_minhash_faces(docs: DataFrame, base_dir: str, num_hashes: int,
-                         band_size: int, buckets: int, mode: str) -> None:
-    """Both substrate faces from ONE tokenize+md5 corpus scan — shared
-    by the bulk build (overwrite) and the incremental append so the
-    writers cannot drift. The sh face is written first; the banded face
-    derives its signatures from the shingle SETS via
-    ``_signatures_from_sets`` (bit-identical, see its docstring) — for
-    the bulk build from the just-written sh parquet (the maxsim_persist
-    one-scan shape: the corpus-sized tokenize pass is paid exactly
-    once), for an append from the batch's in-memory sets (the written
-    face now also holds OLD rows, and a batch is never corpus-sized).
-    Before this the two faces each re-ran the tokenize+explode subtree
-    (Spark 4.1.2 does not reuse identical children): A/B at sf0.1
-    measured the build 2.1x faster with the derive-from-sh shape."""
-    from vectordb_explorations_spark.sources.sinks import (
-        repartition_for_hive)
+def _write_minhash_faces(sh_sets: DataFrame, base_dir: str,
+                         num_hashes: int, band_size: int, buckets: int,
+                         mode: str) -> None:
+    """Both substrate faces from ONE materialized (doc_id, sh)
+    shingle-set frame — shared by the bulk build (overwrite) and the
+    incremental append so the writers cannot drift. Callers
+    localCheckpoint the frame first: the banded face derives its
+    signatures from the sets via ``_signatures_from_sets``
+    (bit-identical to the from-text path, see its docstring), so the
+    tokenize+md5 pass is paid exactly once and neither face re-reads
+    the other (the r14 shape read the just-written sh parquet back for
+    the bands derivation — one more full-face scan per build).
 
-    (repartition_for_hive(
-        _shingle_sets(docs)
-        .withColumn("sh_bucket", F.col("doc_id") % buckets),
-        "sh_bucket")
-     .write.mode(mode).partitionBy("sh_bucket")
-     .parquet(f"{base_dir}/sh"))
-    if mode == "overwrite":
-        src = (docs.sparkSession.read.parquet(f"{base_dir}/sh")
-               .select("doc_id", "sh"))
-    else:
-        src = _shingle_sets(docs)
-    banded = banded_keys(_signatures_from_sets(src, num_hashes),
+    The BANDS face is written first (r14 ADVICE): a crash between the
+    two writes then leaves band rows whose sh verify rows are missing —
+    the probe still SEES the crashed batch's docs as candidates — where
+    the sh-first order left them invisible to the probe entirely. The
+    residual window (candidate found, verify row absent, batch doc
+    admitted) is closed by the caller's ingest-marker replay, which
+    rewrites both faces before mark() — documented on
+    ``minhash_append_persisted``. Appends also opt into the v1
+    committer (sinks.V1_COMMITTER): a v2 task attempt failing
+    mid-commit could leave partial files NEXT TO existing rows."""
+    from vectordb_explorations_spark.sources.sinks import (
+        V1_COMMITTER, repartition_for_hive)
+
+    append_opts = V1_COMMITTER if mode == "append" else {}
+    banded = banded_keys(_signatures_from_sets(sh_sets, num_hashes),
                          num_hashes, band_size)
     (repartition_for_hive(
         banded.withColumn(
@@ -1043,8 +1051,15 @@ def _write_minhash_faces(docs: DataFrame, base_dir: str, num_hashes: int,
             F.conv(F.substring("band_key", 1, 4), 16, 10).cast("long")
             % buckets),
         "band_idx", "bucket")
-     .write.mode(mode).partitionBy("band_idx", "bucket")
+     .write.mode(mode).options(**append_opts)
+     .partitionBy("band_idx", "bucket")
      .parquet(f"{base_dir}/bands"))
+    (repartition_for_hive(
+        sh_sets.withColumn("sh_bucket", F.col("doc_id") % buckets),
+        "sh_bucket")
+     .write.mode(mode).options(**append_opts)
+     .partitionBy("sh_bucket")
+     .parquet(f"{base_dir}/sh"))
 
 
 def minhash_append_persisted(docs: DataFrame, base_dir: str,
@@ -1059,13 +1074,26 @@ def minhash_append_persisted(docs: DataFrame, base_dir: str,
     so appended rows bucket exactly as a full rebuild would; hive
     append touches only the batch's own bucket directories.
     Idempotence belongs to the CALLER's ingest markers (the
-    _files_to_ingest pattern) exactly as with maxsim_append_ingest."""
+    _files_to_ingest pattern) exactly as with maxsim_append_ingest.
+
+    Crash window (r14 ADVICE, documented): the two face writes are not
+    atomic. Bands land first, so a crash between them leaves the
+    batch's docs VISIBLE to the probe (candidates found) but without
+    verify-side shingle rows — an admission in that state admits their
+    near-dups, exactly as it would have before the batch existed. A
+    marker-guarded replay re-appends both faces; the crashed partial
+    rows it duplicates are verdict-benign (candidates are distinct
+    pairs, the best-match window collapses repeated jaccard rows) but
+    inflate band occupancy, so a crashed-batch substrate should be
+    rebuilt rather than replayed when exactness matters."""
     spark = docs.sparkSession
     meta = _read_minhash_meta(spark, base_dir)
     buckets = _resolve_minhash_buckets(meta, buckets)
     _check_minhash_params(meta, num_hashes, band_size, buckets,
                           "minhash_append_persisted")
-    _write_minhash_faces(docs, base_dir, num_hashes, band_size, buckets,
+    # one tokenize pass over the batch: both faces read the checkpoint
+    sets = _shingle_sets(docs).localCheckpoint()
+    _write_minhash_faces(sets, base_dir, num_hashes, band_size, buckets,
                          mode="append")
     if meta is not None:
         # absolute recount from the sh face's parquet footers (one row
@@ -1109,15 +1137,15 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
     """Admit a NEW batch against the persisted substrate — the serving
     twin of ``incremental_dedup`` (bit-equal verdicts when the batch is
     the corpus' upper id half; pinned in tests/test_dedup.py). The
-    batch's band keys resolve their distinct (band_idx, bucket) probe
-    pairs driver-side (BOUNDED: at most n_bands x buckets = 1024
-    whatever the batch size — the perceptual_admit_persisted
-    discipline), the banded face read carries the band_idx/bucket isin
-    conjuncts the FILE LISTING prunes on plus the combined-key isin
-    that keeps the probe exact inside the pruned rectangles; candidate
-    old docs' shingle sets load from the sh face pruned the same way
-    (their doc-id buckets are a second bounded collect, <= ``buckets``
-    values). Old band groups over ``bucket_cap`` drop before the join
+    batch's banded rows collect ONCE driver-side (BOUNDED: batch docs
+    x n_bands rows whatever the corpus size) and resolve the
+    (band_idx, bucket) probe pairs locally; the banded face read
+    carries the band_idx/bucket isin conjuncts the FILE LISTING prunes
+    on plus the combined-key isin that keeps the probe exact inside
+    the pruned rectangles; the candidate pairs collect in the SAME job
+    that probes the pruned index, and the old docs' sh buckets derive
+    from them locally (r15: one collect job where r14 ran two collects
+    plus two localCheckpoint jobs). Old band groups over ``bucket_cap`` drop before the join
     (the BANDING_BUCKET_CAP hot-bucket guard; identical results
     whenever no group exceeds the cap, which the in-memory path
     implicitly assumes). Verify is the same 6-dp exact Jaccard, best
@@ -1147,23 +1175,24 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
             f"5.8 s vs 1.5 s in-memory at 2.5k docs). Use "
             f"incremental_dedup / the in-memory banding path until the "
             f"corpus outgrows it.", RuntimeWarning, stacklevel=2)
-    # one tokenize pass over the batch: shingle sets checkpointed, the
-    # banded frame derives from them (_signatures_from_sets,
-    # bit-identical) and is checkpointed too — it feeds the driver-side
-    # probe collect AND the candidate join, and Spark re-executes
-    # identical subtrees (the maxsim/perceptual serve lesson). Bounded:
-    # batch rows only.
+    # one tokenize pass over the batch: shingle sets checkpointed (they
+    # feed the banded derivation AND the verify join below), then ONE
+    # driver collect of the batch's banded rows — BOUNDED at batch docs
+    # x n_bands rows whatever the corpus size. Those few rows resolve
+    # the probe pairs, provide the candidate join side (a literal
+    # broadcast frame) and, after the candidate collect below, the old
+    # docs' sh buckets — replacing r14's second localCheckpoint job,
+    # separate probe-collect job and separate bucket-collect job
+    # (guide §5 driver-boundary discipline; VERDICT r14 item 4).
     sh_new = _shingle_sets(new_docs).localCheckpoint()
-    banded_new = (banded_keys(_signatures_from_sets(sh_new, num_hashes),
-                              num_hashes, band_size)
-                  .withColumn(
-                      "bucket",
-                      F.conv(F.substring("band_key", 1, 4), 16, 10)
-                      .cast("long") % buckets)
-                  .localCheckpoint())
-    probe = {(int(r["band_idx"]), int(r["bucket"]))
-             for r in banded_new.select("band_idx", "bucket")
-             .distinct().collect()}
+    new_rows = (banded_keys(_signatures_from_sets(sh_new, num_hashes),
+                            num_hashes, band_size)
+                .withColumn(
+                    "bucket",
+                    F.conv(F.substring("band_key", 1, 4), 16, 10)
+                    .cast("long") % buckets)
+                .collect())
+    probe = {(int(r["band_idx"]), int(r["bucket"])) for r in new_rows}
     if not probe:
         return (new_docs.select(
             "doc_id", "lang", F.lit(True).alias("admitted"),
@@ -1197,19 +1226,25 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
            .where(F.col("bucket_n") <= int(bucket_cap))
            .select(F.col("doc_id").alias("old_id"), "band_idx",
                    "band_key"))
-    # localCheckpoint before the bucket collect: the collect below and
-    # the verify both consume cand, and without materialization the
-    # substrate probe join would execute TWICE per admission (measured
-    # — it doubled the serving time in the 100k probe)
-    cand = (banded_new.select(F.col("doc_id").alias("new_id"),
-                              "band_idx", "band_key")
-            .join(old, ["band_idx", "band_key"])
-            .select("new_id", "old_id")
-            .distinct()
-            .localCheckpoint())
-    old_buckets = sorted({int(r["b"]) for r in
-                          cand.select((F.col("old_id") % buckets)
-                                      .alias("b")).distinct().collect()})
+    # the batch's banded rows are already driver-side — ship them back
+    # as a literal broadcast frame and COLLECT the candidate pairs in
+    # the same job that probes the pruned index (bounded: batch docs x
+    # matched band groups, cap-guarded). r14 instead localCheckpointed
+    # the candidate frame and ran a second collect just for the old
+    # docs' buckets — two extra jobs per admission.
+    nb = spark.createDataFrame(
+        [(r["doc_id"], int(r["band_idx"]), r["band_key"])
+         for r in new_rows],
+        "new_id long, band_idx int, band_key string")
+    cand_rows = (F.broadcast(nb)
+                 .join(old, ["band_idx", "band_key"])
+                 .select("new_id", "old_id")
+                 .distinct()
+                 .collect())
+    old_buckets = sorted({int(r["old_id"]) % buckets for r in cand_rows})
+    cand = spark.createDataFrame(
+        [(r["new_id"], r["old_id"]) for r in cand_rows],
+        "new_id long, old_id long")
     sh_old = (read_hive_pruned(spark, f"{base_dir}/sh", ["sh_bucket"],
                                {(b,) for b in old_buckets},
                                schema=schemas.get("sh_schema"))
@@ -1219,7 +1254,7 @@ def minhash_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
               spark.read.parquet(f"{base_dir}/sh").limit(0))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
            / F.size(F.array_union("sh_a", "sh_b")))
-    ver = (cand
+    ver = (F.broadcast(cand)
            .join(sh_new.select(F.col("doc_id").alias("new_id"),
                                F.col("sh").alias("sh_a")), "new_id")
            .join(sh_old.select(F.col("doc_id").alias("old_id"),
