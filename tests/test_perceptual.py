@@ -429,3 +429,54 @@ def test_perceptual_append_persisted_closes_the_loop(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(base).collect()))
     b = sorted(map(tuple, spark.read.parquet(base2).collect()))
     assert a == b
+
+
+def test_phash_auto_buckets_policy(spark, tmp_path):
+    """Corpus-adaptive perceptual substrate geometry (r15): 'auto'
+    holds >= PHASH_BUCKET_TARGET_DOCS assets per bucket directory
+    (pow2, floor 16, cap PHASH_PERSIST_BUCKETS), the build stamps the
+    RESOLVED value into the sidecar, 'auto' at admit/append reads it
+    back, and admission verdicts are bucket-count-independent."""
+    import numpy as np
+
+    from vectordb_explorations_spark.operators.perceptual import (
+        PHASH_PERSIST_BUCKETS, perceptual_admit_persisted,
+        perceptual_persist, phash_auto_buckets)
+    from vectordb_explorations_spark.sources.sinks import (
+        read_json_sidecar)
+
+    assert phash_auto_buckets(0) == 16
+    assert phash_auto_buckets(500) == 16
+    assert phash_auto_buckets(5000) == 64
+    assert phash_auto_buckets(16384) == 256
+    assert phash_auto_buckets(10_000_000) == 256
+
+    rng = np.random.default_rng(92)
+    vocab = ["alpha", "bridge", "copper", "delta", "ember", "flint"]
+    mk_text = lambda: " ".join(vocab[i]
+                               for i in rng.integers(0, 6, size=60))
+    corpus_texts = [mk_text() for _ in range(5)]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)],
+        ["doc_id", "text"])
+    base = str(tmp_path / "perc_auto")
+    perceptual_persist(corpus, base)
+    meta = read_json_sidecar(spark, f"{base}/_meta.json")
+    assert meta["buckets"] == 16    # resolved, not 'auto'
+    # every bucket value in the face respects the resolved modulus
+    vals = {r["bucket"] for r in
+            spark.read.parquet(base).select("bucket")
+            .distinct().collect()}
+    assert vals and all(0 <= v < 16 for v in vals)
+    # verdicts are geometry-independent: the same admission against a
+    # fixed-cap substrate returns identical rows
+    base_fixed = str(tmp_path / "perc_fixed")
+    perceptual_persist(corpus, base_fixed,
+                       buckets=PHASH_PERSIST_BUCKETS)
+    batch = spark.createDataFrame(
+        [(100, corpus_texts[2]), (101, mk_text())], ["doc_id", "text"])
+    got_auto = sorted(map(tuple, perceptual_admit_persisted(
+        spark, base, batch).collect()))
+    got_fixed = sorted(map(tuple, perceptual_admit_persisted(
+        spark, base_fixed, batch).collect()))
+    assert got_auto == got_fixed

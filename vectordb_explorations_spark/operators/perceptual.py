@@ -994,11 +994,37 @@ ORDER BY d.doc_id
 """
 
 
-PHASH_PERSIST_BUCKETS = 256
+PHASH_PERSIST_BUCKETS = 256   # cap of the 'auto' policy below, and the
+                              # fixed default of pre-r15 substrates
+PHASH_BUCKET_TARGET_DOCS = 64  # 'auto' keeps >= this many hashed assets
+                               # per bucket directory
+
+
+def phash_auto_buckets(n_assets: int) -> int:
+    """Corpus-adaptive bucket count for the persisted perceptual face —
+    the minhash_auto_buckets policy applied to the LAST substrate with
+    a fixed geometry (r14 VERDICT item 3 / OPTIMIZATION_r14 "Not yet
+    optimized" #1): a fixed 256 buckets puts 4 x 256 = 1,024
+    directories under every substrate regardless of corpus size — a
+    multi-second hive write-commit and listing floor at fixture scale,
+    exactly right at 100 TB. Hold >= PHASH_BUCKET_TARGET_DOCS assets
+    per bucket directory (power of two, floor 16, cap
+    PHASH_PERSIST_BUCKETS); every corpus past ~16k assets resolves to
+    the same 256 as before. Admission verdicts are bucket-count-
+    independent — the bucket is a pruning route; candidates still
+    equi-join on the full 16-bit band_val (pinned by the lifecycle
+    pytests). The build stamps the RESOLVED value into the _meta.json
+    sidecar; 'auto' at admit/append reads it back, an explicit
+    mismatching int still raises."""
+    if n_assets <= 0:
+        return 16
+    raw = n_assets // PHASH_BUCKET_TARGET_DOCS
+    p = 1 << max(0, raw.bit_length() - 1)
+    return max(16, min(PHASH_PERSIST_BUCKETS, p))
 
 
 def perceptual_persist(docs: DataFrame, base_dir: str,
-                       buckets: int = PHASH_PERSIST_BUCKETS) -> None:
+                       buckets: int | str = "auto") -> None:
     """Build + persist the perceptual admission substrate ONCE — the
     ivf/hnsw/maxsim partitioned-serving discipline applied to the
     image fingerprints: the per-doc dHash table exploded to its four
@@ -1017,12 +1043,21 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
     partition discovery) records the build's ``buckets`` so admit and
     append can REFUSE a mismatched geometry instead of silently
     probing the wrong directories (the minhash meta-guard discipline,
-    r14)."""
+    r14). ``buckets='auto'`` (default, r15) resolves corpus-adaptive
+    geometry from the hashed-asset count — see phash_auto_buckets."""
+    # the decode+hash pass is paid ONCE and materialized
+    # (localCheckpoint): it feeds the 'auto' geometry count and the
+    # banded write — the frame is compact (5 longs per asset), so the
+    # materialization is cheap insurance against Spark re-running the
+    # Arrow decode subtree per consumer
+    h = _doc_hashes(docs).localCheckpoint()
+    if buckets == "auto":
+        buckets = phash_auto_buckets(h.count())
     # repartition on the partition columns: one file per occupied
     # directory instead of one per writer task per directory (the
     # minhash_persist probe measured the multi-file layout burying the
     # pruned read in listings/opens — r13)
-    (repartition_for_hive(_banded_fingerprints(docs, buckets),
+    (repartition_for_hive(_banded_from_hashes(h, buckets),
                           "band_idx", "bucket")
      .write.mode("overwrite")
      .partitionBy("band_idx", "bucket")
@@ -1039,12 +1074,22 @@ def perceptual_persist(docs: DataFrame, base_dir: str,
                            if schema is not None else {})})
 
 
-def _check_perceptual_buckets(spark, base_dir: str, buckets: int,
-                              op: str) -> None:
+def _resolve_perceptual_buckets(spark, base_dir: str, buckets,
+                                op: str) -> int:
+    """'auto' at serve/append time = the build's stamped value (legacy
+    substrates without a sidecar predate the auto policy and were
+    always built at the fixed cap); an explicit int differing from the
+    build's raises — a silent geometry mismatch would probe the wrong
+    bucket directories and miss near-dups."""
     from vectordb_explorations_spark.sources.sinks import (
         read_json_sidecar)
 
     meta = read_json_sidecar(spark, f"{base_dir}/_meta.json")
+    if buckets == "auto":
+        if meta is not None and "buckets" in meta:
+            return int(meta["buckets"])
+        return PHASH_PERSIST_BUCKETS
+    buckets = int(buckets)
     if meta is not None and int(meta.get("buckets", buckets)) != buckets:
         raise ValueError(
             f"{op}: caller buckets={buckets} does not match the "
@@ -1052,16 +1097,22 @@ def _check_perceptual_buckets(spark, base_dir: str, buckets: int,
             f"geometry probes the wrong bucket directories and "
             f"silently misses near-dups. Use the build's value "
             f"(persisted in {{base_dir}}/_meta.json).")
+    return buckets
 
 
-def _banded_fingerprints(docs: DataFrame, buckets: int) -> DataFrame:
-    """(doc_id, dh_w0, dh_w1, band_idx, band_val, bucket) substrate rows
-    — shared by the bulk build and the incremental append so the two
-    writers cannot drift."""
-    h = image_hashes(
+def _doc_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, ah_*, dh_*) via the REAL image decode over the
+    synthesized P6 assets — the one Arrow decode pass every persisted-
+    face writer shares."""
+    return image_hashes(
         _p6_assets(docs).select(F.shiftright("asset_id", 1)
                                 .alias("asset_id"), "payload")) \
         .withColumnRenamed("asset_id", "doc_id")
+
+
+def _banded_from_hashes(h: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, dh_w0, dh_w1, band_idx, band_val, bucket) substrate
+    rows from an already-hashed frame."""
     bands = []
     for w in ("dh_w0", "dh_w1"):
         bands.append(F.shiftright(F.col(w), 16).bitwiseAND(F.lit(0xFFFF)))
@@ -1072,20 +1123,30 @@ def _banded_fingerprints(docs: DataFrame, buckets: int) -> DataFrame:
         .withColumn("bucket", F.col("band_val") % buckets))
 
 
+def _banded_fingerprints(docs: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, dh_w0, dh_w1, band_idx, band_val, bucket) substrate rows
+    — shared by the bulk build and the incremental append so the two
+    writers cannot drift."""
+    return _banded_from_hashes(_doc_hashes(docs), buckets)
+
+
 def perceptual_append_persisted(docs: DataFrame, base_dir: str,
-                                buckets: int = PHASH_PERSIST_BUCKETS
+                                buckets: int | str = "auto"
                                 ) -> None:
     """Append an ADMITTED batch's image fingerprints to the substrate —
     the maintenance step after ``perceptual_admit_persisted`` says yes.
     The banding is stateless (band_val % buckets), so appended rows
     bucket exactly as the bulk build did; hive append touches only the
-    batch's own bucket directories. Caller owns idempotence markers.
-    A buckets value differing from the build's (sidecar) raises."""
-    _check_perceptual_buckets(docs.sparkSession, base_dir, buckets,
-                              "perceptual_append_persisted")
+    batch's own bucket directories ('auto' reads the build's stamped
+    value back). Caller owns idempotence markers. A buckets value
+    differing from the build's (sidecar) raises."""
+    buckets = _resolve_perceptual_buckets(docs.sparkSession, base_dir,
+                                          buckets,
+                                          "perceptual_append_persisted")
+    from vectordb_explorations_spark.sources.sinks import V1_COMMITTER
     (repartition_for_hive(_banded_fingerprints(docs, buckets),
                           "band_idx", "bucket")
-     .write.mode("append")
+     .write.mode("append").options(**V1_COMMITTER)
      .partitionBy("band_idx", "bucket")
      .parquet(base_dir))
 
@@ -1106,11 +1167,11 @@ def perceptual_delete_persisted(spark, base_dir: str, doc_ids) -> int:
 
 def perceptual_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
                                max_hamming: int = PHASH_IMG_MAX_HAMMING,
-                               buckets: int = PHASH_PERSIST_BUCKETS
+                               buckets: int | str = "auto"
                                ) -> DataFrame:
     """Admit a NEW batch against the persisted substrate: the batch's
     hashes band locally, their distinct (band_idx, bucket) probe pairs
-    resolve driver-side (BOUNDED: at most 4 x buckets = 1024 pairs
+    resolve driver-side (BOUNDED: at most 4 x buckets <= 1024 pairs
     whatever the batch size), and the substrate read carries the
     band_idx/bucket isin conjuncts the FILE LISTING prunes on
     (PartitionFilters — plan-asserted in tests) plus the packed-key
@@ -1119,11 +1180,12 @@ def perceptual_admit_persisted(spark, base_dir: str, new_docs: DataFrame,
     band value, verify Hamming inside the pruned rows, best match by
     (hamming ASC, old doc_id ASC). Output: one row per payload-eligible
     batch doc with its admission verdict — the serving twin of
-    perceptual_incremental's batch-internal split. A buckets value
-    differing from the build's (sidecar) raises — a silent geometry
-    mismatch would probe the wrong directories (r14 guard)."""
-    _check_perceptual_buckets(spark, base_dir, buckets,
-                              "perceptual_admit_persisted")
+    perceptual_incremental's batch-internal split. ``buckets='auto'``
+    (default) reads the build's stamped geometry back; an explicit
+    value differing from the build's (sidecar) raises — a silent
+    geometry mismatch would probe the wrong directories (r14 guard)."""
+    buckets = _resolve_perceptual_buckets(spark, base_dir, buckets,
+                                          "perceptual_admit_persisted")
     nh = image_hashes(
         _p6_assets(new_docs).select(F.shiftright("asset_id", 1)
                                     .alias("asset_id"), "payload")) \
