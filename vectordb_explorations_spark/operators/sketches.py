@@ -604,26 +604,19 @@ def kmv_source_overlap(docs: DataFrame) -> DataFrame:
                              lambda x: x.cast("string")))
                          .cast("binary")).alias("union_sketch_md5")))
     # exact-truth audit half (fixture-scale grading; see docstring).
-    # r15 (guide §2.3/§3): the exact intersection was a self-join of
-    # the checkpointed fingerprint frame on h — two shuffles of the
-    # corpus-distinct rows into a join. A fingerprint's co-occurring
-    # sources are FEW (<= |sources|), so ONE groupBy(h) collecting the
-    # sorted source set and expanding its ordered pairs in place
-    # replaces the join: one corpus-rows exchange instead of two plus
-    # the join, identical pair counts (sort_array uses the same binary
-    # string ordering as the old source_a < source_b predicate).
+    # Examined r15, kept as the self-join deliberately: a groupBy(h) +
+    # sort_array(collect_set(source)) + ordered-pair explode computes
+    # the identical counts with ONE corpus-rows exchange instead of
+    # the join's two, but the drift-free same-session A/B at sf0.1
+    # measured it 1.6x SLOWER (0.88 vs 0.55 s median-of-5, identical
+    # results) — ObjectHashAggregate's per-row set building costs more
+    # than the codegen'd join saves. The join reads the checkpoint
+    # twice, so no extra corpus scan rides either shape.
     nd = sh.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
-    ss = F.sort_array(F.collect_set("source"))
-    pair_arr = F.flatten(F.transform(
-        F.col("ss"),
-        lambda a, i: F.transform(
-            F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
-            lambda b: F.struct(a.alias("source_a"),
-                               b.alias("source_b")))))
-    inter = (sh.groupBy("h").agg(ss.alias("ss"))
-             .where(F.size("ss") >= 2)
-             .select(F.explode(pair_arr).alias("p"))
-             .select("p.source_a", "p.source_b")
+    inter = (sh.select(F.col("source").alias("source_a"), "h")
+             .join(sh.select(F.col("source").alias("source_b"), "h"),
+                   "h")
+             .where(F.col("source_a") < F.col("source_b"))
              .groupBy("source_a", "source_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     truth = (pairs
