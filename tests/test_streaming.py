@@ -14,6 +14,35 @@ def stream(spark, sf_dir):
     return SE.read_events_stream(spark, sf_dir)
 
 
+def _await_stateful_drain(q, min_input_rows: int, extra_batches: int = 1,
+                          cap_s: int = 120) -> None:
+    """Await a ProcessingTimeTimeout stateful stream: under
+    trigger(availableNow) such a query NEVER terminates on its own (the
+    engine keeps scheduling empty batches to fire pending state
+    timeouts), so a plain awaitTermination(cap) burns the whole cap —
+    the two TTL tests were 123 s EACH of pure waiting (r15 suite
+    profile). Poll progress instead: once every input row has been
+    processed AND ``extra_batches`` further (timeout-firing) batches
+    have run, stop the query. Falls through at ``cap_s`` to the same
+    read-the-sink behavior as before, so this can only be faster,
+    never flakier."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < cap_s:
+        if q.awaitTermination(1):
+            return
+        progs = [p if isinstance(p, dict) else p.asDict()
+                 for p in q.recentProgress]
+        n_in = [int(p["numInputRows"]) for p in progs]
+        if sum(n_in) >= min_input_rows:
+            last_input = max(i for i, n in enumerate(n_in) if n > 0)
+            if len(n_in) - 1 - last_input >= extra_batches:
+                q.stop()
+                return
+    q.stop()
+
+
 def test_hourly_stream_equals_batch(spark, sf_dir, stream):
     q = SE.run_to_memory(SE.hourly_counts_stream(stream), "t_hourly", "complete")
     q.awaitTermination(300)
@@ -340,7 +369,7 @@ def test_near_dedup_state_ttl_evicts_idle_bands(spark, tmp_path):
               .parquet(str(d) + "/*.parquet"))
     name = f"snddttl_{uuid.uuid4().hex[:8]}"
     q = run_to_memory(near_dup_stream(stream, state_ttl_ms=1), name, "append")
-    q.awaitTermination(120)
+    _await_stateful_drain(q, min_input_rows=3)
     rows = {(r.doc_id, r.dup_of) for r in spark.table(name).collect()}
     # doc 100's bands expired (1ms TTL) before batch 3 ran, so doc 5 is a
     # fresh representative, NOT flagged — the opposite of the NoTimeout
@@ -378,7 +407,7 @@ def test_near_dedup_ttl_keeps_live_bands(spark, tmp_path):
     name = f"snddlive_{uuid.uuid4().hex[:8]}"
     q = run_to_memory(near_dup_stream(stream, state_ttl_ms=3_600_000),
                       name, "append")
-    q.awaitTermination(120)
+    _await_stateful_drain(q, min_input_rows=2)
     rows = {(r.doc_id, r.dup_of) for r in spark.table(name).collect()}
     assert (5, 100) in rows
 
