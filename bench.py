@@ -846,6 +846,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": float(sf_match.group(1)) if sf_match else None,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", 0) or 0) or None,
         **bulky,
         **{k: extras[k] for k in tail_keys},
         "queries": timings,
@@ -890,6 +891,17 @@ def _write_bench_local(out: dict, extras: dict) -> None:
             print(f"NOTE: run at sf={out['sf']} — keeping the existing "
                   f"sf={existing['sf']} BENCH_LOCAL.json; set "
                   f"SPARK_GRAFT_FORCE_BENCH_LOCAL=1 to overwrite",
+                  file=sys.stderr)
+            return
+        # ...nor must a lower-core scaling run replace the full-core
+        # record (it happened in r15 — the 8-core follow-up run
+        # silently replaced the certified 32-core one, caught by git)
+        if (existing is not None and out.get("cpus")
+                and existing.get("cpus")
+                and out["cpus"] < existing["cpus"]):
+            print(f"NOTE: run at cpus={out['cpus']} — keeping the "
+                  f"existing cpus={existing['cpus']} BENCH_LOCAL.json; "
+                  f"set SPARK_GRAFT_FORCE_BENCH_LOCAL=1 to overwrite",
                   file=sys.stderr)
             return
     with open(path, "w") as f:
